@@ -1,0 +1,30 @@
+"""Public query registry: name → (spark, sf_dir) → DataFrame, plus the
+DuckDB oracle SQL for each SQL-expressible query.
+
+``__spark_entry__.py`` re-exports these for the driver harness. Keys
+are stable identifiers; every computed column is aliased identically
+in the Spark plan and the oracle SQL (the driver's comparator sorts
+columns by name before hashing values).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .plans import warehouse
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    out.update(warehouse.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    out.update(warehouse.ORACLE)
+    return out
