@@ -30,6 +30,11 @@ HEADLINE = [
     "order_priority_count",
     "part_type_share",
     "events_hourly",
+    "dedup_ngram_pairs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_quality_stats",
 ]
 
 

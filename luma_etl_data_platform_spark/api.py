@@ -13,18 +13,22 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import warehouse
+from .plans import training_data, warehouse
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_MODULES = (warehouse, training_data)
 
 
 def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
-    out.update(warehouse.QUERIES)
+    for m in _MODULES:
+        out.update(m.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
-    out.update(warehouse.ORACLE)
+    for m in _MODULES:
+        out.update(m.ORACLE)
     return out

@@ -1,0 +1,118 @@
+"""Text-analysis column library for training-data pipelines.
+
+All functions are pure ``pyspark.sql`` Column expressions (JVM-side,
+codegen'd, no UDFs) and — deliberately — are built on *portable*
+primitives (``md5``, ``regexp_extract_all``, higher-order array
+functions) that DuckDB evaluates identically, so every operator
+downstream (dedup, fingerprinting, LSH) is verifiable against a SQL
+oracle bit-for-bit.
+
+Beyond-reference surface: the reference (an ERP ETL tool) has no text
+operators; these are the language-ID / quality / tokenization /
+fingerprint layer a 100-TB document pipeline needs (task brief).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\w+"
+
+# Marker stopwords per language for the n-gram/stopword-profile
+# language-ID heuristic. Deliberately small & explicit so the SQL
+# oracle states the identical lists.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "de", "et", "que"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased word tokens (BPE-ish regex tokenizer baseline)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles. Empty array when the document has
+    fewer than ``n`` tokens (guarded — Spark's ``sequence(1, 0)``
+    would otherwise count DOWN)."""
+    t = tokens(col)
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(F.size(t) >= n, F.array_distinct(make)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def portable_hash32(col: Column, seed: int | Column = 0) -> Column:
+    """Deterministic 32-bit hash identical across engines:
+    first 8 hex chars of md5(seed ':' value), parsed base-16.
+    DuckDB equivalent: CAST('0x' || substr(md5(seed || ':' || x), 1, 8) AS BIGINT).
+    """
+    seed_col = F.lit(seed) if isinstance(seed, int) else seed
+    payload = F.concat(seed_col.cast("string"), F.lit(":"), col.cast("string"))
+    return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+
+
+def fingerprint(col: Column) -> Column:
+    """Content fingerprint of the normalized token stream (whitespace/
+    case/punctuation-insensitive document identity)."""
+    return F.md5(F.concat_ws(" ", tokens(col)))
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    t = tokens(col)
+    sw = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
+    return F.when(F.size(t) > 0, sw / F.size(t)).otherwise(F.lit(0.0))
+
+
+def avg_token_len(col: Column) -> Column:
+    t = tokens(col)
+    total = F.aggregate(F.transform(t, F.length), F.lit(0), lambda acc, x: acc + x)
+    return F.when(F.size(t) > 0, total / F.size(t)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length component (capped
+    at 100 tokens), stopword-profile component, and word-shape
+    component (avg token length capped at 8). Deterministic arithmetic
+    only — reproducible in any engine."""
+    t = tokens(col)
+    wc = F.size(t)
+    length_c = F.least(wc / F.lit(100.0), F.lit(1.0))
+    stop_c = stopword_ratio(col)
+    shape_c = F.least(avg_token_len(col) / F.lit(8.0), F.lit(1.0))
+    return F.round(length_c * 0.5 + stop_c * 0.25 + shape_c * 0.25, 6)
+
+
+def lang_marker_counts(col: Column) -> dict[str, Column]:
+    t = tokens(col)
+    return {
+        lang: F.size(F.filter(t, lambda x: x.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language by marker-word count; ties break alphabetically
+    (en < es < fr), 'und' when no marker matches. Expressed as an
+    explicit CASE chain so the SQL oracle can state the identical
+    decision procedure."""
+    counts = lang_marker_counts(col)
+    c_en, c_es, c_fr = counts["en"], counts["es"], counts["fr"]
+    return (
+        F.when((c_en >= c_es) & (c_en >= c_fr) & (c_en > 0), F.lit("en"))
+        .when((c_es >= c_fr) & (c_es > 0), F.lit("es"))
+        .when(c_fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )

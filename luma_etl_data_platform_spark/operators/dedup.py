@@ -1,0 +1,214 @@
+"""Deduplication operators for document corpora at scale.
+
+Four families (task brief "training-data pipeline ops"):
+
+- **exact**: hash-groupBy on a content fingerprint.
+- **n-gram Jaccard**: exact set-similarity via an inverted shingle
+  index — the classic "similarity join as a join" formulation: no
+  cross product; candidate pairs come from co-occurrence on a shingle.
+- **MinHash + LSH**: signature of k portable min-hashes, banded into
+  buckets; pairs sharing any band bucket are candidates, then exact
+  Jaccard verification. Probabilistic RECALL, deterministic RESULT:
+  the hashes are engine-portable (functions/text.portable_hash32), so
+  a DuckDB oracle reproduces the identical candidate set.
+- **SimHash**: 32-bit signed-projection sketch; near-dups = pairs
+  within Hamming distance ``k``, candidates via band equality on
+  8-bit bands (pigeonhole: distance ≤ 3 ⇒ at least one of 4 bands
+  equal).
+
+Scale notes (100 TB): every operator is explode → shuffle-on-key →
+aggregate; no driver-side loops, no cross joins. The inverted-index
+joins shuffle on the shingle/bucket — frequent-shingle skew is the
+known hazard; ``df_cap`` drops shingles whose document frequency
+exceeds a cap (stop-shingles add candidates, not information). AQE
+skew-join handles residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, portable_hash32, shingles
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct normalized content: representative id
+    (min), duplicate count. (reference analog: dup detection at
+    utilities/utilities.py:317-330 is name-level; this is the
+    content-level generalization.)"""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingle inverted index + exact jaccard pairs
+# ---------------------------------------------------------------------------
+
+def _shingle_index(df: DataFrame, text_col: str, id_col: str, n: int,
+                   df_cap: int | None = None) -> DataFrame:
+    """(id, shingle) inverted index, optionally dropping stop-shingles
+    with document frequency > df_cap."""
+    idx = (
+        df.select(F.col(id_col).alias("_id"),
+                  F.explode(shingles(F.col(text_col), n)).alias("s"))
+    )
+    if df_cap is not None:
+        hot = (idx.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > df_cap).select("s"))
+        idx = idx.join(F.broadcast(hot), "s", "left_anti")
+    return idx
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        n: int = 3, threshold: float = 0.5,
+                        df_cap: int | None = None) -> DataFrame:
+    """Exact Jaccard similarity join: pairs (a < b) with
+    |shingles(a) ∩ shingles(b)| / |union| ≥ threshold.
+
+    Plan shape: explode → self-join on shingle (shuffle on shingle) →
+    count per pair (shuffle on pair) → join against per-doc sizes
+    (broadcastable: one row per doc). Never materializes a cross
+    product."""
+    idx = _shingle_index(df, text_col, id_col, n, df_cap)
+    sizes = idx.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = idx.alias("a"), idx.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       n: int = 3, num_hashes: int = 16) -> DataFrame:
+    """Per-doc MinHash signature: for each seed, the min portable hash
+    over the doc's shingles. One explode + one groupBy(id) with
+    ``num_hashes`` min-aggregates (map-side combinable)."""
+    idx = _shingle_index(df, text_col, id_col, n)
+    aggs = [
+        F.min(portable_hash32(F.col("s"), seed)).alias(f"mh_{seed}")
+        for seed in range(num_hashes)
+    ]
+    return idx.groupBy(F.col("_id").alias("id")).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      n: int = 3, num_hashes: int = 16, bands: int = 4,
+                      threshold: float = 0.5,
+                      df_cap: int | None = None) -> DataFrame:
+    """Candidate pairs from banded MinHash buckets, verified with exact
+    Jaccard ≥ threshold. Deterministic end-to-end (portable hashes)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    # bucket key per band: md5 of the band's signature slice
+    band_rows = []
+    for bnd in range(bands):
+        cols = [F.col(f"mh_{bnd * rows + r}") for r in range(rows)]
+        key = F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        band_rows.append(sig.select("id", F.lit(bnd).alias("band"), key.alias("bkey")))
+    buckets = band_rows[0]
+    for extra in band_rows[1:]:
+        buckets = buckets.unionByName(extra)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification restricted to candidates
+    idx = _shingle_index(df, text_col, id_col, n, df_cap)
+    sizes = idx.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ia = idx.withColumnRenamed("_id", "id_a")
+    ib = idx.withColumnRenamed("_id", "id_b")
+    common = (
+        candidates.join(ia, "id_a").join(ib, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """32-bit SimHash per doc: bit i is set iff the sum over shingles
+    of ±1 (by bit i of the shingle's portable hash) is positive.
+    One explode + one groupBy with ``bits`` conditional sums."""
+    idx = _shingle_index(df, text_col, id_col, n=3)
+    h = portable_hash32(F.col("s"), 0)
+    aggs = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+        .alias(f"b_{i}")
+        for i in range(bits)
+    ]
+    per_bit = idx.groupBy(F.col("_id").alias("id")).agg(*aggs)
+    sh = None
+    for i in range(bits):
+        term = F.when(F.col(f"b_{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sh = term if sh is None else sh + term
+    return per_bit.select("id", sh.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
+                  max_hamming: int = 3) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` of their 32-bit
+    SimHash. Candidates via equality on one of four 8-bit bands
+    (pigeonhole guarantees no false negatives for distance ≤ 3);
+    verification via bit_count(xor)."""
+    sig = simhash(df, text_col, id_col)
+    band_rows = []
+    for bnd in range(4):
+        key = F.shiftright(F.col("simhash"), bnd * 8).bitwiseAND(F.lit(255))
+        band_rows.append(sig.select("id", "simhash",
+                                    F.lit(bnd).alias("band"), key.alias("bkey")))
+    buckets = band_rows[0]
+    for extra in band_rows[1:]:
+        buckets = buckets.unionByName(extra)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k against one query vector.
+  The baseline: a single scan, dot products via higher-order array
+  functions (JVM-side), TakeOrdered for the top-k — no shuffle of the
+  corpus.
+- ``ivf_topk``: IVF-style two-stage search — coarse quantization by a
+  cluster column (here the pre-assigned ``label``; at scale the
+  output of any clustering/PQ step), probe the ``nprobe`` nearest
+  centroids, exact search within probed partitions only. This is the
+  100-TB path: the scan prunes to ~nprobe/nlist of the corpus, and
+  with the table partitioned by cluster id the pruning happens at the
+  file level.
+- ``neardup_pairs_blocked``: all-pairs cosine within blocks (cluster
+  column) — embedding near-dup detection without the n² cross join.
+
+Float determinism: inputs are cast to double and reduced sequentially
+(left fold) so a DuckDB oracle using list_dot_product on DOUBLE[]
+reproduces the same values; scores are rounded to 6dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+
+
+def cosine_topk(df: DataFrame, query: DataFrame, k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by cosine against a 1-row ``query`` DataFrame
+    (same vec_col). The query side is broadcast; ordering ties break
+    on id for determinism."""
+    corpus = _as_double(df, vec_col)
+    q = _as_double(query.select(F.col(vec_col).alias("_qv")), "_qv")
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .select(F.col(id_col),
+                F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def centroids(df: DataFrame, cluster_col: str = "label",
+              vec_col: str = "embedding") -> DataFrame:
+    """Element-wise mean vector per cluster: posexplode → avg per
+    (cluster, dim) → re-assemble ordered by dim. Two narrow shuffles
+    over (cluster, dim) — cardinality nlist × dims, tiny at any data
+    scale."""
+    exploded = (
+        _as_double(df, vec_col)
+        .select(F.col(cluster_col), F.posexplode(F.col(vec_col)).alias("dim", "v"))
+    )
+    per_dim = exploded.groupBy(cluster_col, "dim").agg(F.avg("v").alias("m"))
+    return (
+        per_dim.groupBy(cluster_col)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("pairs"))
+        .select(F.col(cluster_col),
+                F.transform(F.col("pairs"), lambda p: p["m"]).alias("centroid"))
+    )
+
+
+def ivf_topk(df: DataFrame, query: DataFrame, k: int = 10, nprobe: int = 2,
+             cluster_col: str = "label", vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """Two-stage ANN: rank cluster centroids by cosine to the query,
+    keep the ``nprobe`` best, exact-search only those clusters."""
+    cents = centroids(df, cluster_col, vec_col)
+    q = _as_double(query.select(F.col(vec_col).alias("_qv")), "_qv")
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .select(F.col(cluster_col),
+                F.round(cosine(F.col("centroid"), F.col("_qv")), 6).alias("cscore"))
+        .orderBy(F.col("cscore").desc(), F.col(cluster_col))
+        .limit(nprobe)
+        .select(cluster_col)
+    )
+    narrowed = _as_double(df, vec_col).join(F.broadcast(probed), cluster_col)
+    scored = (
+        narrowed.crossJoin(F.broadcast(q))
+        .select(F.col(id_col),
+                F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def neardup_pairs_blocked(df: DataFrame, threshold: float = 0.0, top: int | None = 20,
+                          cluster_col: str = "label", vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """All-pairs cosine within each block of ``cluster_col`` (IVF-style
+    blocking: near-dups co-locate in a cluster). Shuffles on the block
+    key; never forms the global cross product."""
+    v = _as_double(df, vec_col).select(
+        F.col(cluster_col).alias("_blk"), F.col(id_col), F.col(vec_col))
+    a = v.select(F.col("_blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = v.select(F.col("_blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+    if top is not None:
+        pairs = pairs.orderBy(F.col("score").desc(), "id_a", "id_b").limit(top)
+    return pairs

@@ -1,0 +1,264 @@
+"""Training-data pipeline queries over the documents/embeddings tables:
+dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
+search (brute-force + IVF), and text analysis — each paired with a
+DuckDB oracle that reproduces the identical result, including the
+probabilistic LSH candidate sets (both engines evaluate the same
+portable md5-based hashes, so even recall misses match exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..sources.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+# Shared oracle CTE fragments (kept verbatim-identical across queries).
+_SH_CTE = """
+tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents),
+pos AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i FROM tok),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM pos),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+"""
+
+_EMB_CTE = """
+e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.token_count(c).alias("n_tokens"),
+        F.round(X.stopword_ratio(c), 6).alias("stop_ratio"),
+        F.round(X.avg_token_len(c), 6).alias("avg_tok_len"),
+        X.quality_score(c).alias("quality"),
+    )
+
+
+ORACLE["text_quality_stats"] = """
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents),
+m AS (SELECT doc_id, len(t) AS wc,
+             len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it'))) AS sw,
+             list_aggregate(list_transform(t, x -> len(x)), 'sum') AS chars
+      FROM tok)
+SELECT doc_id,
+       wc AS n_tokens,
+       round(CASE WHEN wc > 0 THEN sw / wc ELSE 0.0 END, 6) AS stop_ratio,
+       round(CASE WHEN wc > 0 THEN chars / wc ELSE 0.0 END, 6) AS avg_tok_len,
+       round(least(wc / 100.0, 1.0) * 0.5
+             + (CASE WHEN wc > 0 THEN sw / wc ELSE 0.0 END) * 0.25
+             + least((CASE WHEN wc > 0 THEN chars / wc ELSE 0.0 END) / 8.0, 1.0) * 0.25,
+             6) AS quality
+FROM m
+"""
+
+
+def text_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.lang_id(c).alias("lang_guess"),
+        X.fingerprint(c).alias("fp"),
+    )
+
+
+ORACLE["text_lang_fingerprint"] = """
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents),
+m AS (SELECT doc_id, t,
+             len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS c_en,
+             len(list_filter(t, x -> x IN ('el','la','de','y','que')))  AS c_es,
+             len(list_filter(t, x -> x IN ('le','la','de','et','que'))) AS c_fr
+      FROM tok)
+SELECT doc_id,
+       CASE WHEN c_en >= c_es AND c_en >= c_fr AND c_en > 0 THEN 'en'
+            WHEN c_es >= c_fr AND c_es > 0 THEN 'es'
+            WHEN c_fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_guess,
+       md5(array_to_string(t, ' ')) AS fp
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(docs, "text", "doc_id")
+
+
+ORACLE["dedup_exact_docs"] = """
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents)
+SELECT md5(array_to_string(t, ' ')) AS fp,
+       min(doc_id) AS rep_id, count(*) AS n_dups
+FROM tok GROUP BY 1
+"""
+
+
+def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
+ORACLE["dedup_ngram_pairs"] = f"""
+WITH {_SH_CTE},
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT id_a, id_b, round(c / (x.n + y.n - c), 6) AS jaccard
+FROM common JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+WHERE round(c / (x.n + y.n - c), 6) >= 0.5
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "text", "doc_id",
+                               n=3, num_hashes=16, bands=4, threshold=0.5)
+
+
+ORACLE["dedup_minhash_lsh"] = f"""
+WITH {_SH_CTE},
+seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+mh AS (SELECT doc_id, seed,
+              min(CAST('0x' || substr(md5(seed || ':' || s), 1, 8) AS BIGINT)) AS mv
+       FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+sig AS (SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(mv::VARCHAR, ',' ORDER BY seed)) AS bkey
+        FROM mh GROUP BY doc_id, seed // 4),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sig a JOIN sig b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+common AS (SELECT id_a, id_b, count(*) AS c
+           FROM cand JOIN sh x ON x.doc_id = id_a
+                     JOIN sh y ON y.doc_id = id_b AND y.s = x.s
+           GROUP BY 1, 2)
+SELECT id_a, id_b, round(c / (x.n + y.n - c), 6) AS jaccard
+FROM common JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+WHERE round(c / (x.n + y.n - c), 6) >= 0.5
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+ORACLE["dedup_simhash"] = f"""
+WITH {_SH_CTE},
+h AS (SELECT doc_id, CAST('0x' || substr(md5('0:' || s), 1, 8) AS BIGINT) AS hv FROM sh),
+bitsum AS (SELECT doc_id, i, sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS ssum
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) GROUP BY 1, 2),
+sig AS (SELECT doc_id,
+               sum(CASE WHEN ssum > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+        FROM bitsum GROUP BY 1),
+bands AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bkey
+          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    min_id = emb.agg(F.min("vec_id")).collect()[0][0]
+    return emb.filter(F.col("vec_id") == min_id)
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    min_id = qv.select("vec_id").collect()[0][0]
+    return S.cosine_topk(emb.filter(F.col("vec_id") != min_id), qv, k=10)
+
+
+ORACLE["ann_cosine_topk"] = f"""
+WITH {_EMB_CTE}
+SELECT vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS score
+FROM e, q
+WHERE vec_id <> (SELECT min(vec_id) FROM embeddings)
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    return S.ivf_topk(emb, qv, k=10, nprobe=2)
+
+
+ORACLE["ann_ivf_topk"] = f"""
+WITH {_EMB_CTE},
+cent AS (SELECT label, list(m ORDER BY i) AS c
+         FROM (SELECT label, i, avg(v[i]) AS m
+               FROM e, generate_series(1, 64) t(i) GROUP BY 1, 2)
+         GROUP BY label),
+probe AS (SELECT label
+          FROM cent, q
+          ORDER BY round(list_dot_product(c, qv)
+                         / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv))), 6)
+                   DESC, label
+          LIMIT 2)
+SELECT vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS score
+FROM e JOIN probe USING (label), q
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.neardup_pairs_blocked(emb, threshold=-1.0, top=20)
+
+
+ORACLE["embedding_neardup_pairs"] = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT id_a, id_b, score FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS score
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+ORDER BY score DESC, id_a, id_b
+LIMIT 20
+"""
+
+
+QUERIES = {
+    "text_quality_stats": text_quality_stats,
+    "text_lang_fingerprint": text_lang_fingerprint,
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_ngram_pairs": dedup_ngram_pairs,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+}

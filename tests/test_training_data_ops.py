@@ -1,0 +1,74 @@
+"""Semantics tests for dedup/similarity operators (parity vs DuckDB is
+covered by test_warehouse_queries.py's registry sweep; these check the
+operator-level invariants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from luma_etl_data_platform_spark.operators import dedup as D
+from luma_etl_data_platform_spark.operators import similarity as S
+from luma_etl_data_platform_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_exact_dedup_finds_planted_dup(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "The  cat sat on the MAT!"),   # same after normalization
+         (3, "something else entirely here")],
+        ["doc_id", "text"],
+    )
+    groups = D.exact_dedup_groups(df, "text", "doc_id").collect()
+    by_rep = {r["rep_id"]: r["n_dups"] for r in groups}
+    assert by_rep == {1: 2, 3: 1}
+
+
+def test_lsh_pairs_subset_of_exact_jaccard(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {(r["id_a"], r["id_b"])
+             for r in D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+    assert lsh <= exact          # LSH never invents pairs (verified stage)
+    assert len(exact) > 0        # the corpus has planted near-dups
+    assert len(lsh) >= len(exact) * 0.7   # b=4,r=4 recall at j>=0.9 is ~0.99
+
+
+def test_simhash_pairs_overlap_jaccard_pairs(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {(r["id_a"], r["id_b"])
+             for r in D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.9).collect()}
+    sim = {(r["id_a"], r["id_b"])
+           for r in D.simhash_pairs(docs, "text", "doc_id", max_hamming=3).collect()}
+    # high-jaccard pairs should mostly be within hamming 3
+    assert len(exact & sim) >= len(exact) * 0.5
+
+
+def test_cosine_topk_self_excluded_and_sorted(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    top = S.cosine_topk(emb.filter(F.col("vec_id") != 0), q, k=5).collect()
+    assert len(top) == 5
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in scores)
+
+
+def test_ivf_probes_restrict_search(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    brute = {r["vec_id"]: r["score"] for r in S.cosine_topk(emb, q, k=50).collect()}
+    ivf = {r["vec_id"]: r["score"] for r in S.ivf_topk(emb, q, k=50, nprobe=10).collect()}
+    # with nprobe = all clusters, IVF == brute force
+    assert ivf == brute
+
+
+def test_df_cap_drops_stop_shingles(spark):
+    df = spark.createDataFrame(
+        [(i, "common shingle here unique%d tail words" % i) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    uncapped = D.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.01)
+    capped = D.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.01, df_cap=3)
+    assert capped.count() <= uncapped.count()
