@@ -1,0 +1,226 @@
+"""Analytic-window / temporal query family: as-of join,
+sessionization, cumulative windows, lag/lead gaps, pivot, exact
+percentiles, distinct counts. These fill the reference's "(absent —
+delegated to warehouse SQL)" rows for §2.5 window functions and the
+streaming-adjacent batch shapes (SURVEY.md §2.5, §2.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..operators.asof import asof_join
+from ..sources.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------------------
+# asof_events_orders: each event matched to the user's latest order at
+# or before the event time. Spark side: union+window asof operator
+# (one shuffle); oracle states the same semantics via join + window.
+# ---------------------------------------------------------------------------
+def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate")
+    return asof_join(
+        events, orders.withColumnRenamed("o_custkey", "user_id"),
+        on="user_id", left_time="ts", right_time="o_orderdate",
+        right_cols=["o_orderkey"], tiebreak="o_orderkey",
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+
+
+ORACLE["asof_events_orders"] = """
+SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessionize_events: gap-based sessions (30 min) per user — the batch
+# mirror of streaming session_window. lag → gap flag → running sum =
+# session index; one shuffle on user_id.
+# ---------------------------------------------------------------------------
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    by_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)))
+    sessioned = flagged.withColumn(
+        "session_idx", F.sum("new_session").over(
+            by_user.rowsBetween(W.unboundedPreceding, 0)))
+    return (
+        sessioned.groupBy("user_id", "session_idx")
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("session_value"))
+    )
+
+
+ORACLE["sessionize_events"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS session_value
+FROM sessioned GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# cumulative_revenue: running total per customer over order history —
+# frame-spec window (ROWS UNBOUNDED PRECEDING).
+# ---------------------------------------------------------------------------
+def cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, 0))
+    return orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+        F.row_number().over(
+            W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).alias("order_seq"),
+    )
+
+
+ORACLE["cumulative_revenue"] = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2) AS cum_spend,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# order_gaps: lag/lead — days since a customer's previous order.
+# ---------------------------------------------------------------------------
+def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.datediff(F.col("o_orderdate"), prev).alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+ORACLE["order_gaps"] = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS days_since_prev,
+       lead(o_orderkey) OVER w AS next_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# event_type_pivot: daily event counts pivoted to one column per type
+# (explicit value list on both sides).
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_EVENT_TYPES))
+        .orderBy("day")
+    )
+
+
+ORACLE["event_type_pivot"] = """
+SELECT date_trunc('day', ts) AS day,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'error')    AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'view')     AS view
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# event_value_percentiles: exact interpolated percentiles per type.
+# ---------------------------------------------------------------------------
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.min("value"), 6).alias("vmin"),
+            F.round(F.max("value"), 6).alias("vmax"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["event_value_percentiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(min(value), 6) AS vmin,
+       round(max(value), 6) AS vmax
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# distinct_users: exact distinct + total per event type.
+# ---------------------------------------------------------------------------
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"),
+             F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE["distinct_users"] = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES = {
+    "asof_events_orders": asof_events_orders,
+    "sessionize_events": sessionize_events,
+    "cumulative_revenue": cumulative_revenue,
+    "order_gaps": order_gaps,
+    "event_type_pivot": event_type_pivot,
+    "event_value_percentiles": event_value_percentiles,
+    "distinct_users": distinct_users,
+}
