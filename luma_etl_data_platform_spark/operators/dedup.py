@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..core.partitioning import spread as _spread
 from ..functions.text import fingerprint, portable_hash32, shingles
 
 # ---------------------------------------------------------------------------
@@ -41,7 +42,7 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     utilities/utilities.py:317-330 is name-level; this is the
     content-level generalization.)"""
     return (
-        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        _spread(df).select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
         .groupBy("fp")
         .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_dups"))
     )
@@ -56,8 +57,8 @@ def _shingle_index(df: DataFrame, text_col: str, id_col: str, n: int,
     """(id, shingle) inverted index, optionally dropping stop-shingles
     with document frequency > df_cap."""
     idx = (
-        df.select(F.col(id_col).alias("_id"),
-                  F.explode(shingles(F.col(text_col), n)).alias("s"))
+        _spread(df).select(F.col(id_col).alias("_id"),
+                           F.explode(shingles(F.col(text_col), n)).alias("s"))
     )
     if df_cap is not None:
         hot = (idx.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
@@ -106,13 +107,24 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        n: int = 3, num_hashes: int = 16) -> DataFrame:
     """Per-doc MinHash signature: for each seed, the min portable hash
     over the doc's shingles. One explode + one groupBy(id) with
-    ``num_hashes`` min-aggregates (map-side combinable)."""
+    ``num_hashes`` min-aggregates (map-side combinable).
+
+    Hash family: the two-hash trick — ONE md5 per shingle yields
+    h1 (hex 1-8) and h2 (hex 9-16); hash_i = (h1 + i*h2) mod 2^32.
+    16x fewer digest computations than independent seeded hashes, and
+    still engine-portable (the DuckDB oracle states the same formula).
+    """
     idx = _shingle_index(df, text_col, id_col, n)
+    digest = F.md5(F.col("s"))
+    h1 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
+    hashed = idx.select("_id", h1.alias("_h1"), h2.alias("_h2"))
     aggs = [
-        F.min(portable_hash32(F.col("s"), seed)).alias(f"mh_{seed}")
-        for seed in range(num_hashes)
+        F.min((F.col("_h1") + F.lit(i) * F.col("_h2")) % F.lit(4294967296).cast("long"))
+        .alias(f"mh_{i}")
+        for i in range(num_hashes)
     ]
-    return idx.groupBy(F.col("_id").alias("id")).agg(*aggs)
+    return hashed.groupBy(F.col("_id").alias("id")).agg(*aggs)
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -123,15 +135,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     Jaccard ≥ threshold. Deterministic end-to-end (portable hashes)."""
     rows = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    # bucket key per band: md5 of the band's signature slice
-    band_rows = []
+    # bucket key per band: md5 of the band's signature slice. One
+    # explode instead of a bands-way union — a single pass over sig.
+    band_structs = []
     for bnd in range(bands):
         cols = [F.col(f"mh_{bnd * rows + r}") for r in range(rows)]
         key = F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
-        band_rows.append(sig.select("id", F.lit(bnd).alias("band"), key.alias("bkey")))
-    buckets = band_rows[0]
-    for extra in band_rows[1:]:
-        buckets = buckets.unionByName(extra)
+        band_structs.append(F.struct(F.lit(bnd).alias("band"), key.alias("bkey")))
+    buckets = (
+        sig.select("id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -194,14 +208,17 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
     (pigeonhole guarantees no false negatives for distance ≤ 3);
     verification via bit_count(xor)."""
     sig = simhash(df, text_col, id_col)
-    band_rows = []
-    for bnd in range(4):
-        key = F.shiftright(F.col("simhash"), bnd * 8).bitwiseAND(F.lit(255))
-        band_rows.append(sig.select("id", "simhash",
-                                    F.lit(bnd).alias("band"), key.alias("bkey")))
-    buckets = band_rows[0]
-    for extra in band_rows[1:]:
-        buckets = buckets.unionByName(extra)
+    band_structs = [
+        F.struct(
+            F.lit(bnd).alias("band"),
+            F.shiftright(F.col("simhash"), bnd * 8).bitwiseAND(F.lit(255)).alias("bkey"),
+        )
+        for bnd in range(4)
+    ]
+    buckets = (
+        sig.select("id", "simhash", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..core.partitioning import spread as _spread
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -47,7 +49,7 @@ def cosine_topk(df: DataFrame, query: DataFrame, k: int = 10,
     """Exact top-k by cosine against a 1-row ``query`` DataFrame
     (same vec_col). The query side is broadcast; ordering ties break
     on id for determinism."""
-    corpus = _as_double(df, vec_col)
+    corpus = _as_double(_spread(df), vec_col)
     q = _as_double(query.select(F.col(vec_col).alias("_qv")), "_qv")
     scored = (
         corpus.crossJoin(F.broadcast(q))
@@ -64,7 +66,7 @@ def centroids(df: DataFrame, cluster_col: str = "label",
     over (cluster, dim) — cardinality nlist × dims, tiny at any data
     scale."""
     exploded = (
-        _as_double(df, vec_col)
+        _as_double(_spread(df), vec_col)
         .select(F.col(cluster_col), F.posexplode(F.col(vec_col)).alias("dim", "v"))
     )
     per_dim = exploded.groupBy(cluster_col, "dim").agg(F.avg("v").alias("m"))
@@ -91,7 +93,7 @@ def ivf_topk(df: DataFrame, query: DataFrame, k: int = 10, nprobe: int = 2,
         .limit(nprobe)
         .select(cluster_col)
     )
-    narrowed = _as_double(df, vec_col).join(F.broadcast(probed), cluster_col)
+    narrowed = _as_double(_spread(df), vec_col).join(F.broadcast(probed), cluster_col)
     scored = (
         narrowed.crossJoin(F.broadcast(q))
         .select(F.col(id_col),
@@ -106,7 +108,7 @@ def neardup_pairs_blocked(df: DataFrame, threshold: float = 0.0, top: int | None
     """All-pairs cosine within each block of ``cluster_col`` (IVF-style
     blocking: near-dups co-locate in a cluster). Shuffles on the block
     key; never forms the global cross product."""
-    v = _as_double(df, vec_col).select(
+    v = _as_double(_spread(df), vec_col).select(
         F.col(cluster_col).alias("_blk"), F.col(id_col), F.col(vec_col))
     a = v.select(F.col("_blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = v.select(F.col("_blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))

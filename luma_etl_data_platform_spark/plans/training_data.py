@@ -136,9 +136,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["dedup_minhash_lsh"] = f"""
 WITH {_SH_CTE},
 seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
-mh AS (SELECT doc_id, seed,
-              min(CAST('0x' || substr(md5(seed || ':' || s), 1, 8) AS BIGINT)) AS mv
-       FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+hs AS (SELECT doc_id,
+              CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h1,
+              CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS h2
+       FROM sh),
+mh AS (SELECT doc_id, seed, min((h1 + seed * h2) % 4294967296) AS mv
+       FROM hs CROSS JOIN seeds GROUP BY 1, 2),
 sig AS (SELECT doc_id, seed // 4 AS band,
                md5(string_agg(mv::VARCHAR, ',' ORDER BY seed)) AS bkey
         FROM mh GROUP BY doc_id, seed // 4),
