@@ -1,0 +1,193 @@
+"""REST data-lake source, rebuilt as a PySpark custom DataSource.
+
+The reference extracts "business classes" from an ERP data-lake REST
+API in three steps (reference: datalakewrapper.py):
+
+- S1 split-query partition enumeration (datalakewrapper.py:69-86):
+  ask the API for a set of query filters that partition a class;
+- S2 object-properties listing (datalakewrapper.py:88-102): page
+  object descriptors (id + instance count) per chunk;
+- S3/S4 per-id JSON-lines fetch + decode (datalakewrapper.py:164-178,
+  utilities/utilities.py:657-660).
+
+Here that is a ``pyspark.sql.datasource.DataSource``: partition
+planning happens on the driver via the same split-query call, and
+each Spark task fetches + parses its chunk's objects — the
+reference's serial per-id loop (datalakewrapper.py:283-297) becomes
+embarrassingly parallel across executors. Document-name/property
+filters are pushed into the API query string exactly like the
+reference's pushdown builder (utilities/utilities.py:226-238).
+
+Transport is injected (``LakeTransport``). The real HTTP transport is
+deliberately NOT implemented here (no network in the build env, and
+endpoints/credentials are deployment concerns); ``FakeLakeTransport``
+is a deterministic in-memory lake used by tests and demos. OAuth
+token lifecycle (reference: oauth/datalakeoauth.py:125-229, refresh
+at 90% TTL) is implemented for real in ``oauth.py`` with an
+injectable fetcher/clock.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+DEFAULT_BATCH_SIZE = 10_000  # reference: datalakewrapper.py:88
+
+
+# ---------------------------------------------------------------------------
+# transport layer
+# ---------------------------------------------------------------------------
+
+@dataclass
+class LakeObject:
+    dl_id: str
+    dl_instance_count: int
+
+
+class LakeTransport:
+    """What a concrete REST client must provide. All methods run on
+    the driver except ``fetch_object``, which runs inside tasks and
+    must be picklable."""
+
+    def query_split(self, doc_filter: str) -> list[str]:
+        raise NotImplementedError
+
+    def list_objects(self, chunk_filter: str, batch_size: int = DEFAULT_BATCH_SIZE) -> list[LakeObject]:
+        raise NotImplementedError
+
+    def fetch_object(self, object_id: str) -> str:
+        """Returns the JSON-lines payload for one data object."""
+        raise NotImplementedError
+
+
+@dataclass
+class FakeLakeTransport(LakeTransport):
+    """Deterministic in-memory lake: ``docs`` maps business-class name
+    → list of record dicts. Partitioned into ``n_chunks`` id ranges.
+    Picklable (plain dataclass) so tasks can carry it."""
+
+    docs: dict[str, list[dict]] = field(default_factory=dict)
+    n_chunks: int = 4
+    records_per_object: int = 50
+
+    def _bc_of(self, doc_filter: str) -> str:
+        # filter grammar: "dl_document_name eq 'BC_Name'"
+        # (reference: utilities/utilities.py:226-238, datalakewrapper.py:141)
+        return doc_filter.split("'")[1]
+
+    def query_split(self, doc_filter: str) -> list[str]:
+        return [f"{doc_filter} and chunk eq '{i}'" for i in range(self.n_chunks)]
+
+    def _objects_for(self, bc: str) -> list[tuple[str, list[dict]]]:
+        recs = self.docs.get(bc, [])
+        out = []
+        for start in range(0, len(recs), self.records_per_object):
+            chunk = recs[start:start + self.records_per_object]
+            out.append((f"{bc}-obj-{start // self.records_per_object}", chunk))
+        return out
+
+    def list_objects(self, chunk_filter: str, batch_size: int = DEFAULT_BATCH_SIZE) -> list[LakeObject]:
+        bc = self._bc_of(chunk_filter)
+        chunk_id = int(chunk_filter.split("'")[3])
+        objs = self._objects_for(bc)
+        mine = [o for i, o in enumerate(objs) if i % self.n_chunks == chunk_id]
+        return [LakeObject(oid, len(recs)) for oid, recs in mine]
+
+    def fetch_object(self, object_id: str) -> str:
+        bc = object_id.rsplit("-obj-", 1)[0]
+        for oid, recs in self._objects_for(bc):
+            if oid == object_id:
+                return "\n".join(json.dumps(r) for r in recs)
+        raise KeyError(object_id)
+
+
+# ---------------------------------------------------------------------------
+# DataSource
+# ---------------------------------------------------------------------------
+
+class _LakePartition(InputPartition):
+    def __init__(self, object_ids: list[str]):
+        self.object_ids = object_ids
+
+
+class RestLakeReader(DataSourceReader):
+    def __init__(self, schema: StructType, transport: LakeTransport,
+                 business_class: str, exclude_ids: frozenset[str]):
+        self._schema = schema
+        self._transport = transport
+        self._bc = business_class
+        self._exclude = exclude_ids
+
+    def partitions(self):
+        # S1+S2 on the driver: split-query → per-chunk object listing;
+        # one Spark partition per chunk keeps fetch parallelism equal
+        # to the API's own partitioning of the class.
+        doc_filter = f"dl_document_name eq '{self._bc}'"
+        parts = []
+        for chunk_filter in self._transport.query_split(doc_filter):
+            objs = self._transport.list_objects(chunk_filter)
+            ids = [o.dl_id for o in objs if o.dl_id not in self._exclude]
+            if ids:
+                parts.append(_LakePartition(ids))
+        return parts or [_LakePartition([])]
+
+    def read(self, partition: _LakePartition):
+        # S3+S4 in the task: fetch each object's JSON-lines payload and
+        # decode records; missing keys → None (schema-drift friendly).
+        names = [f.name for f in self._schema.fields]
+        for oid in partition.object_ids:
+            payload = self._transport.fetch_object(oid)
+            for line in payload.splitlines():
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                yield tuple(rec.get(n) for n in names)
+
+
+class RestLakeDataSource(DataSource):
+    """Usage::
+
+        spark.dataSource.register(RestLakeDataSource)
+        df = (spark.read.format("restlake")
+              .schema("id string, Amount string")
+              .option("business_class", "FSM_GeneralLedgerTransactionDetail")
+              .option("transport_pickle", base64_pickle)      # injected transport
+              .load())
+
+    ``exclude_ids`` (comma-joined) implements the incremental anti-join
+    at the source: already-extracted object ids are skipped during
+    partition planning (reference: utilities/utilities.py:208-224).
+    """
+
+    @classmethod
+    def name(cls):
+        return "restlake"
+
+    def schema(self):
+        raise NotImplementedError("restlake requires an explicit .schema(...)")
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        import base64
+        import pickle
+        bc = self.options.get("business_class")
+        if not bc:
+            raise ValueError("option 'business_class' is required")
+        tp_b64 = self.options.get("transport_pickle")
+        if not tp_b64:
+            raise ValueError("option 'transport_pickle' is required "
+                             "(no real HTTP transport in this build)")
+        transport = pickle.loads(base64.b64decode(tp_b64))
+        exclude = frozenset(
+            x for x in (self.options.get("exclude_ids") or "").split(",") if x)
+        return RestLakeReader(schema, transport, bc, exclude)
+
+
+def transport_option(transport: LakeTransport) -> str:
+    """Serialize a transport for the DataSource option channel."""
+    import base64
+    import pickle
+    return base64.b64encode(pickle.dumps(transport)).decode("ascii")

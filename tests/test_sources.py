@@ -1,0 +1,144 @@
+"""Tests for the REST-lake DataSource, OAuth lifecycle, incremental
+ledger, DDL generation, and sinks."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from luma_etl_data_platform_spark.sources.ddl import (
+    spark_create_table, tsql_create_table, tsql_drop_table,
+)
+from luma_etl_data_platform_spark.sources.incremental import (
+    ProcessedIdLedger, active_inc_id,
+)
+from luma_etl_data_platform_spark.sources.oauth import TokenProvider
+from luma_etl_data_platform_spark.sources.rest_lake import (
+    FakeLakeTransport, RestLakeDataSource, transport_option,
+)
+
+BC = "FSM_GeneralLedgerTransactionDetail"
+
+
+def _fake_lake(n: int = 200) -> FakeLakeTransport:
+    recs = [{"RecId": f"r{i}", "Amount": f"{i}.50",
+             **({"JournalCode": "J1"} if i % 3 == 0 else {})}
+            for i in range(n)]
+    return FakeLakeTransport(docs={BC: recs}, n_chunks=3, records_per_object=25)
+
+
+def test_restlake_reads_all_records(spark):
+    spark.dataSource.register(RestLakeDataSource)
+    df = (spark.read.format("restlake")
+          .schema("RecId string, Amount string, JournalCode string")
+          .option("business_class", BC)
+          .option("transport_pickle", transport_option(_fake_lake()))
+          .load())
+    assert df.count() == 200
+    got = df.filter(F.col("RecId") == "r3").collect()[0]
+    assert got["Amount"] == "3.50" and got["JournalCode"] == "J1"
+    # drifted column is null where absent
+    assert df.filter(F.col("JournalCode").isNull()).count() == 200 - 67
+
+
+def test_restlake_excludes_processed_objects(spark):
+    spark.dataSource.register(RestLakeDataSource)
+    df = (spark.read.format("restlake")
+          .schema("RecId string, Amount string")
+          .option("business_class", BC)
+          .option("transport_pickle", transport_option(_fake_lake()))
+          .option("exclude_ids", f"{BC}-obj-0,{BC}-obj-1")
+          .load())
+    # 8 objects of 25 records; 2 excluded → 150
+    assert df.count() == 150
+
+
+def test_oauth_refresh_at_90pct():
+    calls = []
+    clock_now = [1000.0]
+    prov = TokenProvider(
+        fetch_fn=lambda: (calls.append(1) or {"access_token": f"t{len(calls)}", "expires_in": 100}),
+        clock=lambda: clock_now[0],
+    )
+    assert prov.get() == "t1"
+    clock_now[0] += 89
+    assert prov.get() == "t1"       # 89% of TTL → still valid
+    clock_now[0] += 2
+    assert prov.get() == "t2"       # ≥90% → proactive refresh
+    assert len(calls) == 2
+
+
+def test_ledger_anti_join_and_record(spark, tmp_path):
+    ledger = ProcessedIdLedger(spark, str(tmp_path / "ledger"))
+    ids = spark.createDataFrame([(f"id{i}",) for i in range(10)], ["id"])
+    assert ledger.not_processed(ids).count() == 10
+    ledger.record(ids.limit(4), batch_id=111)
+    remaining = ledger.not_processed(ids)
+    assert remaining.count() == 6
+    ledger.record(remaining, batch_id=222)
+    assert ledger.not_processed(ids).count() == 0
+    by_batch = {r["batch_id"]: r["count"]
+                for r in ledger.read().groupBy("batch_id").count().collect()}
+    assert by_batch == {111: 4, 222: 6}
+
+
+def test_active_inc_id_anchor_and_cutoff():
+    zone = dt.timezone(dt.timedelta(hours=-7))  # fixed MST-like for clarity
+    # 10:00 local on 2024-03-15 (after cutoff) → anchor 5AM same day
+    at = dt.datetime(2024, 3, 15, 10, 0, tzinfo=zone)
+    inc = active_inc_id(now=at, tz="Etc/GMT+7", anchor_hour=5, cutoff_hour=5)
+    anchor = dt.datetime(2024, 3, 15, 5, 0, tzinfo=zone)
+    assert inc == int(anchor.timestamp())
+    # 03:00 local (before cutoff) → previous day's anchor
+    at2 = dt.datetime(2024, 3, 15, 3, 0, tzinfo=zone)
+    inc2 = active_inc_id(now=at2, tz="Etc/GMT+7", anchor_hour=5, cutoff_hour=5)
+    anchor2 = dt.datetime(2024, 3, 14, 5, 0, tzinfo=zone)
+    assert inc2 == int(anchor2.timestamp())
+    assert active_inc_id(override=42) == 42
+
+
+def test_tsql_ddl_parity():
+    md = {
+        "PlainString": {"type": "string", "maxLength": 50},
+        "Posting.Date": {"type": "string", "format": "date-time"},
+        "Amount": {"type": "number"},
+    }
+    ddl = tsql_create_table("SCOLumaStaging", "luma_dl_gl", md)
+    assert "[SCOLumaStaging].[dbo].[luma_dl_gl]" in ddl
+    assert "[PlainString] varchar(50)" in ddl
+    assert "[Posting_Date] datetime2" in ddl
+    assert "[Amount] decimal(18,2)" in ddl
+    assert "[id] int IDENTITY" in ddl
+    assert tsql_drop_table("db", "t") == "DROP TABLE IF EXISTS [db].[dbo].[t]"
+
+
+def test_spark_ddl_runs(spark):
+    md = {"A": {"type": "integer"}, "B.C": {"type": "string"}}
+    ddl = spark_create_table("tmp_ddl_check", md)
+    spark.sql("DROP TABLE IF EXISTS tmp_ddl_check")
+    spark.sql(ddl)
+    fields = {f.name: f.dataType.simpleString()
+              for f in spark.table("tmp_ddl_check").schema.fields}
+    assert fields == {"A": "bigint", "B_C": "string"}
+    spark.sql("DROP TABLE IF EXISTS tmp_ddl_check")
+
+
+def test_versioned_csv_roundtrip(spark, tmp_path):
+    from pyspark.sql import types as T
+    from luma_etl_data_platform_spark.sources.sinks import (
+        read_versioned_csv, write_versioned_csv,
+    )
+    df = spark.createDataFrame(
+        [("a \"quoted\"\nvalue", 1, 1), ("plain", 2, 2)],
+        ["txt", "n", "_schema_version"],
+    )
+    out = str(tmp_path / "csv")
+    write_versioned_csv(df, out)
+    schema = T.StructType([T.StructField("txt", T.StringType()),
+                           T.StructField("n", T.LongType())])
+    back = read_versioned_csv(spark, out, schema)
+    rows = {r["n"]: r["txt"] for r in back.collect()}
+    assert rows[1] == "a quotedvalue"   # quotes+newline scrubbed
+    assert rows[2] == "plain"
