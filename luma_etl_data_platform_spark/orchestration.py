@@ -1,0 +1,112 @@
+"""Orchestration + ops layer.
+
+Subject-area fan-out with per-class error isolation (reference:
+workflow.ps1:469-509 loops classes, catches per-class failures and
+continues), a job-runs ops table (reference: utilities/helpers/
+report_job.py:56-92 inserts BusinessClass/Timestamp/WasSuccessful/
+Duration rows), a long-task alert hook (reference: db/activequeries.
+py:61-91 alerts on >25-min queries via SNS), and structured-log
+duration summarization (reference: utilities/helpers/log_scanner.py:
+40-79 scans logs for LOAD DURATION / failure lines).
+"""
+
+from __future__ import annotations
+
+import time
+import traceback
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LONG_TASK_THRESHOLD_S = 25 * 60  # reference: db/activequeries.py:67
+
+
+class JobTracker:
+    """Append-only job-runs table (FIXTURES.md F9 schema, kept
+    semantically typed: success as boolean, duration in seconds)."""
+
+    _SCHEMA = T.StructType([
+        T.StructField("business_class", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("was_successful", T.BooleanType(), False),
+        T.StructField("duration_s", T.DoubleType(), False),
+        T.StructField("error", T.StringType(), True),
+    ])
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def record(self, business_class: str, success: bool, duration_s: float,
+               error: str | None = None) -> None:
+        import datetime as dt
+        row = [(business_class, dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+                bool(success), float(duration_s), error)]
+        self.spark.createDataFrame(row, self._SCHEMA).write.mode("append").parquet(self.path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.schema(self._SCHEMA).parquet(self.path)
+
+
+@dataclass
+class RunResult:
+    succeeded: list[str]
+    failed: dict[str, str]
+
+    @property
+    def ok(self) -> bool:
+        return not self.failed
+
+
+def run_subject_area(classes: Sequence[str],
+                     stage_fn: Callable[[str], None],
+                     tracker: JobTracker | None = None,
+                     alert_fn: Callable[[str], None] | None = None,
+                     long_task_threshold_s: float = LONG_TASK_THRESHOLD_S) -> RunResult:
+    """Run ``stage_fn`` for every class with per-class error isolation:
+    a failure is recorded and the loop continues (reference:
+    workflow.ps1:482-505). Tasks exceeding the long-task threshold
+    fire ``alert_fn`` (the SNS hook stand-in)."""
+    ok: list[str] = []
+    failed: dict[str, str] = {}
+    for bc in classes:
+        t0 = time.perf_counter()
+        try:
+            stage_fn(bc)
+            dur = time.perf_counter() - t0
+            ok.append(bc)
+            if tracker:
+                tracker.record(bc, True, dur)
+        except Exception as exc:  # noqa: BLE001 — isolation is the contract
+            dur = time.perf_counter() - t0
+            failed[bc] = f"{type(exc).__name__}: {exc}\n{traceback.format_exc(limit=3)}"
+            if tracker:
+                tracker.record(bc, False, dur, error=str(exc))
+            if alert_fn:
+                alert_fn(f"{bc} failed after {dur:.1f}s: {exc}")
+        if alert_fn and dur > long_task_threshold_s:
+            alert_fn(f"{bc} exceeded long-task threshold: {dur:.1f}s")
+    return RunResult(ok, failed)
+
+
+def summarize_logs(logs: DataFrame, line_col: str = "value") -> DataFrame:
+    """Duration/failure extraction from structured text logs
+    (reference: log_scanner.py greps 'LOAD DURATION' and 'load failed'
+    lines). Input: a DataFrame of log lines (e.g. spark.read.text)."""
+    line = F.col(line_col)
+    dur = F.regexp_extract(line, r"LOAD DURATION[:=]?\s*([0-9.]+)", 1)
+    return (
+        logs.select(
+            F.when(line.contains("LOAD DURATION"), dur.cast("double")).alias("duration_s"),
+            F.when(F.lower(line).contains("load failed"), F.lit(1)).otherwise(F.lit(0)).alias("failed"),
+        )
+        .agg(
+            F.count(F.col("duration_s")).alias("n_duration_lines"),
+            F.round(F.sum("duration_s"), 3).alias("total_duration_s"),
+            F.round(F.max("duration_s"), 3).alias("max_duration_s"),
+            F.sum("failed").alias("n_failures"),
+        )
+    )

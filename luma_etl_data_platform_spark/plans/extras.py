@@ -1,0 +1,228 @@
+"""Additional oracle-verified query families: CUBE grouping sets,
+JSON extraction (the reference encodes/decodes JSON payload docs —
+utilities/utilities.py:440-505), statistical aggregates, scalar
+string-function battery, correlation, and the multimodal plumbing
+queries (mapInPandas decode over binary columns with a pure-SQL
+oracle thanks to digest-derived fake dims)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..operators import multimodal as MM
+from ..sources.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------------------
+# revenue_cube: full grouping-set lattice over (region, orderpriority).
+# ---------------------------------------------------------------------------
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .cube("r_name", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORACLE["revenue_cube"] = """
+SELECT r_name, o_orderpriority,
+       round(sum(o_totalprice), 2) AS total_price,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_json_extract: decode the JSON props payload (F8 analog).
+# ---------------------------------------------------------------------------
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"),
+             F.count(F.when(k.isNull(), 1)).alias("n_null_k"),
+             F.max(k).alias("max_k"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE["events_json_extract"] = """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       count(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS n_null_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# supplier_acct_stats: stddev/variance family.
+# ---------------------------------------------------------------------------
+def supplier_acct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(F.round(F.stddev_samp("c_acctbal"), 6).alias("acct_stddev"),
+             F.round(F.var_pop("c_acctbal"), 6).alias("acct_varpop"),
+             F.round(F.avg("c_acctbal"), 6).alias("acct_avg"),
+             F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE["supplier_acct_stats"] = """
+SELECT c_nationkey,
+       round(stddev_samp(c_acctbal), 6) AS acct_stddev,
+       round(var_pop(c_acctbal), 6)     AS acct_varpop,
+       round(avg(c_acctbal), 6)         AS acct_avg,
+       count(*) AS n
+FROM customer GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# top_user_by_value: argmax-per-group (deterministic via window).
+# ---------------------------------------------------------------------------
+def top_user_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sums = (ev.groupBy("event_type", "user_id")
+            .agg(F.round(F.sum("value"), 2).alias("total_value")))
+    w = W.partitionBy("event_type").orderBy(F.col("total_value").desc(), F.col("user_id"))
+    return (sums.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("event_type", "user_id", "total_value"))
+
+
+ORACLE["top_user_by_value"] = """
+SELECT event_type, user_id, total_value FROM (
+  SELECT event_type, user_id, round(sum(value), 2) AS total_value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY round(sum(value), 2) DESC, user_id) AS rk
+  FROM events GROUP BY 1, 2
+) WHERE rk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# part_string_functions: scalar string battery (F1/F2-family surface).
+# ---------------------------------------------------------------------------
+def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return part.select(
+        "p_partkey",
+        F.upper(name).alias("upper_name"),
+        F.length(name).alias("name_len"),
+        F.substring(name, 1, 5).alias("name_prefix"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.regexp_replace(name, "[aeiou]", "_").alias("devoweled"),
+        F.reverse(name).alias("reversed_name"),
+    )
+
+
+ORACLE["part_string_functions"] = """
+SELECT p_partkey,
+       upper(p_name)                       AS upper_name,
+       length(p_name)                      AS name_len,
+       substring(p_name, 1, 5)             AS name_prefix,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       concat_ws('|', p_brand, p_type)     AS brand_type,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       reverse(p_name)                     AS reversed_name
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# quantity_price_corr: correlation per return flag.
+# ---------------------------------------------------------------------------
+def quantity_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+             F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"))
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE["quantity_price_corr"] = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal: binary-column plumbing with a pure-SQL oracle (the fake
+# decoder derives dims from the md5 digest, which SQL reproduces).
+# ---------------------------------------------------------------------------
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_demo_binary(docs)
+    return MM.decode_image_meta(media)
+
+
+ORACLE["multimodal_image_meta"] = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CAST((CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1920) + 1 AS INT) AS width,
+       CAST((CAST('0x' || substr(md5(text), 9, 8) AS BIGINT) % 1080) + 1 AS INT) AS height,
+       'image/fake' AS media_type
+FROM documents
+"""
+
+
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_demo_binary(docs)
+    frames = MM.sample_frames(media, n_frames=4)
+    return (
+        frames.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"),
+             F.sum("n_bytes").alias("total_bytes"),
+             F.max("n_bytes").alias("max_frame_bytes"))
+    )
+
+
+ORACLE["multimodal_frame_stats"] = """
+-- frame sampling splits the blob into ceil(len/step) chunks with
+-- step = ceil(len/4): n_frames = least(len, 4), chunk sizes step
+-- except a short tail; max chunk = step.
+SELECT doc_id,
+       least(octet_length(encode(text)), 4) AS n_frames,
+       octet_length(encode(text)) AS total_bytes,
+       CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS max_frame_bytes
+FROM documents
+"""
+
+
+QUERIES = {
+    "revenue_cube": revenue_cube,
+    "events_json_extract": events_json_extract,
+    "supplier_acct_stats": supplier_acct_stats,
+    "top_user_by_value": top_user_by_value,
+    "part_string_functions": part_string_functions,
+    "quantity_price_corr": quantity_price_corr,
+    "multimodal_image_meta": multimodal_image_meta,
+    "multimodal_frame_stats": multimodal_frame_stats,
+}

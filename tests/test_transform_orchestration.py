@@ -1,0 +1,112 @@
+"""Tests for the warehouse transform templates, MERGE emulation,
+orchestration, and multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from luma_etl_data_platform_spark import orchestration as O
+from luma_etl_data_platform_spark.operators import multimodal as MM
+from luma_etl_data_platform_spark.plans import transform as TR
+
+
+# ------------------------------------------------------------ templates
+
+def test_render_template():
+    out = TR.render_template(
+        "INSERT OVERWRITE {{warehouse}} SELECT * FROM {{ staging }}",
+        {"warehouse": "wh.t", "staging": "st.t"})
+    assert out == "INSERT OVERWRITE wh.t SELECT * FROM st.t"
+    with pytest.raises(KeyError):
+        TR.render_template("{{missing}}", {})
+
+
+def test_split_and_run_script(spark):
+    dfs = TR.run_script(spark, """
+        DROP TABLE IF EXISTS {{t}};
+        CREATE TABLE {{t}} USING parquet AS SELECT 1 AS a;
+        SELECT a FROM {{t}}
+    """, {"t": "tmp_script_t"})
+    assert dfs[-1].collect()[0]["a"] == 1
+    spark.sql("DROP TABLE IF EXISTS tmp_script_t")
+
+
+def test_merge_sql_text():
+    sql = TR.merge_sql("wh.gl", "stage.gl", ["k", "a", "b"], ["k"])
+    assert "ON tgt.k = src.k" in sql
+    assert "UPDATE SET tgt.a = src.a, tgt.b = src.b" in sql
+    assert "INSERT (k, a, b) VALUES (src.k, src.a, src.b)" in sql
+
+
+def test_merge_upsert_parquet(spark, tmp_path):
+    path = str(tmp_path / "tgt")
+    base = spark.createDataFrame([(1, "old1"), (2, "old2")], ["k", "v"])
+    TR.merge_upsert_parquet(spark, path, base, ["k"])
+    upd = spark.createDataFrame([(2, "new2"), (3, "new3")], ["k", "v"])
+    TR.merge_upsert_parquet(spark, path, upd, ["k"])
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "old1", 2: "new2", 3: "new3"}
+
+
+# --------------------------------------------------------- orchestration
+
+def test_run_subject_area_isolation(spark, tmp_path):
+    tracker = O.JobTracker(spark, str(tmp_path / "jobs"))
+    alerts = []
+
+    def stage(bc):
+        if bc == "bad":
+            raise ValueError("boom")
+
+    res = O.run_subject_area(["a", "bad", "c"], stage, tracker=tracker,
+                             alert_fn=alerts.append)
+    assert res.succeeded == ["a", "c"]
+    assert set(res.failed) == {"bad"} and "boom" in res.failed["bad"]
+    assert not res.ok
+    rows = tracker.read().collect()
+    assert {(r["business_class"], r["was_successful"]) for r in rows} == {
+        ("a", True), ("bad", False), ("c", True)}
+    assert any("bad failed" in a for a in alerts)
+
+
+def test_summarize_logs(spark):
+    lines = ["start", "LOAD DURATION: 12.5", "LOAD DURATION: 7.5",
+             "table load failed: x", "done"]
+    df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    row = O.summarize_logs(df).collect()[0]
+    assert row["n_duration_lines"] == 2
+    assert row["total_duration_s"] == 20.0
+    assert row["max_duration_s"] == 12.5
+    assert row["n_failures"] == 1
+
+
+# ------------------------------------------------------------ multimodal
+
+def test_multimodal_decode_batch_shape(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "x" * 1000)],
+                               ["doc_id", "text"])
+    media = MM.attach_demo_binary(df)
+    assert dict(media.dtypes)["content"] == "binary"
+    meta = MM.decode_image_meta(media).collect()
+    by_id = {r["doc_id"]: r for r in meta}
+    assert by_id[2]["n_bytes"] == 1000
+    assert 1 <= by_id[1]["width"] <= 1920 and 1 <= by_id[1]["height"] <= 1080
+    # determinism
+    meta2 = MM.decode_image_meta(media).collect()
+    assert sorted(map(tuple, meta)) == sorted(map(tuple, meta2))
+
+
+def test_multimodal_frames_cover_blob(spark):
+    df = spark.createDataFrame([(1, "abcdefghij")], ["doc_id", "text"])
+    frames = MM.sample_frames(MM.attach_demo_binary(df), n_frames=4).collect()
+    assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 1, 2, 3]
+    joined = b"".join(bytes(r["frame_bytes"]) for r in sorted(frames, key=lambda r: r["frame_idx"]))
+    assert joined == b"abcdefghij"
+
+
+def test_resize_requires_pil():
+    import luma_etl_data_platform_spark.operators.multimodal as m
+    if not m._HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            m.resize_images(None, 10, 10)
