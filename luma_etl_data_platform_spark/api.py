@@ -13,11 +13,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import extras, training_data, warehouse, windows
+from .plans import cleansing_queries, extras, training_data, warehouse, windows
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = (warehouse, training_data, windows, extras)
+_MODULES = (warehouse, training_data, windows, extras, cleansing_queries)
 
 
 def all_queries() -> dict[str, QueryFn]:
