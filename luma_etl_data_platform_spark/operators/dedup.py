@@ -69,15 +69,23 @@ def _shingle_index(df: DataFrame, text_col: str, id_col: str, n: int,
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         n: int = 3, threshold: float = 0.5,
-                        df_cap: int | None = None) -> DataFrame:
+                        df_cap: int | None = None,
+                        persist_index: bool = True) -> DataFrame:
     """Exact Jaccard similarity join: pairs (a < b) with
     |shingles(a) ∩ shingles(b)| / |union| ≥ threshold.
 
     Plan shape: explode → self-join on shingle (shuffle on shingle) →
     count per pair (shuffle on pair) → join against per-doc sizes
     (broadcastable: one row per doc). Never materializes a cross
-    product."""
+    product.
+
+    ``persist_index`` caches the exploded index (MEMORY_AND_DISK),
+    which feeds three consumers (both join sides + sizes); disable for
+    one-shot pipelines where memory is tighter than recompute."""
     idx = _shingle_index(df, text_col, id_col, n, df_cap)
+    if persist_index:
+        from pyspark import StorageLevel
+        idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = idx.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = idx.alias("a"), idx.alias("b")
     common = (
@@ -130,7 +138,8 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       n: int = 3, num_hashes: int = 16, bands: int = 4,
                       threshold: float = 0.5,
-                      df_cap: int | None = None) -> DataFrame:
+                      df_cap: int | None = None,
+                      persist_index: bool = True) -> DataFrame:
     """Candidate pairs from banded MinHash buckets, verified with exact
     Jaccard ≥ threshold. Deterministic end-to-end (portable hashes)."""
     rows = num_hashes // bands
@@ -156,6 +165,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     )
     # exact verification restricted to candidates
     idx = _shingle_index(df, text_col, id_col, n, df_cap)
+    if persist_index:
+        from pyspark import StorageLevel
+        idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = idx.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ia = idx.withColumnRenamed("_id", "id_a")
     ib = idx.withColumnRenamed("_id", "id_b")
