@@ -13,11 +13,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import cleansing_queries, extras, training_data, warehouse, windows
+from .plans import (
+    cleansing_queries, extras, setops_udx, training_data, warehouse, windows,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = (warehouse, training_data, windows, extras, cleansing_queries)
+_MODULES = (warehouse, training_data, windows, extras, cleansing_queries, setops_udx)
 
 
 def all_queries() -> dict[str, QueryFn]:
