@@ -75,25 +75,46 @@ FROM events GROUP BY 1 ORDER BY 1
 # supplier_acct_stats: stddev/variance family.
 # ---------------------------------------------------------------------------
 def supplier_acct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance family from exact decimal moments: Sx and Sxx are
+    decimal sums (partition-order independent), converted to double,
+    then the textbook formulas run in deterministic double arithmetic
+    — identical on any engine, unlike builtin stddev whose streaming
+    merge order varies with partitioning."""
     cust = load_table(spark, sf_dir, "customer")
-    return (
+    x = F.col("c_acctbal").cast("decimal(18,2)")
+    base = (
         cust.groupBy("c_nationkey")
-        .agg(F.round(F.stddev_samp("c_acctbal"), 6).alias("acct_stddev"),
-             F.round(F.var_pop("c_acctbal"), 6).alias("acct_varpop"),
-             F.round(F.avg("c_acctbal"), 6).alias("acct_avg"),
+        .agg(F.sum(x).cast("double").alias("sx"),
+             F.sum(x * x).cast("double").alias("sxx"),
              F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
-        .orderBy("c_nationkey")
     )
+    n = F.col("n")
+    var_samp = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    var_pop = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / n
+    return base.select(
+        "c_nationkey",
+        F.round(F.sqrt(var_samp), 6).alias("acct_stddev"),
+        F.round(var_pop, 6).alias("acct_varpop"),
+        F.round(F.col("sx") / n, 6).alias("acct_avg"),
+        "n",
+    ).orderBy("c_nationkey")
 
 
 ORACLE["supplier_acct_stats"] = """
+WITH m AS (
+  SELECT c_nationkey,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))
+                  * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         count(*) AS n
+  FROM customer GROUP BY 1 HAVING count(*) >= 2)
 SELECT c_nationkey,
-       round(stddev_samp(c_acctbal), 6) AS acct_stddev,
-       round(var_pop(c_acctbal), 6)     AS acct_varpop,
-       round(avg(c_acctbal), 6)         AS acct_avg,
-       count(*) AS n
-FROM customer GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1
+       round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS acct_stddev,
+       round((sxx - sx * sx / n) / n, 6)             AS acct_varpop,
+       round(sx / n, 6)                              AS acct_avg,
+       n
+FROM m ORDER BY 1
 """
 
 
@@ -155,20 +176,50 @@ FROM part
 # quantity_price_corr: correlation per return flag.
 # ---------------------------------------------------------------------------
 def quantity_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance from exact decimal
+    moments (see supplier_acct_stats for why not the builtins)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    base = (
         li.groupBy("l_returnflag")
-        .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-             F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"))
-        .orderBy("l_returnflag")
+        .agg(F.sum(x).cast("double").alias("sx"),
+             F.sum(y).cast("double").alias("sy"),
+             F.sum(x * x).cast("double").alias("sxx"),
+             F.sum(y * y).cast("double").alias("syy"),
+             F.sum(x * y).cast("double").alias("sxy"),
+             F.count(F.lit(1)).alias("n"))
     )
+    n = F.col("n")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    corr = ((n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+               * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))))
+    return base.select(
+        "l_returnflag",
+        F.round(corr, 6).alias("qty_price_corr"),
+        F.round(cov, 4).alias("qty_price_covar"),
+    ).orderBy("l_returnflag")
 
 
 ORACLE["quantity_price_corr"] = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         count(*) AS n
+  FROM lineitem GROUP BY 1)
 SELECT l_returnflag,
-       round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
-       round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
-FROM lineitem GROUP BY 1 ORDER BY 1
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS qty_price_corr,
+       round((sxy - sx * sy / n) / (n - 1), 4) AS qty_price_covar
+FROM m ORDER BY 1
 """
 
 

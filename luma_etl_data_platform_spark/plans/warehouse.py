@@ -28,12 +28,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..sources.tables import load_table
+from ._exact import (
+    SQL_CHARGE, SQL_REV, charge_expr, dmoney, drate, exact_sum, revenue_expr,
+)
 
 ORACLE: dict[str, str] = {}
-
-
-def _revenue() -> F.Column:
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 # ---------------------------------------------------------------------------
@@ -48,29 +47,32 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(_revenue()), 2).alias("sum_disc_price"),
-            F.round(F.sum(_revenue() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            exact_sum(dmoney(F.col("l_quantity"))).alias("sum_qty"),
+            exact_sum(dmoney(F.col("l_extendedprice"))).alias("sum_base_price"),
+            exact_sum(revenue_expr()).alias("sum_disc_price"),
+            exact_sum(charge_expr()).alias("sum_charge"),
+            F.round(F.sum(dmoney(F.col("l_quantity"))).cast("double")
+                    / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(F.sum(dmoney(F.col("l_extendedprice"))).cast("double")
+                    / F.count(F.lit(1)), 4).alias("avg_price"),
+            F.round(F.sum(drate(F.col("l_discount"))).cast("double")
+                    / F.count(F.lit(1)), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
-ORACLE["q1_pricing_summary"] = """
+ORACLE["q1_pricing_summary"] = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 4)                                        AS avg_qty,
-       round(avg(l_extendedprice), 4)                                   AS avg_price,
-       round(avg(l_discount), 4)                                        AS avg_disc,
-       count(*)                                                         AS count_order
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)      AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum({SQL_REV}), 2) AS DOUBLE)                              AS sum_disc_price,
+       CAST(round(sum({SQL_CHARGE}), 2) AS DOUBLE)                           AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)      AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) / count(*), 4)       AS avg_disc,
+       count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -93,15 +95,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(exact_sum(revenue_expr()).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
 
 
-ORACLE["q3_shipping_priority"] = """
+ORACLE["q3_shipping_priority"] = f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum({SQL_REV}), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -136,13 +138,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(exact_sum(revenue_expr()).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
 
-ORACLE["q5_local_supplier_volume"] = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+ORACLE["q5_local_supplier_volume"] = f"""
+SELECT n_name, CAST(round(sum({SQL_REV}), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -172,12 +174,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(exact_sum(dmoney(F.col("l_extendedprice"))
+                       * drate(F.col("l_discount"))).alias("revenue"))
     )
 
 
 ORACLE["q6_forecast_revenue"] = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(9,4))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -202,15 +206,15 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, orders.o_orderkey == li.l_orderkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(exact_sum(revenue_expr()).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
 
 
-ORACLE["q10_returned_items"] = """
+ORACLE["q10_returned_items"] = f"""
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum({SQL_REV}), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -267,14 +271,14 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .rollup("r_name", "n_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        .agg(exact_sum(dmoney(F.col("o_totalprice"))).alias("total_price"),
              F.count(F.lit(1)).alias("n_orders"))
     )
 
 
 ORACLE["revenue_rollup"] = """
 SELECT r_name, n_name,
-       round(sum(o_totalprice), 2) AS total_price,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price,
        count(*)                    AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -326,27 +330,27 @@ ORDER BY o_orderpriority
 def part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    rev = _revenue()
+    rev = revenue_expr()
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+        F.lit(0).cast("decimal(18,2)"))
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0)))
-                / F.sum(rev) * 100, 4
-            ).alias("promo_share"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(F.sum(promo).cast("double")
+                    / F.sum(rev).cast("double") * 100, 4).alias("promo_share"),
+            exact_sum(rev).alias("total_revenue"),
         )
         .orderBy("ship_month")
     )
 
 
-ORACLE["part_type_share"] = """
+ORACLE["part_type_share"] = f"""
 SELECT date_trunc('month', l_shipdate) AS ship_month,
-       round(100 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                            THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)   AS total_revenue
+       round(CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN {SQL_REV}
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum({SQL_REV}) AS DOUBLE) * 100, 4) AS promo_share,
+       CAST(round(sum({SQL_REV}), 2) AS DOUBLE)         AS total_revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 GROUP BY 1

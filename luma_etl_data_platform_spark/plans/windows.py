@@ -99,7 +99,9 @@ def cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(W.unboundedPreceding, 0))
     return orders.select(
         "o_custkey", "o_orderkey", "o_orderdate",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+        # decimal-exact running sum: identical under any partitioning
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+                .cast("decimal(38,6)"), 2).cast("double").alias("cum_spend"),
         F.row_number().over(
             W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
         ).alias("order_seq"),
@@ -108,9 +110,10 @@ def cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["cumulative_revenue"] = """
 SELECT o_custkey, o_orderkey, o_orderdate,
-       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate, o_orderkey
-                                     ROWS UNBOUNDED PRECEDING), 2) AS cum_spend,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS cum_spend,
        row_number() OVER (PARTITION BY o_custkey
                           ORDER BY o_orderdate, o_orderkey) AS order_seq
 FROM orders
