@@ -1,0 +1,39 @@
+"""Grouped-map operators (applyInPandas): whole-group pandas
+transforms where per-row Column expressions can't see group context.
+
+``minmax_scale``: classic per-group feature normalization
+(x - min) / (max - min). Min/max are exact, the division is a single
+deterministic double op — so even through the pandas path the result
+is engine-reproducible.
+
+Scale: one shuffle on the group key; each group must fit in one
+executor's memory as a pandas frame (the applyInPandas contract) —
+fine for per-source/per-label groups, NOT for power-law keys; for
+those use the Column-expression equivalent over window min/max.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..core.partitioning import spread
+
+
+def minmax_scale(df: DataFrame, group_col: str, value_col: str,
+                 out_col: str = "scaled") -> DataFrame:
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} double"
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo = pdf[value_col].min()
+        hi = pdf[value_col].max()
+        span = hi - lo
+        if span == 0:
+            pdf[out_col] = 0.0
+        else:
+            pdf[out_col] = ((pdf[value_col] - lo) / float(span)).round(6)
+        return pdf
+
+    return spread(df).groupBy(group_col).applyInPandas(scale, out_schema)

@@ -140,9 +140,32 @@ SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx, p[i] AS sentence FROM pos
 """
 
 
+# ---------------------------------------------------------------------------
+# grouped_minmax_chars: grouped-map applyInPandas (per-source min-max
+# normalization), oracled by window min/max — integer subtraction and
+# one double division are deterministic through the pandas path.
+# ---------------------------------------------------------------------------
+def grouped_minmax_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.grouped import minmax_scale
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return minmax_scale(docs, "source", "n_chars", out_col="chars_scaled")
+
+
+ORACLE["grouped_minmax_chars"] = """
+SELECT doc_id, source, n_chars,
+       CASE WHEN max(n_chars) OVER w = min(n_chars) OVER w THEN 0.0
+            ELSE round((n_chars - min(n_chars) OVER w) * 1.0
+                       / (max(n_chars) OVER w - min(n_chars) OVER w), 6)
+       END AS chars_scaled
+FROM documents
+WINDOW w AS (PARTITION BY source)
+"""
+
+
 QUERIES = {
     "setop_active_buildings": setop_active_buildings,
     "order_date_battery": order_date_battery,
     "udaf_weighted_chars": udaf_weighted_chars,
     "udtf_sentences": udtf_sentences,
+    "grouped_minmax_chars": grouped_minmax_chars,
 }
