@@ -267,8 +267,41 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# approximate aggregates — engine-specific sketches (HLL / KLL), so no
+# DuckDB oracle: the driver records the weaker rows-only check. The
+# point at 100 TB: approx_count_distinct is one pass + constant state
+# vs countDistinct's expand+double-shuffle.
+# ---------------------------------------------------------------------------
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+             F.countDistinct("user_id").alias("exact_users"))
+        .orderBy("event_type")
+    )
+
+
+def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("q"),
+             F.count(F.lit(1)).alias("n"))
+        .select("event_type",
+                F.round(F.col("q")[0], 4).alias("p50_approx"),
+                F.round(F.col("q")[1], 4).alias("p95_approx"),
+                F.round(F.col("q")[2], 4).alias("p99_approx"),
+                "n")
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "revenue_cube": revenue_cube,
+    "approx_distinct_users": approx_distinct_users,
+    "approx_value_quantiles": approx_value_quantiles,
     "events_json_extract": events_json_extract,
     "supplier_acct_stats": supplier_acct_stats,
     "top_user_by_value": top_user_by_value,
