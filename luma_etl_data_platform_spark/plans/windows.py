@@ -218,8 +218,28 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# event_type_unpivot: melt the pivoted daily counts back to long form
+# (pivot ∘ unpivot surface; Spark `unpivot` ↔ SQL UNPIVOT).
+# ---------------------------------------------------------------------------
+def event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = event_type_pivot(spark, sf_dir)
+    return (
+        wide.unpivot("day", list(_EVENT_TYPES), "event_type", "n_events")
+        .filter(F.col("n_events") > 0)
+        .orderBy("day", "event_type")
+    )
+
+
+ORACLE["event_type_unpivot"] = """
+SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n_events
+FROM events GROUP BY 1, 2 HAVING count(*) > 0 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "asof_events_orders": asof_events_orders,
+    "event_type_unpivot": event_type_unpivot,
     "sessionize_events": sessionize_events,
     "cumulative_revenue": cumulative_revenue,
     "order_gaps": order_gaps,
