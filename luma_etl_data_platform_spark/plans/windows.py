@@ -237,9 +237,38 @@ FROM events GROUP BY 1, 2 HAVING count(*) > 0 ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# range_join_user_bursts: pairs of events from the same user within
+# 10 minutes of each other (banded range join — equi-join on coarse
+# bins + exact filter, not a nested-loop theta join).
+# ---------------------------------------------------------------------------
+def range_join_user_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import banded_range_join
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select("user_id", F.col("event_id").alias("eid_a"), F.col("ts").alias("ts_a"))
+    b = ev.select("user_id", F.col("event_id").alias("eid_b"), F.col("ts").alias("ts_b"))
+    return (
+        banded_range_join(a, b, "user_id", "ts_a", "ts_b", window_seconds=600)
+        .filter(F.col("eid_a") < F.col("eid_b"))
+        .select("user_id", "eid_a", "eid_b",
+                (F.col("ts_b").cast("long") - F.col("ts_a").cast("long")).alias("gap_s"))
+    )
+
+
+ORACLE["range_join_user_bursts"] = """
+SELECT a.user_id, a.event_id AS eid_a, b.event_id AS eid_b,
+       date_diff('second', a.ts, b.ts) AS gap_s
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(date_diff('second', a.ts, b.ts)) <= 600
+"""
+
+
 QUERIES = {
     "asof_events_orders": asof_events_orders,
     "event_type_unpivot": event_type_unpivot,
+    "range_join_user_bursts": range_join_user_bursts,
     "sessionize_events": sessionize_events,
     "cumulative_revenue": cumulative_revenue,
     "order_gaps": order_gaps,
