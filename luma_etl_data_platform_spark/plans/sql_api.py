@@ -1,0 +1,74 @@
+"""Queries exercised through the SQL front door (``spark.sql`` over
+registered views — the S18 script-runner path) rather than the
+DataFrame API: correlated scalar subqueries and the ranking-window
+battery. Catalyst produces the same plans either way; these prove the
+SQL surface end-to-end."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import register_views
+
+ORACLE: dict[str, str] = {}
+
+
+def _sql(spark: SparkSession, sf_dir: str, stmt: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders", "customer", "lineitem", "events"))
+    return spark.sql(stmt)
+
+
+# ---------------------------------------------------------------------------
+# sql_order_share: correlated scalar subquery — each order as a share
+# of its customer's (decimal-exact) lifetime spend.
+# ---------------------------------------------------------------------------
+_ORDER_SHARE = """
+SELECT o_orderkey, o_custkey,
+       round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+             / (SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                FROM orders i WHERE i.o_custkey = o.o_custkey), 6) AS spend_share
+FROM orders o
+"""
+
+
+def sql_order_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _ORDER_SHARE)
+
+
+ORACLE["sql_order_share"] = _ORDER_SHARE
+
+
+# ---------------------------------------------------------------------------
+# sql_window_battery: first_value/last_value/nth_value/ntile/
+# percent_rank/cume_dist over each customer's order history.
+# ---------------------------------------------------------------------------
+_WINDOW_BATTERY = """
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w                        AS first_ok,
+       last_value(o_orderkey)  OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND UNBOUNDED FOLLOWING) AS last_ok,
+       nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND UNBOUNDED FOLLOWING) AS second_ok,
+       ntile(4) OVER w                                        AS quartile,
+       round(percent_rank() OVER w, 6)                        AS pct_rank,
+       round(cume_dist() OVER w, 6)                           AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def sql_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _WINDOW_BATTERY)
+
+
+ORACLE["sql_window_battery"] = _WINDOW_BATTERY
+
+
+QUERIES = {
+    "sql_order_share": sql_order_share,
+    "sql_window_battery": sql_window_battery,
+}
