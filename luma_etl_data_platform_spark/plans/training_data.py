@@ -254,8 +254,38 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# crossmodal_quality_by_label: join the text table to the embedding
+# table (doc_id = vec_id) and aggregate text-quality stats per
+# embedding cluster — the "join your modalities" pattern of a
+# training-data pipeline.
+# ---------------------------------------------------------------------------
+def crossmodal_quality_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    scored = docs.select("doc_id", "lang", X.token_count(F.col("text")).alias("n_tokens"))
+    return (
+        scored.join(emb, scored.doc_id == emb.vec_id)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("total_tokens"),
+             F.countDistinct("lang").alias("n_langs"))
+        .orderBy("label")
+    )
+
+
+ORACLE["crossmodal_quality_by_label"] = """
+SELECT label, count(*) AS n_docs,
+       sum(len(regexp_extract_all(lower(text), '\\w+'))) AS total_tokens,
+       count(DISTINCT lang) AS n_langs
+FROM documents JOIN embeddings ON doc_id = vec_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "text_quality_stats": text_quality_stats,
+    "crossmodal_quality_by_label": crossmodal_quality_by_label,
     "text_lang_fingerprint": text_lang_fingerprint,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_pairs": dedup_ngram_pairs,
