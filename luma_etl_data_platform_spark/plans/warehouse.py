@@ -47,12 +47,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            exact_sum(dmoney(F.col("l_quantity"))).alias("sum_qty"),
+            # quantities are integer-valued: double sums of integers
+            # are exact under any ordering — no decimal tax needed
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             exact_sum(dmoney(F.col("l_extendedprice"))).alias("sum_base_price"),
             exact_sum(revenue_expr()).alias("sum_disc_price"),
             exact_sum(charge_expr()).alias("sum_charge"),
-            F.round(F.sum(dmoney(F.col("l_quantity"))).cast("double")
-                    / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(F.sum("l_quantity") / F.count(F.lit(1)), 4).alias("avg_qty"),
             F.round(F.sum(dmoney(F.col("l_extendedprice"))).cast("double")
                     / F.count(F.lit(1)), 4).alias("avg_price"),
             F.round(F.sum(drate(F.col("l_discount"))).cast("double")
@@ -65,11 +66,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q1_pricing_summary"] = f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)      AS sum_qty,
+       round(sum(l_quantity), 2)                                             AS sum_qty,
        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
        CAST(round(sum({SQL_REV}), 2) AS DOUBLE)                              AS sum_disc_price,
        CAST(round(sum({SQL_CHARGE}), 2) AS DOUBLE)                           AS sum_charge,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)      AS avg_qty,
+       round(sum(l_quantity) / count(*), 4)                                  AS avg_qty,
        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
        round(CAST(sum(CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) / count(*), 4)       AS avg_disc,
        count(*) AS count_order
