@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..core.partitioning import spread as _spread
-from ..functions.text import fingerprint, portable_hash32, shingles
+from ..functions.text import fingerprint, shingles
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -54,16 +54,26 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def _shingle_index(df: DataFrame, text_col: str, id_col: str, n: int,
                    df_cap: int | None = None) -> DataFrame:
-    """(id, shingle) inverted index, optionally dropping stop-shingles
-    with document frequency > df_cap."""
-    idx = (
-        _spread(df).select(F.col(id_col).alias("_id"),
-                           F.explode(shingles(F.col(text_col), n)).alias("s"))
+    """Hashed (id, h1, h2) inverted index: each distinct shingle is
+    represented by the two 32-bit halves of its md5 (the same portable
+    derivation the MinHash family uses). Joining/shuffling 16 bytes of
+    longs instead of ~30-byte shingle strings cuts shuffle volume and
+    comparison cost; the (h1, h2) pair gives 64-bit collision safety,
+    and the SQL oracle derives identical hashes so results still match
+    bit-for-bit. ``df_cap`` drops stop-shingles with document
+    frequency > cap."""
+    sh = _spread(df).select(F.col(id_col).alias("_id"),
+                            F.explode(shingles(F.col(text_col), n)).alias("s"))
+    digest = F.md5(F.col("s"))
+    idx = sh.select(
+        "_id",
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(digest, 9, 8), 16, 10).cast("long").alias("h2"),
     )
     if df_cap is not None:
-        hot = (idx.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-               .filter(F.col("df") > df_cap).select("s"))
-        idx = idx.join(F.broadcast(hot), "s", "left_anti")
+        hot = (idx.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > df_cap).select("h1", "h2"))
+        idx = idx.join(F.broadcast(hot), ["h1", "h2"], "left_anti")
     return idx
 
 
@@ -89,7 +99,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     sizes = idx.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = idx.alias("a"), idx.alias("b")
     common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
+        a.join(b, (F.col("a.h1") == F.col("b.h1")) & (F.col("a.h2") == F.col("b.h2"))
+               & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -122,17 +133,13 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     16x fewer digest computations than independent seeded hashes, and
     still engine-portable (the DuckDB oracle states the same formula).
     """
-    idx = _shingle_index(df, text_col, id_col, n)
-    digest = F.md5(F.col("s"))
-    h1 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
-    h2 = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
-    hashed = idx.select("_id", h1.alias("_h1"), h2.alias("_h2"))
+    idx = _shingle_index(df, text_col, id_col, n)  # already carries h1/h2
     aggs = [
-        F.min((F.col("_h1") + F.lit(i) * F.col("_h2")) % F.lit(4294967296).cast("long"))
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(4294967296).cast("long"))
         .alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return hashed.groupBy(F.col("_id").alias("id")).agg(*aggs)
+    return idx.groupBy(F.col("_id").alias("id")).agg(*aggs)
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -172,7 +179,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     ia = idx.withColumnRenamed("_id", "id_a")
     ib = idx.withColumnRenamed("_id", "id_b")
     common = (
-        candidates.join(ia, "id_a").join(ib, ["id_b", "s"])
+        candidates.join(ia, "id_a").join(ib, ["id_b", "h1", "h2"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -199,7 +206,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     of ±1 (by bit i of the shingle's portable hash) is positive.
     One explode + one groupBy with ``bits`` conditional sums."""
     idx = _shingle_index(df, text_col, id_col, n=3)
-    h = portable_hash32(F.col("s"), 0)
+    h = F.col("h1")  # the index's 32-bit portable shingle hash
     aggs = [
         F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
         .alias(f"b_{i}")

@@ -19,11 +19,17 @@ from ..sources.tables import load_table
 ORACLE: dict[str, str] = {}
 
 # Shared oracle CTE fragments (kept verbatim-identical across queries).
+# ``hs`` mirrors operators/dedup._shingle_index: each distinct shingle
+# represented by the two 32-bit halves of its md5.
 _SH_CTE = """
 tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents),
 pos AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i FROM tok),
 sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM pos),
-sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+hs AS (SELECT doc_id,
+              CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h1,
+              CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS h2
+       FROM sh),
+sz AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY 1)
 """
 
 _EMB_CTE = """
@@ -119,7 +125,8 @@ def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["dedup_ngram_pairs"] = f"""
 WITH {_SH_CTE},
 common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           FROM hs a JOIN hs b
+             ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
 SELECT id_a, id_b, round(c / (x.n + y.n - c), 6) AS jaccard
 FROM common JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
@@ -136,10 +143,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["dedup_minhash_lsh"] = f"""
 WITH {_SH_CTE},
 seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
-hs AS (SELECT doc_id,
-              CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h1,
-              CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS h2
-       FROM sh),
 mh AS (SELECT doc_id, seed, min((h1 + seed * h2) % 4294967296) AS mv
        FROM hs CROSS JOIN seeds GROUP BY 1, 2),
 sig AS (SELECT doc_id, seed // 4 AS band,
@@ -149,8 +152,8 @@ cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM sig a JOIN sig b
            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
 common AS (SELECT id_a, id_b, count(*) AS c
-           FROM cand JOIN sh x ON x.doc_id = id_a
-                     JOIN sh y ON y.doc_id = id_b AND y.s = x.s
+           FROM cand JOIN hs x ON x.doc_id = id_a
+                     JOIN hs y ON y.doc_id = id_b AND y.h1 = x.h1 AND y.h2 = x.h2
            GROUP BY 1, 2)
 SELECT id_a, id_b, round(c / (x.n + y.n - c), 6) AS jaccard
 FROM common JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
@@ -165,7 +168,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["dedup_simhash"] = f"""
 WITH {_SH_CTE},
-h AS (SELECT doc_id, CAST('0x' || substr(md5('0:' || s), 1, 8) AS BIGINT) AS hv FROM sh),
+h AS (SELECT doc_id, h1 AS hv FROM hs),
 bitsum AS (SELECT doc_id, i, sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS ssum
            FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) GROUP BY 1, 2),
 sig AS (SELECT doc_id,
