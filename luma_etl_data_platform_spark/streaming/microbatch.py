@@ -63,6 +63,42 @@ def session_window_agg(stream: DataFrame, ts_col: str = "ts",
     )
 
 
+def stream_stream_interval_join(left: DataFrame, right: DataFrame,
+                                key_col: str = "user_id",
+                                ts_col: str = "ts",
+                                interval: str = "1 hour",
+                                watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join: right rows within ``interval`` BEFORE
+    each left row, same key. Both sides watermarked so the join state
+    is bounded (Spark evicts right rows older than the watermark +
+    interval). The batch twin is operators/rangejoin.banded_range_join."""
+    l = left.select(F.col(key_col).alias("l_key"),
+                    F.col(ts_col).alias("l_ts"),
+                    F.col("event_id").alias("l_event_id")
+                    ).withWatermark("l_ts", watermark)
+    r = right.select(F.col(key_col).alias("r_key"),
+                     F.col(ts_col).alias("r_ts"),
+                     F.col("event_id").alias("r_event_id")
+                     ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {interval}"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l_key").alias("user_id"), "l_event_id", "r_event_id",
+        "l_ts", "r_ts")
+
+
+def streaming_dedupe(stream: DataFrame, id_cols: list[str],
+                     ts_col: str = "ts",
+                     watermark: str = "2 hours") -> DataFrame:
+    """Watermarked streaming deduplication: state for each key is kept
+    only within the watermark horizon (bounded memory), duplicates
+    inside the horizon are dropped exactly."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(id_cols)
+
+
 def incremental_ingest(stream: DataFrame, *, ledger: ProcessedIdLedger,
                        id_col: str, target_path: str, checkpoint: str,
                        dead_letter_path: str | None = None,
