@@ -1,0 +1,69 @@
+"""Scale-headroom stress tests: bigger-than-bench inputs with skew and
+replication, asserting correctness (and implicitly, that the plans
+hold up — these are the shapes that explode with a wrong join
+strategy)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from luma_etl_data_platform_spark.operators.dedup import exact_dedup_groups
+from luma_etl_data_platform_spark.operators.similarity import cosine_topk, ivf_topk
+from luma_etl_data_platform_spark.operators.skew import salted_join
+from luma_etl_data_platform_spark.sources.tables import load_table
+from tests.conftest import SF_CORRECT
+
+
+def test_salted_join_correct_under_heavy_skew(spark):
+    # 2M-row left side, 90% on one hot key — the classic straggler maker
+    left = spark.range(2_000_000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 42 ELSE id END AS k", "id AS lv")
+    right = spark.range(5_000).selectExpr("id AS k", "id * 7 AS rv")
+    t0 = time.perf_counter()
+    n_salted = salted_join(left, right, "k", "inner", salt=16).count()
+    t_salted = time.perf_counter() - t0
+    n_plain = left.join(right, "k", "inner").count()
+    assert n_salted == n_plain
+    assert t_salted < 60
+
+
+def test_exact_dedup_on_10x_replicated_corpus(spark):
+    docs = load_table(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    replicated = docs
+    for i in range(1, 10):
+        replicated = replicated.unionByName(
+            docs.select((F.col("doc_id") + i * 1_000_000).alias("doc_id"), "text"))
+    n_docs = replicated.count()
+    assert n_docs == 5000
+    groups = exact_dedup_groups(replicated, "text", "doc_id")
+    stats = groups.agg(F.count(F.lit(1)).alias("n_groups"),
+                       F.sum("n_dups").alias("total"),
+                       F.max("n_dups").alias("maxd")).collect()[0]
+    assert stats["n_groups"] == 500          # one group per original doc
+    assert stats["total"] == 5000
+    assert stats["maxd"] == 10
+    # representative = the lowest id — always from the original copy
+    assert groups.filter(F.col("rep_id") >= 1_000_000).count() == 0
+
+
+def test_ann_consistent_on_10x_corpus(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    big = emb
+    for i in range(1, 10):
+        big = big.unionByName(
+            emb.select((F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+                       "embedding", "label"))
+    assert big.count() == 5000
+    q = emb.filter(F.col("vec_id") == 0)
+    top = cosine_topk(big, q, k=30).collect()
+    # vec 0 exists 10x (exact copies) → all ten replicas must lead with score 1.0
+    leading = [r for r in top if r["score"] == 1.0]
+    assert len(leading) == 10
+    assert {r["vec_id"] % 1_000_000 for r in leading} == {0}
+    # IVF probing every cluster equals brute force on the same corpus
+    ivf = ivf_topk(big, q, k=30, nprobe=10).collect()
+    assert [(r["vec_id"], r["score"]) for r in ivf] == \
+           [(r["vec_id"], r["score"]) for r in top]
