@@ -102,6 +102,63 @@ def ivf_topk(df: DataFrame, query: DataFrame, k: int = 10, nprobe: int = 2,
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def _sign_planes(n_planes: int, dims: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, d) is the
+    portable md5 hash of "p:d" mapped to [-1, 1). No RNG state — any
+    worker, any engine, any run derives the same planes."""
+    import hashlib
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dims):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append(h / 2147483648.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def signlsh_neardup_pairs(df: DataFrame, threshold: float = 0.99,
+                          n_planes: int = 16, bands: int = 4,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """Label-free vector near-dup via sign-LSH: bit p of a vector's
+    sketch is sign(v · plane_p); vectors agreeing on ALL bits of any
+    band (n_planes/bands bits) are candidates; candidates are verified
+    with exact cosine ≥ threshold.
+
+    This is the blocking-column-free scale path (neardup_pairs_blocked
+    needs a precomputed cluster id): candidates are generated by a
+    bucket equi-join — no cross product — and high-cosine pairs agree
+    on most plane signs, so recall at cos→1 approaches 1 (exact
+    duplicates collide in every band by construction)."""
+    dims = len(df.select(vec_col).first()[0])
+    planes = _sign_planes(n_planes, dims)
+    v = _as_double(_spread(df), vec_col)
+    bit_cols = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in planes[p]])
+        bit_cols.append((_dot(F.col(vec_col), plane) >= 0).cast("int").alias(f"bit_{p}"))
+    sk = v.select(F.col(id_col), F.col(vec_col), *bit_cols)
+    rows = n_planes // bands
+    band_structs = []
+    for bnd in range(bands):
+        key = F.concat_ws("", *[F.col(f"bit_{bnd * rows + r}") for r in range(rows)])
+        band_structs.append(F.struct(F.lit(bnd).alias("band"), key.alias("bkey")))
+    buckets = (sk.select(id_col, vec_col, F.explode(F.array(*band_structs)).alias("bb"))
+               .select(id_col, vec_col, "bb.band", "bb.bkey"))
+    a = buckets.select(F.col("band"), F.col("bkey"),
+                       F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = buckets.select(F.col("band"), F.col("bkey"),
+                       F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("score"))
+        .distinct()
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def neardup_pairs_blocked(df: DataFrame, threshold: float = 0.0, top: int | None = 20,
                           cluster_col: str = "label", vec_col: str = "embedding",
                           id_col: str = "vec_id") -> DataFrame:

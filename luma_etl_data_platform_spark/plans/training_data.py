@@ -240,6 +240,17 @@ LIMIT 10
 """
 
 
+def ann_signlsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-free near-dup candidates via sign-LSH (random-hyperplane
+    sketch + banded bucket join), top-50 by verified cosine. No SQL
+    oracle: the plane-sign buckets hinge on the SIGN of float dot
+    products, which is not portably reproducible in SQL near zero —
+    the driver records the rows-only check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (S.signlsh_neardup_pairs(emb, threshold=-1.0)
+            .orderBy(F.col("score").desc(), "id_a", "id_b").limit(50))
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.neardup_pairs_blocked(emb, threshold=-1.0, top=20)
@@ -296,5 +307,6 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_signlsh_candidates": ann_signlsh_candidates,
     "embedding_neardup_pairs": embedding_neardup_pairs,
 }

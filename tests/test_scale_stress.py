@@ -11,7 +11,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from luma_etl_data_platform_spark.operators.dedup import exact_dedup_groups
-from luma_etl_data_platform_spark.operators.similarity import cosine_topk, ivf_topk
+from luma_etl_data_platform_spark.operators.similarity import (
+    cosine_topk, ivf_topk, signlsh_neardup_pairs,
+)
 from luma_etl_data_platform_spark.operators.skew import salted_join
 from luma_etl_data_platform_spark.sources.tables import load_table
 from tests.conftest import SF_CORRECT
@@ -67,3 +69,17 @@ def test_ann_consistent_on_10x_corpus(spark):
     ivf = ivf_topk(big, q, k=30, nprobe=10).collect()
     assert [(r["vec_id"], r["score"]) for r in ivf] == \
            [(r["vec_id"], r["score"]) for r in top]
+
+
+def test_signlsh_finds_all_exact_duplicate_pairs(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings").limit(200)
+    big = emb.unionByName(
+        emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"))
+    pairs = signlsh_neardup_pairs(big, threshold=0.999999).collect()
+    # exact duplicates agree on every plane sign → collide in every
+    # band → all 200 replica pairs MUST be found (no false negatives
+    # at cos = 1), and verification keeps only true near-dups
+    dup_pairs = {(r["id_a"], r["id_b"]) for r in pairs
+                 if r["id_b"] - r["id_a"] == 1_000_000}
+    assert len(dup_pairs) == 200
+    assert all(r["score"] >= 0.999999 for r in pairs)
