@@ -56,8 +56,30 @@ class LakeTransport:
     def query_split(self, doc_filter: str) -> list[str]:
         raise NotImplementedError
 
-    def list_objects(self, chunk_filter: str, batch_size: int = DEFAULT_BATCH_SIZE) -> list[LakeObject]:
+    def list_objects_page(self, chunk_filter: str, page_token: str | None,
+                          batch_size: int = DEFAULT_BATCH_SIZE
+                          ) -> tuple[list[LakeObject], str | None]:
+        """One page of object descriptors + the next-page token (None
+        when exhausted) — the reference follows ``_links`` next-href
+        pagination (fsmwrapper.py:38-39, 92-103)."""
         raise NotImplementedError
+
+    def list_objects(self, chunk_filter: str,
+                     batch_size: int = DEFAULT_BATCH_SIZE) -> list[LakeObject]:
+        """Drain all pages, guarding against next-token wraparound
+        loops the way the reference's pagination loop does
+        (fsmwrapper.py:92-103 detects a repeated URL and stops)."""
+        out: list[LakeObject] = []
+        token: str | None = None
+        seen_tokens: set[str] = set()
+        while True:
+            page, token = self.list_objects_page(chunk_filter, token, batch_size)
+            out.extend(page)
+            if token is None:
+                return out
+            if token in seen_tokens:   # wraparound — server looped
+                return out
+            seen_tokens.add(token)
 
     def fetch_object(self, object_id: str) -> str:
         """Returns the JSON-lines payload for one data object."""
@@ -90,12 +112,23 @@ class FakeLakeTransport(LakeTransport):
             out.append((f"{bc}-obj-{start // self.records_per_object}", chunk))
         return out
 
-    def list_objects(self, chunk_filter: str, batch_size: int = DEFAULT_BATCH_SIZE) -> list[LakeObject]:
+    page_size: int = 2  # deliberately tiny so tests exercise paging
+
+    def _all_objects(self, chunk_filter: str) -> list[LakeObject]:
         bc = self._bc_of(chunk_filter)
         chunk_id = int(chunk_filter.split("'")[3])
         objs = self._objects_for(bc)
         mine = [o for i, o in enumerate(objs) if i % self.n_chunks == chunk_id]
         return [LakeObject(oid, len(recs)) for oid, recs in mine]
+
+    def list_objects_page(self, chunk_filter: str, page_token: str | None,
+                          batch_size: int = DEFAULT_BATCH_SIZE
+                          ) -> tuple[list[LakeObject], str | None]:
+        objs = self._all_objects(chunk_filter)
+        start = int(page_token) if page_token else 0
+        page = objs[start:start + self.page_size]
+        nxt = start + self.page_size
+        return page, (str(nxt) if nxt < len(objs) else None)
 
     def fetch_object(self, object_id: str) -> str:
         bc = object_id.rsplit("-obj-", 1)[0]
