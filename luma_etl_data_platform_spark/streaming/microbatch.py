@@ -113,8 +113,10 @@ def incremental_ingest(stream: DataFrame, *, ledger: ProcessedIdLedger,
     history, continue — datalakewrapper.py:286-297)."""
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        run_id = batch_id_fn(epoch_id) if batch_id_fn else epoch_id
         try:
+            # inside the try: a failing batch_id_fn must also route to
+            # the dead letter, not kill the stream
+            run_id = batch_id_fn(epoch_id) if batch_id_fn else epoch_id
             fresh = ledger.not_processed(batch_df, id_col)
             fresh = fresh.withColumn("_batch_id", F.lit(run_id).cast("long"))
             fresh.persist()
@@ -126,7 +128,7 @@ def incremental_ingest(stream: DataFrame, *, ledger: ProcessedIdLedger,
         except Exception:
             if dead_letter_path is None:
                 raise
-            (batch_df.withColumn("_batch_id", F.lit(run_id).cast("long"))
+            (batch_df.withColumn("_batch_id", F.lit(epoch_id).cast("long"))
              .write.mode("append").parquet(dead_letter_path))
 
     writer = (stream.writeStream.foreachBatch(_process)

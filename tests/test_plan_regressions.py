@@ -1,0 +1,97 @@
+"""Optimizer-behavior regression tests: lock in pushdown/broadcast/
+pruning so a refactor that silently loses them fails CI, plus
+drift-evolution and failure-path coverage."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from luma_etl_data_platform_spark import pipeline as P
+from luma_etl_data_platform_spark.plans import warehouse as WH
+from luma_etl_data_platform_spark.schema_registry import SchemaRegistry
+from tests.conftest import SF_SMOKE
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_pushes_filters_and_prunes_columns(spark):
+    plan = _formatted_plan(WH.q6_forecast_revenue(spark, SF_SMOKE))
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan
+    # projection must reach the scan: only the 4 referenced columns
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in read
+    assert "l_orderkey" not in read and "l_tax" not in read
+
+
+def test_q5_broadcasts_fixed_dims(spark):
+    plan = _formatted_plan(WH.q5_local_supplier_volume(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_partial_aggregation(spark):
+    plan = _formatted_plan(WH.q1_pricing_summary(spark, SF_SMOKE))
+    # partial (map-side) + final agg pair
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_drift_evolution_across_batches(spark, tmp_path):
+    """Version numbers assigned in batch 1 survive batch 2 verbatim;
+    new key-sets extend, never renumber (the reference's append-only
+    schemas.json contract)."""
+    import json as J
+    reg = SchemaRegistry()
+    out = str(tmp_path / "staged")
+
+    def ingest(rows, batch):
+        df = spark.read.json(spark.sparkContext.parallelize([J.dumps(r) for r in rows]))
+        tagged = P.ingest_records(df, reg)
+        P.stage(tagged, out, batch_id=batch)
+        return tagged
+
+    ingest([{"A": "1", "B": "2"}, {"A": "1"}], batch=1)
+    v_after_1 = dict(reg.versions)
+    ingest([{"A": "9", "B": "8"}, {"A": "1", "B": "2", "C": "3"}], batch=2)
+    for v, cols in v_after_1.items():
+        assert reg.versions[v] == cols
+    assert tuple(sorted(("A", "B", "C"))) in reg.versions.values()
+    merged = P.compile_merged(spark, out)
+    assert merged.count() == 4
+    # batch partitioning survived
+    raw = spark.read.parquet(out)
+    assert set(r["_batch_id"] for r in raw.select("_batch_id").distinct().collect()) == {1, 2}
+
+
+def test_incremental_ingest_routes_failures_to_dead_letter(spark, tmp_path):
+    from luma_etl_data_platform_spark.sources.incremental import ProcessedIdLedger
+    from luma_etl_data_platform_spark.streaming import incremental_ingest
+    from luma_etl_data_platform_spark.sources.tables import load_table
+
+    src = str(tmp_path / "src")
+    load_table(spark, SF_SMOKE, "events").limit(50).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    ledger = ProcessedIdLedger(spark, str(tmp_path / "led"))
+    dlq = str(tmp_path / "dlq")
+
+    def boom(epoch_id):
+        raise RuntimeError("induced batch failure")
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = incremental_ingest(stream, ledger=ledger, id_col="event_id",
+                           target_path=str(tmp_path / "tgt"),
+                           checkpoint=str(tmp_path / "ck"),
+                           dead_letter_path=dlq, batch_id_fn=boom)
+    q.awaitTermination(120)
+    # nothing landed in the target, everything in the dead letter
+    import os
+    assert not os.path.exists(str(tmp_path / "tgt"))
+    assert spark.read.parquet(dlq).count() == 50
