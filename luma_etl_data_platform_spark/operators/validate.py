@@ -44,6 +44,51 @@ def reconcile_counts(df: DataFrame, expected: int | DataFrame,
 
 
 @dataclass
+class SchemaDiff:
+    missing_from_data: list[str]      # in expected, not in df (warned)
+    unknown_in_data: list[str]        # in df, not expected (dropped by loader)
+    type_mismatches: dict[str, tuple[str, str]]  # col -> (actual, expected)
+
+    @property
+    def clean(self) -> bool:
+        return not (self.missing_from_data or self.unknown_in_data
+                    or self.type_mismatches)
+
+
+def schema_diff(df: DataFrame, expected: T.StructType) -> SchemaDiff:
+    """The reference's load-time schema reconciliation as a first-class
+    check (lambda_function.py:140-158: metadata-not-data columns are
+    warned, data-not-metadata columns are dropped with a warning).
+    Returns the diff; the caller decides to log/drop/fail."""
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    exp = {f.name: f.dataType for f in expected.fields}
+    missing = sorted(set(exp) - set(actual))
+    unknown = sorted(set(actual) - set(exp))
+    mismatched = {
+        name: (actual[name].simpleString(), exp[name].simpleString())
+        for name in set(actual) & set(exp)
+        if actual[name] != exp[name]
+    }
+    return SchemaDiff(missing, unknown, mismatched)
+
+
+def apply_expected_schema(df: DataFrame, expected: T.StructType) -> DataFrame:
+    """Enforce the reconciliation policy: drop unknown columns, add
+    missing ones as typed nulls, try_cast mismatches — the loader
+    behavior, made explicit and lossless-logged via schema_diff."""
+    diff = schema_diff(df, expected)
+    cols = []
+    for f in expected.fields:
+        if f.name in diff.missing_from_data:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        elif f.name in diff.type_mismatches:
+            cols.append(F.col(f.name).try_cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+@dataclass
 class CastProfile:
     total_rows: int
     failures: dict[str, int] = field(default_factory=dict)
