@@ -298,10 +298,85 @@ def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# array_agg_battery: array construction/inspection — sorted collect,
+# contains, slice, distinct counts per group.
+# ---------------------------------------------------------------------------
+def array_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"))
+    )
+    return per_cust.select(
+        "o_custkey",
+        F.size(F.col("order_keys")).alias("n_orders"),
+        F.element_at(F.col("order_keys"), 1).alias("first_key"),
+        F.element_at(F.col("order_keys"), -1).alias("last_key"),
+        # string-join the array output: engines agree on the values but
+        # may stringify native array types differently in a hasher
+        F.concat_ws(",", F.slice(F.col("order_keys"), 1, 3)).alias("first3"),
+        F.array_contains(F.col("order_keys"),
+                         F.element_at(F.col("order_keys"), 1)).alias("contains_first"),
+    )
+
+
+ORACLE["array_agg_battery"] = """
+WITH per_cust AS (
+  SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys
+  FROM orders GROUP BY 1)
+SELECT o_custkey,
+       len(order_keys)                 AS n_orders,
+       order_keys[1]                   AS first_key,
+       order_keys[-1]                  AS last_key,
+       array_to_string(order_keys[1:3], ',') AS first3,
+       list_contains(order_keys, order_keys[1]) AS contains_first
+FROM per_cust
+"""
+
+
+# ---------------------------------------------------------------------------
+# null_handling_battery: coalesce/nullif/greatest/least semantics.
+# ---------------------------------------------------------------------------
+def null_handling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        F.coalesce(k, F.lit(-1)).alias("k_or_default"),
+        F.nullif(k, F.lit(0)).alias("k_nullif_zero"),
+        F.greatest(k, F.col("user_id")).alias("max_of"),
+        F.least(k, F.col("user_id")).alias("min_of"),
+        F.isnull(k).alias("k_is_null"),
+        F.when(k.isNotNull() & (k > 50), F.lit("high"))
+         .when(k.isNotNull(), F.lit("low"))
+         .otherwise(F.lit("unknown")).alias("bucket"),
+    )
+
+
+ORACLE["null_handling_battery"] = """
+WITH e AS (SELECT event_id, user_id,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+SELECT event_id,
+       coalesce(k, -1)    AS k_or_default,
+       nullif(k, 0)       AS k_nullif_zero,
+       greatest(k, user_id) AS max_of,
+       least(k, user_id)    AS min_of,
+       k IS NULL          AS k_is_null,
+       CASE WHEN k IS NOT NULL AND k > 50 THEN 'high'
+            WHEN k IS NOT NULL THEN 'low'
+            ELSE 'unknown' END AS bucket
+FROM e
+"""
+
+
 QUERIES = {
     "revenue_cube": revenue_cube,
     "approx_distinct_users": approx_distinct_users,
     "approx_value_quantiles": approx_value_quantiles,
+    "array_agg_battery": array_agg_battery,
+    "null_handling_battery": null_handling_battery,
     "events_json_extract": events_json_extract,
     "supplier_acct_stats": supplier_acct_stats,
     "top_user_by_value": top_user_by_value,

@@ -24,8 +24,11 @@ def _norm_cell(v) -> str:
         if pd.isna(v):
             return "NULL"
         return pd.Timestamp(v).isoformat()
-    if isinstance(v, (list, tuple)):
+    import numpy as np
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, np.generic):
+        return _norm_cell(v.item())
     if pd.isna(v) if not isinstance(v, (list, tuple, dict)) else False:
         return "NULL"
     return str(v)
