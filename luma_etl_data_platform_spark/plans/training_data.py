@@ -297,9 +297,66 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# deterministic sampling / split / trim (operators/sampling.py)
+# ---------------------------------------------------------------------------
+def sample_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 10% held-out split of documents keyed on doc_id:
+    per split, doc count + token sum. Hash-bucket membership, no RNG."""
+    from ..operators.sampling import train_test_split
+    docs = load_table(spark, sf_dir, "documents")
+    train, test = train_test_split(docs, "doc_id", test_fraction=0.1)
+    t1 = train.select(F.lit("train").alias("split"), "doc_id",
+                      X.token_count(F.col("text")).alias("n_tokens"))
+    t2 = test.select(F.lit("test").alias("split"), "doc_id",
+                     X.token_count(F.col("text")).alias("n_tokens"))
+    return (t1.unionByName(t2).groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"))
+            .orderBy("split"))
+
+
+ORACLE["sample_split_stats"] = """
+WITH b AS (SELECT doc_id, text,
+                  CAST('0x' || substr(md5('0:' || doc_id), 1, 8) AS BIGINT) % 10000 AS bucket
+           FROM documents)
+SELECT CASE WHEN bucket < 1000 THEN 'test' ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       sum(len(regexp_extract_all(lower(text), '\\w+'))) AS total_tokens
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+def quantile_trim_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type [p05, p95] quality trim of event values; retained
+    count + exact-sum per type."""
+    from ..operators.sampling import quantile_trim
+    ev = load_table(spark, sf_dir, "events")
+    trimmed = quantile_trim(ev, "event_type", "value", 0.05, 0.95)
+    return (trimmed.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.round(F.sum("value"), 2).alias("kept_value"))
+            .orderBy("event_type"))
+
+
+ORACLE["quantile_trim_events"] = """
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS qlo,
+         quantile_cont(value, 0.95) AS qhi
+  FROM events GROUP BY 1)
+SELECT e.event_type, count(*) AS n_kept, round(sum(e.value), 2) AS kept_value
+FROM events e JOIN bounds b ON e.event_type = b.event_type
+WHERE e.value >= b.qlo AND e.value <= b.qhi
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "text_quality_stats": text_quality_stats,
     "crossmodal_quality_by_label": crossmodal_quality_by_label,
+    "sample_split_stats": sample_split_stats,
+    "quantile_trim_events": quantile_trim_events,
     "text_lang_fingerprint": text_lang_fingerprint,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_pairs": dedup_ngram_pairs,
