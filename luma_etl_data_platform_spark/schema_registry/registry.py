@@ -96,6 +96,9 @@ class SchemaRegistry:
         keysets = [tuple(k.split(_SEP)) if k else () for k in distinct_keys]
         mapping = self.register_batch(keysets)
         pairs = [(_SEP.join(ks), v) for ks, v in mapping.items()]
+        if not pairs:  # empty input frame: nothing to register
+            return (tagged.withColumn("_schema_version", F.lit(None).cast("int"))
+                    .drop("_schema_key"))
         mapping_expr = F.create_map(*[F.lit(x) for kv in pairs for x in kv])
         return (
             tagged.withColumn("_schema_version", mapping_expr[F.col("_schema_key")])

@@ -1,0 +1,74 @@
+"""Empty-input and degenerate-edge behavior: operators must return
+empty/identity results, not throw."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+from pyspark.sql import functions as F
+
+from luma_etl_data_platform_spark.operators.asof import asof_join
+from luma_etl_data_platform_spark.operators.dedup import (
+    exact_dedup_groups, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs,
+)
+from luma_etl_data_platform_spark.operators.merge import union_of_schemas
+from luma_etl_data_platform_spark.operators.sampling import train_test_split
+from luma_etl_data_platform_spark.schema_registry import SchemaRegistry
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]))
+
+
+def test_dedup_ops_on_empty_corpus(spark):
+    docs = _empty_docs(spark)
+    assert exact_dedup_groups(docs, "text", "doc_id").count() == 0
+    assert ngram_jaccard_pairs(docs, "text", "doc_id").count() == 0
+    assert minhash_lsh_pairs(docs, "text", "doc_id").count() == 0
+    assert simhash_pairs(docs, "text", "doc_id").count() == 0
+
+
+def test_dedup_short_documents(spark):
+    # docs shorter than the shingle width must not crash or pair
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, "a"), (4, "exactly three words")],
+        ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.1)
+    assert pairs.count() == 0
+    groups = exact_dedup_groups(docs, "text", "doc_id")
+    assert groups.count() == 4   # all distinct (incl. empty-string fp)
+
+
+def test_asof_empty_right_side(spark):
+    import datetime as dt
+    left = spark.createDataFrame([(1, dt.datetime(2024, 1, 1))], ["k", "t"])
+    right = spark.createDataFrame([], T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("rt", T.TimestampType()),
+        T.StructField("payload", T.StringType()),
+    ]))
+    out = asof_join(left, right, "k", "t", "rt").collect()
+    assert len(out) == 1 and out[0]["payload"] is None
+
+
+def test_registry_tag_empty_frame(spark):
+    df = spark.createDataFrame([], T.StructType([
+        T.StructField("A", T.StringType())]))
+    reg = SchemaRegistry()
+    tagged = reg.tag_versions(df)
+    assert tagged.count() == 0
+    assert reg.versions == {0: ()}
+
+
+def test_union_of_schemas_single_frame(spark):
+    df = spark.createDataFrame([(1, "x")], ["b_col", "a_col"])
+    out = union_of_schemas([df])
+    assert out.columns == ["a_col", "b_col"]
+
+
+def test_split_empty_frame(spark):
+    df = _empty_docs(spark)
+    train, test = train_test_split(df, "doc_id", 0.5)
+    assert train.count() == 0 and test.count() == 0
