@@ -352,11 +352,50 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_cluster_reps: near-dup pairs → connected components →
+# representative per cluster (min doc_id). Oracle: recursive CTE
+# reachability closure over the same pair list.
+# ---------------------------------------------------------------------------
+def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import connected_components
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    comps = connected_components(pairs)
+    return (comps.groupBy(F.col("component").alias("rep_id"))
+            .agg(F.count(F.lit(1)).alias("cluster_size"),
+                 F.max("node").alias("max_member"))
+            .orderBy("rep_id"))
+
+
+ORACLE["dedup_cluster_reps"] = f"""
+WITH RECURSIVE {_SH_CTE},
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM hs a JOIN hs b
+             ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b
+          FROM common JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+          WHERE round(c / (x.n + y.n - c), 6) >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, anc) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.anc FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT rep_id, count(*) AS cluster_size, max(node) AS max_member
+FROM (SELECT node, min(anc) AS rep_id FROM reach GROUP BY node)
+GROUP BY rep_id ORDER BY rep_id
+"""
+
+
 QUERIES = {
     "text_quality_stats": text_quality_stats,
     "crossmodal_quality_by_label": crossmodal_quality_by_label,
     "sample_split_stats": sample_split_stats,
     "quantile_trim_events": quantile_trim_events,
+    "dedup_cluster_reps": dedup_cluster_reps,
     "text_lang_fingerprint": text_lang_fingerprint,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_pairs": dedup_ngram_pairs,

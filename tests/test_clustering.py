@@ -1,0 +1,35 @@
+"""Connected-components and representative-selection tests."""
+
+from __future__ import annotations
+
+from luma_etl_data_platform_spark.operators.clustering import (
+    connected_components, keep_representatives,
+)
+
+
+def test_components_chain_and_triangle(spark):
+    # chain 1-2-3-4 (diameter 3) + triangle 10-11-12 + isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"])
+    comps = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1,
+                     10: 10, 11: 10, 12: 10,
+                     20: 20, 21: 20}
+
+
+def test_keep_representatives_drops_non_reps(spark):
+    df = spark.createDataFrame([(i, f"doc{i}") for i in [1, 2, 3, 4, 10, 50]],
+                               ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"])
+    kept = sorted(r["doc_id"] for r in keep_representatives(df, pairs, "doc_id").collect())
+    # cluster {1,2,3,4} → keep 1; 10 and 50 untouched
+    assert kept == [1, 10, 50]
+
+
+def test_components_empty_pairs(spark):
+    from pyspark.sql import types as T
+    pairs = spark.createDataFrame([], T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType())]))
+    assert connected_components(pairs).count() == 0
