@@ -153,8 +153,42 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q15: top supplier(s) — grouped revenue vs its own maximum (view +
+# scalar-max shape; ties all returned, exactly as TPC-H specifies).
+# ---------------------------------------------------------------------------
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (li.groupBy("l_suppkey")
+           .agg(exact_sum(revenue_expr()).alias("total_revenue")))
+    max_rev = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev.m)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE["q15_top_supplier"] = f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(round(sum({SQL_REV}), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
+    "q15_top_supplier": q15_top_supplier,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q22_idle_rich_customers": q22_idle_rich_customers,

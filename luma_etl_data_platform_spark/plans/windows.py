@@ -265,10 +265,48 @@ FROM events a JOIN events b
 """
 
 
+# ---------------------------------------------------------------------------
+# moving_avg_daily_revenue: 7-row sliding frame over daily order
+# totals (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) — bounded-frame
+# spec beyond the UNBOUNDED runs. Daily totals are decimal-exact; the
+# 7-term window sum runs over identical doubles in identical order on
+# both engines.
+# ---------------------------------------------------------------------------
+def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("double").alias("day_total"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day", F.round(F.col("day_total"), 2).alias("day_total"), "n_orders",
+        F.round(F.avg("day_total").over(w), 4).alias("ma7"),
+        F.count(F.lit(1)).over(w).alias("window_n"),
+    )
+
+
+ORACLE["moving_avg_daily_revenue"] = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT day, round(day_total, 2) AS day_total, n_orders,
+       round(avg(day_total) OVER w, 4) AS ma7,
+       count(*) OVER w AS window_n
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "asof_events_orders": asof_events_orders,
     "event_type_unpivot": event_type_unpivot,
     "range_join_user_bursts": range_join_user_bursts,
+    "moving_avg_daily_revenue": moving_avg_daily_revenue,
     "sessionize_events": sessionize_events,
     "cumulative_revenue": cumulative_revenue,
     "order_gaps": order_gaps,
