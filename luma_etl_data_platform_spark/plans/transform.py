@@ -82,6 +82,24 @@ def merge_sql(target: str, source: str, columns: list[str], keys: list[str]) -> 
     )
 
 
+def upsert(spark: SparkSession, target: str, source: DataFrame,
+           keys: list[str]) -> None:
+    """Format-dispatching upsert: native MERGE INTO when a
+    MERGE-capable catalog table format is present (Delta — jars not in
+    this build, gated by import-try), else the parquet
+    overwrite-by-key emulation."""
+    try:
+        from delta.tables import DeltaTable  # noqa: F401
+        have_delta = True
+    except Exception:
+        have_delta = False
+    if have_delta and not target.startswith("/"):
+        source.createOrReplaceTempView("_upsert_src")
+        spark.sql(merge_sql(target, "_upsert_src", source.columns, keys))
+        return
+    merge_upsert_parquet(spark, target, source, keys)
+
+
 def merge_upsert_parquet(spark: SparkSession, target_path: str,
                          source: DataFrame, keys: list[str]) -> None:
     """Upsert-by-key on a parquet target without a MERGE-capable
