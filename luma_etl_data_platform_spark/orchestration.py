@@ -92,6 +92,46 @@ def run_subject_area(classes: Sequence[str],
     return RunResult(ok, failed)
 
 
+def plan_metrics(df: DataFrame, wanted: tuple[str, ...] = ("numOutputRows",),
+                 ) -> list[dict]:
+    """Per-operator runtime metrics from the EXECUTED physical plan
+    (run an action on ``df`` first). Walks through AQE wrappers and
+    query stages. The Spark-native upgrade of the reference's
+    wall-clock-only instrumentation (SURVEY §6): per-node output rows
+    / spill sizes instead of one duration per run.
+
+    Returns ``[{"node": name, "depth": d, "metrics": {...}}, ...]`` in
+    plan order."""
+    plan = df._jdf.queryExecution().executedPlan()
+
+    def children(node):
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            return [node.executedPlan()]
+        if "QueryStage" in name:
+            return [node.plan()]
+        if name == "ReusedExchange":
+            return []
+        return [node.children().apply(i) for i in range(node.children().length())]
+
+    out: list[dict] = []
+
+    def walk(node, depth=0):
+        vals = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            key = kv._1()
+            if any(w in key for w in wanted):
+                vals[key] = kv._2().value()
+        out.append({"node": node.nodeName(), "depth": depth, "metrics": vals})
+        for c in children(node):
+            walk(c, depth + 1)
+
+    walk(plan)
+    return out
+
+
 def summarize_logs(logs: DataFrame, line_col: str = "value") -> DataFrame:
     """Duration/failure extraction from structured text logs
     (reference: log_scanner.py greps 'LOAD DURATION' and 'load failed'

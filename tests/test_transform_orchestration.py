@@ -70,6 +70,21 @@ def test_run_subject_area_isolation(spark, tmp_path):
     assert any("bad failed" in a for a in alerts)
 
 
+def test_plan_metrics_reports_operator_rows(spark):
+    from luma_etl_data_platform_spark.plans.warehouse import q1_pricing_summary
+    from tests.conftest import SF_SMOKE
+    df = q1_pricing_summary(spark, SF_SMOKE)
+    df.collect()
+    nodes = O.plan_metrics(df)
+    aggs = [n for n in nodes if n["node"] == "HashAggregate"
+            and n["metrics"].get("numOutputRows")]
+    assert len(aggs) >= 2            # partial + final
+    final_rows = min(n["metrics"]["numOutputRows"] for n in aggs)
+    assert final_rows == 6           # 6 output groups at sf0.001
+    scans = [n for n in nodes if "Scan" in n["node"]]
+    assert scans
+
+
 def test_summarize_logs(spark):
     lines = ["start", "LOAD DURATION: 12.5", "LOAD DURATION: 7.5",
              "table load failed: x", "done"]
