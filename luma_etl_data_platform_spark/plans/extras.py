@@ -371,8 +371,37 @@ FROM e
 """
 
 
+# ---------------------------------------------------------------------------
+# config_lookup_enrichment: map-side lookup against an in-code config
+# map (the reference resolves business classes through three small
+# JSON maps — J4; here a literal map broadcast into the plan).
+# ---------------------------------------------------------------------------
+_URGENCY = {"1-URGENT": 5, "2-HIGH": 4, "3-MEDIUM": 3, "4-NOT SPECIFIED": 2, "5-LOW": 1}
+
+
+def config_lookup_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    mapping = F.create_map(*[F.lit(x) for kv in _URGENCY.items() for x in kv])
+    return (
+        orders.withColumn("urgency", mapping[F.col("o_orderpriority")])
+        .groupBy("urgency")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("urgency")
+    )
+
+
+ORACLE["config_lookup_enrichment"] = """
+SELECT CASE o_orderpriority
+         WHEN '1-URGENT' THEN 5 WHEN '2-HIGH' THEN 4 WHEN '3-MEDIUM' THEN 3
+         WHEN '4-NOT SPECIFIED' THEN 2 WHEN '5-LOW' THEN 1 END AS urgency,
+       count(*) AS n_orders
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "revenue_cube": revenue_cube,
+    "config_lookup_enrichment": config_lookup_enrichment,
     "approx_distinct_users": approx_distinct_users,
     "approx_value_quantiles": approx_value_quantiles,
     "array_agg_battery": array_agg_battery,

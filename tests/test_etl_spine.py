@@ -174,6 +174,25 @@ def test_cast_profile(spark):
     assert not prof.ok
 
 
+def test_corrupt_json_lines_quarantined(spark):
+    """Malformed JSON-lines land in _corrupt_record instead of killing
+    the ingest (the reference logs-and-skips failed payloads,
+    datalakewrapper.py:286-297)."""
+    from pyspark.sql import types as T
+    lines = ['{"A": "ok", "N": 1}', "{not json at all", '{"A": "also ok", "N": 2}']
+    schema = T.StructType([
+        T.StructField("A", T.StringType()),
+        T.StructField("N", T.LongType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ])
+    df = spark.read.schema(schema).json(spark.sparkContext.parallelize(lines))
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert "not json" in bad.collect()[0]["_corrupt_record"]
+
+
 # ----------------------------------------------------- pipeline end-to-end
 
 def test_pipeline_end_to_end(spark, tmp_path):
