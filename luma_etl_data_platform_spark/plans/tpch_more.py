@@ -186,9 +186,95 @@ ORDER BY s_suppkey
 """
 
 
+# ---------------------------------------------------------------------------
+# q8: national market share — NATION_1's share of revenue from
+# AMERICA-region customers, per order year. Decimal-exact numerator
+# and denominator, divided once in double.
+# ---------------------------------------------------------------------------
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n_cust = nation.select(F.col("n_nationkey").alias("cnk"),
+                           F.col("n_regionkey").alias("crk"))
+    n_supp = nation.select(F.col("n_nationkey").alias("snk"),
+                           F.col("n_name").alias("supp_nation"))
+    rev = revenue_expr()
+    nation_rev = F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(region), F.col("crk") == region.r_regionkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("snk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(nation_rev).cast("double")
+                     / F.sum(rev).cast("double"), 6).alias("mkt_share"),
+             exact_sum(rev).alias("total_volume"))
+        .orderBy("o_year")
+    )
+
+
+ORACLE["q8_market_share"] = f"""
+SELECT year(o_orderdate) AS o_year,
+       round(CAST(sum(CASE WHEN n2.n_name = 'NATION_1' THEN {SQL_REV}
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum({SQL_REV}) AS DOUBLE), 6) AS mkt_share,
+       CAST(round(sum({SQL_REV}), 2) AS DOUBLE) AS total_volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region    ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'AMERICA'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q19: disjunctive multi-attribute predicates (brand × size × quantity
+# bands OR-ed together) — the optimizer must push a complex OR into
+# the join without exploding it.
+# ---------------------------------------------------------------------------
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    b1 = ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+          & (F.col("l_quantity").between(1, 20)))
+    b2 = ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(10, 30))
+          & (F.col("l_quantity").between(10, 35)))
+    b3 = ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(20, 50))
+          & (F.col("l_quantity").between(20, 50)))
+    return (
+        j.filter(b1 | b2 | b3)
+        .agg(exact_sum(revenue_expr()).alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+ORACLE["q19_disjunctive_revenue"] = f"""
+SELECT CAST(round(sum({SQL_REV}), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
 QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
     "q15_top_supplier": q15_top_supplier,
+    "q8_market_share": q8_market_share,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q22_idle_rich_customers": q22_idle_rich_customers,
