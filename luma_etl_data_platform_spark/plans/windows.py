@@ -302,11 +302,48 @@ WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
 
 
+# ---------------------------------------------------------------------------
+# resample_ffill_user_values: hourly per-user grid with forward fill
+# (operators/timeseries.py) — the time-bucket/gap-fill pattern.
+# ---------------------------------------------------------------------------
+def resample_ffill_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import resample_ffill
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    out = resample_ffill(ev, "user_id", "ts", "value",
+                         bucket="hour", tiebreak_col="event_id")
+    return out.select("user_id", "bucket",
+                      F.round(F.col("value_ffill"), 6).alias("value_ffill"),
+                      "observed")
+
+
+ORACLE["resample_ffill_user_values"] = """
+WITH hourly AS (
+  SELECT user_id, bucket, value FROM (
+    SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE user_id <= 20) WHERE rn = 1),
+bounds AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM hourly GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+         FROM bounds),
+joined AS (SELECT g.user_id, g.bucket, h.value
+           FROM grid g LEFT JOIN hourly h
+             ON g.user_id = h.user_id AND g.bucket = h.bucket)
+SELECT user_id, bucket,
+       round(last_value(value IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING), 6) AS value_ffill,
+       value IS NOT NULL AS observed
+FROM joined
+"""
+
+
 QUERIES = {
     "asof_events_orders": asof_events_orders,
     "event_type_unpivot": event_type_unpivot,
     "range_join_user_bursts": range_join_user_bursts,
     "moving_avg_daily_revenue": moving_avg_daily_revenue,
+    "resample_ffill_user_values": resample_ffill_user_values,
     "sessionize_events": sessionize_events,
     "cumulative_revenue": cumulative_revenue,
     "order_gaps": order_gaps,
