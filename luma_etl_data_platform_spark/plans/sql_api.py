@@ -68,7 +68,32 @@ def sql_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["sql_window_battery"] = _WINDOW_BATTERY
 
 
+# ---------------------------------------------------------------------------
+# sql_exists_chains: correlated EXISTS + NOT EXISTS (Q21 shape) —
+# suppliers that shipped on shared orders but never shipped late-year.
+# ---------------------------------------------------------------------------
+_EXISTS_CHAINS = """
+SELECT s.l_suppkey AS suppkey, count(DISTINCT s.l_orderkey) AS shared_orders
+FROM lineitem s
+WHERE EXISTS (SELECT 1 FROM lineitem o
+              WHERE o.l_orderkey = s.l_orderkey
+                AND o.l_suppkey <> s.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_suppkey = s.l_suppkey
+                    AND l2.l_shipdate >= TIMESTAMP '2001-06-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def sql_exists_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _EXISTS_CHAINS)
+
+
+ORACLE["sql_exists_chains"] = _EXISTS_CHAINS
+
+
 QUERIES = {
     "sql_order_share": sql_order_share,
     "sql_window_battery": sql_window_battery,
+    "sql_exists_chains": sql_exists_chains,
 }
