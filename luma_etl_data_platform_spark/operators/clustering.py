@@ -52,7 +52,7 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
                 updated.alias("u").join(labels.alias("l"), "node")
                 .filter(F.col("u.label") != F.col("l.label")).count()
             )
-            labels.unpersist() if hasattr(labels, "unpersist") else None
+            labels.unpersist()
             labels = updated
             if changed == 0:
                 break

@@ -390,12 +390,34 @@ GROUP BY rep_id ORDER BY rep_id
 """
 
 
+# ---------------------------------------------------------------------------
+# fuzzy_part_names: blocked edit-distance matching over part names
+# (entity-resolution family; same prefix blocking in the oracle).
+# ---------------------------------------------------------------------------
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import fuzzy_pairs
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return fuzzy_pairs(part, "p_name", "p_partkey", max_distance=4, prefix_len=4)
+
+
+ORACLE["fuzzy_part_names"] = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       levenshtein(a.p_name, b.p_name) AS distance
+FROM part a JOIN part b
+  ON substring(a.p_name, 1, 4) = substring(b.p_name, 1, 4)
+ AND a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= 4
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+"""
+
+
 QUERIES = {
     "text_quality_stats": text_quality_stats,
     "crossmodal_quality_by_label": crossmodal_quality_by_label,
     "sample_split_stats": sample_split_stats,
     "quantile_trim_events": quantile_trim_events,
     "dedup_cluster_reps": dedup_cluster_reps,
+    "fuzzy_part_names": fuzzy_part_names,
     "text_lang_fingerprint": text_lang_fingerprint,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_pairs": dedup_ngram_pairs,
