@@ -224,6 +224,34 @@ FROM m ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# regex_extract_battery: capture groups, translate, trim/case family.
+# ---------------------------------------------------------------------------
+def regex_extract_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_brand"), r"Brand#(\d+)", 1).alias("brand_num"),
+        F.translate(F.col("p_type"), "AEIOU", "aeiou").alias("type_lowered_vowels"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.initcap(F.lower(F.col("p_type"))).alias("type_title"),
+        F.repeat(F.lit("*"), F.col("p_size") % 5).alias("stars"),
+    )
+
+
+ORACLE["regex_extract_battery"] = """
+SELECT p_partkey,
+       regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
+       translate(p_type, 'AEIOU', 'aeiou')        AS type_lowered_vowels,
+       trim('  ' || p_name || '  ')               AS trimmed,
+       -- initcap: capitalize each word of the lowercased type
+       list_aggregate(list_transform(string_split(lower(p_type), ' '),
+                      x -> upper(x[1]) || x[2:]), 'string_agg', ' ') AS type_title,
+       repeat('*', p_size % 5)                    AS stars
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
 # multimodal: binary-column plumbing with a pure-SQL oracle (the fake
 # decoder derives dims from the md5 digest, which SQL reproduces).
 # ---------------------------------------------------------------------------
@@ -406,6 +434,7 @@ QUERIES = {
     "approx_value_quantiles": approx_value_quantiles,
     "array_agg_battery": array_agg_battery,
     "null_handling_battery": null_handling_battery,
+    "regex_extract_battery": regex_extract_battery,
     "events_json_extract": events_json_extract,
     "supplier_acct_stats": supplier_acct_stats,
     "top_user_by_value": top_user_by_value,

@@ -77,6 +77,28 @@ def test_session_window_agg_runs(spark, events_dir):
     assert r["session_end"] >= r["session_start"]
 
 
+def test_micro_batch_pacing_with_max_files(spark, tmp_path):
+    """maxFilesPerTrigger paces the backlog into multiple micro-batches
+    (the scheduled-incremental-load cadence, bounded per run)."""
+    src = str(tmp_path / "paced")
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.limit(300).repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    seen_batches = []
+
+    def track(batch_df, epoch_id):
+        seen_batches.append((epoch_id, batch_df.count()))
+
+    q = (stream.writeStream.foreachBatch(track)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(seen_batches) >= 3          # one file per micro-batch
+    assert sum(n for _, n in seen_batches) == 300
+
+
 def test_incremental_ingest_idempotent(spark, events_dir, tmp_path):
     ledger = ProcessedIdLedger(spark, str(tmp_path / "ledger"))
     target = str(tmp_path / "staged")
