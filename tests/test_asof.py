@@ -44,6 +44,42 @@ def test_asof_tiebreak_picks_greatest(spark):
     assert out[0]["oid"] == 9
 
 
+def test_asof_matches_pandas_merge_asof_randomized(spark):
+    """Distributed as-of vs pandas merge_asof on seeded random data
+    (unique right timestamps per key so both definitions coincide)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(42)
+    left_rows = [(rng.randint(1, 5), _ts("2024-01-01T00:00:00")
+                  + dt.timedelta(minutes=rng.randint(0, 5000)), i)
+                 for i in range(300)]
+    seen = set()
+    right_rows = []
+    for j in range(150):
+        k = rng.randint(1, 5)
+        t = _ts("2024-01-01T00:00:00") + dt.timedelta(minutes=rng.randint(0, 5000))
+        if (k, t) in seen:
+            continue
+        seen.add((k, t))
+        right_rows.append((k, t, j))
+
+    left = spark.createDataFrame(left_rows, ["k", "t", "lid"])
+    right = spark.createDataFrame(right_rows, ["k", "rt", "rid"])
+    got = {r["lid"]: r["rid"]
+           for r in asof_join(left, right, "k", "t", "rt",
+                              right_cols=["rid"]).collect()}
+
+    lp = pd.DataFrame(left_rows, columns=["k", "t", "lid"]).sort_values("t")
+    rp = pd.DataFrame(right_rows, columns=["k", "rt", "rid"]).sort_values("rt")
+    merged = pd.merge_asof(lp, rp, left_on="t", right_on="rt",
+                           by="k", direction="backward")
+    want = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+            for r in merged.itertuples()}
+    assert got == want
+
+
 def test_asof_keeps_all_left_rows(spark):
     left = spark.range(100).selectExpr("id % 7 as k", "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id) as t", "id")
     right = spark.createDataFrame([(0, _ts("2024-01-01T00:00:30"), "x")], ["k", "rt", "p"])

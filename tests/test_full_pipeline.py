@@ -36,6 +36,52 @@ def lake():
     return FakeLakeTransport(docs={BC: recs}, n_chunks=4, records_per_object=30)
 
 
+def test_incremental_two_run_extraction(spark, tmp_path):
+    """Run 1 extracts everything; the lake then grows; run 2 fetches
+    ONLY the new objects (ledger-driven source-side exclusion) — the
+    reference's incremental loop (set(all) − set(extracted))."""
+    from luma_etl_data_platform_spark.sources.incremental import ProcessedIdLedger
+
+    recs_v1 = [{"RecId": f"r{i}", "Amount": str(i)} for i in range(100)]
+    lake = FakeLakeTransport(docs={BC: list(recs_v1)}, n_chunks=2,
+                             records_per_object=25)
+    spark.dataSource.register(RestLakeDataSource)
+    ledger = ProcessedIdLedger(spark, str(tmp_path / "ledger"))
+
+    def extract(excludes: str):
+        return (spark.read.format("restlake")
+                .schema("RecId string, Amount string")
+                .option("business_class", BC)
+                .option("transport_pickle", transport_option(lake))
+                .option("exclude_ids", excludes)
+                .load())
+
+    def object_ids():
+        return [o.dl_id
+                for cf in lake.query_split(f"dl_document_name eq '{BC}'")
+                for o in lake.list_objects(cf)]
+
+    # run 1: full
+    run1 = extract("")
+    assert run1.count() == 100
+    ids = spark.createDataFrame([(i,) for i in object_ids()], ["id"])
+    ledger.record(ledger.not_processed(ids), batch_id=1)
+
+    # lake grows by 50 records (2 new objects)
+    lake.docs[BC].extend({"RecId": f"r{i}", "Amount": str(i)}
+                         for i in range(100, 150))
+
+    # run 2: exclude everything already processed
+    ids2 = spark.createDataFrame([(i,) for i in object_ids()], ["id"])
+    todo = [r["id"] for r in ledger.not_processed(ids2).collect()]
+    assert len(todo) == 2                       # only the new objects
+    run2 = extract(",".join(set(object_ids()) - set(todo)))
+    got = {r["RecId"] for r in run2.collect()}
+    assert got == {f"r{i}" for i in range(100, 150)}
+    ledger.record(ledger.not_processed(ids2), batch_id=2)
+    assert ledger.not_processed(ids2).count() == 0
+
+
 def test_three_stage_pipeline(spark, lake, tmp_path):
     tracker = O.JobTracker(spark, str(tmp_path / "jobs"))
 
