@@ -224,6 +224,31 @@ FROM m ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# map_functions_battery: JSON → MapType and the map function family.
+# ---------------------------------------------------------------------------
+def map_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_sorted"),
+        m["k"].alias("k_value"),
+        F.map_contains_key(m, "k").alias("has_k"),
+        F.size(m).alias("n_entries"),
+    )
+
+
+ORACLE["map_functions_battery"] = """
+SELECT event_id,
+       array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+       CAST(json_extract_string(props, '$.k') AS BIGINT)  AS k_value,
+       list_contains(json_keys(props), 'k')               AS has_k,
+       len(json_keys(props))                              AS n_entries
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # regex_extract_battery: capture groups, translate, trim/case family.
 # ---------------------------------------------------------------------------
 def regex_extract_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,6 +460,7 @@ QUERIES = {
     "array_agg_battery": array_agg_battery,
     "null_handling_battery": null_handling_battery,
     "regex_extract_battery": regex_extract_battery,
+    "map_functions_battery": map_functions_battery,
     "events_json_extract": events_json_extract,
     "supplier_acct_stats": supplier_acct_stats,
     "top_user_by_value": top_user_by_value,
