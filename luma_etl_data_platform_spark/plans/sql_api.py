@@ -92,8 +92,32 @@ def sql_exists_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["sql_exists_chains"] = _EXISTS_CHAINS
 
 
+# ---------------------------------------------------------------------------
+# sql_grouping_sets: explicit GROUPING SETS lattice + grouping_id +
+# bool_and/bool_or aggregates.
+# ---------------------------------------------------------------------------
+_GROUPING_SETS = """
+SELECT c_mktsegment, o_orderpriority,
+       grouping(c_mktsegment)    AS g_seg,
+       grouping(o_orderpriority) AS g_pri,
+       count(*) AS n_orders,
+       bool_and(o_totalprice > 1000)   AS all_over_1k,
+       bool_or(o_totalprice > 400000)  AS any_over_400k
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+"""
+
+
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _GROUPING_SETS)
+
+
+ORACLE["sql_grouping_sets"] = _GROUPING_SETS
+
+
 QUERIES = {
     "sql_order_share": sql_order_share,
     "sql_window_battery": sql_window_battery,
     "sql_exists_chains": sql_exists_chains,
+    "sql_grouping_sets": sql_grouping_sets,
 }
