@@ -303,6 +303,32 @@ WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 
 
 # ---------------------------------------------------------------------------
+# latest_snapshot_per_user: last-write-wins dedup of an event feed —
+# the CDC/incremental-reload pattern (keep the newest record per key;
+# the reference's truncate-and-reload becomes a rank-1 filter).
+# ---------------------------------------------------------------------------
+def latest_snapshot_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("latest_event_id"),
+                F.col("ts").alias("latest_ts"), "event_type",
+                F.round(F.col("value"), 6).alias("latest_value"))
+    )
+
+
+ORACLE["latest_snapshot_per_user"] = """
+SELECT user_id, event_id AS latest_event_id, ts AS latest_ts,
+       event_type, round(value, 6) AS latest_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # resample_ffill_user_values: hourly per-user grid with forward fill
 # (operators/timeseries.py) — the time-bucket/gap-fill pattern.
 # ---------------------------------------------------------------------------
@@ -344,6 +370,7 @@ QUERIES = {
     "range_join_user_bursts": range_join_user_bursts,
     "moving_avg_daily_revenue": moving_avg_daily_revenue,
     "resample_ffill_user_values": resample_ffill_user_values,
+    "latest_snapshot_per_user": latest_snapshot_per_user,
     "sessionize_events": sessionize_events,
     "cumulative_revenue": cumulative_revenue,
     "order_gaps": order_gaps,
