@@ -148,6 +148,29 @@ def test_spark_ddl_runs(spark):
     spark.sql("DROP TABLE IF EXISTS tmp_ddl_check")
 
 
+def test_jdbc_roundtrip_with_embedded_derby(spark):
+    """Real JDBC sink/scan (S10/S11) against the Derby embedded DB
+    bundled with Spark: append write, read-back, and the reference's
+    truncate-replace mode."""
+    from luma_etl_data_platform_spark.sources.sinks import write_jdbc
+    url = "jdbc:derby:memory:jdbc_t;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    write_jdbc(df, url, "t_round", mode="overwrite", batchsize=500, properties=props)
+
+    def read_back():
+        return (spark.read.format("jdbc").option("url", url)
+                .option("dbtable", "t_round")
+                .option("driver", props["driver"]).load())
+
+    got = {tuple(r) for r in read_back().collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # replace mode: truncate + reload (lambda_function.py:205-209 parity)
+    write_jdbc(spark.createDataFrame([(9, "z")], ["k", "v"]), url, "t_round",
+               mode="overwrite", truncate=True, properties=props)
+    assert read_back().count() == 1
+
+
 def test_versioned_csv_roundtrip(spark, tmp_path):
     from pyspark.sql import types as T
     from luma_etl_data_platform_spark.sources.sinks import (
