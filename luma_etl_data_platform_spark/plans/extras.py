@@ -277,6 +277,45 @@ FROM part
 
 
 # ---------------------------------------------------------------------------
+# profile_orders_table: one-pass data-quality profile (nulls, exact
+# distinct, min/max per column).
+# ---------------------------------------------------------------------------
+def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_columns
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(orders, ["o_orderkey", "o_custkey", "o_orderstatus",
+                                    "o_orderpriority"])
+
+
+ORACLE["profile_orders_table"] = """
+SELECT 'o_orderkey' AS column, count(*) AS n_rows,
+       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       min(CAST(o_orderkey AS VARCHAR)) AS min_str,
+       max(CAST(o_orderkey AS VARCHAR)) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*),
+       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT o_custkey),
+       min(CAST(o_custkey AS VARCHAR)), max(CAST(o_custkey AS VARCHAR))
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*),
+       sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT o_orderstatus),
+       min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*),
+       sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT o_orderpriority),
+       min(o_orderpriority), max(o_orderpriority)
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
 # multimodal: binary-column plumbing with a pure-SQL oracle (the fake
 # decoder derives dims from the md5 digest, which SQL reproduces).
 # ---------------------------------------------------------------------------
@@ -461,6 +500,7 @@ QUERIES = {
     "null_handling_battery": null_handling_battery,
     "regex_extract_battery": regex_extract_battery,
     "map_functions_battery": map_functions_battery,
+    "profile_orders_table": profile_orders_table,
     "events_json_extract": events_json_extract,
     "supplier_acct_stats": supplier_acct_stats,
     "top_user_by_value": top_user_by_value,

@@ -77,6 +77,40 @@ def test_session_window_agg_runs(spark, events_dir):
     assert r["session_end"] >= r["session_start"]
 
 
+def test_chained_ingest_then_rollup(spark, tmp_path):
+    """Two-stage streaming composition: ledger-idempotent ingest lands
+    the staging table, a second stream maintains the rollup from the
+    staged data; rollup equals batch aggregate of the source."""
+    from luma_etl_data_platform_spark.streaming.rollup import continuous_rollup
+
+    src = str(tmp_path / "csrc")
+    load_table(spark, SF_SMOKE, "events").limit(400).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    ledger = ProcessedIdLedger(spark, str(tmp_path / "cled"))
+    staged = str(tmp_path / "cstaged")
+    q1 = incremental_ingest(
+        spark.readStream.schema(schema).parquet(src),
+        ledger=ledger, id_col="event_id", target_path=staged,
+        checkpoint=str(tmp_path / "ck_a"))
+    q1.awaitTermination(120)
+
+    staged_schema = spark.read.parquet(staged).schema
+    rollup = str(tmp_path / "crollup")
+    q2 = continuous_rollup(
+        spark.readStream.schema(staged_schema).parquet(staged),
+        rollup, str(tmp_path / "ck_b"))
+    q2.awaitTermination(120)
+
+    import pyspark.sql.functions as SF
+    got = {(r["bucket_start"], r["event_type"]): r["n_events"]
+           for r in spark.read.parquet(rollup).collect()}
+    want = {(r["b"], r["event_type"]): r["n"]
+            for r in (spark.read.parquet(src)
+                      .groupBy(SF.date_trunc("hour", "ts").alias("b"), "event_type")
+                      .agg(SF.count(SF.lit(1)).alias("n"))).collect()}
+    assert got == want
+
+
 def test_micro_batch_pacing_with_max_files(spark, tmp_path):
     """maxFilesPerTrigger paces the backlog into multiple micro-batches
     (the scheduled-incremental-load cadence, bounded per run)."""
