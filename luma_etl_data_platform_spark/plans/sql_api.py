@@ -115,9 +115,58 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["sql_grouping_sets"] = _GROUPING_SETS
 
 
+# ---------------------------------------------------------------------------
+# sql_filter_aggregates: FILTER (WHERE ...) clause + try-division.
+# ---------------------------------------------------------------------------
+_FILTER_AGGS = """
+SELECT c_mktsegment,
+       count(*)                                            AS n_orders,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       count(*) FILTER (WHERE o_totalprice > 200000)        AS n_big,
+       round(CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+             / count(*), 6)                                AS urgent_rate,
+       CASE WHEN count(*) FILTER (WHERE o_totalprice > 200000) = 0 THEN NULL
+            ELSE CAST(count(*) AS DOUBLE)
+                 / count(*) FILTER (WHERE o_totalprice > 200000) END AS orders_per_big
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def sql_filter_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _FILTER_AGGS)
+
+
+# Spark's FILTER clause and DuckDB's are the same syntax; the final
+# division is rounded/CASE-guarded identically. One rounding applied
+# in Spark output for float-column stability:
+ORACLE["sql_filter_aggregates"] = _FILTER_AGGS
+
+
+# ---------------------------------------------------------------------------
+# sql_bag_setops: EXCEPT ALL / INTERSECT ALL (multiset semantics).
+# ---------------------------------------------------------------------------
+_BAG_OPS = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT ALL
+SELECT user_id FROM events WHERE event_type = 'view'
+EXCEPT ALL
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+def sql_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _BAG_OPS)
+
+
+ORACLE["sql_bag_setops"] = _BAG_OPS
+
+
 QUERIES = {
     "sql_order_share": sql_order_share,
     "sql_window_battery": sql_window_battery,
     "sql_exists_chains": sql_exists_chains,
     "sql_grouping_sets": sql_grouping_sets,
+    "sql_filter_aggregates": sql_filter_aggregates,
+    "sql_bag_setops": sql_bag_setops,
 }
