@@ -391,6 +391,26 @@ GROUP BY rep_id ORDER BY rep_id
 
 
 # ---------------------------------------------------------------------------
+# posexplode_tokens: ordinal token explosion (LATERAL VIEW posexplode
+# family) for a bounded set of documents.
+# ---------------------------------------------------------------------------
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return (
+        docs.select("doc_id", F.posexplode(X.tokens(F.col("text")))
+                    .alias("pos", "token"))
+    )
+
+
+ORACLE["posexplode_tokens"] = """
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
+             FROM documents WHERE doc_id < 20),
+pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM tok)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[i] AS token FROM pos
+"""
+
+
+# ---------------------------------------------------------------------------
 # fuzzy_part_names: blocked edit-distance matching over part names
 # (entity-resolution family; same prefix blocking in the oracle).
 # ---------------------------------------------------------------------------
@@ -418,6 +438,7 @@ QUERIES = {
     "quantile_trim_events": quantile_trim_events,
     "dedup_cluster_reps": dedup_cluster_reps,
     "fuzzy_part_names": fuzzy_part_names,
+    "posexplode_tokens": posexplode_tokens,
     "text_lang_fingerprint": text_lang_fingerprint,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_pairs": dedup_ngram_pairs,
