@@ -431,6 +431,44 @@ WHERE levenshtein(a.p_name, b.p_name) <= 4
 """
 
 
+# ---------------------------------------------------------------------------
+# quantization_error_stats: int8 scalar-quantization round-trip error
+# per embedding cluster (the 4x-memory-reduction path for a 100 TB
+# vector store, with its accuracy cost measured).
+# ---------------------------------------------------------------------------
+def quantization_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    err = S.quantization_error(v)
+    return (
+        emb.select("label", err.alias("err"))
+        .groupBy("label")
+        .agg(F.round(F.sum("err"), 9).alias("total_err"),
+             F.round(F.max("err"), 9).alias("max_err"),
+             F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("label")
+    )
+
+
+ORACLE["quantization_error_stats"] = """
+WITH e AS (
+  SELECT label, embedding::DOUBLE[] AS v,
+         list_min(embedding::DOUBLE[]) AS vmin,
+         list_max(embedding::DOUBLE[]) AS vmax
+  FROM embeddings),
+err AS (
+  SELECT label,
+         list_aggregate(
+           list_transform(v, x -> abs(x - (vmin + round((x - vmin) / (vmax - vmin) * 255, 0)
+                                             / 255.0 * (vmax - vmin)))),
+           'sum') / len(v) AS err
+  FROM e)
+SELECT label, round(sum(err), 9) AS total_err, round(max(err), 9) AS max_err,
+       count(*) AS n_vecs
+FROM err GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "text_quality_stats": text_quality_stats,
     "crossmodal_quality_by_label": crossmodal_quality_by_label,
@@ -439,6 +477,7 @@ QUERIES = {
     "dedup_cluster_reps": dedup_cluster_reps,
     "fuzzy_part_names": fuzzy_part_names,
     "posexplode_tokens": posexplode_tokens,
+    "quantization_error_stats": quantization_error_stats,
     "text_lang_fingerprint": text_lang_fingerprint,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_pairs": dedup_ngram_pairs,
