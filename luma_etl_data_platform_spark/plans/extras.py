@@ -277,6 +277,34 @@ FROM part
 
 
 # ---------------------------------------------------------------------------
+# histogram_totalprice: fixed-width histogram via arithmetic bucketing
+# (deterministic floor math, identical both engines).
+# ---------------------------------------------------------------------------
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lo, hi, n = 0.0, 600000.0, 12
+    width = (hi - lo) / n
+    bucket = F.least(F.floor((F.col("o_totalprice") - lo) / width),
+                     F.lit(n - 1)).cast("int")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+             F.round(F.max("o_totalprice"), 2).alias("bucket_max"))
+        .orderBy("bucket")
+    )
+
+
+ORACLE["histogram_totalprice"] = """
+SELECT CAST(least(floor(o_totalprice / 50000.0), 11) AS INT) AS bucket,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS bucket_min,
+       round(max(o_totalprice), 2) AS bucket_max
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # profile_orders_table: one-pass data-quality profile (nulls, exact
 # distinct, min/max per column).
 # ---------------------------------------------------------------------------
@@ -501,6 +529,7 @@ QUERIES = {
     "regex_extract_battery": regex_extract_battery,
     "map_functions_battery": map_functions_battery,
     "profile_orders_table": profile_orders_table,
+    "histogram_totalprice": histogram_totalprice,
     "events_json_extract": events_json_extract,
     "supplier_acct_stats": supplier_acct_stats,
     "top_user_by_value": top_user_by_value,
