@@ -44,6 +44,33 @@ def reconcile_counts(df: DataFrame, expected: int | DataFrame,
 
 
 @dataclass
+class FreshnessResult:
+    max_ts: object
+    age_seconds: float
+    max_age_seconds: float
+
+    @property
+    def ok(self) -> bool:
+        return self.age_seconds <= self.max_age_seconds
+
+
+def check_freshness(df: DataFrame, ts_col: str, max_age_seconds: float,
+                    now=None) -> FreshnessResult:
+    """Data-freshness gate: the newest event must be within
+    ``max_age_seconds`` of ``now`` (injectable for tests/schedulers).
+    The ops-side guard the reference approximated with its nightly
+    cadence checks (run.ps1 schedule + log scanning)."""
+    import datetime as dt
+    row = df.agg(F.max(ts_col).alias("m")).collect()[0]
+    max_ts = row["m"]
+    if now is None:
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    age = float("inf") if max_ts is None else (now - max_ts).total_seconds()
+    return FreshnessResult(max_ts=max_ts, age_seconds=age,
+                           max_age_seconds=max_age_seconds)
+
+
+@dataclass
 class SchemaDiff:
     missing_from_data: list[str]      # in expected, not in df (warned)
     unknown_in_data: list[str]        # in df, not expected (dropped by loader)

@@ -38,6 +38,19 @@ def test_continuous_rollup_converges_to_batch(spark, tmp_path):
         assert abs(got[k][1] - want[k][1]) < 0.01
 
 
+def test_freshness_check(spark):
+    import datetime as dt
+    from luma_etl_data_platform_spark.operators.validate import check_freshness
+    ev = load_table(spark, SF_SMOKE, "events")
+    # max ts in the data is 2024-01-30T23:26; a "now" one hour later passes
+    now = dt.datetime(2024, 1, 31, 0, 0)
+    assert check_freshness(ev, "ts", max_age_seconds=7200, now=now).ok
+    assert not check_freshness(ev, "ts", max_age_seconds=600, now=now).ok
+    empty = ev.filter("user_id < 0")
+    res = check_freshness(empty, "ts", 60, now=now)
+    assert not res.ok and res.max_ts is None
+
+
 def test_schema_diff_and_apply(spark):
     df = spark.createDataFrame(
         [("1", "x", 5)], ["a", "unknown_col", "b"])
