@@ -35,6 +35,22 @@ def salted_join(left: DataFrame, right: DataFrame, on: str,
     return out.drop("_salt")
 
 
+def salted_agg_sum(df: DataFrame, key: str, value: str, salt: int = 16,
+                   out_col: str | None = None) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: partial sums on
+    (key, salt) spread a hot key over ``salt`` reducers, the final
+    reduce combines ``salt`` partials per key. Spark's hash aggregate
+    already does map-side partials — this adds an extra REDUCE-side
+    spreading stage for keys so hot that even one reducer's final
+    combine is the bottleneck (e.g. billions of rows on one key).
+    Exact for algebraic aggregates (sum/count)."""
+    out_col = out_col or f"sum_{value}"
+    salted = df.withColumn("_salt", (F.rand(seed=7) * salt).cast("int"))
+    partial = (salted.groupBy(key, "_salt")
+               .agg(F.sum(value).alias("_partial")))
+    return partial.groupBy(key).agg(F.sum("_partial").alias(out_col))
+
+
 def bucketize(df: DataFrame, table: str, key: str, buckets: int = 64,
               sort: bool = True) -> None:
     """Persist as a bucketed (and optionally sorted) managed table;
