@@ -44,6 +44,21 @@ def test_q1_partial_aggregation(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_no_query_builds_a_cartesian_product(spark):
+    """Sweep every registry query's physical plan: CartesianProduct
+    must never appear (broadcast-nested-loop against a 1-row query
+    vector is fine; an unkeyed shuffle cross product is always a bug
+    at scale)."""
+    from luma_etl_data_platform_spark import api
+    offenders = []
+    for name, fn in sorted(api.all_queries().items()):
+        df = fn(spark, SF_SMOKE)
+        plan = _formatted_plan(df)
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
 def test_drift_evolution_across_batches(spark, tmp_path):
     """Version numbers assigned in batch 1 survive batch 2 verbatim;
     new key-sets extend, never renumber (the reference's append-only
