@@ -82,6 +82,44 @@ def test_incremental_two_run_extraction(spark, tmp_path):
     assert ledger.not_processed(ids2).count() == 0
 
 
+def test_pipeline_feeds_scd2_history(spark, tmp_path):
+    """Capstone: two extraction batches flow through ingest/cleanse
+    into an SCD2 warehouse dimension — changed accounts get history
+    rows, unchanged ones keep their original validity window."""
+    import datetime as dt
+    from luma_etl_data_platform_spark.plans.scd import scd2_apply
+
+    def batch_df(rows):
+        import json as J
+        return spark.read.json(spark.sparkContext.parallelize(
+            [J.dumps(r) for r in rows]))
+
+    dim = str(tmp_path / "dim_account")
+    b1 = [{"Account": f"A{i}", "Description": f"desc{i}", "Status": "open"}
+          for i in range(20)]
+    reg = SchemaRegistry()
+    t1 = P.ingest_records(batch_df(b1), reg).drop("_schema_version")
+    scd2_apply(spark, dim, t1, "Account", ["Description", "Status"],
+               dt.datetime(2024, 1, 1))
+
+    # batch 2: A0 closes, A1 renamed, A20 appears
+    b2 = [{"Account": "A0", "Description": "desc0", "Status": "closed"},
+          {"Account": "A1", "Description": "renamed", "Status": "open"},
+          {"Account": "A20", "Description": "new", "Status": "open"}]
+    t2 = P.ingest_records(batch_df(b2), reg).drop("_schema_version")
+    scd2_apply(spark, dim, t2, "Account", ["Description", "Status"],
+               dt.datetime(2024, 2, 1))
+
+    hist = spark.read.parquet(dim)
+    assert hist.count() == 20 + 1 + 2       # 20 originals + A20 + 2 new versions
+    cur = hist.filter(F.col("is_current"))
+    assert cur.count() == 21
+    a0 = {(r["Status"], r["is_current"]) for r in hist.filter("Account = 'A0'").collect()}
+    assert a0 == {("open", False), ("closed", True)}
+    a5 = hist.filter("Account = 'A5'").collect()
+    assert len(a5) == 1 and a5[0]["is_current"] and str(a5[0]["valid_from"]).startswith("2024-01")
+
+
 def test_three_stage_pipeline(spark, lake, tmp_path):
     tracker = O.JobTracker(spark, str(tmp_path / "jobs"))
 
