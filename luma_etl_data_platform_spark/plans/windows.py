@@ -364,6 +364,54 @@ FROM joined
 """
 
 
+# ---------------------------------------------------------------------------
+# funnel_click_to_purchase: conversion funnel — clicks followed by a
+# purchase from the same user within 30 minutes (forward-window
+# existence via the banded range join, no nested loop).
+# ---------------------------------------------------------------------------
+def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import banded_range_join
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("ts_c"))
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ts_p"))
+    joined = banded_range_join(clicks, buys, "user_id", "ts_c", "ts_p",
+                               window_seconds=1800)
+    converted = (
+        joined.filter((F.col("ts_p").cast("long") > F.col("ts_c").cast("long"))
+                      & (F.col("ts_p").cast("long") - F.col("ts_c").cast("long") <= 1800))
+        .select("user_id", "click_id").distinct()
+    )
+    per_user_clicks = clicks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"))
+    per_user_conv = converted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_converted"))
+    return (
+        per_user_clicks.join(per_user_conv, "user_id", "left")
+        .select("user_id", "n_clicks",
+                F.coalesce(F.col("n_converted"), F.lit(0)).alias("n_converted"))
+        .orderBy("user_id")
+    )
+
+
+ORACLE["funnel_click_to_purchase"] = """
+WITH clicks AS (SELECT user_id, event_id AS click_id, ts FROM events
+                WHERE event_type = 'click'),
+conv AS (SELECT DISTINCT c.user_id, c.click_id
+         FROM clicks c JOIN events p
+           ON p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND date_diff('second', c.ts, p.ts) > 0
+          AND date_diff('second', c.ts, p.ts) <= 1800)
+SELECT c.user_id, count(*) AS n_clicks,
+       coalesce(any_value(x.n), 0) AS n_converted
+FROM clicks c
+LEFT JOIN (SELECT user_id, count(*) AS n FROM conv GROUP BY 1) x
+  ON c.user_id = x.user_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "asof_events_orders": asof_events_orders,
     "event_type_unpivot": event_type_unpivot,
@@ -371,6 +419,7 @@ QUERIES = {
     "moving_avg_daily_revenue": moving_avg_daily_revenue,
     "resample_ffill_user_values": resample_ffill_user_values,
     "latest_snapshot_per_user": latest_snapshot_per_user,
+    "funnel_click_to_purchase": funnel_click_to_purchase,
     "sessionize_events": sessionize_events,
     "cumulative_revenue": cumulative_revenue,
     "order_gaps": order_gaps,
