@@ -277,6 +277,37 @@ FROM part
 
 
 # ---------------------------------------------------------------------------
+# topk_via_aggregation: top-3 order prices per customer via sorted
+# collect_list slice — the agg-based top-k (single shuffle, map-side
+# partials, no per-row window rank; the right shape when k is tiny
+# and groups are hot).
+# ---------------------------------------------------------------------------
+def topk_via_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    prices = F.col("o_totalprice").cast("decimal(18,2)")
+    top3 = F.slice(F.sort_array(F.collect_list(prices), asc=False), 1, 3)
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.concat_ws(",", F.transform(top3, lambda x: x.cast("string")))
+             .alias("top3_prices"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_custkey")
+    )
+
+
+ORACLE["topk_via_aggregation"] = """
+SELECT o_custkey,
+       array_to_string(
+         list_transform(
+           list_sort(list(CAST(o_totalprice AS DECIMAL(18,2))), 'DESC')[1:3],
+           x -> CAST(x AS VARCHAR)),
+         ',') AS top3_prices,
+       count(*) AS n_orders
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # histogram_totalprice: fixed-width histogram via arithmetic bucketing
 # (deterministic floor math, identical both engines).
 # ---------------------------------------------------------------------------
@@ -530,6 +561,7 @@ QUERIES = {
     "map_functions_battery": map_functions_battery,
     "profile_orders_table": profile_orders_table,
     "histogram_totalprice": histogram_totalprice,
+    "topk_via_aggregation": topk_via_aggregation,
     "events_json_extract": events_json_extract,
     "supplier_acct_stats": supplier_acct_stats,
     "top_user_by_value": top_user_by_value,
