@@ -37,3 +37,29 @@ def minmax_scale(df: DataFrame, group_col: str, value_col: str,
         return pdf
 
     return spread(df).groupBy(group_col).applyInPandas(scale, out_schema)
+
+
+def token_count_arrow(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Token counting via ``mapInArrow`` — the zero-copy RecordBatch
+    UDF surface (vs pandas conversion in mapInPandas). Semantics
+    identical to ``functions.text.token_count``; exists to exercise
+    and document the Arrow-native path for compute-heavy Python
+    stages where even the pandas conversion overhead matters."""
+    import re
+
+    import pyarrow as pa
+
+    token_re = re.compile(r"\w+")
+
+    def batches(it):
+        for batch in it:
+            ids = batch.column(id_col)
+            texts = batch.column(text_col)
+            counts = [len(token_re.findall(t.as_py().lower())) if t.is_valid else 0
+                      for t in texts]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(counts, type=pa.int32())],
+                names=[id_col, "n_tokens"])
+
+    return spread(df).select(id_col, text_col).mapInArrow(
+        batches, f"{id_col} long, n_tokens int")

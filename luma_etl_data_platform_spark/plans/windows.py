@@ -412,6 +412,50 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# ratio_to_report_nations: percent-of-total via an unpartitioned
+# window over the AGGREGATED rows (25 nations — the window input is
+# group-cardinality sized, not data-sized), plus dense_rank.
+# ---------------------------------------------------------------------------
+def ratio_to_report_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_d"))
+    )
+    total = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_all = W.orderBy("n_name").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        per_nation.select(
+            "n_name",
+            F.round(F.col("rev_d").cast("decimal(38,6)"), 2).cast("double").alias("revenue"),
+            F.round(F.col("rev_d").cast("double")
+                    / F.sum(F.col("rev_d")).over(w_all).cast("double"), 6).alias("share"),
+            F.dense_rank().over(W.orderBy(F.col("rev_d").desc())).alias("rev_rank"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE["ratio_to_report_nations"] = """
+WITH per_nation AS (
+  SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1)
+SELECT n_name,
+       CAST(round(rev_d, 2) AS DOUBLE) AS revenue,
+       round(CAST(rev_d AS DOUBLE) / CAST(sum(rev_d) OVER () AS DOUBLE), 6) AS share,
+       dense_rank() OVER (ORDER BY rev_d DESC) AS rev_rank
+FROM per_nation ORDER BY 1
+"""
+
+
 QUERIES = {
     "asof_events_orders": asof_events_orders,
     "event_type_unpivot": event_type_unpivot,
@@ -420,6 +464,7 @@ QUERIES = {
     "resample_ffill_user_values": resample_ffill_user_values,
     "latest_snapshot_per_user": latest_snapshot_per_user,
     "funnel_click_to_purchase": funnel_click_to_purchase,
+    "ratio_to_report_nations": ratio_to_report_nations,
     "sessionize_events": sessionize_events,
     "cumulative_revenue": cumulative_revenue,
     "order_gaps": order_gaps,

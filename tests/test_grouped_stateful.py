@@ -20,6 +20,17 @@ def test_minmax_scale_per_group(spark):
     assert rows[("b", 5)] == 0.0   # zero span → 0
 
 
+def test_mapinarrow_token_count_matches_jvm_path(spark):
+    from luma_etl_data_platform_spark.functions.text import token_count
+    from luma_etl_data_platform_spark.operators.grouped import token_count_arrow
+    docs = load_table(spark, SF_SMOKE, "documents")
+    arrow = {r["doc_id"]: r["n_tokens"]
+             for r in token_count_arrow(docs, "text", "doc_id").collect()}
+    jvm = {r["doc_id"]: r["n"]
+           for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
+    assert arrow == jvm
+
+
 def test_running_user_totals_matches_batch(spark, tmp_path):
     src_dir = str(tmp_path / "ev")
     load_table(spark, SF_SMOKE, "events").write.parquet(src_dir)
