@@ -8,11 +8,18 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from luma_etl_data_platform_spark import api
+# importable regardless of the caller's working directory
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from luma_etl_data_platform_spark import api  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
