@@ -64,7 +64,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["events_json_extract"] = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        count(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS n_null_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY 1 ORDER BY 1
@@ -348,26 +348,26 @@ def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["profile_orders_table"] = """
 SELECT 'o_orderkey' AS column, count(*) AS n_rows,
-       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        count(DISTINCT o_orderkey) AS n_distinct,
        min(CAST(o_orderkey AS VARCHAR)) AS min_str,
        max(CAST(o_orderkey AS VARCHAR)) AS max_str
 FROM orders
 UNION ALL
 SELECT 'o_custkey', count(*),
-       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT o_custkey),
        min(CAST(o_custkey AS VARCHAR)), max(CAST(o_custkey AS VARCHAR))
 FROM orders
 UNION ALL
 SELECT 'o_orderstatus', count(*),
-       sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT o_orderstatus),
        min(o_orderstatus), max(o_orderstatus)
 FROM orders
 UNION ALL
 SELECT 'o_orderpriority', count(*),
-       sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT o_orderpriority),
        min(o_orderpriority), max(o_orderpriority)
 FROM orders

@@ -290,7 +290,7 @@ def crossmodal_quality_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["crossmodal_quality_by_label"] = """
 SELECT label, count(*) AS n_docs,
-       sum(len(regexp_extract_all(lower(text), '\\w+'))) AS total_tokens,
+       CAST(sum(len(regexp_extract_all(lower(text), '\\w+'))) AS BIGINT) AS total_tokens,
        count(DISTINCT lang) AS n_langs
 FROM documents JOIN embeddings ON doc_id = vec_id
 GROUP BY 1 ORDER BY 1
@@ -322,7 +322,7 @@ WITH b AS (SELECT doc_id, text,
            FROM documents)
 SELECT CASE WHEN bucket < 1000 THEN 'test' ELSE 'train' END AS split,
        count(*) AS n_docs,
-       sum(len(regexp_extract_all(lower(text), '\\w+'))) AS total_tokens
+       CAST(sum(len(regexp_extract_all(lower(text), '\\w+'))) AS BIGINT) AS total_tokens
 FROM b GROUP BY 1 ORDER BY 1
 """
 

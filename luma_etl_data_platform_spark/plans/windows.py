@@ -13,6 +13,7 @@ from pyspark.sql.window import Window as W
 
 from ..operators.asof import asof_join
 from ..sources.tables import load_table
+from ._exact import dmoney, exact_sum
 
 ORACLE: dict[str, str] = {}
 
@@ -64,7 +65,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("session_start"),
              F.max("ts").alias("session_end"),
              F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 2).alias("session_value"))
+             exact_sum(dmoney(F.col("value"))).alias("session_value"))
     )
 
 
@@ -78,13 +79,14 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessioned AS (
   SELECT user_id, ts, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_idx
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM flagged
 )
 SELECT user_id, session_idx,
        min(ts) AS session_start, max(ts) AS session_end,
-       count(*) AS n_events, round(sum(value), 2) AS session_value
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS session_value
 FROM sessioned GROUP BY 1, 2
 """
 

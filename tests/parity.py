@@ -12,13 +12,15 @@ import pandas as pd
 
 
 def _norm_cell(v) -> str:
+    # STRICT: a float-valued 4973.0 must NOT equal an int 4973 — the
+    # driver's hasher distinguishes result dtypes (DuckDB promotes
+    # sum(BIGINT) to HUGEINT → float64 in .df()), so the local gate
+    # must too.  Keeping them distinct caught 4 round-1 failures.
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(round(v, 9))
     if isinstance(v, (pd.Timestamp, _dt.datetime)):
         if pd.isna(v):
