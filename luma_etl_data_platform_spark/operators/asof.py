@@ -44,16 +44,23 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     payload = list(dict.fromkeys(right_cols + [right_time]))
     tiebreak = tiebreak or right_time
 
+    # The right payload travels as ONE struct so the matched row wins
+    # or loses atomically: per-column last(ignorenulls) would backfill
+    # a NULL payload column from an OLDER right row, producing a torn
+    # row that silently diverges from pandas merge_asof semantics.
+    rpay_type = (
+        "struct<" + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}" for c in payload) + ">")
     l_marked = left.select(
         F.col(on).alias("_k"), F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"), F.lit(None).cast(right.schema[tiebreak].dataType).alias("_tb"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload],
+        F.lit(None).cast(rpay_type).alias("_rpay"),
         F.struct(*left.columns).alias("_lrow"),
     )
     r_marked = right.select(
         F.col(on).alias("_k"), F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"), F.col(tiebreak).alias("_tb"),
-        *[F.col(c).alias(f"_r_{c}") for c in payload],
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("_rpay"),
         F.lit(None).cast(
             "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields) + ">"
         ).alias("_lrow"),
@@ -66,8 +73,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
          .rowsBetween(W.unboundedPreceding, 0))
     carried = unioned.select(
         "_side", "_lrow",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in payload],
+        F.last("_rpay", ignorenulls=True).over(w).alias("_rpay"),
     )
     out_left = [F.col("_lrow")[c].alias(c) for c in left.columns]
-    out_right = [F.col(f"_r_{c}").alias(c) for c in payload]
+    out_right = [F.col("_rpay")[c].alias(c) for c in payload]
     return carried.filter(F.col("_side") == 1).select(*out_left, *out_right)

@@ -2,17 +2,19 @@
 pairs + representative selection — the "apply" step that turns pair
 lists (from dedup.py) into a deduplicated corpus.
 
-Connected components via iterative min-label propagation: each node
-starts labeled with itself; every round each node takes the min label
-among itself and its neighbors; converges in O(component diameter)
-rounds. Near-dup clusters are shallow (diameter ≤ 3-4 in practice),
-so this is 3-4 shuffles on the edge list — no GraphX/graphframes
-dependency, pure DataFrame ops, and the driver loop only checks a
-convergence count per round.
+Connected components via min-label propagation PLUS pointer jumping:
+each round every node takes the min label among itself and its
+neighbors (one join + aggregate on the edge list), then labels chase
+one hop through the label table (label ← label(label)). The jump
+halves the distance to each component's minimum every round, so even
+an adversarial n-node path converges in O(log n) rounds — not the
+O(n) of plain propagation. No GraphX/graphframes dependency, pure
+DataFrame ops; the driver loop only checks a convergence count.
 
-Scale: state is one (node, label) row per node; each round is one
-join + one aggregate on the edge list. For adversarially deep chains,
-cap rounds and fall back to doubling (label-of-label joins).
+Scale: state is one (node, label) row per node. Iterative join-on-
+join grows the logical plan linearly, so the label state is
+localCheckpoint()ed every few rounds — without it, plan-depth blowup
+(analysis time, stack depth) hits long before data size does.
 """
 
 from __future__ import annotations
@@ -34,12 +36,12 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
     try:
         labels = (edges.select(F.col("src").alias("node")).distinct()
                   .withColumn("label", F.col("node")))
-        for _ in range(max_iterations):
+        for it in range(max_iterations):
             neighbor_min = (
                 edges.join(labels, edges.dst == labels.node)
                 .groupBy("src").agg(F.min("label").alias("nbr_label"))
             )
-            updated = (
+            prop = (
                 labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
                 .select(
                     "node",
@@ -47,12 +49,36 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
                             F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
                 )
             )
-            updated.persist()
+            # pointer jump: label ← min(label, label(label)). Labels are
+            # always node ids, so the lookup table is prop itself.
+            hop = prop.select(F.col("node").alias("label"),
+                              F.col("label").alias("_label2"))
+            updated = (
+                prop.join(hop, "label", "left")
+                .select(
+                    "node",
+                    F.least(F.col("label"),
+                            F.coalesce(F.col("_label2"), F.col("label"))).alias("label"),
+                )
+            )
+            # sever lineage every 3 rounds: each round adds 3 joins to
+            # the plan; unchecked, round 15+ spends more time in the
+            # analyzer than in execution.
+            checkpointed = (it + 1) % 3 == 0
+            if checkpointed:
+                updated = updated.localCheckpoint(eager=True)
+            else:
+                updated.persist()
             changed = (
                 updated.alias("u").join(labels.alias("l"), "node")
                 .filter(F.col("u.label") != F.col("l.label")).count()
             )
-            labels.unpersist()
+            # a localCheckpoint'd frame has no lineage to recompute
+            # from — never unpersist one while still referenced; the
+            # ContextCleaner reclaims it once the reference drops.
+            if not getattr(labels, "_is_checkpoint", False):
+                labels.unpersist()
+            updated._is_checkpoint = checkpointed
             labels = updated
             if changed == 0:
                 break

@@ -11,10 +11,11 @@ Four families (task brief "training-data pipeline ops"):
   Jaccard verification. Probabilistic RECALL, deterministic RESULT:
   the hashes are engine-portable (functions/text.portable_hash32), so
   a DuckDB oracle reproduces the identical candidate set.
-- **SimHash**: 32-bit signed-projection sketch; near-dups = pairs
-  within Hamming distance ``k``, candidates via band equality on
-  8-bit bands (pigeonhole: distance ≤ 3 ⇒ at least one of 4 bands
-  equal).
+- **SimHash**: 64-bit signed-projection sketch (two 32-bit halves);
+  near-dups = pairs within Hamming distance ``k``, candidates via
+  band equality on 16-bit bands (pigeonhole: distance ≤ 3 ⇒ at least
+  one of 4 bands equal; 65k buckets per band keeps the candidate
+  join near-linear at corpus scale).
 
 Scale notes (100 TB): every operator is explode → shuffle-on-key →
 aggregate; no driver-side loops, no cross joins. The inverted-index
@@ -201,50 +202,64 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
-    """32-bit SimHash per doc: bit i is set iff the sum over shingles
-    of ±1 (by bit i of the shingle's portable hash) is positive.
-    One explode + one groupBy with ``bits`` conditional sums."""
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per doc, carried as two non-negative 32-bit
+    halves (``sim_lo`` from the shingle hash h2, ``sim_hi`` from h1):
+    bit i is set iff the sum over shingles of ±1 (by bit i of the
+    shingle's portable hash) is positive. One explode + one groupBy
+    with 64 conditional sums (map-side combinable). Two halves avoid
+    signed-64-bit overflow at bit 63 and keep every bitwise op on
+    non-negative longs (arithmetic shiftright is then safe)."""
     idx = _shingle_index(df, text_col, id_col, n=3)
-    h = F.col("h1")  # the index's 32-bit portable shingle hash
-    aggs = [
-        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
-        .alias(f"b_{i}")
-        for i in range(bits)
-    ]
+    aggs = []
+    for i in range(32):
+        for half, src in (("lo", "h2"), ("hi", "h1")):
+            bit = F.shiftright(F.col(src), i).bitwiseAND(F.lit(1))
+            aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"{half}_{i}"))
     per_bit = idx.groupBy(F.col("_id").alias("id")).agg(*aggs)
-    sh = None
-    for i in range(bits):
-        term = F.when(F.col(f"b_{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
-        sh = term if sh is None else sh + term
-    return per_bit.select("id", sh.alias("simhash"))
+    lo, hi = None, None
+    for i in range(32):
+        lt = F.when(F.col(f"lo_{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        ht = F.when(F.col(f"hi_{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        lo = lt if lo is None else lo + lt
+        hi = ht if hi is None else hi + ht
+    return per_bit.select("id", lo.alias("sim_lo"), hi.alias("sim_hi"))
 
 
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
                   max_hamming: int = 3) -> DataFrame:
-    """Pairs within Hamming distance ``max_hamming`` of their 32-bit
-    SimHash. Candidates via equality on one of four 8-bit bands
-    (pigeonhole guarantees no false negatives for distance ≤ 3);
-    verification via bit_count(xor)."""
+    """Pairs within Hamming distance ``max_hamming`` of their 64-bit
+    SimHash. Candidates via equality on one of four 16-bit bands —
+    65,536 buckets per band, so the candidate self-join stays near-
+    linear at corpus scale (the former 32-bit/8-bit variant had only
+    256 buckets per band: quadratic at 100 TB). Pigeonhole still
+    guarantees no false negatives for distance ≤ 3; verification via
+    bit_count(xor) over both halves."""
     sig = simhash(df, text_col, id_col)
     band_structs = [
         F.struct(
             F.lit(bnd).alias("band"),
-            F.shiftright(F.col("simhash"), bnd * 8).bitwiseAND(F.lit(255)).alias("bkey"),
+            F.shiftright(F.col(half), sh).bitwiseAND(F.lit(65535)).alias("bkey"),
         )
-        for bnd in range(4)
+        for bnd, (half, sh) in enumerate(
+            [("sim_lo", 0), ("sim_lo", 16), ("sim_hi", 0), ("sim_hi", 16)])
     ]
     buckets = (
-        sig.select("id", "simhash", F.explode(F.array(*band_structs)).alias("bb"))
-        .select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+        sig.select("id", "sim_lo", "sim_hi", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("id", "sim_lo", "sim_hi",
+                F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     )
     a, b = buckets.alias("a"), buckets.alias("b")
+    hamming = (
+        F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
+        + F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
+    )
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bkey") == F.col("b.bkey"))
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"))
+                hamming.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

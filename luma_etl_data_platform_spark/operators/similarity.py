@@ -44,18 +44,25 @@ def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
     return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
 
 
-def cosine_topk(df: DataFrame, query: DataFrame, k: int = 10,
+def cosine_topk(df: DataFrame, query, k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Exact top-k by cosine against a 1-row ``query`` DataFrame
-    (same vec_col). The query side is broadcast; ordering ties break
-    on id for determinism."""
+    """Exact top-k by cosine against a query vector. ``query`` is
+    either a literal vector (list/tuple of floats — preferred: no
+    driver round-trip, the vector folds into the plan as a constant)
+    or a 1-row DataFrame with the same vec_col (broadcast). Ordering
+    ties break on id for determinism."""
     corpus = _as_double(_spread(df), vec_col)
-    q = _as_double(query.select(F.col(vec_col).alias("_qv")), "_qv")
-    scored = (
-        corpus.crossJoin(F.broadcast(q))
-        .select(F.col(id_col),
-                F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("score"))
-    )
+    if isinstance(query, (list, tuple)):
+        qcol = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
+        scored = corpus.select(
+            F.col(id_col), F.round(cosine(F.col(vec_col), qcol), 6).alias("score"))
+    else:
+        q = _as_double(query.select(F.col(vec_col).alias("_qv")), "_qv")
+        scored = (
+            corpus.crossJoin(F.broadcast(q))
+            .select(F.col(id_col),
+                    F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("score"))
+        )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
@@ -118,7 +125,7 @@ def _sign_planes(n_planes: int, dims: int) -> list[list[float]]:
 
 
 def signlsh_neardup_pairs(df: DataFrame, threshold: float = 0.99,
-                          n_planes: int = 16, bands: int = 4,
+                          n_planes: int = 32, bands: int = 2,
                           vec_col: str = "embedding",
                           id_col: str = "vec_id") -> DataFrame:
     """Label-free vector near-dup via sign-LSH: bit p of a vector's
@@ -130,31 +137,46 @@ def signlsh_neardup_pairs(df: DataFrame, threshold: float = 0.99,
     needs a precomputed cluster id): candidates are generated by a
     bucket equi-join — no cross product — and high-cosine pairs agree
     on most plane signs, so recall at cos→1 approaches 1 (exact
-    duplicates collide in every band by construction)."""
-    dims = len(df.select(vec_col).first()[0])
+    duplicates collide in every band by construction).
+
+    Scale shape: 16 bits per band (65,536 buckets) keeps the candidate
+    self-join near-linear, and the bucket join shuffles only
+    (id, band, bkey) — raw vectors are joined back by id ONLY for the
+    verification of surviving candidate pairs, so shuffle volume is
+    O(candidates · dims), not O(rows · bands · dims)."""
+    first = df.select(vec_col).first()
+    if first is None:  # empty corpus → empty result, not a TypeError
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, score double")
+    dims = len(first[0])
     planes = _sign_planes(n_planes, dims)
     v = _as_double(_spread(df), vec_col)
     bit_cols = []
     for p in range(n_planes):
         plane = F.array(*[F.lit(x) for x in planes[p]])
         bit_cols.append((_dot(F.col(vec_col), plane) >= 0).cast("int").alias(f"bit_{p}"))
-    sk = v.select(F.col(id_col), F.col(vec_col), *bit_cols)
+    sk = v.select(F.col(id_col), *bit_cols)
     rows = n_planes // bands
     band_structs = []
     for bnd in range(bands):
         key = F.concat_ws("", *[F.col(f"bit_{bnd * rows + r}") for r in range(rows)])
         band_structs.append(F.struct(F.lit(bnd).alias("band"), key.alias("bkey")))
-    buckets = (sk.select(id_col, vec_col, F.explode(F.array(*band_structs)).alias("bb"))
-               .select(id_col, vec_col, "bb.band", "bb.bkey"))
-    a = buckets.select(F.col("band"), F.col("bkey"),
-                       F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = buckets.select(F.col("band"), F.col("bkey"),
-                       F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    return (
+    buckets = (sk.select(id_col, F.explode(F.array(*band_structs)).alias("bb"))
+               .select(id_col, "bb.band", "bb.bkey"))
+    a = buckets.select(F.col("band"), F.col("bkey"), F.col(id_col).alias("id_a"))
+    b = buckets.select(F.col("band"), F.col("bkey"), F.col(id_col).alias("id_b"))
+    candidates = (
         a.join(b, ["band", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("score"))
+        .select("id_a", "id_b")
         .distinct()
+    )
+    va = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        candidates.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("score"))
         .filter(F.col("score") >= threshold)
     )
 

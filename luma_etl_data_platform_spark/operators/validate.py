@@ -59,14 +59,22 @@ def check_freshness(df: DataFrame, ts_col: str, max_age_seconds: float,
     """Data-freshness gate: the newest event must be within
     ``max_age_seconds`` of ``now`` (injectable for tests/schedulers).
     The ops-side guard the reference approximated with its nightly
-    cadence checks (run.ps1 schedule + log scanning)."""
-    import datetime as dt
-    row = df.agg(F.max(ts_col).alias("m")).collect()[0]
-    max_ts = row["m"]
-    if now is None:
-        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-    age = float("inf") if max_ts is None else (now - max_ts).total_seconds()
-    return FreshnessResult(max_ts=max_ts, age_seconds=age,
+    cadence checks (run.ps1 schedule + log scanning).
+
+    The age is computed INSIDE Spark (unix_timestamp difference):
+    collecting max(ts) to the driver renders it in the driver's local
+    timezone (TimestampType.fromInternal → datetime.fromtimestamp),
+    so driver-side subtraction against a UTC "now" skews by the UTC
+    offset on any non-UTC driver — enough to flip the verdict."""
+    now_col = F.current_timestamp() if now is None else F.lit(now).cast("timestamp")
+    row = (
+        df.agg(F.max(ts_col).alias("m"))
+        .select("m", (F.unix_timestamp(now_col)
+                      - F.unix_timestamp(F.col("m"))).alias("age"))
+        .collect()[0]
+    )
+    age = float("inf") if row["age"] is None else float(row["age"])
+    return FreshnessResult(max_ts=row["m"], age_seconds=age,
                            max_age_seconds=max_age_seconds)
 
 

@@ -13,8 +13,8 @@ is_current):
 - keys absent from the source → untouched (snapshot is a delta, not a
   full mirror; pass ``close_missing=True`` for full-mirror semantics).
 
-Format-free (parquet overwrite, same caveats as
-transform.merge_upsert_parquet — on Delta this becomes two MERGEs).
+Format-free (parquet, staged write + rename swap via
+transform.replace_parquet_staged — on Delta this becomes two MERGEs).
 """
 
 from __future__ import annotations
@@ -82,9 +82,7 @@ def scd2_apply(spark: SparkSession, target_path: str, source: DataFrame,
 
     out = hist.select(key, *attrs, "valid_from", "valid_to", "is_current") \
               .unionByName(closed).unionByName(kept).unionByName(inserted)
-    out.persist()
-    try:
-        out.count()
-        out.write.mode("overwrite").parquet(target_path)
-    finally:
-        out.unpersist()
+    # staged write + rename swap: the live table is never cleared
+    # before its replacement is durably written (see transform.py).
+    from .transform import replace_parquet_staged
+    replace_parquet_staged(spark, target_path, out)

@@ -117,19 +117,31 @@ FROM tok GROUP BY 1
 """
 
 
+_NGRAM_DF_CAP = 20  # drop shingles appearing in more docs: stop-shingles
+                    # add candidates, not information — and an uncapped
+                    # hot shingle makes the self-join quadratic in its
+                    # document frequency.
+
+
 def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5,
+                                 df_cap=_NGRAM_DF_CAP)
 
 
+# capped variant of the shared CTE: hsc = hs minus stop-shingles, and
+# per-doc sizes are computed AFTER the cap (mirrors _shingle_index).
 ORACLE["dedup_ngram_pairs"] = f"""
 WITH {_SH_CTE},
+hot AS (SELECT h1, h2 FROM hs GROUP BY 1, 2 HAVING count(*) > {_NGRAM_DF_CAP}),
+hsc AS (SELECT hs.* FROM hs ANTI JOIN hot USING (h1, h2)),
+szc AS (SELECT doc_id, count(*) AS n FROM hsc GROUP BY 1),
 common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-           FROM hs a JOIN hs b
+           FROM hsc a JOIN hsc b
              ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
 SELECT id_a, id_b, round(c / (x.n + y.n - c), 6) AS jaccard
-FROM common JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+FROM common JOIN szc x ON id_a = x.doc_id JOIN szc y ON id_b = y.doc_id
 WHERE round(c / (x.n + y.n - c), 6) >= 0.5
 """
 
@@ -166,21 +178,30 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
 
 
+# 64-bit sketch as two 32-bit halves: lo bits from h2, hi bits from h1
+# (mirrors operators/dedup.simhash); bands = 4 x 16-bit slices.
 ORACLE["dedup_simhash"] = f"""
 WITH {_SH_CTE},
-h AS (SELECT doc_id, h1 AS hv FROM hs),
-bitsum AS (SELECT doc_id, i, sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS ssum
-           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) GROUP BY 1, 2),
+bitsum AS (SELECT doc_id, i,
+                  sum(CASE WHEN (h2 >> i) & 1 = 1 THEN 1 ELSE -1 END) AS slo,
+                  sum(CASE WHEN (h1 >> i) & 1 = 1 THEN 1 ELSE -1 END) AS shi
+           FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) GROUP BY 1, 2),
 sig AS (SELECT doc_id,
-               sum(CASE WHEN ssum > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+               CAST(sum(CASE WHEN slo > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sim_lo,
+               CAST(sum(CASE WHEN shi > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sim_hi
         FROM bitsum GROUP BY 1),
-bands AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bkey
+bands AS (SELECT doc_id, sim_lo, sim_hi, b,
+                 CASE b WHEN 0 THEN sim_lo & 65535
+                        WHEN 1 THEN (sim_lo >> 16) & 65535
+                        WHEN 2 THEN sim_hi & 65535
+                        ELSE (sim_hi >> 16) & 65535 END AS bkey
           FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
 pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+                 bit_count(xor(a.sim_lo, b.sim_lo))
+                 + bit_count(xor(a.sim_hi, b.sim_hi)) AS hamming
           FROM bands a JOIN bands b
             ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM pairs WHERE hamming <= 3
 """
 
 
@@ -188,17 +209,21 @@ SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
 # similarity search
 # ---------------------------------------------------------------------------
 
-def _query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    min_id = emb.agg(F.min("vec_id")).collect()[0][0]
-    return emb.filter(F.col("vec_id") == min_id)
+def _query_vec(emb: DataFrame) -> DataFrame:
+    """1-row query DataFrame = the min-vec_id row, selected with a
+    broadcast join against the 1-row min aggregate — no driver
+    collect() anywhere in the plan (operators also accept a literal
+    list vector for the parameterized-API path)."""
+    min_id = emb.agg(F.min("vec_id").alias("_mid"))
+    return emb.join(F.broadcast(min_id), F.col("vec_id") == F.col("_mid"))
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = _query_vec(spark, sf_dir)
-    min_id = qv.select("vec_id").collect()[0][0]
-    return S.cosine_topk(emb.filter(F.col("vec_id") != min_id), qv, k=10)
+    min_id = emb.agg(F.min("vec_id").alias("_mid"))
+    corpus = emb.join(F.broadcast(min_id), F.col("vec_id") == F.col("_mid"),
+                      "left_anti")
+    return S.cosine_topk(corpus, _query_vec(emb), k=10)
 
 
 ORACLE["ann_cosine_topk"] = f"""
@@ -215,8 +240,7 @@ LIMIT 10
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = _query_vec(spark, sf_dir)
-    return S.ivf_topk(emb, qv, k=10, nprobe=2)
+    return S.ivf_topk(emb, _query_vec(emb), k=10, nprobe=2)
 
 
 ORACLE["ann_ivf_topk"] = f"""
@@ -241,14 +265,46 @@ LIMIT 10
 
 
 def ann_signlsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label-free near-dup candidates via sign-LSH (random-hyperplane
-    sketch + banded bucket join), top-50 by verified cosine. No SQL
-    oracle: the plane-sign buckets hinge on the SIGN of float dot
-    products, which is not portably reproducible in SQL near zero —
-    the driver records the rows-only check."""
+    """Label-free near-dup candidates via sign-LSH (deterministic
+    md5-derived hyperplanes + banded bucket join), top-50 by verified
+    cosine. Fully oracled: the planes are stated as literals in the
+    SQL, and both engines evaluate the dot products as a sequential
+    left fold over identical doubles, so even the plane-sign buckets
+    reproduce exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (S.signlsh_neardup_pairs(emb, threshold=-1.0)
             .orderBy(F.col("score").desc(), "id_a", "id_b").limit(50))
+
+
+def _signlsh_planes_values(n_planes: int = 32, dims: int = 64) -> str:
+    """The Spark operator's deterministic hyperplanes as a DuckDB
+    VALUES clause (repr() round-trips every double exactly)."""
+    from ..operators.similarity import _sign_planes
+    rows = ",\n".join(
+        f"({p}, [{', '.join(repr(x) for x in row)}]::DOUBLE[])"
+        for p, row in enumerate(_sign_planes(n_planes, dims)))
+    return f"(VALUES {rows}) planes(p, plane)"
+
+
+ORACLE["ann_signlsh_candidates"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sk AS (SELECT vec_id, p,
+              CASE WHEN list_dot_product(v, plane) >= 0 THEN 1 ELSE 0 END AS bit
+       FROM e CROSS JOIN {_signlsh_planes_values()}),
+bk AS (SELECT vec_id, p // 16 AS band,
+              string_agg(bit::VARCHAR, '' ORDER BY p) AS bkey
+       FROM sk GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bk a JOIN bk b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+scored AS (SELECT id_a, id_b,
+                  round(list_dot_product(x.v, y.v)
+                        / (sqrt(list_dot_product(x.v, x.v))
+                           * sqrt(list_dot_product(y.v, y.v))), 6) AS score
+           FROM cand JOIN e x ON id_a = x.vec_id JOIN e y ON id_b = y.vec_id)
+SELECT id_a, id_b, score FROM scored
+ORDER BY score DESC, id_a, id_b LIMIT 50
+"""
 
 
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -10,16 +10,27 @@ executed in-process, and MERGE is provided two ways:
 - ``merge_sql``: the statement text for MERGE-capable table formats
   (Delta/Iceberg — jars not in this build, so emission only);
 - ``merge_upsert_parquet``: format-free emulation — upsert-by-key on
-  a parquet target via anti-join + union + atomic overwrite.
+  a parquet target via anti-join + union + staged write & swap.
 
-Scale note: overwrite-by-key rewrites the whole target; for real
-deployments partition the target and use dynamic partition overwrite
-(``partition_cols``) so only touched partitions rewrite.
+Scale note: the unpartitioned path rewrites the whole target (the
+reference's truncate-and-reload, lambda_function.py:205-209); pass
+``partition_cols`` and ONLY the partitions containing source keys are
+rewritten — sub-linear in target size, which at 100 TB nightly is the
+difference between minutes and hours.
+
+Durability: all rewrites go through a sibling staging directory and
+are swapped in with FileSystem renames after the write job commits —
+a failure mid-write leaves the live target untouched (plain
+``mode("overwrite")`` clears the target BEFORE job commit, so a crash
+or a cache-loss recompute against already-deleted input loses the
+table). The swap itself is per-directory rename: atomic per
+partition, not across partitions.
 """
 
 from __future__ import annotations
 
 import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -100,12 +111,57 @@ def upsert(spark: SparkSession, target: str, source: DataFrame,
     merge_upsert_parquet(spark, target, source, keys)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def _swap_dir(fs, jvm, live: str, staged: str) -> None:
+    """Replace directory ``live`` with ``staged`` via two renames
+    (move live aside → move staged in → delete old). A failure after
+    the first rename rolls back; the live data is never deleted
+    before its replacement is fully written."""
+    Path = jvm.org.apache.hadoop.fs.Path
+    live_p, staged_p = Path(live), Path(staged)
+    old_p = Path(live.rstrip("/") + "__old_" + uuid.uuid4().hex[:8])
+    had_live = fs.exists(live_p)
+    if had_live and not fs.rename(live_p, old_p):
+        raise IOError(f"rename {live} -> {old_p} failed")
+    if not fs.rename(staged_p, live_p):
+        if had_live:
+            fs.rename(old_p, live_p)  # roll back
+        raise IOError(f"rename {staged} -> {live} failed")
+    if had_live:
+        fs.delete(old_p, True)
+
+
+def replace_parquet_staged(spark: SparkSession, target_path: str,
+                           df: DataFrame) -> None:
+    """Full-table replace through a sibling staging dir + rename swap.
+    Unlike ``df.write.mode("overwrite")`` onto the path being read,
+    this never clears the live target before the new data is durably
+    written — and no persist()/lineage games are needed because the
+    write job reads the UNTOUCHED live directory."""
+    staged = target_path.rstrip("/") + "__stage_" + uuid.uuid4().hex[:8]
+    fs, _, jvm = _hadoop_fs(spark, target_path)
+    df.write.mode("overwrite").parquet(staged)
+    _swap_dir(fs, jvm, target_path, staged)
+
+
 def merge_upsert_parquet(spark: SparkSession, target_path: str,
-                         source: DataFrame, keys: list[str]) -> None:
+                         source: DataFrame, keys: list[str],
+                         partition_cols: list[str] | None = None) -> None:
     """Upsert-by-key on a parquet target without a MERGE-capable
     format: keep target rows whose key is absent from the source
-    (anti-join), union the source (updates + inserts), rewrite
-    atomically (write to staging dir semantics via overwrite).
+    (anti-join), union the source (updates + inserts), then swap the
+    staged result in with renames (never overwrite-in-place).
+
+    With ``partition_cols`` (the target laid out as
+    ``partitionBy(partition_cols)``), ONLY partitions that contain
+    source rows are read (broadcast semi-join → dynamic partition
+    pruning at the scan), rewritten to staging, and swapped in
+    per-partition — sub-linear in target size.
 
     Source must be deduplicated on ``keys`` (last-writer-wins is the
     caller's policy decision)."""
@@ -115,14 +171,49 @@ def merge_upsert_parquet(spark: SparkSession, target_path: str,
     except Exception:
         exists = False
     if not exists:
-        source.write.mode("overwrite").parquet(target_path)
+        w = source.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(target_path)
         return
-    keep = target.join(source.select(*keys).distinct(), keys, "left_anti")
+
+    if not partition_cols:
+        keep = target.join(source.select(*keys).distinct(), keys, "left_anti")
+        merged = keep.unionByName(source.select(*target.columns))
+        replace_parquet_staged(spark, target_path, merged)
+        return
+
+    # --- partition-level path: touch only partitions the source hits
+    touched = source.select(*partition_cols).distinct()
+    tgt_touched = target.join(F.broadcast(touched), partition_cols, "left_semi")
+    keep = tgt_touched.join(source.select(*keys).distinct(), keys, "left_anti")
     merged = keep.unionByName(source.select(*target.columns))
-    # materialize before overwriting the path we read from
-    merged.persist()
-    try:
-        merged.count()
-        merged.write.mode("overwrite").parquet(target_path)
-    finally:
-        merged.unpersist()
+
+    staged = target_path.rstrip("/") + "__stage_" + uuid.uuid4().hex[:8]
+    fs, _, jvm = _hadoop_fs(spark, target_path)
+    merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(staged)
+    # swap each staged partition dir into the live tree
+    for rel in _partition_dirs(fs, jvm, staged, len(partition_cols)):
+        _swap_dir(fs, jvm, f"{target_path.rstrip('/')}/{rel}", f"{staged}/{rel}")
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staged), True)
+
+
+def _partition_dirs(fs, jvm, root: str, depth: int) -> list[str]:
+    """Relative ``col=value[/col=value...]`` paths of the partition
+    directories exactly ``depth`` levels under ``root``."""
+    Path = jvm.org.apache.hadoop.fs.Path
+    rels: list[str] = []
+
+    def walk(prefix: str, level: int) -> None:
+        for st in fs.listStatus(Path(f"{root}/{prefix}" if prefix else root)):
+            name = st.getPath().getName()
+            if not st.isDirectory() or "=" not in name:
+                continue
+            rel = f"{prefix}/{name}" if prefix else name
+            if level + 1 == depth:
+                rels.append(rel)
+            else:
+                walk(rel, level + 1)
+
+    walk("", 0)
+    return rels

@@ -205,7 +205,6 @@ class RestLakeDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         import base64
-        import pickle
         bc = self.options.get("business_class")
         if not bc:
             raise ValueError("option 'business_class' is required")
@@ -213,14 +212,41 @@ class RestLakeDataSource(DataSource):
         if not tp_b64:
             raise ValueError("option 'transport_pickle' is required "
                              "(no real HTTP transport in this build)")
-        transport = pickle.loads(base64.b64decode(tp_b64))
+        transport = _restricted_loads(base64.b64decode(tp_b64))
         exclude = frozenset(
             x for x in (self.options.get("exclude_ids") or "").split(",") if x)
         return RestLakeReader(schema, transport, bc, exclude)
 
 
+def _restricted_loads(data: bytes):
+    """Unpickle the transport option with a class allowlist: only
+    LakeTransport subclasses (plus builtin containers, which need no
+    class lookup) may be constructed. An unrestricted pickle.loads on
+    a caller-controlled read option is arbitrary code execution on
+    the driver — any other global is refused."""
+    import importlib
+    import io
+    import pickle
+
+    class _TransportUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            cls = getattr(importlib.import_module(module), name)
+            if isinstance(cls, type) and issubclass(cls, LakeTransport):
+                return cls
+            raise pickle.UnpicklingError(
+                f"transport_pickle may only contain LakeTransport "
+                f"subclasses; refused {module}.{name}")
+
+    obj = _TransportUnpickler(io.BytesIO(data)).load()
+    if not isinstance(obj, LakeTransport):
+        raise TypeError(f"transport_pickle decoded to {type(obj).__name__}, "
+                        "not a LakeTransport")
+    return obj
+
+
 def transport_option(transport: LakeTransport) -> str:
-    """Serialize a transport for the DataSource option channel."""
+    """Serialize a transport for the DataSource option channel
+    (unpickled under the LakeTransport-only allowlist above)."""
     import base64
     import pickle
     return base64.b64encode(pickle.dumps(transport)).decode("ascii")

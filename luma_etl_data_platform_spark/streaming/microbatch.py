@@ -110,9 +110,21 @@ def incremental_ingest(stream: DataFrame, *, ledger: ProcessedIdLedger,
     append survivors to the staging parquet, record their ids. A
     failing batch writes its rows to the dead-letter path instead of
     aborting the stream (reference behavior: log, flush partial
-    history, continue — datalakewrapper.py:286-297)."""
+    history, continue — datalakewrapper.py:286-297).
+
+    Failure routing is append-aware: once rows have landed in the
+    target, a subsequent ledger failure must NOT dead-letter them (the
+    checkpoint still commits the batch, so a redelivery would pass the
+    anti-join and duplicate rows — and a DLQ replay would double-load
+    them). Instead the ids alone are written to
+    ``{dead_letter_path}/_ledger_repair`` (the ``_`` prefix keeps them
+    invisible to a plain read of the DLQ), for an offline
+    ledger-reconcile step."""
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        appended = False
+        fresh = None
+        run_id = epoch_id
         try:
             # inside the try: a failing batch_id_fn must also route to
             # the dead letter, not kill the stream
@@ -122,14 +134,26 @@ def incremental_ingest(stream: DataFrame, *, ledger: ProcessedIdLedger,
             fresh.persist()
             try:
                 fresh.write.mode("append").parquet(target_path)
+                appended = True
                 ledger.record(fresh.select(id_col), run_id, id_col)
             finally:
                 fresh.unpersist()
         except Exception:
             if dead_letter_path is None:
                 raise
-            (batch_df.withColumn("_batch_id", F.lit(epoch_id).cast("long"))
-             .write.mode("append").parquet(dead_letter_path))
+            if not appended:
+                # nothing reached the target: the whole batch is
+                # replayable from the DLQ
+                (batch_df.withColumn("_batch_id", F.lit(epoch_id).cast("long"))
+                 .write.mode("append").parquet(dead_letter_path))
+            else:
+                # rows ARE in the target; only the ledger record
+                # failed. Emit id-only repair records — replaying the
+                # data would duplicate it.
+                (fresh.select(id_col)
+                 .withColumn("_batch_id", F.lit(run_id).cast("long"))
+                 .write.mode("append")
+                 .parquet(dead_letter_path.rstrip("/") + "/_ledger_repair"))
 
     writer = (stream.writeStream.foreachBatch(_process)
               .option("checkpointLocation", checkpoint))

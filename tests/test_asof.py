@@ -80,6 +80,21 @@ def test_asof_matches_pandas_merge_asof_randomized(spark):
     assert got == want
 
 
+def test_asof_null_payload_not_backfilled_from_older_row(spark):
+    """The matched right row wins ATOMICALLY: a NULL payload column in
+    the most recent right row must stay NULL, not be backfilled from
+    an older right row (the torn-row bug of per-column carry)."""
+    left = spark.createDataFrame([(1, _ts("2024-01-10T00:00:00"))], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:00"), "old_a", "old_b"),
+         (1, _ts("2024-01-05T00:00:00"), None, "new_b")],
+        ["k", "rt", "a", "b"],
+    )
+    row = asof_join(left, right, "k", "t", "rt").collect()[0]
+    assert row["b"] == "new_b"
+    assert row["a"] is None          # NOT "old_a"
+
+
 def test_asof_keeps_all_left_rows(spark):
     left = spark.range(100).selectExpr("id % 7 as k", "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id) as t", "id")
     right = spark.createDataFrame([(0, _ts("2024-01-01T00:00:30"), "x")], ["k", "rt", "p"])

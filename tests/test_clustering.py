@@ -27,6 +27,31 @@ def test_keep_representatives_drops_non_reps(spark):
     assert kept == [1, 10, 50]
 
 
+def test_components_deep_path_graph(spark):
+    # 1000-node path: plain min-label propagation needs ~999 rounds;
+    # pointer jumping converges in O(log n) — and localCheckpoint
+    # keeps the iterative plan from blowing up in the analyzer.
+    n = 1000
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  ["id_a", "id_b"])
+    comps = connected_components(pairs, max_iterations=20)
+    rows = comps.collect()
+    assert len(rows) == n
+    assert {r["component"] for r in rows} == {0}
+
+
+def test_components_two_deep_chains_stay_separate(spark):
+    # two disjoint 100-node chains: labels must not bleed across
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)]
+        + [(1000 + i, 1001 + i) for i in range(99)],
+        ["id_a", "id_b"])
+    comps = {r["node"]: r["component"]
+             for r in connected_components(pairs, max_iterations=20).collect()}
+    assert all(comps[i] == 0 for i in range(100))
+    assert all(comps[1000 + i] == 1000 for i in range(100))
+
+
 def test_components_empty_pairs(spark):
     from pyspark.sql import types as T
     pairs = spark.createDataFrame([], T.StructType([

@@ -110,3 +110,38 @@ def test_incremental_ingest_routes_failures_to_dead_letter(spark, tmp_path):
     import os
     assert not os.path.exists(str(tmp_path / "tgt"))
     assert spark.read.parquet(dlq).count() == 50
+
+
+def test_incremental_ingest_ledger_failure_repairs_not_duplicates(spark, tmp_path):
+    """If the ledger record fails AFTER the target append succeeded,
+    the rows must NOT go to the replayable DLQ (replay would double-
+    load them); only id-repair records are emitted."""
+    import os
+
+    from luma_etl_data_platform_spark.sources.incremental import ProcessedIdLedger
+    from luma_etl_data_platform_spark.streaming import incremental_ingest
+    from luma_etl_data_platform_spark.sources.tables import load_table
+
+    class BoomLedger(ProcessedIdLedger):
+        def record(self, *a, **k):
+            raise RuntimeError("ledger down")
+
+    src = str(tmp_path / "src")
+    load_table(spark, SF_SMOKE, "events").limit(50).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    dlq = str(tmp_path / "dlq")
+    tgt = str(tmp_path / "tgt")
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = incremental_ingest(stream, ledger=BoomLedger(spark, str(tmp_path / "led")),
+                           id_col="event_id", target_path=tgt,
+                           checkpoint=str(tmp_path / "ck"),
+                           dead_letter_path=dlq)
+    q.awaitTermination(120)
+    # data landed exactly once
+    assert spark.read.parquet(tgt).count() == 50
+    # replayable DLQ root holds NO data rows — only the repair subdir
+    assert set(os.listdir(dlq)) == {"_ledger_repair"}
+    repair = spark.read.parquet(dlq + "/_ledger_repair")
+    assert repair.count() == 50
+    assert set(repair.columns) == {"event_id", "_batch_id"}
