@@ -36,12 +36,10 @@ def _merge_delta(spark: SparkSession, rollup_path: str, delta: DataFrame,
         )
     else:
         merged = delta
-    merged.persist()
-    try:
-        merged.count()
-        merged.write.mode("overwrite").parquet(rollup_path)
-    finally:
-        merged.unpersist()
+    # staged write + rename swap: never clear the live rollup before
+    # its replacement is durably written (see plans/transform.py).
+    from ..plans.transform import replace_parquet_staged
+    replace_parquet_staged(spark, rollup_path, merged)
 
 
 def continuous_rollup(stream: DataFrame, rollup_path: str, checkpoint: str,

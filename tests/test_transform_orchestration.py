@@ -49,6 +49,49 @@ def test_merge_upsert_parquet(spark, tmp_path):
     assert got == {1: "old1", 2: "new2", 3: "new3"}
 
 
+def test_merge_upsert_partitioned_rewrites_only_touched(spark, tmp_path):
+    """With partition_cols, an upsert touching one partition must leave
+    every other partition's FILES untouched (rename swap, not full
+    rewrite) — the sub-linear-in-target-size property that matters at
+    100 TB."""
+    import glob
+    import os
+
+    path = str(tmp_path / "tgt")
+    base = spark.createDataFrame(
+        [(1, "p1", "old1"), (2, "p1", "old2"), (3, "p2", "keep3"),
+         (4, "p2", "keep4"), (5, "p3", "keep5")], ["k", "p", "v"])
+    TR.merge_upsert_parquet(spark, path, base, ["k"], partition_cols=["p"])
+
+    def files(part):
+        return {(f, os.stat(f).st_mtime_ns)
+                for f in glob.glob(f"{path}/p={part}/*.parquet")}
+
+    p2_before, p3_before = files("p2"), files("p3")
+    upd = spark.createDataFrame([(2, "p1", "new2"), (6, "p1", "new6")],
+                                ["k", "p", "v"])
+    TR.merge_upsert_parquet(spark, path, upd, ["k"], partition_cols=["p"])
+
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "old1", 2: "new2", 3: "keep3", 4: "keep4",
+                   5: "keep5", 6: "new6"}
+    # untouched partitions: identical files, identical mtimes
+    assert files("p2") == p2_before
+    assert files("p3") == p3_before
+
+
+def test_merge_upsert_partitioned_new_partition(spark, tmp_path):
+    """Source rows in a partition the target doesn't have yet must
+    create it (rename into place, no pre-existing dir to swap)."""
+    path = str(tmp_path / "tgt")
+    base = spark.createDataFrame([(1, "p1", "a")], ["k", "p", "v"])
+    TR.merge_upsert_parquet(spark, path, base, ["k"], partition_cols=["p"])
+    upd = spark.createDataFrame([(2, "p9", "b")], ["k", "p", "v"])
+    TR.merge_upsert_parquet(spark, path, upd, ["k"], partition_cols=["p"])
+    got = {r["k"]: (r["p"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("p1", "a"), 2: ("p9", "b")}
+
+
 # --------------------------------------------------------- orchestration
 
 def test_run_subject_area_isolation(spark, tmp_path):
