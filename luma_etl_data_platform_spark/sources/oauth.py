@@ -39,6 +39,18 @@ class TokenProvider:
         self._lock = threading.Lock()
         self._token: Token | None = None
 
+    # Picklable so a transport carrying a provider can ship to
+    # executors (fetch_object runs in tasks): the lock and any cached
+    # token stay behind — each process re-authenticates on first use.
+    def __getstate__(self):
+        return {"_fetch": self._fetch, "_clock": self._clock}
+
+    def __setstate__(self, state):
+        self._fetch = state["_fetch"]
+        self._clock = state["_clock"]
+        self._lock = threading.Lock()
+        self._token = None
+
     def get(self) -> str:
         now = self._clock()
         tok = self._token

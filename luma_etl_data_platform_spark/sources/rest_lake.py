@@ -18,10 +18,10 @@ embarrassingly parallel across executors. Document-name/property
 filters are pushed into the API query string exactly like the
 reference's pushdown builder (utilities/utilities.py:226-238).
 
-Transport is injected (``LakeTransport``). The real HTTP transport is
-deliberately NOT implemented here (no network in the build env, and
-endpoints/credentials are deployment concerns); ``FakeLakeTransport``
-is a deterministic in-memory lake used by tests and demos. OAuth
+Transport is injected (``LakeTransport``). The real network client is
+``http_transport.HttpLakeTransport`` (requests-backed, Bearer auth,
+retry/backoff, ``_links`` pagination); ``FakeLakeTransport`` is a
+deterministic in-memory lake used by tests and demos. OAuth
 token lifecycle (reference: oauth/datalakeoauth.py:125-229, refresh
 at 90% TTL) is implemented for real in ``oauth.py`` with an
 injectable fetcher/clock.
