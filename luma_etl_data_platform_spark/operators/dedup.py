@@ -202,40 +202,68 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
 # SimHash
 # ---------------------------------------------------------------------------
 
+_LANE = 21           # bits per packed counter lane (3 lanes per long)
+_LANE_MASK = (1 << _LANE) - 1
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per doc, carried as two non-negative 32-bit
     halves (``sim_lo`` from the shingle hash h2, ``sim_hi`` from h1):
-    bit i is set iff the sum over shingles of ±1 (by bit i of the
-    shingle's portable hash) is positive. One explode + one groupBy
-    with 64 conditional sums (map-side combinable). Two halves avoid
-    signed-64-bit overflow at bit 63 and keep every bitwise op on
-    non-negative longs (arithmetic shiftright is then safe)."""
+    bit i is set iff MORE than half the doc's shingles have bit i set
+    in their portable hash (equivalently: the classic ±1 sum is
+    positive).
+
+    Aggregation is SIMD-style lane packing rather than 64 separate
+    sums: per shingle, three bit-indicators are packed into one long
+    at 21-bit offsets, so one ``sum`` accumulates three independent
+    counters (no lane can carry into the next while per-doc distinct
+    shingle counts stay below 2^21 ≈ 2M — shingles are distinct words,
+    so that means >2M-word documents). 2×11 packed sums + 1 count
+    instead of 64 conditional sums ≈ 3× narrower aggregate state and
+    buffer row; all map-side combinable."""
     idx = _shingle_index(df, text_col, id_col, n=3)
-    aggs = []
-    for i in range(32):
-        for half, src in (("lo", "h2"), ("hi", "h1")):
-            bit = F.shiftright(F.col(src), i).bitwiseAND(F.lit(1))
-            aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"{half}_{i}"))
-    per_bit = idx.groupBy(F.col("_id").alias("id")).agg(*aggs)
+    aggs = [F.count(F.lit(1)).alias("n_sh")]
+    for half, src in (("lo", "h2"), ("hi", "h1")):
+        for g in range(0, 32, 3):
+            packed = None
+            for lane, i in enumerate(range(g, min(g + 3, 32))):
+                bit = F.shiftright(F.col(src), i).bitwiseAND(F.lit(1))
+                term = F.shiftleft(bit.cast("long"), lane * _LANE)
+                packed = term if packed is None else packed + term
+            aggs.append(F.sum(packed).alias(f"{half}_{g}"))
+    per_doc = idx.groupBy(F.col("_id").alias("id")).agg(*aggs)
     lo, hi = None, None
-    for i in range(32):
-        lt = F.when(F.col(f"lo_{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
-        ht = F.when(F.col(f"hi_{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
-        lo = lt if lo is None else lo + lt
-        hi = ht if hi is None else hi + ht
-    return per_bit.select("id", lo.alias("sim_lo"), hi.alias("sim_hi"))
+    for g in range(0, 32, 3):
+        for lane, i in enumerate(range(g, min(g + 3, 32))):
+            cnt_lo = F.shiftright(F.col(f"lo_{g}"), lane * _LANE).bitwiseAND(F.lit(_LANE_MASK))
+            cnt_hi = F.shiftright(F.col(f"hi_{g}"), lane * _LANE).bitwiseAND(F.lit(_LANE_MASK))
+            # majority test: 2·popcount > n ⇔ the ±1 sum is positive
+            lt = F.when(cnt_lo * 2 > F.col("n_sh"), F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+            ht = F.when(cnt_hi * 2 > F.col("n_sh"), F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+            lo = lt if lo is None else lo + lt
+            hi = ht if hi is None else hi + ht
+    return per_doc.select("id", lo.alias("sim_lo"), hi.alias("sim_hi"))
 
 
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  persist_signature: bool = True) -> DataFrame:
     """Pairs within Hamming distance ``max_hamming`` of their 64-bit
     SimHash. Candidates via equality on one of four 16-bit bands —
     65,536 buckets per band, so the candidate self-join stays near-
     linear at corpus scale (the former 32-bit/8-bit variant had only
     256 buckets per band: quadratic at 100 TB). Pigeonhole still
     guarantees no false negatives for distance ≤ 3; verification via
-    bit_count(xor) over both halves."""
+    bit_count(xor) over both halves.
+
+    ``persist_signature`` caches the (id, sim_lo, sim_hi) table —
+    one small row per document — before the self-join; without it both
+    join sides recompute the signature, i.e. the whole corpus is
+    re-shingled and re-hashed twice."""
     sig = simhash(df, text_col, id_col)
+    if persist_signature:
+        from pyspark import StorageLevel
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     band_structs = [
         F.struct(
             F.lit(bnd).alias("band"),
