@@ -270,12 +270,232 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 """
 
 
+# ---------------------------------------------------------------------------
+# q4: order priority checking — orders with at least one late line,
+# counted per priority (EXISTS → left-semi join). The testdata schema
+# has no l_commitdate/l_receiptdate, so "late" is adapted to shipped
+# more than 90 days after the order date; the plan shape (date-window
+# scan + correlated EXISTS + grouped count) is Q4's.
+# ---------------------------------------------------------------------------
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.select("l_orderkey", "l_shipdate")
+    cond = (orders.o_orderkey == late.l_orderkey) & \
+           (late.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS"))
+    return (
+        orders.join(late, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE["q4_order_priority"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1995-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q12: shipping-delay priority classification — per lateness bucket,
+# how many HIGH/URGENT vs other-priority orders shipped there
+# (conditional counts). Adapted from Q12's shipmode dimension to a
+# lateness dimension (no l_shipmode/l_commitdate in the testdata);
+# the conditional-aggregation-over-join shape is Q12's.
+# ---------------------------------------------------------------------------
+def q12_late_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    days_late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (F.when(days_late > 90, "very_late")
+              .when(days_late > 30, "late").otherwise("on_time"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+             F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"))
+        .orderBy("delay_bucket")
+    )
+
+
+ORACLE["q12_late_priority_counts"] = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90 THEN 'very_late'
+            WHEN date_diff('day', o_orderdate, l_shipdate) > 30 THEN 'late'
+            ELSE 'on_time' END AS delay_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14: promotion effect — promo revenue share of one ship month
+# (conditional sum ratio; p_type = 'PROMO' stands in for the
+# spec's LIKE 'PROMO%'). Numerator and denominator decimal-exact,
+# one double division at the end.
+# ---------------------------------------------------------------------------
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp")))
+    part = load_table(spark, sf_dir, "part")
+    rev = revenue_expr()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)"))
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")),
+                li.l_partkey == F.col("p_partkey"))
+        .agg(F.round(F.lit(100.0) * F.sum(promo).cast("double")
+                     / F.sum(rev).cast("double"), 6).alias("promo_revenue_pct"),
+             exact_sum(rev).alias("total_revenue"))
+    )
+
+
+ORACLE["q14_promo_effect"] = f"""
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {SQL_REV}
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum({SQL_REV}) AS DOUBLE), 6) AS promo_revenue_pct,
+       CAST(round(sum({SQL_REV}), 2) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l_shipdate <  TIMESTAMP '1995-10-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17: small-quantity-order revenue — lines of one brand/size bucket
+# whose quantity is below 20% of that part's average quantity
+# (correlated avg subquery → per-part aggregate joined back;
+# p_size = 5 stands in for the spec's p_container). The 0.2*avg cutoff
+# is computed as exact decimal sum / count, divided once.
+# ---------------------------------------------------------------------------
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") == 5))
+    per_part = (li.groupBy(F.col("l_partkey").alias("avg_pk"))
+                .agg((F.lit(0.2) * (F.sum(dmoney(F.col("l_quantity"))).cast("double")
+                                    / F.count(F.lit(1)))).alias("qty_cutoff")))
+    return (
+        li.join(F.broadcast(part.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("avg_pk"))
+        .filter(F.col("l_quantity") < F.col("qty_cutoff"))
+        .agg(F.round(F.sum(dmoney(F.col("l_extendedprice"))).cast("double")
+                     / F.lit(7.0), 2).alias("avg_yearly"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+ORACLE["q17_small_quantity_revenue"] = """
+WITH cutoff AS (
+  SELECT l_partkey AS avg_pk,
+         0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+           AS qty_cutoff
+  FROM lineitem GROUP BY 1)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7, 2)
+         AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part   ON l_partkey = p_partkey
+JOIN cutoff ON l_partkey = avg_pk
+WHERE p_brand = 'Brand#3' AND p_size = 5
+  AND l_quantity < qty_cutoff
+"""
+
+
+# ---------------------------------------------------------------------------
+# q21: suppliers who kept orders waiting — in multi-supplier 'F'
+# orders, the supplier who alone shipped last (strictly after every
+# other supplier). Adapted to l_shipdate (no commit/receipt dates in
+# the testdata); Q21's exists/not-exists pair becomes one window over
+# per-(order, supplier) maxima: blocking ⇔ rank-1 max with no tie and
+# ≥2 suppliers in the order.
+# ---------------------------------------------------------------------------
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    per_os = (
+        li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("s_max"))
+    )
+    w = W.partitionBy("l_orderkey")
+    flagged = per_os.select(
+        "l_orderkey", "l_suppkey", "s_max",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.max("s_max").over(w).alias("o_max"),
+    ).withColumn(
+        "n_at_max",
+        F.sum(F.when(F.col("s_max") == F.col("o_max"), 1).otherwise(0)).over(w))
+    blocking = flagged.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_at_max") == 1)
+        & (F.col("s_max") == F.col("o_max")))
+    return (
+        blocking.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+ORACLE["q21_waiting_supplier"] = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2),
+flagged AS (
+  SELECT l_orderkey, l_suppkey, s_max,
+         count(*) OVER w AS n_supp,
+         max(s_max) OVER w AS o_max
+  FROM per_os
+  WINDOW w AS (PARTITION BY l_orderkey)),
+at_max AS (
+  SELECT *, CAST(sum(CASE WHEN s_max = o_max THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_at_max
+  FROM flagged)
+SELECT s_name, count(*) AS numwait
+FROM at_max JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp >= 2 AND n_at_max = 1 AND s_max = o_max
+GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 100
+"""
+
+
 QUERIES = {
+    "q4_order_priority": q4_order_priority,
     "q7_volume_shipping": q7_volume_shipping,
-    "q15_top_supplier": q15_top_supplier,
     "q8_market_share": q8_market_share,
-    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q12_late_priority_counts": q12_late_priority_counts,
     "q13_order_count_distribution": q13_order_count_distribution,
+    "q14_promo_effect": q14_promo_effect,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q21_waiting_supplier": q21_waiting_supplier,
     "q22_idle_rich_customers": q22_idle_rich_customers,
 }
