@@ -110,3 +110,51 @@ def resize_images(df: DataFrame, width: int, height: int,
         raise NotImplementedError(
             "image resize needs PIL; install pillow in the deployment image")
     raise NotImplementedError("PIL path not exercised in this build")
+
+
+AUDIO_SCHEMA = ("doc_id long, n_samples long, mean_amp double, "
+                "rms double, n_sign_changes long")
+
+
+def _round_away(x: float, places: int) -> float:
+    """Round-half-away-from-zero (what Spark's round and DuckDB's
+    round do) — Python/numpy round is half-even, which would diverge
+    on exact .5 boundaries."""
+    import math
+    scale = 10 ** places
+    return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
+
+
+def extract_audio_features(df: DataFrame, content_col: str = "content",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Audio-style feature extraction over opaque binary blobs via
+    Arrow-batched mapInPandas: each byte is an unsigned 8-bit sample
+    centered at 128 (a real deployment would decode PCM/containers
+    with soundfile; the byte interpretation keeps the operator
+    deterministic and fully oracle-checkable while exercising the
+    identical Spark plumbing — schema, batching, vectorized numpy).
+
+    Per blob: sample count, mean amplitude, RMS, and the number of
+    sign changes (a zero-crossing-rate proxy). Empty blobs emit no
+    row. Sums are exact int64; the single division/sqrt at the end is
+    deterministic."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[content_col]):
+                v = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.int64) - 128
+                n = len(v)
+                if n == 0:
+                    continue
+                mean = _round_away(float(v.sum()) / n, 4)
+                rms = _round_away(float(np.sqrt(float((v * v).sum()) / n)), 4)
+                neg = v < 0
+                sc = int((neg[1:] != neg[:-1]).sum())
+                rows.append((int(did), n, mean, rms, sc))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "mean_amp",
+                               "rms", "n_sign_changes"])
+
+    return spread(df).mapInPandas(batches, AUDIO_SCHEMA)

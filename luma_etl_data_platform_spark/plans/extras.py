@@ -418,6 +418,40 @@ FROM documents
 """
 
 
+# multimodal audio: byte-level feature extraction (mean amplitude,
+# RMS, sign changes) — the mapInPandas path with an exact byte-by-byte
+# SQL oracle (bytes recovered from hex(encode(text))).
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_demo_binary(docs)
+    return MM.extract_audio_features(media)
+
+
+ORACLE["multimodal_audio_features"] = """
+WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+idx AS (SELECT unnest(generate_series(0, (SELECT max(n) - 1 FROM b))) AS i),
+bytes AS (SELECT doc_id, i,
+                 CAST('0x' || substr(h, 2 * i + 1, 2) AS INTEGER) - 128 AS v
+          FROM b JOIN idx ON i < n),
+agg AS (SELECT doc_id, count(*) AS n_samples,
+               round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS mean_amp,
+               round(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)), 4) AS rms
+        FROM bytes GROUP BY 1),
+lagged AS (SELECT doc_id, v,
+                  lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+           FROM bytes),
+sc AS (SELECT doc_id,
+              CAST(count(*) FILTER (WHERE pv IS NOT NULL
+                                      AND (v < 0) <> (pv < 0)) AS BIGINT)
+                AS n_sign_changes
+       FROM lagged GROUP BY 1)
+SELECT doc_id, n_samples, mean_amp, rms, n_sign_changes
+FROM agg JOIN sc USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # approximate aggregates — engine-specific sketches (HLL / KLL), so no
 # DuckDB oracle: the driver records the weaker rows-only check. The
@@ -569,4 +603,5 @@ QUERIES = {
     "quantity_price_corr": quantity_price_corr,
     "multimodal_image_meta": multimodal_image_meta,
     "multimodal_frame_stats": multimodal_frame_stats,
+    "multimodal_audio_features": multimodal_audio_features,
 }

@@ -168,3 +168,26 @@ def test_resize_requires_pil():
     if not m._HAVE_PIL:
         with pytest.raises(NotImplementedError):
             m.resize_images(None, 10, 10)
+
+
+def test_audio_features_known_values(spark):
+    # "ab" = bytes 97, 98 → centered -31, -30: no sign change,
+    # mean -30.5, rms sqrt((961+900)/2)
+    df = spark.createDataFrame([(1, "ab"), (2, "")], ["doc_id", "text"])
+    rows = MM.extract_audio_features(MM.attach_demo_binary(df)).collect()
+    assert len(rows) == 1  # empty blob emits no row
+    r = rows[0]
+    assert (r["doc_id"], r["n_samples"], r["n_sign_changes"]) == (1, 2, 0)
+    assert r["mean_amp"] == -30.5
+    assert abs(r["rms"] - 30.5041) < 1e-9
+
+
+def test_audio_features_sign_changes(spark):
+    # chr(100)=d (neg after centering), chr(200) (pos), chr(100) → 2 changes
+    text = chr(100) + chr(200) + chr(100)
+    df = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+    # NB: utf-8 encodes chr(200) as TWO bytes (0xC3 0x88 — both ≥128),
+    # so centered signs are -, +, +, - → 2 sign changes
+    r = MM.extract_audio_features(MM.attach_demo_binary(df)).collect()[0]
+    assert r["n_samples"] == 4
+    assert r["n_sign_changes"] == 2
