@@ -151,3 +151,34 @@ def escape_identifier(name: str, dialect: str = "spark") -> str:
     if dialect == "tsql":
         return f"[{name}]"
     return "`" + name.replace("`", "``") + "`"
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data hygiene; no reference analog — the
+# reference handles only GUID/amount repair, utilities.py:570-596.
+# Standard corpus-scrub pass before LLM training.)
+# ---------------------------------------------------------------------------
+
+# RE2/Java-portable patterns (no lookarounds), so a SQL oracle can
+# apply the identical regexes.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, SSNs, and phone numbers with bracketed tokens.
+    SSN before phone: d{3}-d{2}-d{4} must not be half-eaten by the
+    phone pattern. Pure Column expression — JVM regex, no UDF."""
+    out = F.regexp_replace(col, PII_EMAIL_RE, "[EMAIL]")
+    out = F.regexp_replace(out, PII_SSN_RE, "[SSN]")
+    return F.regexp_replace(out, PII_PHONE_RE, "[PHONE]")
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind match counts (audit columns for a scrub report)."""
+    return {
+        "n_emails": F.regexp_count(col, F.lit(PII_EMAIL_RE)),
+        "n_ssns": F.regexp_count(col, F.lit(PII_SSN_RE)),
+        "n_phones": F.regexp_count(col, F.lit(PII_PHONE_RE)),
+    }

@@ -81,6 +81,62 @@ FROM messy
 """
 
 
+# ---------------------------------------------------------------------------
+# PII redaction: emails/SSNs/phones scrubbed from documents enriched
+# with deterministic doc_id-derived PII (the corpus carries none of its
+# own, so the synthesis makes every regex path fire on every row).
+# ---------------------------------------------------------------------------
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.cleansing import pii_counts, redact_pii
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach me at user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn 123-45-6789."),
+        ).alias("t"))
+    counts = pii_counts(F.col("t"))
+    return enriched.select(
+        "doc_id",
+        counts["n_emails"].cast("long").alias("n_emails"),
+        counts["n_ssns"].cast("long").alias("n_ssns"),
+        counts["n_phones"].cast("long").alias("n_phones"),
+        F.length(redact_pii(F.col("t"))).cast("long").alias("redacted_len"),
+    )
+
+
+def _pii_oracle() -> str:
+    from ..functions.cleansing import (
+        PII_EMAIL_RE, PII_PHONE_RE, PII_SSN_RE,
+    )
+    enrich = ("text || ' reach me at user' || doc_id || '@example.com or 555-'"
+              " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+              " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+              " || ' ssn 123-45-6789.'")
+    redacted = ("regexp_replace(regexp_replace(regexp_replace(t, '"
+                + PII_EMAIL_RE + "', '[EMAIL]', 'g'), '"
+                + PII_SSN_RE + "', '[SSN]', 'g'), '"
+                + PII_PHONE_RE + "', '[PHONE]', 'g')")
+    return (
+        "WITH p AS (SELECT doc_id, " + enrich + " AS t FROM documents)\n"
+        "SELECT doc_id,\n"
+        "  CAST(len(regexp_extract_all(t, '" + PII_EMAIL_RE + "')) AS BIGINT) AS n_emails,\n"
+        "  CAST(len(regexp_extract_all(t, '" + PII_SSN_RE + "')) AS BIGINT) AS n_ssns,\n"
+        "  CAST(len(regexp_extract_all(t, '" + PII_PHONE_RE + "')) AS BIGINT) AS n_phones,\n"
+        "  CAST(length(" + redacted + ") AS BIGINT) AS redacted_len\n"
+        "FROM p"
+    )
+
+
+ORACLE["pii_redaction_stats"] = _pii_oracle()
+
+
 QUERIES = {
     "cleanse_mixed_orders": cleanse_mixed_orders,
+    "pii_redaction_stats": pii_redaction_stats,
 }

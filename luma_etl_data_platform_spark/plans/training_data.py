@@ -525,8 +525,81 @@ FROM err GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# decontamination: benchmark-leakage guard — training docs sharing any
+# 3-gram shingle with the (hash-split) test set, with overlap counts.
+# Test shingle set broadcast: no shuffle of the training index.
+# ---------------------------------------------------------------------------
+def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decontaminate import contamination_report
+    from ..operators.sampling import train_test_split
+    docs = load_table(spark, sf_dir, "documents")
+    train, test = train_test_split(docs, "doc_id", test_fraction=0.1)
+    return (contamination_report(train, test)
+            .orderBy(F.col("n_shared_shingles").desc(), "doc_id"))
+
+
+ORACLE["decontamination_report"] = f"""
+WITH {_SH_CTE},
+b AS (SELECT doc_id,
+             CAST('0x' || substr(md5('0:' || doc_id), 1, 8) AS BIGINT) % 10000
+               AS bucket
+      FROM documents),
+tr AS (SELECT hs.* FROM hs JOIN b USING (doc_id) WHERE bucket >= 1000),
+te AS (SELECT DISTINCT h1, h2 FROM hs JOIN b USING (doc_id) WHERE bucket < 1000)
+SELECT tr.doc_id, count(*) AS n_shared_shingles
+FROM tr JOIN te USING (h1, h2)
+GROUP BY 1
+ORDER BY 2 DESC, 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# tf-idf: top-3 characteristic terms per document — explode → per-doc
+# term counts → document frequencies → tf·ln(N/df), ranked per doc.
+# N arrives via a broadcast 1-row aggregate (no driver collect).
+# ---------------------------------------------------------------------------
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term").crossJoin(F.broadcast(n))
+        .select("doc_id", "term", "tf", "df",
+                F.round(F.col("tf") * F.log(F.col("n_docs").cast("double")
+                                            / F.col("df")), 6).alias("score"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("doc_id", "rnk", "term", "tf", "df", "score"))
+
+
+ORACLE["tfidf_top_terms"] = """
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+             FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (SELECT doc_id, term, tf, df,
+                  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term) AS rnk
+           FROM scored)
+SELECT doc_id, rnk, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score
+FROM ranked WHERE rnk <= 3
+"""
+
+
 QUERIES = {
     "text_quality_stats": text_quality_stats,
+    "decontamination_report": decontamination_report,
+    "tfidf_top_terms": tfidf_top_terms,
     "crossmodal_quality_by_label": crossmodal_quality_by_label,
     "sample_split_stats": sample_split_stats,
     "quantile_trim_events": quantile_trim_events,
