@@ -596,10 +596,52 @@ FROM ranked WHERE rnk <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# z-score normalization per group: the standard feature-scaling pass
+# before training statistics. Moments are exact decimal sums (broadcast
+# back — one small row per group), the per-row transform is pure
+# deterministic double arithmetic; no second shuffle of the fact table.
+# ---------------------------------------------------------------------------
+def zscore_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(18,2)")
+    moments = (
+        ev.groupBy("event_type")
+        .agg(F.sum(x).cast("double").alias("sx"),
+             F.sum(x * x).cast("double").alias("sxx"),
+             F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    n = F.col("n")
+    mean = F.col("sx") / n
+    std = F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1))
+    return (
+        ev.join(F.broadcast(moments), "event_type")
+        .select("event_id", "event_type",
+                F.round((F.col("value") - mean) / std, 4).alias("zscore"))
+    )
+
+
+ORACLE["zscore_normalize_events"] = """
+WITH m AS (
+  SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value AS DECIMAL(18,2))
+                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         count(*) AS n
+  FROM events GROUP BY 1 HAVING count(*) >= 2)
+SELECT event_id, events.event_type,
+       round((value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 4)
+         AS zscore
+FROM events JOIN m ON events.event_type = m.event_type
+"""
+
+
 QUERIES = {
     "text_quality_stats": text_quality_stats,
     "decontamination_report": decontamination_report,
     "tfidf_top_terms": tfidf_top_terms,
+    "zscore_normalize_events": zscore_normalize_events,
     "crossmodal_quality_by_label": crossmodal_quality_by_label,
     "sample_split_stats": sample_split_stats,
     "quantile_trim_events": quantile_trim_events,
