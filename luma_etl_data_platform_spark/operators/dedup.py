@@ -124,7 +124,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 # ---------------------------------------------------------------------------
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
-                       n: int = 3, num_hashes: int = 16) -> DataFrame:
+                       n: int = 3, num_hashes: int = 16,
+                       index: DataFrame | None = None) -> DataFrame:
     """Per-doc MinHash signature: for each seed, the min portable hash
     over the doc's shingles. One explode + one groupBy(id) with
     ``num_hashes`` min-aggregates (map-side combinable).
@@ -133,8 +134,12 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     h1 (hex 1-8) and h2 (hex 9-16); hash_i = (h1 + i*h2) mod 2^32.
     16x fewer digest computations than independent seeded hashes, and
     still engine-portable (the DuckDB oracle states the same formula).
+
+    Pass a prebuilt (ideally persisted) ``index`` from
+    ``_shingle_index`` to avoid re-shingling a corpus that another
+    stage already indexed.
     """
-    idx = _shingle_index(df, text_col, id_col, n)  # already carries h1/h2
+    idx = index if index is not None else _shingle_index(df, text_col, id_col, n)
     aggs = [
         F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(4294967296).cast("long"))
         .alias(f"mh_{i}")
@@ -149,9 +154,26 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       df_cap: int | None = None,
                       persist_index: bool = True) -> DataFrame:
     """Candidate pairs from banded MinHash buckets, verified with exact
-    Jaccard ≥ threshold. Deterministic end-to-end (portable hashes)."""
+    Jaccard ≥ threshold. Deterministic end-to-end (portable hashes).
+
+    One corpus scan: the persisted shingle index feeds BOTH the
+    signature aggregation and the exact-Jaccard verification (the
+    md5 digests are the dominant cost — computing them twice doubles
+    the whole job at corpus scale), and the per-doc signature is
+    persisted before the banded self-join so each side reads the
+    cached one-row-per-doc table."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    # exact verification index; signatures intentionally use the
+    # UNCAPPED shingle set (df_cap only bounds the verification join)
+    idx = _shingle_index(df, text_col, id_col, n, df_cap)
+    if persist_index:
+        from pyspark import StorageLevel
+        idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes,
+                             index=idx if df_cap is None else None)
+    if persist_index:
+        from pyspark import StorageLevel
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     # bucket key per band: md5 of the band's signature slice. One
     # explode instead of a bands-way union — a single pass over sig.
     band_structs = []
@@ -171,11 +193,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # exact verification restricted to candidates
-    idx = _shingle_index(df, text_col, id_col, n, df_cap)
-    if persist_index:
-        from pyspark import StorageLevel
-        idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = idx.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ia = idx.withColumnRenamed("_id", "id_a")
     ib = idx.withColumnRenamed("_id", "id_b")
