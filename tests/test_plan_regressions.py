@@ -44,6 +44,32 @@ def test_q1_partial_aggregation(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_decontamination_broadcasts_test_shingles(spark):
+    """The test-corpus shingle set must reach the contamination join
+    as a broadcast: losing it re-shuffles the full training index."""
+    from luma_etl_data_platform_spark.operators.decontaminate import (
+        contamination_report,
+    )
+    from luma_etl_data_platform_spark.sources.tables import load_table
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _formatted_plan(contamination_report(docs.limit(40), docs.limit(10)))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_and_simhash_persist_shared_state(spark):
+    """minhash must scan/shingle the corpus ONCE (persisted index
+    feeds signatures AND verification); simhash must persist its
+    signature before the banded self-join. A cached InMemory scan in
+    the plan is the contract."""
+    from luma_etl_data_platform_spark.operators import dedup as D
+    from luma_etl_data_platform_spark.sources.tables import load_table
+    docs = load_table(spark, SF_SMOKE, "documents")
+    mh_plan = _formatted_plan(D.minhash_lsh_pairs(docs, "text", "doc_id"))
+    assert "InMemoryTableScan" in mh_plan or "InMemoryRelation" in mh_plan
+    sh_plan = _formatted_plan(D.simhash_pairs(docs, "text", "doc_id"))
+    assert "InMemoryTableScan" in sh_plan or "InMemoryRelation" in sh_plan
+
+
 def test_no_query_builds_a_cartesian_product(spark):
     """Sweep every registry query's physical plan: CartesianProduct
     must never appear (broadcast-nested-loop against a 1-row query
