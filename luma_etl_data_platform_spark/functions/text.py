@@ -116,3 +116,44 @@ def lang_id(col: Column) -> Column:
         .when(c_fr > 0, F.lit("fr"))
         .otherwise(F.lit("und"))
     )
+
+
+def winnow_fingerprints(df, text_col: str, id_col: str,
+                        k: int = 5, w: int = 4):
+    """Winnowing document fingerprints (the MOSS algorithm): hash
+    every k-gram, then keep the MINIMUM hash of each sliding window
+    of ``w`` consecutive k-grams. Guarantees: any shared substring of
+    length ≥ k + w - 1 between two documents yields at least one
+    shared fingerprint, while storing only ~2/(w+1) of the hashes —
+    the rolling-hash fingerprint family the plain md5 ``fingerprint``
+    (whole-document identity) cannot provide.
+
+    Plan shape: posexplode k-grams → window min over (doc, position)
+    — one shuffle on the document id, no self-joins; output is the
+    DISTINCT fingerprint set per document. Hashes are the portable
+    md5 derivation, so a SQL oracle reproduces them exactly.
+
+    Returns (id_col, fp) — one row per distinct fingerprint.
+    """
+    from pyspark.sql.window import Window as W
+    t = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(t) >= k,
+        F.transform(F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(t, i, k))),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = (df.select(F.col(id_col), F.posexplode(grams).alias("pos", "g"))
+           .select(id_col, "pos", portable_hash32(F.col("g")).alias("h")))
+    win = (W.partitionBy(id_col).orderBy("pos")
+           .rowsBetween(0, w - 1))
+    # min over the NEXT w hashes at each position; positions within
+    # w-1 of the end see a short window — dropped (they duplicate
+    # earlier windows' minima candidates but would change the set).
+    n_grams = W.partitionBy(id_col)
+    fps = (pos
+           .withColumn("_n", F.count(F.lit(1)).over(n_grams))
+           .withColumn("_wmin", F.min("h").over(win))
+           .filter(F.col("pos") <= F.col("_n") - w)
+           .select(id_col, F.col("_wmin").alias("fp"))
+           .distinct())
+    return fps

@@ -105,11 +105,57 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
 
 def resize_images(df: DataFrame, width: int, height: int,
                   content_col: str = "content") -> DataFrame:
-    """Real image resize — requires PIL, which this container lacks."""
+    """Codec-format image resize — requires PIL to decode
+    JPEG/PNG/etc., which this container lacks. For raw bitmaps use
+    ``resize_raw_gray`` below (no codec needed, fully implemented)."""
     if not _HAVE_PIL:
         raise NotImplementedError(
             "image resize needs PIL; install pillow in the deployment image")
     raise NotImplementedError("PIL path not exercised in this build")
+
+
+RESIZE_SCHEMA = ("doc_id long, out_w int, out_h int, "
+                 "pixels binary, pixel_sum long")
+
+
+def resize_raw_gray(df: DataFrame, src_w: int, src_h: int,
+                    dst_w: int, dst_h: int,
+                    content_col: str = "content",
+                    id_col: str = "doc_id") -> DataFrame:
+    """REAL nearest-neighbor resize over raw row-major grayscale
+    bitmaps (one byte per pixel) — no codec library needed, so unlike
+    ``resize_images`` this path is fully implemented: blobs are
+    zero-padded/truncated to src_w×src_h, then sampled at
+    ``src_index = floor(dst_index * src/dst)`` per axis (the textbook
+    nearest-neighbor mapping), vectorized with numpy over Arrow
+    batches. Emits the resized bitmap and its pixel sum (an exact
+    integer checksum a SQL oracle can recompute byte-by-byte)."""
+    import numpy as np
+
+    rows_map = (np.arange(dst_h) * src_h // dst_h)
+    cols_map = (np.arange(dst_w) * src_w // dst_w)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, pix, sums = [], [], []
+            for did, blob in zip(pdf[id_col], pdf[content_col]):
+                buf = np.zeros(src_w * src_h, dtype=np.uint8)
+                raw = np.frombuffer(bytes(blob)[:src_w * src_h], dtype=np.uint8)
+                buf[:len(raw)] = raw
+                img = buf.reshape(src_h, src_w)
+                out = img[np.ix_(rows_map, cols_map)]
+                ids.append(int(did))
+                pix.append(out.tobytes())
+                sums.append(int(out.astype(np.int64).sum()))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "out_w": pd.Series([dst_w] * len(ids), dtype="int32"),
+                "out_h": pd.Series([dst_h] * len(ids), dtype="int32"),
+                "pixels": pix,
+                "pixel_sum": pd.Series(sums, dtype="int64"),
+            })
+
+    return spread(df).mapInPandas(batches, RESIZE_SCHEMA)
 
 
 AUDIO_SCHEMA = ("doc_id long, n_samples long, mean_amp double, "

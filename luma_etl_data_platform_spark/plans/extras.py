@@ -452,6 +452,35 @@ FROM agg JOIN sc USING (doc_id)
 """
 
 
+# multimodal resize: REAL nearest-neighbor resize of raw 32x32
+# grayscale bitmaps to 8x8 (blob zero-padded/truncated) — the oracle
+# recomputes the exact sampled-pixel checksum byte-by-byte: sampled
+# positions are 128*r + 4*c for r,c in 0..7.
+def multimodal_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_demo_binary(docs)
+    resized = MM.resize_raw_gray(media, src_w=32, src_h=32, dst_w=8, dst_h=8)
+    return resized.select("doc_id", "out_w", "out_h", "pixel_sum")
+
+
+ORACLE["multimodal_resize_checksum"] = """
+WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+grid AS (SELECT r.r, c.c
+         FROM (SELECT unnest(generate_series(0, 7)) AS r) r
+         CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS c) c),
+px AS (SELECT doc_id, 128 * r + 4 * c AS p, h, n FROM b CROSS JOIN grid),
+v AS (SELECT doc_id,
+             CASE WHEN p < n THEN CAST('0x' || substr(h, 2 * p + 1, 2) AS INTEGER)
+                  ELSE 0 END AS byte
+      FROM px)
+SELECT doc_id, 8 AS out_w, 8 AS out_h,
+       CAST(sum(byte) AS BIGINT) AS pixel_sum
+FROM v GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # approximate aggregates — engine-specific sketches (HLL / KLL), so no
 # DuckDB oracle: the driver records the weaker rows-only check. The
@@ -604,4 +633,5 @@ QUERIES = {
     "multimodal_image_meta": multimodal_image_meta,
     "multimodal_frame_stats": multimodal_frame_stats,
     "multimodal_audio_features": multimodal_audio_features,
+    "multimodal_resize_checksum": multimodal_resize_checksum,
 }

@@ -637,11 +637,44 @@ FROM events JOIN m ON events.event_type = m.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS rolling-hash): min hash of each sliding
+# window of k-gram hashes — any shared run of >= k+w-1 tokens between
+# two docs is guaranteed a shared fingerprint. posexplode + window
+# min, one shuffle on doc_id, portable hashes.
+# ---------------------------------------------------------------------------
+def winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.winnow_fingerprints(docs, "text", "doc_id", k=5, w=4)
+
+
+ORACLE["winnow_fingerprints_docs"] = """
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
+             FROM documents),
+pos AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i
+        FROM tok),
+g AS (SELECT doc_id, i - 1 AS pos,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                  || ' ' || t[i+4] AS gram
+      FROM pos),
+h AS (SELECT doc_id, pos,
+             CAST('0x' || substr(md5('0:' || gram), 1, 8) AS BIGINT) AS hv
+      FROM g),
+wm AS (SELECT doc_id, pos,
+              min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+              count(*) OVER (PARTITION BY doc_id) AS n
+       FROM h)
+SELECT DISTINCT doc_id, wmin AS fp FROM wm WHERE pos <= n - 4
+"""
+
+
 QUERIES = {
     "text_quality_stats": text_quality_stats,
     "decontamination_report": decontamination_report,
     "tfidf_top_terms": tfidf_top_terms,
     "zscore_normalize_events": zscore_normalize_events,
+    "winnow_fingerprints_docs": winnow_fingerprints_docs,
     "crossmodal_quality_by_label": crossmodal_quality_by_label,
     "sample_split_stats": sample_split_stats,
     "quantile_trim_events": quantile_trim_events,

@@ -170,6 +170,47 @@ def test_resize_requires_pil():
             m.resize_images(None, 10, 10)
 
 
+def test_resize_raw_gray_known_bitmap(spark):
+    # 4x4 bitmap with values 0..15 → 2x2 nearest-neighbor picks
+    # rows [0,2] x cols [0,2]: pixels (0, 2, 8, 10)
+    blob = bytes(range(16))
+    df = spark.createDataFrame([(1, blob)], "doc_id long, content binary")
+    r = MM.resize_raw_gray(df, 4, 4, 2, 2).collect()[0]
+    assert bytes(r["pixels"]) == bytes([0, 2, 8, 10])
+    assert r["pixel_sum"] == 20
+    assert (r["out_w"], r["out_h"]) == (2, 2)
+
+
+def test_resize_raw_gray_pads_short_blobs(spark):
+    # 3-byte blob zero-padded into a 4x4 frame: sampled pixels are
+    # (0, 2, 0, 0)
+    df = spark.createDataFrame([(1, bytes([5, 6, 2]))],
+                               "doc_id long, content binary")
+    r = MM.resize_raw_gray(df, 4, 4, 2, 2).collect()[0]
+    assert bytes(r["pixels"]) == bytes([5, 2, 0, 0])
+    assert r["pixel_sum"] == 7
+
+
+def test_winnow_fingerprints_shared_run_guarantee(spark):
+    """Two docs sharing a run of >= k+w-1 tokens must share at least
+    one winnowing fingerprint; a doc with disjoint vocabulary must
+    share none."""
+    from luma_etl_data_platform_spark.functions.text import winnow_fingerprints
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = k+w-1
+    df = spark.createDataFrame([
+        (1, f"intro words {shared} tail one"),
+        (2, f"other prefix {shared} different ending"),
+        (3, "completely unrelated vocabulary nothing matches here at all ok"),
+    ], ["doc_id", "text"])
+    fps = winnow_fingerprints(df, "text", "doc_id", k=5, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc.get(3, set()))
+    assert not (by_doc[2] & by_doc.get(3, set()))
+
+
 def test_audio_features_known_values(spark):
     # "ab" = bytes 97, 98 → centered -31, -30: no sign change,
     # mean -30.5, rms sqrt((961+900)/2)
