@@ -157,3 +157,16 @@ def winnow_fingerprints(df, text_col: str, id_col: str,
            .select(id_col, F.col("_wmin").alias("fp"))
            .distinct())
     return fps
+
+
+def repetition_ratio(col: Column, n: int = 3) -> Column:
+    """Within-document repetition score in [0,1): share of n-gram
+    occurrences that are repeats of an earlier n-gram —
+    ``1 - distinct/total``. High values flag boilerplate/spam docs
+    (the standard repetition quality filter). 0.0 for docs shorter
+    than ``n`` tokens."""
+    t = tokens(col)
+    total = F.size(t) - (n - 1)
+    distinct = F.size(shingles(col, n))
+    return F.when(total > 0,
+                  F.round(F.lit(1.0) - distinct / total, 6)).otherwise(F.lit(0.0))

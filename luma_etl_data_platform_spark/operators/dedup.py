@@ -119,6 +119,45 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def ngram_containment_pairs(df: DataFrame, text_col: str, id_col: str,
+                            n: int = 3, threshold: float = 0.8,
+                            df_cap: int | None = None,
+                            persist_index: bool = True) -> DataFrame:
+    """Asymmetric containment join: pairs where the SMALLER document's
+    shingle set is mostly inside the other's —
+    ``containment = |A ∩ B| / min(|A|, |B|) ≥ threshold``.
+
+    Catches what symmetric Jaccard misses: a short document quoted
+    wholesale inside a long one scores near-zero Jaccard (the union is
+    dominated by the long doc) but containment ≈ 1. The standard
+    second pass after Jaccard dedup in corpus curation. Same
+    inverted-index plan shape as ``ngram_jaccard_pairs`` — one
+    persisted index, no cross product."""
+    idx = _shingle_index(df, text_col, id_col, n, df_cap)
+    if persist_index:
+        from pyspark import StorageLevel
+        idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = idx.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = idx.alias("a"), idx.alias("b")
+    common = (
+        a.join(b, (F.col("a.h1") == F.col("b.h1")) & (F.col("a.h2") == F.col("b.h2"))
+               & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.least(F.col("n_a"), F.col("n_b")), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

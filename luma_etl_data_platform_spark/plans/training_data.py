@@ -669,9 +669,66 @@ SELECT DISTINCT doc_id, wmin AS fp FROM wm WHERE pos <= n - 4
 """
 
 
+# ---------------------------------------------------------------------------
+# containment dedup: asymmetric |A∩B|/min(|A|,|B|) — catches short
+# docs quoted wholesale inside long ones, which symmetric Jaccard
+# scores near zero. Same inverted-index shape, shared df_cap.
+# ---------------------------------------------------------------------------
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(docs, "text", "doc_id", n=3,
+                                     threshold=0.5, df_cap=_NGRAM_DF_CAP)
+
+
+ORACLE["dedup_containment_pairs"] = f"""
+WITH {_SH_CTE},
+hot AS (SELECT h1, h2 FROM hs GROUP BY 1, 2 HAVING count(*) > {_NGRAM_DF_CAP}),
+hsc AS (SELECT hs.* FROM hs ANTI JOIN hot USING (h1, h2)),
+szc AS (SELECT doc_id, count(*) AS n FROM hsc GROUP BY 1),
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM hsc a JOIN hsc b
+             ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT id_a, id_b, round(c / least(x.n, y.n), 6) AS containment
+FROM common JOIN szc x ON id_a = x.doc_id JOIN szc y ON id_b = y.doc_id
+WHERE round(c / least(x.n, y.n), 6) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# repetition quality filter: per-doc share of 3-gram occurrences that
+# repeat an earlier 3-gram (1 - distinct/total) — boilerplate/spam
+# signal; pure Column arithmetic.
+# ---------------------------------------------------------------------------
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = X.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        (F.size(t) - 2).cast("long").alias("n_grams_total"),
+        F.size(X.shingles(F.col("text"), 3)).cast("long").alias("n_grams_distinct"),
+        X.repetition_ratio(F.col("text"), 3).alias("repetition"),
+    )
+
+
+ORACLE["text_repetition_stats"] = f"""
+WITH {_SH_CTE},
+tot AS (SELECT doc_id, len(regexp_extract_all(lower(text), '\\w+')) - 2 AS nt
+        FROM documents)
+SELECT t.doc_id,
+       CAST(t.nt AS BIGINT) AS n_grams_total,
+       CAST(coalesce(sz.n, 0) AS BIGINT) AS n_grams_distinct,
+       CASE WHEN t.nt > 0 THEN round(1.0 - coalesce(sz.n, 0) / t.nt, 6)
+            ELSE 0.0 END AS repetition
+FROM tot t LEFT JOIN sz ON t.doc_id = sz.doc_id
+"""
+
+
 QUERIES = {
     "text_quality_stats": text_quality_stats,
     "decontamination_report": decontamination_report,
+    "dedup_containment_pairs": dedup_containment_pairs,
+    "text_repetition_stats": text_repetition_stats,
     "tfidf_top_terms": tfidf_top_terms,
     "zscore_normalize_events": zscore_normalize_events,
     "winnow_fingerprints_docs": winnow_fingerprints_docs,

@@ -52,7 +52,35 @@ def test_decontaminate_empty_test_keeps_all(spark):
     assert decontaminate(train, empty).count() == train.count()
 
 
-def test_redact_pii_all_kinds(spark):
+def test_containment_catches_quoted_subdocument(spark):
+    """A short doc quoted inside a long one: Jaccard stays below 0.5
+    (union dominated by the long doc) but containment is 1.0."""
+    from luma_etl_data_platform_spark.operators.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs,
+    )
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short), (2, f"{filler} {short} {filler}")], ["doc_id", "text"])
+    jac = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    assert jac == []  # symmetric metric misses it
+    cont = ngram_containment_pairs(df, "text", "doc_id", threshold=0.8).collect()
+    assert [(r["id_a"], r["id_b"], r["containment"]) for r in cont] == [(1, 2, 1.0)]
+
+
+def test_repetition_ratio_flags_boilerplate(spark):
+    from luma_etl_data_platform_spark.functions.text import repetition_ratio
+    df = spark.createDataFrame([
+        (1, "spam phrase again " * 20),          # one 3-gram cycle repeated
+        (2, " ".join(f"unique{i}" for i in range(60))),
+        (3, "too short"),
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: r["rep"] for r in
+           df.select("doc_id",
+                     repetition_ratio(F.col("text")).alias("rep")).collect()}
+    assert got[1] > 0.9
+    assert got[2] == 0.0
+    assert got[3] == 0.0
     df = spark.createDataFrame([
         (1, "mail a.b+c@x-corp.io, ssn 123-45-6789, call 555-123-4567 now"),
         (2, "clean text with number 12345 and date 2024-01-01"),
