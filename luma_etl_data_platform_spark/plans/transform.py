@@ -164,7 +164,15 @@ def merge_upsert_parquet(spark: SparkSession, target_path: str,
     per-partition — sub-linear in target size.
 
     Source must be deduplicated on ``keys`` (last-writer-wins is the
-    caller's policy decision)."""
+    caller's policy decision).
+
+    Partition-stability contract: with ``partition_cols``, a key's
+    partition values must not change between loads (make the
+    partition columns part of the key, or immutable attributes of
+    it). A row that "moves" partitions would leave its old copy
+    behind, because only partitions present in the source are read —
+    that is exactly the trade that makes the rewrite sub-linear. Use
+    the unpartitioned path (global anti-join) when keys can migrate."""
     try:
         target = spark.read.parquet(target_path)
         exists = True
