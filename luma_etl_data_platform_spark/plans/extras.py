@@ -463,6 +463,60 @@ def multimodal_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select("doc_id", "out_w", "out_h", "pixel_sum")
 
 
+# salted join under the oracle: the hot-key mitigation must be
+# RESULT-invariant — salting only changes row distribution (random
+# salt on the big side, replicated small side), so the grouped output
+# equals the plain SQL join bit-for-bit.
+def salted_join_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+    from ._exact import exact_sum
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("value").cast("decimal(18,2)").alias("value"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    j = salted_join(ev, cust, "user_id", salt=8)
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 exact_sum(F.col("value")).alias("total_value"))
+            .orderBy("c_mktsegment"))
+
+
+ORACLE["salted_join_user_segments"] = """
+SELECT c_mktsegment, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# equal-width histogram: 10 global bins between min/max (exact
+# endpoints), bin index clamped at 9 — identical float arithmetic on
+# both engines. Min/max arrive via a broadcast 1-row aggregate.
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    binned = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(F.least(
+            F.floor((F.col("value") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin")) * 10).cast("long"),
+            F.lit(9).cast("long")).alias("bin"))
+    )
+    return (binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .orderBy("bin"))
+
+
+ORACLE["event_value_histogram"] = """
+WITH b AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events)
+SELECT least(CAST(floor((value - vmin) / (vmax - vmin) * 10) AS BIGINT),
+             9) AS bin,
+       count(*) AS n_events
+FROM events CROSS JOIN b
+GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE["multimodal_resize_checksum"] = """
 WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
                   octet_length(encode(text)) AS n
@@ -634,4 +688,6 @@ QUERIES = {
     "multimodal_frame_stats": multimodal_frame_stats,
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_resize_checksum": multimodal_resize_checksum,
+    "salted_join_user_segments": salted_join_user_segments,
+    "event_value_histogram": event_value_histogram,
 }
