@@ -14,14 +14,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .plans import (
-    cleansing_queries, extras, setops_udx, sql_api, streaming_twins,
-    tpch_more, training_data, warehouse, windows,
+    cleansing_queries, curation, extras, setops_udx, sql_api,
+    streaming_twins, tpch_more, training_data, warehouse, windows,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULES = (warehouse, training_data, windows, extras, cleansing_queries,
-            setops_udx, tpch_more, sql_api, streaming_twins)
+            setops_udx, tpch_more, sql_api, streaming_twins, curation)
 
 
 def all_queries() -> dict[str, QueryFn]:

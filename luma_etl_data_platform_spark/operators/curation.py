@@ -1,0 +1,143 @@
+"""Corpus-curation operators for LLM training-data pipelines:
+rule-based quality filtering (Gopher-style), deterministic stratified
+sampling, domain-mixture weighting, and concat-and-chunk sequence
+packing.
+
+Beyond-reference surface: the reference (an ERP ETL tool) has no
+corpus-curation layer; these are the selection / mixing / packing
+operators a 100-TB pretraining pipeline needs (task brief). All
+logic is pure ``pyspark.sql`` Column expressions or single-shuffle
+window/groupBy plans — no Python UDFs — built on the portable md5
+primitives from ``functions.text`` so every operator is verifiable
+against a DuckDB oracle bit-for-bit.
+
+Scale notes
+-----------
+* ``gopher_rule_flags`` is a narrow map stage — no shuffle at all;
+  at 100 TB it pipelines with the scan.
+* ``stratified_sample_flag`` is also narrow: membership is a pure
+  function of (stratum, id), so the sample is reproducible, needs no
+  count-first pass, and never materializes the stratum sizes.
+* ``pack_sequences`` shuffles once on a hash bucket; the running
+  token total is a per-bucket window. Bucket count is the
+  parallelism dial — 32 here, thousands on a cluster — and packing
+  quality is unaffected by bucket count (each bucket is an
+  independent stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import text as X
+
+# Gopher-style rule thresholds (Rae et al. 2021, "Scaling Language
+# Models" appendix A1.1 — adapted to the small synthetic docs).
+# Stated as module constants so the SQL oracles quote the same values.
+MIN_TOKENS = 20
+MAX_TOKENS = 100_000
+MIN_AVG_TOKEN_LEN = 3.0
+MAX_AVG_TOKEN_LEN = 10.0
+MIN_STOPWORDS = 2
+MAX_REPETITION = 0.20
+
+
+def gopher_rule_flags(text_col: Column) -> dict[str, Column]:
+    """Boolean flag per quality rule: token-count bounds, mean token
+    length bounds, minimum stopword hits, and n-gram repetition cap.
+    Pure Column arithmetic — evaluates in the scan stage."""
+    t = X.tokens(text_col)
+    wc = F.size(t)
+    awl = X.avg_token_len(text_col)
+    sw = F.size(F.filter(t, lambda x: x.isin(*X.STOPWORDS)))
+    rep = X.repetition_ratio(text_col, 3)
+    return {
+        "pass_wc": (wc >= MIN_TOKENS) & (wc <= MAX_TOKENS),
+        "pass_awl": (awl >= MIN_AVG_TOKEN_LEN) & (awl <= MAX_AVG_TOKEN_LEN),
+        "pass_stop": sw >= MIN_STOPWORDS,
+        "pass_rep": rep <= MAX_REPETITION,
+    }
+
+
+def stratified_sample_flag(stratum_col: Column, id_col: Column,
+                           rates_pct: dict[str, int],
+                           default_pct: int = 2) -> Column:
+    """Deterministic per-stratum Bernoulli membership: a row is in the
+    sample iff ``portable_hash32(stratum ':' id) % 100 < rate(stratum)``.
+
+    No RNG, no count-first pass, no driver round-trip: membership is a
+    pure function of the row, so re-running at any partitioning (or on
+    a different engine) selects the identical rows. ``rates_pct`` maps
+    stratum value → integer percent."""
+    h = X.portable_hash32(id_col, seed=stratum_col.cast("string"))
+    rate: Column = F.lit(default_pct)
+    for value, pct in sorted(rates_pct.items()):
+        rate = F.when(stratum_col == value, F.lit(pct)).otherwise(rate)
+    return F.pmod(h, F.lit(100)) < rate
+
+
+def domain_mix_weights(df: DataFrame, domain_col: str,
+                       tokens_col: Column) -> DataFrame:
+    """Per-domain upsampling weights that flatten the corpus to a
+    uniform token mixture: ``weight = target_share / actual_share``
+    with a uniform ``1/n_domains`` target.
+
+    One groupBy shuffle to per-domain totals, then a size-n_domains
+    window (broadcast-scale) for the global total — the 100-TB scan
+    never moves, only the tiny per-domain aggregate does."""
+    per = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tokens_col).cast("long").alias("domain_tokens"),
+    )
+    everything = W.partitionBy()
+    return (
+        per
+        .withColumn("_total", F.sum("domain_tokens").over(everything))
+        .withColumn("_n_dom", F.count(F.lit(1)).over(everything))
+        .select(
+            domain_col, "n_docs", "domain_tokens",
+            F.round(F.col("domain_tokens") / F.col("_total"), 6)
+             .alias("token_share"),
+            F.round((F.lit(1.0) / F.col("_n_dom"))
+                    / (F.col("domain_tokens") / F.col("_total")), 6)
+             .alias("mix_weight"),
+        )
+    )
+
+
+def pack_sequences(df: DataFrame, id_col: str, tokens_col: Column,
+                   ctx_len: int = 512, n_buckets: int = 32) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated
+    in a deterministic hash order and split into ``ctx_len``-token
+    training chunks; each document is assigned the chunk its first
+    token lands in.
+
+    The corpus is split into ``n_buckets`` independent streams by a
+    portable hash of the id (the parallelism dial — each bucket packs
+    independently, so results don't depend on bucket count staying
+    fixed only on the hash), ordered by (hash, id) within the bucket,
+    and a running token total places each doc:
+    ``chunk = floor((cumsum - n_tokens) / ctx_len)``.
+
+    Returns one row per (bucket, chunk): docs packed and tokens
+    filled. One shuffle (the bucket), one window, one groupBy on the
+    same key — no second shuffle thanks to the shared partitioning.
+    """
+    h = X.portable_hash32(F.col(id_col))
+    rows = df.select(
+        F.col(id_col),
+        F.pmod(h, F.lit(n_buckets)).alias("bucket"),
+        h.alias("_h"),
+        tokens_col.cast("long").alias("_tok"),
+    )
+    win = (W.partitionBy("bucket").orderBy("_h", id_col)
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    placed = rows.withColumn(
+        "chunk",
+        F.floor((F.sum("_tok").over(win) - F.col("_tok")) / ctx_len),
+    )
+    return (placed.groupBy("bucket", "chunk")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_tok").cast("long").alias("chunk_tokens")))
