@@ -181,6 +181,65 @@ def signlsh_neardup_pairs(df: DataFrame, threshold: float = 0.99,
     )
 
 
+def semantic_dedup_summary(df: DataFrame, k: int = 8,
+                           threshold: float = 0.30,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023),
+    label-free: cluster the corpus around ``k`` deterministic seed
+    vectors, then inside each cluster drop every vector that has a
+    more-similar-than-``threshold`` smaller-id neighbor. Returns the
+    per-cluster summary (cluster, n_vecs, n_dropped, n_kept).
+
+    Determinism without RNG: the seeds are the ``k`` vectors with the
+    smallest portable md5 hash of their id — any engine derives the
+    same seeds — and assignment is argmax cosine with ties broken on
+    the smaller seed id, so a SQL oracle reproduces the clustering
+    exactly. The drop rule is the greedy keep-smallest-id rule applied
+    non-sequentially (x is dropped iff SOME smaller-id neighbor is
+    within τ, whether or not that neighbor is itself dropped) — a
+    deterministic superset of sequential greedy dropping.
+
+    Scale shape: seeds are a k-row broadcast folded into a single
+    argmax over an array column (no shuffle to assign — the scan
+    pipelines); the only corpus shuffle is the within-cluster
+    self-join, which is O(Σ n_c²) pairwise work — ``k`` is the dial
+    that bounds cluster sizes, exactly as in the paper (k grows with
+    the corpus so n_c stays bounded)."""
+    from ..functions.text import portable_hash32
+    v = _as_double(_spread(df), vec_col)
+    seeds = (v.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
+             .orderBy(portable_hash32(F.col("sid")), "sid").limit(k))
+    seed_row = seeds.agg(F.collect_list(F.struct("sid", "sv")).alias("_seeds"))
+    best = F.array_max(F.transform(
+        F.col("_seeds"),
+        lambda s: F.struct(
+            F.round(cosine(F.col(vec_col), s["sv"]), 6).alias("score"),
+            (-s["sid"]).alias("nsid"))))
+    assigned = (v.crossJoin(F.broadcast(seed_row))
+                .select(F.col(id_col), F.col(vec_col),
+                        (-best["nsid"]).alias("cluster")))
+    a = assigned.select("cluster", F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("_va"))
+    b = assigned.select("cluster", F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("_vb"))
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .select("cluster", F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_drop", F.lit(1)),
+                      ["cluster", id_col], "left")
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.count(F.col("_drop")).alias("n_dropped"),
+             (F.count(F.lit(1)) - F.count(F.col("_drop"))).alias("n_kept"))
+    )
+
+
 def quantize_int8(vec: Column) -> Column:
     """Per-vector scalar quantization to [0, 255]: q_i = round((x_i -
     vmin) / (vmax - vmin) * 255). 4x memory reduction for embedding

@@ -307,6 +307,47 @@ ORDER BY score DESC, id_a, id_b LIMIT 50
 """
 
 
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style label-free semantic dedup: cluster around 8
+    deterministic seed vectors (smallest md5-hash ids), drop vectors
+    with a ≥0.30-cosine smaller-id neighbor in their cluster; report
+    the per-cluster keep/drop summary."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (S.semantic_dedup_summary(emb, k=8, threshold=0.30)
+            .orderBy("cluster"))
+
+
+ORACLE["semantic_dedup_clusters"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (SELECT vec_id AS sid, v AS sv FROM e
+          ORDER BY CAST('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 8)
+                        AS BIGINT), vec_id
+          LIMIT 8),
+scored AS (SELECT e.vec_id, e.v, s.sid,
+                  round(list_dot_product(e.v, s.sv)
+                        / (sqrt(list_dot_product(e.v, e.v))
+                           * sqrt(list_dot_product(s.sv, s.sv))), 6) AS score
+           FROM e CROSS JOIN seeds s),
+assigned AS (SELECT vec_id, v, sid AS cluster FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY score DESC, sid) AS rn
+               FROM scored)
+             WHERE rn = 1),
+dropped AS (SELECT DISTINCT a.cluster AS dcl, b.vec_id AS dvid
+            FROM assigned a JOIN assigned b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.30)
+SELECT cluster, count(*) AS n_vecs,
+       count(d.dvid) AS n_dropped,
+       count(*) - count(d.dvid) AS n_kept
+FROM assigned LEFT JOIN dropped d
+  ON assigned.cluster = d.dcl AND assigned.vec_id = d.dvid
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.neardup_pairs_blocked(emb, threshold=-1.0, top=20)
@@ -736,6 +777,7 @@ QUERIES = {
     "sample_split_stats": sample_split_stats,
     "quantile_trim_events": quantile_trim_events,
     "dedup_cluster_reps": dedup_cluster_reps,
+    "semantic_dedup_clusters": semantic_dedup_clusters,
     "fuzzy_part_names": fuzzy_part_names,
     "posexplode_tokens": posexplode_tokens,
     "quantization_error_stats": quantization_error_stats,

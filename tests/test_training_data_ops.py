@@ -79,3 +79,31 @@ def test_df_cap_drops_stop_shingles(spark):
     uncapped = D.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.01)
     capped = D.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.01, df_cap=3)
     assert capped.count() <= uncapped.count()
+
+
+def test_semantic_dedup_conserves_and_drops_planted_dup(spark):
+    from luma_etl_data_platform_spark.operators.similarity import (
+        semantic_dedup_summary,
+    )
+    from luma_etl_data_platform_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    # plant an exact duplicate of the min-id vector under a fresh id
+    probe = emb.orderBy("vec_id").limit(1)
+    big_id = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    dup = probe.select((F.lit(big_id)).alias("vec_id"), "embedding", "label")
+    with_dup = emb.unionByName(dup)
+
+    summary = semantic_dedup_summary(with_dup, k=4, threshold=0.30)
+    rows = summary.collect()
+    n = with_dup.count()
+    assert sum(r["n_vecs"] for r in rows) == n          # partition of corpus
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_vecs"]
+    # the planted exact duplicate (cos = 1) must be dropped: total kept
+    # strictly below corpus size
+    assert sum(r["n_kept"] for r in rows) < n
+    # invariant to input partitioning
+    s2 = semantic_dedup_summary(with_dup.repartition(7), k=4, threshold=0.30)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, s2.collect()))
