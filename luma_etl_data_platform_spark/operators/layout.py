@@ -57,3 +57,74 @@ def write_zorder_layout(df: DataFrame, path: str, col1: str, col2: str,
           .sortWithinPartitions("_z")
           .drop("_z")
           .write.mode(mode).parquet(path))
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction — the other half of the layout story at scale:
+# streaming/incremental appends fragment a table into thousands of tiny
+# files, and every downstream scan then pays per-file open/footer costs
+# and loses row-group statistics leverage.
+# ---------------------------------------------------------------------------
+
+def data_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) under ``path`` (recursive), counting
+    only data files (skips _SUCCESS/_metadata and hidden files)."""
+    from ..plans.transform import _hadoop_fs
+    fs, root, jvm = _hadoop_fs(spark, path)
+    n = total = 0
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        n += 1
+        total += st.getLen()
+    return n, total
+
+
+def compact_small_files(spark: SparkSession, path: str,
+                        target_file_bytes: int = 128 * 1024 * 1024,
+                        partition_depth: int = 0) -> dict:
+    """Coalesce a fragmented parquet table into ~``target_file_bytes``
+    files, in place, via the staged-write + rename swap (the live
+    table is never cleared before its replacement is durable).
+
+    ``partition_depth`` > 0 treats ``path`` as a hive-partitioned tree
+    that deep (e.g. 1 for ``dt=...``) and compacts EACH PARTITION
+    INDEPENDENTLY, skipping partitions already at their target file
+    count — the 100-TB path: a nightly compaction touches only the
+    partitions today's stream fragmented, not the whole table, and
+    each partition's rewrite is a narrow ``coalesce`` (no shuffle —
+    file-count reduction doesn't need row movement; use
+    ``write_range_layout`` instead when re-sorting is the goal).
+
+    Returns ``{"partitions_seen", "partitions_compacted",
+    "files_before", "files_after"}``.
+
+    Reference parity: the reference splits oversized ingest files for
+    its loader (``utilities/splitfile.py:5-34``, SURVEY §2 O7); this
+    is the inverse dial — same knob (bytes per file), opposite
+    fragmentation direction — that Spark pipelines additionally need
+    because micro-batches append many small files.
+    """
+    from ..plans.transform import _hadoop_fs, _partition_dirs, _swap_dir
+    fs, _, jvm = _hadoop_fs(spark, path)
+    parts = ([""] if partition_depth == 0 else
+             _partition_dirs(fs, jvm, path, partition_depth))
+    report = {"partitions_seen": len(parts), "partitions_compacted": 0,
+              "files_before": 0, "files_after": 0}
+    for rel in parts:
+        sub = path.rstrip("/") + (f"/{rel}" if rel else "")
+        n_files, total = data_file_stats(spark, sub)
+        want = max(1, -(-total // target_file_bytes))  # ceil div
+        report["files_before"] += n_files
+        if n_files <= want:
+            report["files_after"] += n_files
+            continue
+        staged = sub.rstrip("/") + "__compact_" + __import__("uuid").uuid4().hex[:8]
+        spark.read.parquet(sub).coalesce(int(want)).write.parquet(staged)
+        _swap_dir(fs, jvm, sub, staged)
+        report["partitions_compacted"] += 1
+        report["files_after"] += data_file_stats(spark, sub)[0]
+    return report

@@ -104,3 +104,49 @@ def test_upsert_dispatches_to_parquet_without_delta(spark, tmp_path):
     upsert(spark, path, upd, ["k"])
     got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert got == {1: "A", 2: "b"}
+
+
+def test_compact_small_files_unpartitioned(spark, tmp_path):
+    from luma_etl_data_platform_spark.operators.layout import (
+        compact_small_files, data_file_stats,
+    )
+    out = str(tmp_path / "fragmented")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    orders.repartition(20).write.parquet(out)
+    before_rows = sorted(r["o_orderkey"] for r in
+                         spark.read.parquet(out).select("o_orderkey").collect())
+    n_before, total = data_file_stats(spark, out)
+    assert n_before == 20
+    report = compact_small_files(spark, out, target_file_bytes=total * 2)
+    assert report["partitions_compacted"] == 1
+    assert report["files_after"] == 1
+    # data survives the swap bit-for-bit
+    after_rows = sorted(r["o_orderkey"] for r in
+                        spark.read.parquet(out).select("o_orderkey").collect())
+    assert after_rows == before_rows
+    # idempotent: a second pass finds nothing to do
+    report2 = compact_small_files(spark, out, target_file_bytes=total * 2)
+    assert report2["partitions_compacted"] == 0
+
+
+def test_compact_small_files_partitioned_touches_only_fragmented(spark, tmp_path):
+    from luma_etl_data_platform_spark.operators.layout import (
+        compact_small_files, data_file_stats,
+    )
+    out = str(tmp_path / "by_prio")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    # one coarse partition (1 file each) ...
+    (orders.filter(F.col("o_orderpriority") != "1-URGENT")
+     .coalesce(1).write.partitionBy("o_orderpriority").parquet(out))
+    # ... and one fragmented partition (12 files)
+    (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+     .repartition(12).write.mode("append")
+     .partitionBy("o_orderpriority").parquet(out))
+    n_rows = orders.count()
+    report = compact_small_files(spark, out, target_file_bytes=1 << 30,
+                                 partition_depth=1)
+    assert report["partitions_seen"] == 5
+    assert report["partitions_compacted"] == 1      # only the fragmented one
+    n_urgent, _ = data_file_stats(spark, out + "/o_orderpriority=1-URGENT")
+    assert n_urgent == 1
+    assert spark.read.parquet(out).count() == n_rows
