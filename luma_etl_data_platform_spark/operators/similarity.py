@@ -205,7 +205,12 @@ def semantic_dedup_summary(df: DataFrame, k: int = 8,
     pipelines); the only corpus shuffle is the within-cluster
     self-join, which is O(Σ n_c²) pairwise work — ``k`` is the dial
     that bounds cluster sizes, exactly as in the paper (k grows with
-    the corpus so n_c stays bounded)."""
+    the corpus so n_c stays bounded). The assignment table is
+    persisted so the corpus is scanned (and the argmax evaluated)
+    ONCE for its three consumers (both self-join sides + the final
+    rollup), not re-derived per branch."""
+    from pyspark import StorageLevel
+
     from ..functions.text import portable_hash32
     v = _as_double(_spread(df), vec_col)
     seeds = (v.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
@@ -218,7 +223,8 @@ def semantic_dedup_summary(df: DataFrame, k: int = 8,
             (-s["sid"]).alias("nsid"))))
     assigned = (v.crossJoin(F.broadcast(seed_row))
                 .select(F.col(id_col), F.col(vec_col),
-                        (-best["nsid"]).alias("cluster")))
+                        (-best["nsid"]).alias("cluster"))
+                .persist(StorageLevel.MEMORY_AND_DISK))
     a = assigned.select("cluster", F.col(id_col).alias("id_a"),
                         F.col(vec_col).alias("_va"))
     b = assigned.select("cluster", F.col(id_col).alias("id_b"),

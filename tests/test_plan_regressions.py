@@ -171,3 +171,34 @@ def test_incremental_ingest_ledger_failure_repairs_not_duplicates(spark, tmp_pat
     repair = spark.read.parquet(dlq + "/_ledger_repair")
     assert repair.count() == 50
     assert set(repair.columns) == {"event_id", "_batch_id"}
+
+def test_semantic_dedup_persists_assignment(spark):
+    """The cluster-assignment table feeds three consumers (both
+    self-join sides + the rollup); it must be persisted so the corpus
+    is scanned and the argmax evaluated once."""
+    from luma_etl_data_platform_spark.operators.similarity import (
+        semantic_dedup_summary,
+    )
+    from luma_etl_data_platform_spark.sources.tables import load_table
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = _formatted_plan(semantic_dedup_summary(emb, k=4))
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    # seeds fold into a broadcast, never a shuffle join against the corpus
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_packing_single_data_shuffle(spark):
+    """Packing shuffles the corpus exactly once (on the bucket key);
+    the post-window groupBy may exchange only pre-aggregated rows.
+    Contract: the window sits directly above the one-and-only
+    pre-aggregation Exchange."""
+    from luma_etl_data_platform_spark.operators.curation import pack_sequences
+    from luma_etl_data_platform_spark.functions.text import token_count
+    from luma_etl_data_platform_spark.sources.tables import load_table
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _formatted_plan(
+        pack_sequences(docs, "doc_id", token_count(F.col("text"))))
+    # map-side partial aggregation present (the second exchange moves
+    # only (bucket, chunk) aggregates)
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
