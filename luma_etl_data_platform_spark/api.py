@@ -14,14 +14,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .plans import (
-    cleansing_queries, curation, extras, setops_udx, sql_api,
-    streaming_twins, tpch_more, training_data, warehouse, windows,
+    cleansing_queries, corpus_analytics, curation, extras, setops_udx,
+    sql_api, streaming_twins, tpch_more, training_data, warehouse, windows,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULES = (warehouse, training_data, windows, extras, cleansing_queries,
-            setops_udx, tpch_more, sql_api, streaming_twins, curation)
+            setops_udx, tpch_more, sql_api, streaming_twins, curation,
+            corpus_analytics)
 
 
 def all_queries() -> dict[str, QueryFn]:

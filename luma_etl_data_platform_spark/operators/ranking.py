@@ -1,0 +1,141 @@
+"""Ranked retrieval and corpus-statistics operators.
+
+Okapi BM25 search, PMI collocation mining, and per-source vocabulary
+profiling — the retrieval/statistics layer of an LLM training-data
+pipeline (beyond-reference surface: the reference ERP ETL tool has no
+text stack; task brief "text analysis" family).
+
+All pure Column expressions (JVM-side, codegen'd, no UDFs), built on
+the same portable primitives as :mod:`..functions.text` so a DuckDB
+oracle reproduces every result bit-for-bit.
+
+Scale shape (100 TB):
+
+- ``bm25_top_docs`` filters the exploded token stream to the query's
+  terms BEFORE any aggregation, so all shuffled state downstream is
+  bounded by the hit set (O(|query| · docs-containing-a-term)), never
+  by corpus vocabulary. Per-term scores are summed in a FIXED literal
+  order (one conditional-aggregate column per query term), keeping
+  the double addition partition-order-independent.
+- ``pmi_bigrams`` is two explode→groupBy passes (bigrams, unigrams)
+  plus a broadcast of the scalar token total; the bigram→unigram
+  joins shuffle on the word key. ``min_count`` prunes the long tail
+  before the joins, so joined state is the frequent-bigram set.
+- ``vocab_profile`` is a two-level aggregation (term counts, then
+  per-source rollup): one corpus shuffle on (source, term), then a
+  tiny per-source reduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..core.partitioning import spread as _spread
+from ..functions.text import tokens
+
+
+def bm25_top_docs(df: DataFrame, query_terms: tuple[str, ...],
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k1: float = 1.2, b: float = 0.75, k: int = 15) -> DataFrame:
+    """Top-``k`` documents by Okapi BM25 for a literal bag-of-words
+    query (Lucene idf variant: ``ln(1 + (N - df + 0.5)/(df + 0.5))``).
+
+    Returns (id, n_terms_hit, score, rnk), ``rnk`` dense over
+    (score desc, id) for a unique, engine-portable ordering.
+    """
+    toks = _spread(df).select(F.col(id_col).alias("_id"),
+                              tokens(F.col(text_col)).alias("_t"))
+    lens = toks.select("_id", F.size("_t").alias("_dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        (F.sum("_dl").cast("double") / F.count(F.lit(1))).alias("_avgdl"))
+
+    hits = (toks.select("_id", F.size("_t").alias("_dl"),
+                        F.explode("_t").alias("_term"))
+            .filter(F.col("_term").isin(list(query_terms))))
+    tf = hits.groupBy("_id", "_dl", "_term").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+
+    scored = (tf.join(F.broadcast(dfreq), "_term")
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0) + (F.col("_n_docs").cast("double")
+                              - F.col("_df") + F.lit(0.5))
+                / (F.col("_df").cast("double") + F.lit(0.5)))
+    norm = (F.col("_tf").cast("double") + F.lit(k1)
+            * (F.lit(1.0) - F.lit(b)
+               + F.lit(b) * F.col("_dl").cast("double") / F.col("_avgdl")))
+    per_term = (idf * (F.col("_tf").cast("double") * F.lit(k1 + 1.0))
+                / norm).alias("_s")
+    scored = scored.select("_id", "_term", per_term)
+
+    # Fixed-order summation: one conditional max per literal query
+    # term, added left-to-right — partition-order-independent doubles.
+    term_cols = [
+        F.max(F.when(F.col("_term") == F.lit(t), F.col("_s"))).alias(f"_s{i}")
+        for i, t in enumerate(query_terms)]
+    agg = scored.groupBy("_id").agg(*term_cols)
+    total: Column = F.lit(0.0)
+    nhit: Column = F.lit(0)
+    for i in range(len(query_terms)):
+        total = total + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+        nhit = nhit + F.col(f"_s{i}").isNotNull().cast("int")
+    ranked = agg.select(
+        F.col("_id").alias(id_col),
+        nhit.alias("n_terms_hit"),
+        F.round(total, 6).alias("score"))
+    win = W.orderBy(F.col("score").desc(), F.col(id_col))
+    return (ranked.withColumn("rnk", F.row_number().over(win))
+            .filter(F.col("rnk") <= k))
+
+
+def pmi_bigrams(df: DataFrame, text_col: str = "text",
+                min_count: int = 5, k: int = 20) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information:
+    ``pmi = ln(c_ab * T / (c_a * c_b))`` over unigram totals ``T``.
+
+    Returns (w1, w2, pair_count, pmi, rnk); bigrams below
+    ``min_count`` are pruned before any join.
+    """
+    toks = _spread(df).select(tokens(F.col(text_col)).alias("_t"))
+    uni = (toks.select(F.explode("_t").alias("_w"))
+           .groupBy("_w").agg(F.count(F.lit(1)).alias("_c")))
+    tot = uni.agg(F.sum("_c").alias("_tot"))
+
+    big_expr = F.expr(
+        "transform(slice(_t, 1, greatest(size(_t) - 1, 0)),"
+        " (x, i) -> struct(x AS w1, element_at(_t, i + 2) AS w2))")
+    big = (toks.select(F.explode(big_expr).alias("_b"))
+           .select(F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+           .filter(F.col("pair_count") >= min_count))
+
+    joined = (big.join(uni.select(F.col("_w").alias("w1"),
+                                  F.col("_c").alias("_ca")), "w1")
+              .join(uni.select(F.col("_w").alias("w2"),
+                               F.col("_c").alias("_cb")), "w2")
+              .crossJoin(F.broadcast(tot)))
+    pmi = F.round(F.log(
+        (F.col("pair_count").cast("double") * F.col("_tot"))
+        / (F.col("_ca").cast("double") * F.col("_cb"))), 6)
+    win = W.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+    return (joined.select("w1", "w2", "pair_count", pmi.alias("pmi"))
+            .withColumn("rnk", F.row_number().over(win))
+            .filter(F.col("rnk") <= k))
+
+
+def vocab_profile(df: DataFrame, text_col: str = "text",
+                  group_col: str = "source") -> DataFrame:
+    """Per-group vocabulary profile: vocabulary size, hapax count
+    (terms occurring once in the group), total tokens, and
+    type/token ratio — the standard corpus health metrics."""
+    tc = (_spread(df)
+          .select(F.col(group_col), F.explode(tokens(F.col(text_col))).alias("_w"))
+          .groupBy(group_col, "_w").agg(F.count(F.lit(1)).alias("_c")))
+    return tc.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum((F.col("_c") == 1).cast("int")).alias("hapax_count"),
+        F.sum("_c").alias("total_tokens"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("_c"), 6)
+        .alias("type_token_ratio"))

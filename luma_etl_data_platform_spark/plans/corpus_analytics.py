@@ -1,0 +1,221 @@
+"""Corpus analytics queries: BM25 ranked retrieval, PMI collocation
+mining, vocabulary profiling, and event-log cohort analytics (weekly
+retention, RFM segmentation) — each paired with a DuckDB oracle that
+reproduces the identical result (portable tokenization, fixed-order
+double summation, decimal-exact money sums, unique tiebreaks).
+
+Beyond-reference surface (task brief: text analysis + warehouse
+analytics); the reference ERP ETL tool has neither a retrieval stack
+nor cohort reporting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..operators import ranking as R
+from ..sources.tables import load_table
+from ._exact import dmoney
+
+ORACLE: dict[str, str] = {}
+
+_TOK_CTE = ("tok AS (SELECT doc_id, source,"
+            " regexp_extract_all(lower(text), '\\w+') AS t FROM documents)")
+
+_BM25_TERMS = ("spark", "query", "window")
+
+
+# ---------------------------------------------------------------------------
+# bm25_search_topk: Okapi BM25 over the documents corpus for a fixed
+# bag-of-words query. Hit rows are filtered to the query terms before
+# any aggregation; per-term scores are added in fixed literal order so
+# the double sum is partition-order-independent.
+# ---------------------------------------------------------------------------
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return R.bm25_top_docs(docs, _BM25_TERMS, k1=1.2, b=0.75, k=15)
+
+
+ORACLE["bm25_search_topk"] = """
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
+             FROM documents),
+lens AS (SELECT doc_id, len(t) AS dl FROM tok),
+stats AS (SELECT count(*) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+hits AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok),
+qh AS (SELECT * FROM hits WHERE term IN ('spark', 'query', 'window')),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM qh GROUP BY 1, 2, 3),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (SELECT doc_id, term,
+    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+    * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+    / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+    AS s
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+agg AS (SELECT doc_id,
+    max(CASE WHEN term = 'spark'  THEN s END) AS s0,
+    max(CASE WHEN term = 'query'  THEN s END) AS s1,
+    max(CASE WHEN term = 'window' THEN s END) AS s2
+  FROM scored GROUP BY 1),
+r AS (SELECT doc_id,
+    CAST(s0 IS NOT NULL AS INT) + CAST(s1 IS NOT NULL AS INT)
+      + CAST(s2 IS NOT NULL AS INT) AS n_terms_hit,
+    round(0.0 + coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0), 6)
+      AS score
+  FROM agg)
+SELECT doc_id, n_terms_hit, score, rnk
+FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM r)
+WHERE rnk <= 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations: top bigrams by pointwise mutual information.
+# Two explode→groupBy passes; min_count prunes the tail before the
+# unigram joins so only frequent bigrams are shuffled through them.
+# ---------------------------------------------------------------------------
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return R.pmi_bigrams(docs, min_count=5, k=20)
+
+
+ORACLE["pmi_collocations"] = """
+WITH tok AS (SELECT regexp_extract_all(lower(text), '\\w+') AS t FROM documents),
+uni AS (SELECT w, count(*) AS c
+        FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM uni),
+pos AS (SELECT t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+        FROM tok),
+big AS (SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS pair_count
+        FROM pos GROUP BY 1, 2 HAVING count(*) >= 5),
+j AS (SELECT w1, w2, pair_count, a.c AS ca, b.c AS cb
+      FROM big JOIN uni a ON a.w = w1 JOIN uni b ON b.w = w2),
+s AS (SELECT w1, w2, pair_count,
+             round(ln((CAST(pair_count AS DOUBLE) * tot)
+                      / (CAST(ca AS DOUBLE) * cb)), 6) AS pmi
+      FROM j CROSS JOIN tot)
+SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count, pmi, rnk
+FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rnk FROM s)
+WHERE rnk <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# vocab_profile_by_source: per-source vocabulary size, hapax count,
+# token total, type/token ratio. One corpus shuffle on (source, term),
+# then a tiny per-source rollup.
+# ---------------------------------------------------------------------------
+def vocab_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return R.vocab_profile(docs, group_col="source")
+
+
+ORACLE["vocab_profile_by_source"] = """
+WITH tok AS (SELECT source, regexp_extract_all(lower(text), '\\w+') AS t
+             FROM documents),
+tc AS (SELECT source, w, count(*) AS c
+       FROM (SELECT source, unnest(t) AS w FROM tok) GROUP BY 1, 2)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(CAST(c = 1 AS INT)) AS BIGINT) AS hapax_count,
+       CAST(sum(c) AS BIGINT) AS total_tokens,
+       round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS type_token_ratio
+FROM tc GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# cohort_retention_weekly: classic cohort/retention matrix over the
+# event log — cohort = Monday of the user's first active week, offset
+# = whole weeks since. (user, week) is distinct before the join, so
+# n_users is a plain count; both engines are Monday-aligned so the
+# day-diff is an exact multiple of 7.
+# ---------------------------------------------------------------------------
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    uw = (ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+          .distinct())
+    cw = uw.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    return (uw.join(cw, "user_id")
+            .select(F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+                    (F.datediff(F.col("wk"), F.col("cw")) / 7).cast("int")
+                    .alias("week_offset"))
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+ORACLE["cohort_retention_weekly"] = """
+WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+cw AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY 1),
+j AS (SELECT uw.user_id, wk, cw FROM uw JOIN cw USING (user_id))
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       CAST(datediff('day', CAST(cw AS DATE), CAST(wk AS DATE)) / 7 AS INT)
+         AS week_offset,
+       count(*) AS n_users
+FROM j GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# rfm_user_segments: recency/frequency/monetary quintile scores per
+# user (ntile over unique orderings), rolled up to segment counts.
+# Monetary sums are decimal-exact (partition-order-independent); the
+# global max-timestamp scalar is broadcast.
+# ---------------------------------------------------------------------------
+def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum(dmoney(F.col("value"))).cast("decimal(38,6)"), 2)
+        .cast("double").alias("monetary"),
+        F.max("ts").alias("last_ts"))
+    g = ev.agg(F.max("ts").alias("gmax"))
+    s = (u.crossJoin(F.broadcast(g))
+         .select("user_id", "freq", "monetary",
+                 F.datediff(F.col("gmax"), F.col("last_ts")).alias("rec")))
+    t = s.select(
+        "user_id", "monetary", "rec",
+        F.ntile(5).over(W.orderBy(F.col("rec").asc(), "user_id"))
+        .alias("r_score"),
+        F.ntile(5).over(W.orderBy(F.col("freq").desc(), "user_id"))
+        .alias("f_score"),
+        F.ntile(5).over(W.orderBy(F.col("monetary").desc(), "user_id"))
+        .alias("m_score"))
+    return t.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.sum(F.col("monetary").cast("decimal(18,2)"))
+                .cast("decimal(38,6)"), 2).cast("double")
+        .alias("total_monetary"))
+
+
+ORACLE["rfm_user_segments"] = """
+WITH u AS (SELECT user_id, count(*) AS freq,
+                  CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                                  AS DECIMAL(38,6)), 2) AS DOUBLE) AS monetary,
+                  max(ts) AS last_ts
+           FROM events GROUP BY 1),
+g AS (SELECT max(ts) AS gmax FROM events),
+s AS (SELECT user_id, freq, monetary,
+             datediff('day', CAST(last_ts AS DATE), CAST(gmax AS DATE)) AS rec
+      FROM u CROSS JOIN g),
+t AS (SELECT user_id, monetary, rec,
+             ntile(5) OVER (ORDER BY rec ASC, user_id) AS r_score,
+             ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_score,
+             ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_score
+      FROM s)
+SELECT r_score, f_score, m_score, count(*) AS n_users,
+       CAST(round(CAST(sum(CAST(monetary AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_monetary
+FROM t GROUP BY 1, 2, 3
+"""
+
+
+QUERIES = {
+    "bm25_search_topk": bm25_search_topk,
+    "pmi_collocations": pmi_collocations,
+    "vocab_profile_by_source": vocab_profile_by_source,
+    "cohort_retention_weekly": cohort_retention_weekly,
+    "rfm_user_segments": rfm_user_segments,
+}

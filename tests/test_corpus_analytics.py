@@ -1,0 +1,79 @@
+"""Tests for ranked retrieval + corpus/event analytics: BM25, PMI
+collocations, vocabulary profile, weekly cohort retention, RFM
+segments — oracle parity plus behavioral unit checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from luma_etl_data_platform_spark.operators import ranking as R
+from luma_etl_data_platform_spark.plans import corpus_analytics as CA
+from luma_etl_data_platform_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+from tests.parity import assert_matches
+
+
+@pytest.mark.parametrize("name", sorted(CA.QUERIES))
+def test_oracle_parity_smoke(spark, duck_smoke, name):
+    sdf = CA.QUERIES[name](spark, SF_SMOKE)
+    assert_matches(sdf, duck_smoke.execute(CA.ORACLE[name]).fetchdf(), name)
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    # 'needle' appears in one doc; 'the' in all. The needle doc must
+    # rank first for the query (needle, the): idf dominates.
+    rows = [(i, "the quick brown fox the lazy dog the end") for i in range(9)]
+    rows.append((9, "the needle in a haystack of words here now"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = R.bm25_top_docs(df, ("needle", "the"), k=3).collect()
+    assert top[0]["doc_id"] == 9 and top[0]["n_terms_hit"] == 2
+    assert all(r["score"] > 0 for r in top)
+
+
+def test_bm25_deterministic_across_partitioning(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = R.bm25_top_docs(docs, ("spark", "query", "window"), k=10).collect()
+    b = R.bm25_top_docs(docs.repartition(13), ("spark", "query", "window"),
+                        k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_pmi_favors_exclusive_pair(spark):
+    # 'zig zag' only ever co-occur with each other; 'a b' are common
+    # everywhere. PMI must rank (zig, zag) above (a, b).
+    rows = [(i, "a b c a b d a b e a b f") for i in range(5)]
+    rows += [(10 + i, "zig zag x y zig zag p q zig zag r s") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["w1"], r["w2"]): r["pmi"]
+           for r in R.pmi_bigrams(df, min_count=5, k=50).collect()}
+    assert got[("zig", "zag")] > got[("a", "b")]
+
+
+def test_vocab_profile_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "x", "aa bb aa cc"), (2, "x", "aa dd"), (3, "y", "ee ee")],
+        "doc_id long, source string, text string")
+    rows = {r["source"]: r for r in R.vocab_profile(df).collect()}
+    x = rows["x"]
+    assert (x["vocab_size"], x["hapax_count"], x["total_tokens"]) == (4, 3, 6)
+    y = rows["y"]
+    assert (y["vocab_size"], y["hapax_count"], y["total_tokens"]) == (1, 0, 2)
+
+
+def test_cohort_offsets_nonnegative_and_cover_users(spark):
+    res = CA.cohort_retention_weekly(spark, SF_SMOKE).collect()
+    assert res and all(r["week_offset"] >= 0 for r in res)
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_users = ev.select("user_id").distinct().count()
+    # offset-0 cell of each cohort sums to the full user population
+    assert sum(r["n_users"] for r in res if r["week_offset"] == 0) == n_users
+
+
+def test_rfm_scores_partition_users_into_quintiles(spark):
+    res = CA.rfm_user_segments(spark, SF_SMOKE).collect()
+    for c in ("r_score", "f_score", "m_score"):
+        assert {r[c] for r in res} <= {1, 2, 3, 4, 5}
+    ev = load_table(spark, SF_SMOKE, "events")
+    assert sum(r["n_users"] for r in res) == \
+        ev.select("user_id").distinct().count()
