@@ -14,7 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .plans import (
-    cleansing_queries, corpus_analytics, curation, extras, setops_udx,
+    cleansing_queries, corpus_analytics, curation, extras, scd, setops_udx,
     sql_api, streaming_twins, tpch_more, training_data, warehouse, windows,
 )
 
@@ -22,7 +22,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULES = (warehouse, training_data, windows, extras, cleansing_queries,
             setops_udx, tpch_more, sql_api, streaming_twins, curation,
-            corpus_analytics)
+            corpus_analytics, scd)
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -50,3 +50,39 @@ def resample_ffill(df: DataFrame, key_col: str, ts_col: str, value_col: str,
         F.last("_value", ignorenulls=True).over(w).alias("value_ffill"),
         F.col("_value").isNotNull().alias("observed"),
     )
+
+
+def rolling_anomaly(df: DataFrame, key_col: str, ts_col: str,
+                    value_col: str, tiebreak_col: str,
+                    lookback: int = 6, min_obs: int = 3,
+                    z: float = 2.0) -> DataFrame:
+    """Trailing-window outlier detection: flag a point when it sits
+    more than ``z`` standard deviations from the mean of the previous
+    ``lookback`` observations of its key (self excluded, so the
+    outlier never suppresses its own detection).
+
+    Determinism at any partitioning: the frame sums are DECIMAL
+    (exact regardless of evaluation order — DuckDB's segment-tree
+    frame evaluation and Spark's running accumulation then agree
+    bit-for-bit), and mean/variance are derived from those exact sums
+    with a fixed operation order. One shuffle on the key.
+
+    Returns every input row with (n_prior, roll_mean, is_anomaly);
+    rows with fewer than ``min_obs`` prior points are never flagged.
+    """
+    fr = (W.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+          .rowsBetween(-lookback, -1))
+    v = F.col(value_col)
+    s1 = (F.sum(v.cast("decimal(18,2)")).over(fr)
+          .cast("decimal(38,6)").cast("double"))
+    s2 = (F.sum((v * v).cast("decimal(28,4)")).over(fr)
+          .cast("decimal(38,6)").cast("double"))
+    n = F.count(v).over(fr)
+    mean = s1 / n
+    var = F.greatest(s2 / n - mean * mean, F.lit(0.0))
+    flag = (n >= F.lit(min_obs)) & (F.abs(v - mean) > F.lit(z) * F.sqrt(var))
+    return df.select(
+        key_col, tiebreak_col, value_col,
+        n.alias("n_prior"),
+        F.round(mean, 6).alias("roll_mean"),
+        flag.alias("is_anomaly"))

@@ -219,3 +219,108 @@ QUERIES = {
     "cohort_retention_weekly": cohort_retention_weekly,
     "rfm_user_segments": rfm_user_segments,
 }
+
+
+# ---------------------------------------------------------------------------
+# rolling_anomaly_events: trailing-window (6 prior events) outlier
+# flags per user. Frame sums are decimal-exact so the double-derived
+# mean/variance match DuckDB bit-for-bit at any partitioning.
+# ---------------------------------------------------------------------------
+def rolling_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import rolling_anomaly
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_anomaly(ev, "user_id", "ts", "value", "event_id",
+                           lookback=6, min_obs=3, z=2.0)
+
+
+ORACLE["rolling_anomaly_events"] = """
+WITH w AS (
+  SELECT user_id, event_id, value,
+         count(value) OVER fr AS n_prior,
+         CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER fr
+                   AS DECIMAL(38,6)) AS DOUBLE) AS s1,
+         CAST(CAST(sum(CAST(value * value AS DECIMAL(28,4))) OVER fr
+                   AS DECIMAL(38,6)) AS DOUBLE) AS s2
+  FROM events
+  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+SELECT user_id, event_id, value,
+       CAST(n_prior AS BIGINT) AS n_prior,
+       round(s1 / n_prior, 6) AS roll_mean,
+       (n_prior >= 3 AND abs(value - s1 / n_prior)
+        > 2.0 * sqrt(greatest(s2 / n_prior
+                              - (s1 / n_prior) * (s1 / n_prior), 0.0)))
+         AS is_anomaly
+FROM w
+"""
+
+QUERIES["rolling_anomaly_events"] = rolling_anomaly_events
+
+
+# ---------------------------------------------------------------------------
+# event_value_moments: per-type skewness / excess kurtosis derived
+# from exact decimal power sums (S1..S4). The raw double power chains
+# are identical left-associated IEEE ops in both engines, the decimal
+# sums are order-independent, and every downstream moment is a fixed
+# sequence of double ops on those exact sums — so the result is
+# bit-stable at any partitioning, unlike the engines' own one-pass
+# skewness()/kurtosis() implementations (different estimators and
+# accumulation orders). One map-side-combinable shuffle.
+# ---------------------------------------------------------------------------
+def event_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast("decimal(18,2)")).cast("decimal(38,8)").cast("double")
+        .alias("s1"),
+        F.sum((v * v).cast("decimal(24,4)")).cast("decimal(38,8)")
+        .cast("double").alias("s2"),
+        F.sum((v * v * v).cast("decimal(30,6)")).cast("decimal(38,8)")
+        .cast("double").alias("s3"),
+        F.sum((v * v * v * v).cast("decimal(36,8)")).cast("decimal(38,8)")
+        .cast("double").alias("s4"))
+    mean = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mean * mean
+    m3 = (F.col("s3") / F.col("n") - F.lit(3.0) * mean * (F.col("s2") / F.col("n"))
+          + F.lit(2.0) * (mean * mean * mean))
+    m4 = (F.col("s4") / F.col("n")
+          - F.lit(4.0) * mean * (F.col("s3") / F.col("n"))
+          + F.lit(6.0) * (mean * mean) * (F.col("s2") / F.col("n"))
+          - F.lit(3.0) * ((mean * mean) * (mean * mean)))
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round(mean, 6).alias("mean_value"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("excess_kurtosis"))
+
+
+ORACLE["event_value_moments"] = """
+WITH agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,8))
+              AS DOUBLE) AS s1,
+         CAST(CAST(sum(CAST(value * value AS DECIMAL(24,4)))
+              AS DECIMAL(38,8)) AS DOUBLE) AS s2,
+         CAST(CAST(sum(CAST(value * value * value AS DECIMAL(30,6)))
+              AS DECIMAL(38,8)) AS DOUBLE) AS s3,
+         CAST(CAST(sum(CAST(value * value * value * value AS DECIMAL(36,8)))
+              AS DECIMAL(38,8)) AS DOUBLE) AS s4
+  FROM events GROUP BY 1),
+m AS (SELECT event_type, n, s1 / n AS mean,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3.0 * (s1 / n) * (s2 / n)
+               + 2.0 * ((s1 / n) * (s1 / n) * (s1 / n)) AS m3,
+             s4 / n - 4.0 * (s1 / n) * (s3 / n)
+               + 6.0 * ((s1 / n) * (s1 / n)) * (s2 / n)
+               - 3.0 * (((s1 / n) * (s1 / n)) * ((s1 / n) * (s1 / n))) AS m4
+      FROM agg)
+SELECT event_type, n AS n_events,
+       round(mean, 6) AS mean_value,
+       round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+       round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+FROM m
+"""
+
+QUERIES["event_value_moments"] = event_value_moments

@@ -27,29 +27,19 @@ from pyspark.sql import functions as F
 OPEN_TS = "9999-12-31 00:00:00"
 
 
-def scd2_apply(spark: SparkSession, target_path: str, source: DataFrame,
-               key: str, attrs: list[str], batch_ts: dt.datetime,
-               close_missing: bool = False) -> None:
-    src = source.select(key, *attrs).dropDuplicates([key])
+def scd2_merge(cur: DataFrame, hist: DataFrame | None, src: DataFrame,
+               key: str, attrs: list[str], batch_ts: dt.datetime | str,
+               close_missing: bool = False) -> DataFrame:
+    """Pure-DataFrame SCD2 fold: given the current slice ``cur`` (rows
+    with valid_from/valid_to/is_current), the closed history ``hist``
+    (or None), and a source snapshot ``src`` (key + attrs), return the
+    new full history table. One full-outer join on the business key —
+    the single shuffle — then three filtered projections unioned with
+    the untouched history; no writes, so the merge semantics are
+    testable (and oracle-checkable) independently of the sink."""
+    src = src.select(key, *attrs).dropDuplicates([key])
     ts = F.lit(batch_ts).cast("timestamp")
     open_ts = F.lit(OPEN_TS).cast("timestamp")
-
-    try:
-        tgt = spark.read.parquet(target_path)
-        exists = True
-    except Exception:
-        exists = False
-
-    if not exists:
-        fresh = src.select(
-            key, *attrs,
-            ts.alias("valid_from"), open_ts.alias("valid_to"),
-            F.lit(True).alias("is_current"))
-        fresh.write.mode("overwrite").parquet(target_path)
-        return
-
-    cur = tgt.filter(F.col("is_current"))
-    hist = tgt.filter(~F.col("is_current"))
 
     changed_cond = None
     for a in attrs:
@@ -80,9 +70,112 @@ def scd2_apply(spark: SparkSession, target_path: str, source: DataFrame,
         ts.alias("valid_from"), open_ts.alias("valid_to"),
         F.lit(True).alias("is_current"))
 
-    out = hist.select(key, *attrs, "valid_from", "valid_to", "is_current") \
-              .unionByName(closed).unionByName(kept).unionByName(inserted)
+    out = closed.unionByName(kept).unionByName(inserted)
+    if hist is not None:
+        out = hist.select(key, *attrs, "valid_from", "valid_to",
+                          "is_current").unionByName(out)
+    return out
+
+
+def scd2_apply(spark: SparkSession, target_path: str, source: DataFrame,
+               key: str, attrs: list[str], batch_ts: dt.datetime,
+               close_missing: bool = False) -> None:
+    try:
+        tgt = spark.read.parquet(target_path)
+        exists = True
+    except Exception:
+        exists = False
+
+    if not exists:
+        fresh = source.select(key, *attrs).dropDuplicates([key]).select(
+            key, *attrs,
+            F.lit(batch_ts).cast("timestamp").alias("valid_from"),
+            F.lit(OPEN_TS).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"))
+        fresh.write.mode("overwrite").parquet(target_path)
+        return
+
+    out = scd2_merge(tgt.filter(F.col("is_current")),
+                     tgt.filter(~F.col("is_current")),
+                     source, key, attrs, batch_ts, close_missing)
     # staged write + rename swap: the live table is never cleared
     # before its replacement is durably written (see transform.py).
     from .transform import replace_parquet_staged
     replace_parquet_staged(spark, target_path, out)
+
+
+# ---------------------------------------------------------------------------
+# scd2_customer_history: the merge core under the oracle gate. A
+# deterministic scenario built from the customer table — dim = keys
+# with c_custkey % 3 <> 0 (current as of 2024-01-01), source = ALL
+# customers with c_acctbal bumped for keys % 7 == 0 — exercises all
+# three row fates in one pass: new keys inserted, changed keys closed
+# + re-inserted, unchanged keys kept. Timestamps are emitted as
+# strings (the open-ended 9999-12-31 sentinel overflows pandas'
+# datetime64[ns] in both engines' result transfer).
+# ---------------------------------------------------------------------------
+_DIM_FROM = "2024-01-01 00:00:00"
+_BATCH_TS = "2024-06-01 00:00:00"
+
+
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+    cust = load_table(spark, sf_dir, "customer")
+    cur = (cust.filter(F.col("c_custkey") % 3 != 0)
+           .select("c_custkey", "c_name", "c_acctbal",
+                   F.lit(_DIM_FROM).cast("timestamp").alias("valid_from"),
+                   F.lit(OPEN_TS).cast("timestamp").alias("valid_to"),
+                   F.lit(True).alias("is_current")))
+    src = cust.select(
+        "c_custkey", "c_name",
+        F.when(F.col("c_custkey") % 7 == 0,
+               F.round(F.col("c_acctbal") + F.lit(100.0), 2))
+        .otherwise(F.col("c_acctbal")).alias("c_acctbal"))
+    out = scd2_merge(cur, None, src, "c_custkey", ["c_name", "c_acctbal"],
+                     _BATCH_TS)
+    return out.select(
+        "c_custkey", "c_name", "c_acctbal",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current")
+
+
+ORACLE: dict[str, str] = {}
+ORACLE["scd2_customer_history"] = """
+WITH dim AS (SELECT c_custkey, c_name, c_acctbal,
+                    TIMESTAMP '2024-01-01 00:00:00' AS valid_from
+             FROM customer WHERE c_custkey % 3 <> 0),
+src AS (SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 7 = 0 THEN round(c_acctbal + 100.0, 2)
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer),
+j AS (SELECT d.c_custkey AS dk, s.c_custkey AS sk,
+             d.c_name AS dn, d.c_acctbal AS db, d.valid_from,
+             s.c_name AS sn, s.c_acctbal AS sb
+      FROM dim d FULL OUTER JOIN src s ON d.c_custkey = s.c_custkey),
+closed AS (SELECT dk AS c_custkey, dn AS c_name, db AS c_acctbal,
+                  valid_from, TIMESTAMP '2024-06-01 00:00:00' AS valid_to,
+                  FALSE AS is_current
+           FROM j WHERE dk IS NOT NULL AND sk IS NOT NULL
+             AND (dn IS DISTINCT FROM sn OR db IS DISTINCT FROM sb)),
+kept AS (SELECT dk AS c_custkey, dn AS c_name, db AS c_acctbal,
+                valid_from, TIMESTAMP '9999-12-31 00:00:00' AS valid_to,
+                TRUE AS is_current
+         FROM j WHERE dk IS NOT NULL AND sk IS NOT NULL
+           AND NOT (dn IS DISTINCT FROM sn OR db IS DISTINCT FROM sb)),
+ins AS (SELECT sk AS c_custkey, sn AS c_name, sb AS c_acctbal,
+               TIMESTAMP '2024-06-01 00:00:00' AS valid_from,
+               TIMESTAMP '9999-12-31 00:00:00' AS valid_to,
+               TRUE AS is_current
+        FROM j WHERE dk IS NULL
+          OR (sk IS NOT NULL AND (dn IS DISTINCT FROM sn
+                                  OR db IS DISTINCT FROM sb)))
+SELECT c_custkey, c_name, c_acctbal,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       is_current
+FROM (SELECT * FROM closed UNION ALL SELECT * FROM kept
+      UNION ALL SELECT * FROM ins)
+"""
+
+QUERIES = {"scd2_customer_history": scd2_customer_history}

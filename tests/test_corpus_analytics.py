@@ -77,3 +77,25 @@ def test_rfm_scores_partition_users_into_quintiles(spark):
     ev = load_table(spark, SF_SMOKE, "events")
     assert sum(r["n_users"] for r in res) == \
         ev.select("user_id").distinct().count()
+
+
+def test_rolling_anomaly_flags_spike_not_steady(spark):
+    import datetime as dt
+    from luma_etl_data_platform_spark.operators.timeseries import (
+        rolling_anomaly,
+    )
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(minutes=i), float(v), i)
+            for i, v in enumerate([10, 11, 10, 11, 10, 11, 10, 99, 10, 11])]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long")
+    got = {r["event_id"]: r for r in
+           rolling_anomaly(df, "user_id", "ts", "value", "event_id").collect()}
+    assert got[7]["is_anomaly"]                     # the 99 spike
+    assert not any(got[i]["is_anomaly"] for i in range(7))
+    assert got[0]["n_prior"] == 0 and got[7]["n_prior"] == 6
+    # identical output under a different partitioning (decimal frames)
+    again = {r["event_id"]: r for r in
+             rolling_anomaly(df.repartition(5), "user_id", "ts", "value",
+                             "event_id").collect()}
+    assert all(tuple(got[k]) == tuple(again[k]) for k in got)

@@ -7,6 +7,7 @@ import datetime as dt
 from pyspark.sql import functions as F
 
 from luma_etl_data_platform_spark.plans.scd import OPEN_TS, scd2_apply
+from tests.conftest import SF_SMOKE
 
 
 def _rows(spark, path):
@@ -66,3 +67,33 @@ def test_scd2_null_attribute_transitions(spark, tmp_path):
     assert len(cur) == 1 and cur[0]["v"] == "x"
     closed = spark.read.parquet(path).filter(~F.col("is_current")).collect()
     assert len(closed) == 1 and closed[0]["v"] is None
+
+
+def test_scd2_query_oracle_parity(spark, duck_smoke):
+    from luma_etl_data_platform_spark.plans import scd as S
+    from tests.parity import assert_matches
+    sdf = S.scd2_customer_history(spark, SF_SMOKE)
+    assert_matches(sdf, duck_smoke.execute(
+        S.ORACLE["scd2_customer_history"]).fetchdf(), "scd2_customer_history")
+
+
+def test_scd2_merge_three_fates(spark):
+    """New key inserted; changed key closed + re-inserted; unchanged
+    key kept — all from one merge call."""
+    import datetime as dt
+    from luma_etl_data_platform_spark.plans.scd import scd2_merge
+    from pyspark.sql import functions as F
+    cur = spark.createDataFrame(
+        [(1, "a", dt.datetime(2024, 1, 1), dt.datetime(9999, 12, 31), True),
+         (2, "b", dt.datetime(2024, 1, 1), dt.datetime(9999, 12, 31), True)],
+        "k long, v string, valid_from timestamp, valid_to timestamp, "
+        "is_current boolean")
+    src = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c")], "k long, v string")
+    out = scd2_merge(cur, None, src, "k", ["v"], dt.datetime(2024, 6, 1))
+    rows = {(r["k"], r["is_current"]): r for r in out.collect()}
+    assert rows[(1, True)]["v"] == "a"                      # kept
+    assert rows[(2, False)]["valid_to"] == dt.datetime(2024, 6, 1)  # closed
+    assert rows[(2, True)]["v"] == "B"                      # re-inserted
+    assert rows[(3, True)]["valid_from"] == dt.datetime(2024, 6, 1)  # new
+    assert out.count() == 4
