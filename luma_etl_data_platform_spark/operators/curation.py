@@ -141,3 +141,44 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: Column,
     return (placed.groupBy("bucket", "chunk")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("_tok").cast("long").alias("chunk_tokens")))
+
+
+def temperature_mix_weights(df: DataFrame, domain_col: str,
+                            tokens_col: Column) -> DataFrame:
+    """Temperature-flattened sampling weights (multilingual/multi-
+    domain mixing a la multinomial temperature sampling): the sampling
+    share of domain i becomes ``q_i = p_i^α / Σ p_j^α`` with α = 0.5,
+    a compromise between the natural mix (α=1) and uniform (α=0).
+
+    α is fixed at 0.5 so the power is ``sqrt`` — correctly rounded in
+    every IEEE engine, unlike general ``pow`` whose last-ulp behavior
+    is libm-specific and would break cross-engine reproducibility.
+    The normalizer Σ sqrt(p_j) is summed in DECIMAL(28,12) (exact, so
+    the few-hundred-domain reduce is order-independent); everything
+    else is a fixed sequence of double ops on deterministic inputs.
+
+    Same scale shape as ``domain_mix_weights``: the corpus shuffles
+    once into per-domain totals; only the tiny domain table ever
+    enters the global window."""
+    per = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tokens_col).cast("long").alias("domain_tokens"),
+    )
+    everything = W.partitionBy()
+    p = F.col("domain_tokens") / F.col("_total")
+    s = F.sqrt(p).cast("decimal(28,12)")
+    return (
+        per
+        .withColumn("_total", F.sum("domain_tokens").over(everything))
+        .withColumn("_s", s)
+        .withColumn("_norm", F.sum("_s").over(everything))
+        .select(
+            domain_col, "n_docs", "domain_tokens",
+            F.round(p, 6).alias("token_share"),
+            F.round(F.col("_s").cast("double")
+                    / F.col("_norm").cast("double"), 6).alias("temp_share"),
+            F.round((F.col("_s").cast("double")
+                     / F.col("_norm").cast("double")) / p, 6)
+             .alias("mix_weight"),
+        )
+    )

@@ -324,3 +324,55 @@ FROM m
 """
 
 QUERIES["event_value_moments"] = event_value_moments
+
+
+# ---------------------------------------------------------------------------
+# user_event_entropy: Shannon entropy of each user's event-type
+# distribution — behavioral-diversity profiling. The five type counts
+# are conditional aggregates (one shuffle, map-side combinable) and
+# the entropy terms are added in fixed literal order, so the double
+# arithmetic is partition-order-free in both engines.
+# ---------------------------------------------------------------------------
+_ETYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cnt = [F.sum((F.col("event_type") == t).cast("int")).alias(f"_c{i}")
+           for i, t in enumerate(_ETYPES)]
+    agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"), *cnt)
+    ent: F.Column = F.lit(0.0)
+    ndist: F.Column = F.lit(0)
+    for i in range(len(_ETYPES)):
+        c = F.col(f"_c{i}")
+        p = c / F.col("n_events")
+        ent = ent + F.when(c > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+        ndist = ndist + (c > 0).cast("int")
+    return agg.select("user_id", "n_events",
+                      ndist.alias("n_distinct_types"),
+                      F.round(ent, 6).alias("type_entropy"))
+
+
+ORACLE["user_event_entropy"] = """
+WITH agg AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(sum(CAST(event_type = 'click'    AS INT)) AS BIGINT) AS c0,
+         CAST(sum(CAST(event_type = 'error'    AS INT)) AS BIGINT) AS c1,
+         CAST(sum(CAST(event_type = 'purchase' AS INT)) AS BIGINT) AS c2,
+         CAST(sum(CAST(event_type = 'signup'   AS INT)) AS BIGINT) AS c3,
+         CAST(sum(CAST(event_type = 'view'     AS INT)) AS BIGINT) AS c4
+  FROM events GROUP BY 1)
+SELECT user_id, n_events,
+       CAST(c0 > 0 AS INT) + CAST(c1 > 0 AS INT) + CAST(c2 > 0 AS INT)
+         + CAST(c3 > 0 AS INT) + CAST(c4 > 0 AS INT) AS n_distinct_types,
+       round(0.0
+         + CASE WHEN c0 > 0 THEN -(c0 / n_events) * ln(c0 / n_events) ELSE 0.0 END
+         + CASE WHEN c1 > 0 THEN -(c1 / n_events) * ln(c1 / n_events) ELSE 0.0 END
+         + CASE WHEN c2 > 0 THEN -(c2 / n_events) * ln(c2 / n_events) ELSE 0.0 END
+         + CASE WHEN c3 > 0 THEN -(c3 / n_events) * ln(c3 / n_events) ELSE 0.0 END
+         + CASE WHEN c4 > 0 THEN -(c4 / n_events) * ln(c4 / n_events) ELSE 0.0 END,
+         6) AS type_entropy
+FROM agg
+"""
+
+QUERIES["user_event_entropy"] = user_event_entropy

@@ -170,3 +170,33 @@ QUERIES = {
     "domain_mix_weights": domain_mix_weights,
     "sequence_packing_bins": sequence_packing_bins,
 }
+
+
+# temperature_mix_shares: α=0.5 temperature-flattened domain sampling
+# shares. sqrt (not pow) keeps the per-domain transform correctly
+# rounded in both engines; the normalizer is an exact DECIMAL sum.
+def temperature_mix_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.temperature_mix_weights(docs, "source",
+                                     X.token_count(F.col("text")))
+
+
+ORACLE["temperature_mix_shares"] = """
+WITH tok AS (SELECT source, regexp_extract_all(lower(text), '\\w+') AS t
+             FROM documents),
+per AS (SELECT source, count(*) AS n_docs,
+               CAST(sum(len(t)) AS BIGINT) AS domain_tokens
+        FROM tok GROUP BY 1),
+w AS (SELECT *, sum(domain_tokens) OVER () AS _total FROM per),
+sq AS (SELECT *, CAST(sqrt(domain_tokens / _total) AS DECIMAL(28,12)) AS _s
+       FROM w),
+nm AS (SELECT *, sum(_s) OVER () AS _norm FROM sq)
+SELECT source, n_docs, domain_tokens,
+       round(domain_tokens / _total, 6) AS token_share,
+       round(CAST(_s AS DOUBLE) / CAST(_norm AS DOUBLE), 6) AS temp_share,
+       round((CAST(_s AS DOUBLE) / CAST(_norm AS DOUBLE))
+             / (domain_tokens / _total), 6) AS mix_weight
+FROM nm
+"""
+
+QUERIES["temperature_mix_shares"] = temperature_mix_shares

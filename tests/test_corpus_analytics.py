@@ -99,3 +99,35 @@ def test_rolling_anomaly_flags_spike_not_steady(spark):
              rolling_anomaly(df.repartition(5), "user_id", "ts", "value",
                              "event_id").collect()}
     assert all(tuple(got[k]) == tuple(again[k]) for k in got)
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    """α=0.5 shares sit strictly between the natural mix and uniform:
+    the biggest domain's share shrinks, the smallest grows, and the
+    upsampling weight favors small domains."""
+    from luma_etl_data_platform_spark.operators.curation import (
+        temperature_mix_weights,
+    )
+    df = spark.createDataFrame(
+        [(i, "big", "w " * 90) for i in range(9)]
+        + [(100, "small", "w " * 10)],
+        "doc_id long, source string, text string")
+    from luma_etl_data_platform_spark.functions.text import token_count
+    rows = {r["source"]: r for r in
+            temperature_mix_weights(df, "source",
+                                    token_count(F.col("text"))).collect()}
+    big, small = rows["big"], rows["small"]
+    assert small["token_share"] < small["temp_share"] < 0.5
+    assert 0.5 < big["temp_share"] < big["token_share"]
+    assert small["mix_weight"] > 1.0 > big["mix_weight"]
+    assert abs(big["temp_share"] + small["temp_share"] - 1.0) < 1e-5
+
+
+def test_entropy_bounds_and_purity(spark):
+    import math
+    res = {r["user_id"]: r for r in
+           CA.user_event_entropy(spark, SF_SMOKE).collect()}
+    for r in res.values():
+        assert 0.0 <= r["type_entropy"] <= round(math.log(5), 6) + 1e-9
+        if r["n_distinct_types"] == 1:
+            assert r["type_entropy"] == 0.0

@@ -202,3 +202,42 @@ def test_sequence_packing_single_data_shuffle(spark):
     # only (bucket, chunk) aggregates)
     assert plan.count("HashAggregate") >= 2
     assert "Window" in plan
+
+
+def test_bm25_no_shuffle_joins(spark):
+    """BM25's joins are all broadcast (df table + scalar stats); the
+    only corpus shuffles are the tf/doc-length aggregations. A
+    SortMergeJoin here would mean the hit set is being shuffled
+    against a table that should have been broadcast."""
+    from luma_etl_data_platform_spark.operators.ranking import bm25_top_docs
+    from luma_etl_data_platform_spark.sources.tables import load_table
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _formatted_plan(bm25_top_docs(docs, ("spark", "query"), k=5))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pmi_no_cartesian(spark):
+    """The token-total scalar folds in as a broadcast nested-loop of a
+    single row, never a cartesian product; unigram joins may shuffle
+    (they carry only the frequent-bigram set)."""
+    from luma_etl_data_platform_spark.operators.ranking import pmi_bigrams
+    from luma_etl_data_platform_spark.sources.tables import load_table
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _formatted_plan(pmi_bigrams(docs, min_count=5, k=10))
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_anomaly_single_exchange(spark):
+    """One shuffle on the key, one window pass — the trailing-frame
+    stats must not re-exchange or re-sort per aggregate."""
+    from luma_etl_data_platform_spark.operators.timeseries import (
+        rolling_anomaly,
+    )
+    from luma_etl_data_platform_spark.sources.tables import load_table
+    ev = load_table(spark, SF_SMOKE, "events")
+    import re
+    plan = _formatted_plan(
+        rolling_anomaly(ev, "user_id", "ts", "value", "event_id"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
