@@ -791,3 +791,30 @@ QUERIES = {
     "ann_signlsh_candidates": ann_signlsh_candidates,
     "embedding_neardup_pairs": embedding_neardup_pairs,
 }
+
+
+# ---------------------------------------------------------------------------
+# dedup_prefix_jaccard: AllPairs/PPJoin prefix-filtered exact Jaccard
+# join. LOSSLESS (prefix filtering is exact, not probabilistic), so
+# the oracle is the plain all-shared-shingle Jaccard join — the
+# prefix mechanics must reproduce it identically while generating far
+# fewer candidates than the full inverted index.
+# ---------------------------------------------------------------------------
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.prefix_filter_jaccard_pairs(docs, "text", "doc_id", n=3,
+                                         threshold=0.5)
+
+
+ORACLE["dedup_prefix_jaccard"] = f"""
+WITH {_SH_CTE},
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM hs a JOIN hs b
+             ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT id_a, id_b, round(c / (x.n + y.n - c), 6) AS jaccard
+FROM common JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+WHERE round(c / (x.n + y.n - c), 6) >= 0.5
+"""
+
+QUERIES["dedup_prefix_jaccard"] = dedup_prefix_jaccard

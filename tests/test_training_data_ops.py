@@ -107,3 +107,19 @@ def test_semantic_dedup_conserves_and_drops_planted_dup(spark):
     # invariant to input partitioning
     s2 = semantic_dedup_summary(with_dup.repartition(7), k=4, threshold=0.30)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, s2.collect()))
+
+
+def test_prefix_jaccard_matches_plain_inverted_index(spark):
+    """Prefix filtering is lossless: identical verified pairs to the
+    full inverted-index join, from a strictly smaller candidate set."""
+    from luma_etl_data_platform_spark.operators import dedup as D
+    from luma_etl_data_platform_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plain = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+             D.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                   threshold=0.5).collect()}
+    pref = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+            D.prefix_filter_jaccard_pairs(docs, "text", "doc_id",
+                                          threshold=0.5).collect()}
+    assert pref == plain and plain
