@@ -125,6 +125,69 @@ def pmi_bigrams(df: DataFrame, text_col: str = "text",
             .filter(F.col("rnk") <= k))
 
 
+def bigram_lm_scores(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document perplexity under an add-one-smoothed bigram
+    language model trained on the corpus itself — the CCNet/KenLM
+    quality-filter pattern (docs with high perplexity under the
+    corpus LM are boilerplate, spam, or off-distribution).
+
+    Model: ``p(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)`` with
+    ``c(w1 ·)`` the context count (bigram occurrences starting with
+    ``w1``) and ``V`` the unigram vocabulary size.
+
+    Determinism: each bigram's log-probability is rounded to 6 dp and
+    scaled to integer micro-nats; per-document totals are BIGINT sums
+    — exact under any partitioning or summation order — and only the
+    final division/exp return to doubles.  This is the same
+    fixed-point carriage the streaming twins use for micro-batch
+    invariance.
+
+    Scale shape: two explode→groupBy passes build the model (shuffles
+    keyed on the bigram / context word), scoring joins the per-doc
+    bigram counts against the model on the bigram key, and V arrives
+    as a broadcast scalar.  All state is corpus-vocabulary-sized;
+    nothing is per-pair or driver-side.
+
+    Returns (id, n_bigrams, avg_nll, ppl) — one row per document with
+    at least one bigram.
+    """
+    toks = _spread(df).select(F.col(id_col).alias("_id"),
+                              tokens(F.col(text_col)).alias("_t"))
+    big_expr = F.expr(
+        "transform(slice(_t, 1, greatest(size(_t) - 1, 0)),"
+        " (x, i) -> struct(x AS w1, element_at(_t, i + 2) AS w2))")
+    doc_big = (toks.select("_id", F.explode(big_expr).alias("_b"))
+               .select("_id", F.col("_b.w1").alias("w1"),
+                       F.col("_b.w2").alias("w2")))
+
+    model = doc_big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    ctx = model.groupBy("w1").agg(F.sum("_c2").alias("_c1"))
+    vocab = (toks.select(F.explode("_t").alias("_w")).distinct()
+             .agg(F.count(F.lit(1)).alias("_v")))
+
+    dtf = doc_big.groupBy("_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("_dtf"))
+    scored = (dtf.join(model, ["w1", "w2"])
+              .join(ctx, "w1")
+              .crossJoin(F.broadcast(vocab)))
+    logp = F.log((F.col("_c2").cast("double") + F.lit(1.0))
+                 / (F.col("_c1").cast("double") + F.col("_v")))
+    # round-to-nearest AFTER scaling (round-then-multiply can land a
+    # hair below the integer and truncate differently per engine)
+    micro = F.round(logp * F.lit(-1_000_000.0), 0).cast("long")
+    per_doc = scored.groupBy("_id").agg(
+        F.sum(F.col("_dtf")).alias("n_bigrams"),
+        F.sum(F.col("_dtf") * micro).alias("_nll_micro"))
+    avg_nll = (F.col("_nll_micro").cast("double")
+               / (F.col("n_bigrams").cast("double") * 1e6))
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_bigrams",
+        F.round(avg_nll, 6).alias("avg_nll"),
+        F.round(F.exp(avg_nll), 4).alias("ppl"))
+
+
 def vocab_profile(df: DataFrame, text_col: str = "text",
                   group_col: str = "source") -> DataFrame:
     """Per-group vocabulary profile: vocabulary size, hapax count

@@ -1,0 +1,114 @@
+"""Portable cardinality sketches (KMV / bottom-k).
+
+The engine already exposes Spark's native sketches
+(``approx_count_distinct`` HLL++, ``approx_percentile`` — see
+``plans/extras.py``), but their internal state is engine-specific, so
+those queries can only be rows-checked, never hash-verified against an
+independent oracle.  This module adds the classic **K-Minimum-Values
+sketch** (Bar-Yossef et al. 2002) built on the repo's portable md5
+hash: every engine that evaluates md5 identically produces the *same*
+sketch and therefore the *same* estimate — an approximate-distinct
+operator that is still bit-for-bit verifiable in DuckDB.
+
+Why KMV is the right sketch for a 100-TB pipeline:
+
+- **Fixed-size mergeable state.** A group's sketch is its ``k``
+  smallest distinct hash values; the union of two sketches is the
+  bottom-``k`` of the concatenation.  Per-partition partial sketches
+  combine associatively, and cross-dataset union estimates come from
+  merging stored sketches without touching raw data.
+- **Shuffle bound.**  The implementation below dedups (group, hash)
+  pairs with a ``groupBy`` — map-side partial aggregation bounds the
+  shuffle by the number of *distinct* values per partition, the same
+  cost profile as ``countDistinct``, and the subsequent per-group
+  top-k is a WindowGroupLimit (rank filter) that Spark pushes before
+  the final sort at every shuffle side.
+- **Error.**  Relative standard error ≈ 1/sqrt(k-2); k=64 → ~13 %,
+  k=256 → ~6 %.  The estimator is the unbiased (k-1)/U_(k) form with
+  U_(k) the k-th smallest hash normalized to (0, 1].
+
+Reference scope note: the reference platform has no sketches at all
+(`SURVEY.md §2.4` "(absent)" row); this is beyond-reference surface
+mandated by the task brief's scale family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.text import portable_hash32
+
+# portable_hash32 yields values in [0, 2^32); normalize by 2^32 so the
+# k-th min maps to U_(k) in (0, 1].
+_HASH_SPACE = float(2**32)
+
+
+def kmv_sketch(df: DataFrame, group_col: str, value_col: str,
+               k: int = 64) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest distinct portable
+    hashes of ``value_col``.  Returns (group_col, _h) with ≤ k rows
+    per group — the sketch rows themselves, suitable for storage or
+    merging with :func:`kmv_union`."""
+    dedup = (df.select(group_col,
+                       portable_hash32(F.col(value_col)).alias("_h"))
+             .distinct())
+    win = W.partitionBy(group_col).orderBy("_h")
+    return (dedup.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn"))
+
+
+def kmv_union(*sketches: DataFrame, group_expr=None, k: int = 64) -> DataFrame:
+    """Merge sketches (union semantics): bottom-``k`` of the combined
+    distinct hash sets.  ``group_expr`` optionally re-labels groups
+    before merging (e.g. ``F.lit('__all__')`` collapses every group
+    into one union sketch)."""
+    from functools import reduce
+    merged = reduce(DataFrame.unionByName, sketches)
+    gcol = merged.columns[0]
+    if group_expr is not None:
+        merged = merged.select(group_expr.alias(gcol), "_h")
+    merged = merged.distinct()
+    win = W.partitionBy(gcol).orderBy("_h")
+    return (merged.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn"))
+
+
+def bottomk_sample(df: DataFrame, key_col: str, k: int = 1024,
+                   seed: int = 0) -> DataFrame:
+    """Deterministic uniform sample: the ``k`` rows whose key hashes
+    smallest.  The hash is uniform on [0, 2^32), so this is a simple
+    random sample of size k — but unlike ``df.sample`` it is
+    reproducible across engines/partitionings AND mergeable (the
+    bottom-k of a union is the bottom-k of the per-part bottom-ks),
+    which makes it the sampling half of the KMV family: store per-
+    partition bottom-k, merge for any ad-hoc estimate.  Quantiles of
+    the sample approximate data quantiles with error O(1/sqrt(k)).
+
+    Plan: sort-limit compiles to TakeOrderedAndProject — per-partition
+    top-k then a k·P merge; no full sort, no full shuffle, no single-
+    partition window."""
+    h = portable_hash32(F.col(key_col), seed)
+    return (df.withColumn("_h", h)
+            .orderBy(F.col("_h").asc(), F.col(key_col).asc())
+            .limit(k)
+            .drop("_h"))
+
+
+def kmv_estimate(sketch: DataFrame, group_col: str, k: int = 64) -> DataFrame:
+    """Distinct-count estimate from a sketch: exact count when the
+    group has fewer than ``k`` distinct hashes (the sketch IS the
+    value set), else ``(k-1) / U_(k)`` with ``U_(k) = kth_hash/2^32``.
+
+    Returns (group_col, n_sketch, est_distinct) — ``est_distinct``
+    rounded to 4 so the double division is comparison-stable."""
+    agg = (sketch.groupBy(group_col)
+           .agg(F.max("_h").alias("_kth"), F.count(F.lit(1)).alias("n_sketch")))
+    est = (F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double"))
+           .otherwise(F.lit(float(k - 1)) * F.lit(_HASH_SPACE)
+                      / F.col("_kth").cast("double")))
+    return agg.select(group_col, "n_sketch",
+                      F.round(est, 4).alias("est_distinct"))

@@ -52,6 +52,42 @@ def resample_ffill(df: DataFrame, key_col: str, ts_col: str, value_col: str,
     )
 
 
+def merge_intervals(df: DataFrame, key_col: str, start_col: str,
+                    end_col: str) -> DataFrame:
+    """Gaps-and-islands interval merge: coalesce overlapping or
+    touching [start, end) intervals per key into maximal islands.
+
+    The complement of ``plans/windows.sessionize`` (which groups point
+    events by inter-event gap): here the inputs are *intervals*, and
+    two intervals belong to one island iff they overlap or abut —
+    the classic SQL pattern for coverage/uptime/occupancy analysis.
+
+    Algorithm (one shuffle on the key, one window pass):
+    an interval starts a new island iff its start exceeds the running
+    max of all previous ends; the island id is the running sum of
+    those start flags. Timestamp arithmetic is exact (no doubles), so
+    results are bit-stable at any partitioning; within equal starts
+    the tie order is irrelevant because an equal start can never
+    exceed a previous end that covers it.
+
+    Returns one row per island:
+    (key, island, island_start, island_end, n_intervals).
+    """
+    w_prev = (W.partitionBy(key_col).orderBy(start_col, end_col)
+              .rowsBetween(W.unboundedPreceding, -1))
+    w_run = (W.partitionBy(key_col).orderBy(start_col, end_col)
+             .rowsBetween(W.unboundedPreceding, 0))
+    prev_max_end = F.max(end_col).over(w_prev)
+    new_island = (prev_max_end.isNull()
+                  | (F.col(start_col) > prev_max_end)).cast("long")
+    return (df
+            .withColumn("_island", F.sum(new_island).over(w_run))
+            .groupBy(key_col, F.col("_island").alias("island"))
+            .agg(F.min(start_col).alias("island_start"),
+                 F.max(end_col).alias("island_end"),
+                 F.count(F.lit(1)).alias("n_intervals")))
+
+
 def rolling_anomaly(df: DataFrame, key_col: str, ts_col: str,
                     value_col: str, tiebreak_col: str,
                     lookback: int = 6, min_obs: int = 3,

@@ -1,0 +1,311 @@
+"""Scale-native analytics: portable cardinality sketches, triangle
+counting over a similarity graph, interval-coverage merge, and
+corpus-LM perplexity scoring.
+
+Every query here exists because of a 100-TB concern:
+
+- ``kmv_distinct_users``  — mergeable fixed-size distinct sketches
+  (the hash-verifiable counterpart of the rows-only HLL queries in
+  ``plans/extras.py``);
+- ``graph_triangle_stats`` — O(m^1.5) degree-ordered wedge counting,
+  the skew-proof formulation of the one graph metric every dedup
+  graph audit needs;
+- ``interval_coverage_user`` — gaps-and-islands coalescing with exact
+  timestamp arithmetic (uptime/occupancy analysis);
+- ``lm_perplexity_docs``  — add-one bigram-LM perplexity with integer
+  micro-nat carriage (partition-order-independent float totals).
+
+Reference scope: all beyond-reference surface (`SURVEY.md §2` crowns
+these families "(absent)"); oracle parity follows the repo's portable-
+md5 / fixed-point conventions so DuckDB reproduces results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.basket import basket_pair_stats
+from ..operators.fuzzy import fuzzy_pairs
+from ..operators.graph import pagerank, triangle_stats
+from ..operators.ranking import bigram_lm_scores
+from ..operators.sketches import (
+    bottomk_sample, kmv_estimate, kmv_sketch, kmv_union)
+from ..operators.timeseries import merge_intervals
+from ..sources.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+# the fuzzy part-name similarity graph: the shared edge contract of
+# the graph-analytics queries (triangles, PageRank) — one row per
+# undirected pair, id_a < id_b
+_FUZZY_EDGE_CTE = """
+e AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+  FROM part a JOIN part b
+    ON substring(a.p_name, 1, 4) = substring(b.p_name, 1, 4)
+   AND a.p_partkey < b.p_partkey
+   AND abs(length(a.p_name) - length(b.p_name)) <= 4
+  WHERE levenshtein(a.p_name, b.p_name) <= 4)
+"""
+
+
+def _fuzzy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (fuzzy_pairs(part, "p_name", "p_partkey",
+                        max_distance=4, prefix_len=4)
+            .select("id_a", "id_b"))
+
+_KMV_K = 64
+
+
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type KMV distinct-user estimates plus a '__union__'
+    row whose estimate comes from MERGING the per-type sketches —
+    demonstrating the property that makes sketches worth their error
+    bar: cross-group union cardinality without re-reading the data."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "event_type", "user_id", k=_KMV_K).persist()
+    uni = kmv_union(sk, group_expr=F.lit("__union__"), k=_KMV_K)
+    return (kmv_estimate(sk, "event_type", k=_KMV_K)
+            .unionByName(kmv_estimate(uni, "event_type", k=_KMV_K))
+            .orderBy("event_type"))
+
+
+ORACLE["kmv_distinct_users"] = f"""
+WITH h AS (SELECT DISTINCT event_type,
+                  CAST('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) AS hh
+           FROM events),
+ranked AS (SELECT event_type, hh,
+                  row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+           FROM h),
+sk AS (SELECT event_type, hh FROM ranked WHERE rn <= {_KMV_K}),
+uranked AS (SELECT hh, row_number() OVER (ORDER BY hh) AS rn
+            FROM (SELECT DISTINCT hh FROM sk)),
+allsk AS (SELECT * FROM sk
+          UNION ALL
+          SELECT '__union__', hh FROM uranked WHERE rn <= {_KMV_K}),
+agg AS (SELECT event_type, max(hh) AS kth, count(*) AS n_sketch
+        FROM allsk GROUP BY 1)
+SELECT event_type, n_sketch,
+       round(CASE WHEN n_sketch < {_KMV_K} THEN CAST(n_sketch AS DOUBLE)
+                  ELSE {_KMV_K - 1}.0 * 4294967296.0 / kth END, 4)
+         AS est_distinct
+FROM agg ORDER BY event_type
+"""
+
+
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the fuzzy part-name similarity graph
+    (edges = blocked levenshtein pairs, the ``fuzzy_part_names``
+    contract): node/edge/triangle counts + global clustering
+    coefficient, via degree-ordered wedge enumeration."""
+    return triangle_stats(_fuzzy_edges(spark, sf_dir))
+
+
+ORACLE["graph_triangle_stats"] = f"""
+WITH {_FUZZY_EDGE_CTE},
+deg AS (SELECT node, count(*) AS deg
+        FROM (SELECT id_a AS node FROM e UNION ALL SELECT id_b FROM e)
+        GROUP BY 1),
+o AS (SELECT CASE WHEN da.deg < db.deg
+                    OR (da.deg = db.deg AND e.id_a < e.id_b)
+                  THEN e.id_a ELSE e.id_b END AS u,
+             CASE WHEN da.deg < db.deg
+                    OR (da.deg = db.deg AND e.id_a < e.id_b)
+                  THEN e.id_b ELSE e.id_a END AS v,
+             CASE WHEN da.deg < db.deg
+                    OR (da.deg = db.deg AND e.id_a < e.id_b)
+                  THEN db.deg ELSE da.deg END AS dv
+      FROM e JOIN deg da ON e.id_a = da.node
+             JOIN deg db ON e.id_b = db.node),
+w AS (SELECT a.u, a.v AS v1, b.v AS v2
+      FROM o a JOIN o b ON a.u = b.u
+      WHERE a.dv < b.dv OR (a.dv = b.dv AND a.v < b.v)),
+t AS (SELECT count(*) AS n_triangles FROM w
+      WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.v1 AND o.v = w.v2)),
+s AS (SELECT count(*) AS n_nodes,
+             CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+             CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg)
+SELECT n_nodes, n_edges, n_triangles,
+       CASE WHEN n_wedges > 0 THEN round(3.0 * n_triangles / n_wedges, 6)
+            ELSE 0.0 END AS clustering_coeff
+FROM s, t
+"""
+
+
+def interval_coverage_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity coverage: each event opens a 5-minute
+    interval; overlapping/abutting intervals merge into islands.
+    Output per user: island count, covered micros, busiest island."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select("user_id", F.col("ts").alias("s"),
+                   (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"))
+    islands = merge_intervals(iv, "user_id", "s", "e")
+    # timestampdiff works on TIMESTAMP_NTZ (load_table yields NTZ) and
+    # never consults the session timezone
+    covered = F.expr(
+        "timestampdiff(MICROSECOND, island_start, island_end)")
+    return (islands.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_islands"),
+                 F.sum(covered).alias("covered_us"),
+                 F.max("n_intervals").alias("max_island_events")))
+
+
+ORACLE["interval_coverage_user"] = """
+WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e FROM events),
+m AS (SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pme
+      FROM iv),
+fl AS (SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS nf
+       FROM m),
+isl AS (SELECT *, sum(nf) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS island
+        FROM fl),
+g AS (SELECT user_id, island, min(s) AS i0, max(e) AS i1, count(*) AS n
+      FROM isl GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_islands,
+       CAST(sum(epoch_us(i1) - epoch_us(i0)) AS BIGINT) AS covered_us,
+       max(n) AS max_island_events
+FROM g GROUP BY 1
+"""
+
+
+def lm_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs)
+
+
+ORACLE["lm_perplexity_docs"] = """
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
+             FROM documents),
+db AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       FROM (SELECT doc_id, t,
+                    unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+             FROM tok)),
+model AS (SELECT w1, w2, count(*) AS c2 FROM db GROUP BY 1, 2),
+ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM model GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS vv
+      FROM (SELECT unnest(t) AS w FROM tok)),
+dtf AS (SELECT doc_id, w1, w2, count(*) AS dtf FROM db GROUP BY 1, 2, 3),
+sc AS (SELECT doc_id, dtf,
+              CAST(round(ln((c2 + 1.0) / (c1 + vv)) * -1000000, 0) AS BIGINT)
+                AS micro
+       FROM dtf JOIN model USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v),
+pd AS (SELECT doc_id, CAST(sum(dtf) AS BIGINT) AS n_bigrams,
+              CAST(sum(dtf * micro) AS BIGINT) AS nll_micro
+       FROM sc GROUP BY 1)
+SELECT doc_id, n_bigrams,
+       round(nll_micro / (n_bigrams * 1000000.0), 6) AS avg_nll,
+       round(exp(nll_micro / (n_bigrams * 1000000.0)), 4) AS ppl
+FROM pd
+"""
+
+
+def graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank vertices of the fuzzy part-name graph —
+    iterative message passing with integer pico-unit rank carriage
+    (bit-stable at any partitioning, reproduced exactly by the
+    unrolled-iteration SQL oracle)."""
+    ranks = pagerank(_fuzzy_edges(spark, sf_dir), iterations=10)
+    return (ranks.orderBy(F.col("rank_scaled").desc(), "node").limit(20))
+
+
+def _pagerank_oracle(iterations: int = 10) -> str:
+    scale = "1000000000000.0"
+    ctes = [f"""
+b AS (SELECT id_a AS u, id_b AS v FROM e
+      UNION ALL SELECT id_b, id_a FROM e),
+deg AS (SELECT u AS node, count(*) AS deg FROM b GROUP BY 1),
+n AS (SELECT count(*) AS nn FROM deg),
+r0 AS (SELECT node, CAST(floor({scale} / nn) AS BIGINT) AS rank
+       FROM deg, n)"""]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""
+r{i} AS (SELECT b.v AS node,
+              CAST(floor(3.0 * {scale} / (20.0 * nn)) AS BIGINT)
+              + CAST(sum(CAST(floor((17.0 * r.rank) / (20.0 * d.deg))
+                              AS BIGINT)) AS BIGINT) AS rank
+       FROM b JOIN r{i - 1} r ON b.u = r.node
+              JOIN deg d ON b.u = d.node
+              CROSS JOIN n
+       GROUP BY b.v, nn)""")
+    return (f"WITH {_FUZZY_EDGE_CTE}, " + ",".join(ctes)
+            + f"\nSELECT node, rank AS rank_scaled FROM r{iterations}"
+            + "\nORDER BY rank_scaled DESC, node LIMIT 20")
+
+
+ORACLE["graph_pagerank_top20"] = _pagerank_oracle(10)
+
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining over order baskets (basket = order, item =
+    part): top-20 part pairs by lift among pairs co-occurring in ≥ 3
+    orders."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    stats = basket_pair_stats(li, "l_orderkey", "l_partkey", min_pair_count=3)
+    return stats.orderBy(F.col("lift").desc(), "item_a", "item_b").limit(20)
+
+
+ORACLE["basket_part_pairs"] = """
+WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+n AS (SELECT count(DISTINCT b) AS nn FROM items),
+supp AS (SELECT i, count(*) AS s FROM items GROUP BY 1),
+pairs AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS pair_baskets
+          FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+          GROUP BY 1, 2
+          HAVING count(*) >= 3)
+SELECT item_a, item_b, pair_baskets,
+       round(CAST(pair_baskets AS DOUBLE) / nn, 6) AS support,
+       round(CAST(pair_baskets AS DOUBLE) / sa.s, 6) AS confidence_a_b,
+       round(CAST(pair_baskets AS DOUBLE) * nn / (sa.s * sb.s), 6) AS lift
+FROM pairs
+JOIN supp sa ON item_a = sa.i
+JOIN supp sb ON item_b = sb.i
+CROSS JOIN n
+ORDER BY lift DESC, item_a, item_b LIMIT 20
+"""
+
+
+def sampled_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value quantiles estimated from a deterministic
+    bottom-1024-by-hash sample — the reproducible, hash-verifiable
+    counterpart of the engine-specific KLL sketch behind
+    ``approx_value_quantiles`` (which can only be rows-checked)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = bottomk_sample(ev, "event_id", k=1024)
+    return (s.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_sampled"),
+                 F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_est"),
+                 F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_est"))
+            .orderBy("event_type"))
+
+
+ORACLE["sampled_value_quantiles"] = """
+WITH s AS (SELECT event_type, value
+           FROM events
+           ORDER BY CAST('0x' || substr(md5('0:' || CAST(event_id AS VARCHAR)),
+                                        1, 8) AS BIGINT),
+                    event_id
+           LIMIT 1024)
+SELECT event_type, count(*) AS n_sampled,
+       round(quantile_cont(value, 0.5), 6) AS p50_est,
+       round(quantile_cont(value, 0.9), 6) AS p90_est
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES = {
+    "sampled_value_quantiles": sampled_value_quantiles,
+    "kmv_distinct_users": kmv_distinct_users,
+    "graph_triangle_stats": graph_triangle_stats,
+    "graph_pagerank_top20": graph_pagerank_top20,
+    "interval_coverage_user": interval_coverage_user,
+    "lm_perplexity_docs": lm_perplexity_docs,
+    "basket_part_pairs": basket_part_pairs,
+}

@@ -33,17 +33,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark
-        # rejects (PARQUET_TYPE_ILLEGAL). Set the legacy conf on
-        # whatever session we were handed (runtime-settable) so the
-        # column arrives as a long, then truncate nanos → micros
-        # exactly like the DuckDB oracle does. Integer division
-        # (`div`) — float division would lose precision above 2^53 ns.
+        # events.ts has shipped as either parquet TIMESTAMP(NANOS)
+        # (vanilla Spark rejects it — read via the legacy nanosAsLong
+        # conf as a long and truncate to micros, matching the DuckDB
+        # oracle) or TIMESTAMP(MICROS, isAdjustedToUTC=false) (arrives
+        # as TIMESTAMP_NTZ). Normalize BOTH to a TimestampType whose
+        # epoch equals the wall-clock value interpreted as UTC, so
+        # every downstream epoch cast / bucket / window is identical
+        # across data vintages and independent of the session tz.
         from pyspark.sql import functions as F, types as T
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            # nanos → micros by integer division (`div`): float
+            # division would lose precision above 2^53 ns.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
         return df
     return spark.read.parquet(path)
 

@@ -1,0 +1,266 @@
+"""Tests for the scale-native analytics batch: KMV sketches, triangle
+counting, interval merge, bigram-LM perplexity — oracle parity plus
+behavioral unit checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from luma_etl_data_platform_spark.operators import sketches as K
+from luma_etl_data_platform_spark.operators.graph import (
+    node_triangle_counts, triangle_stats)
+from luma_etl_data_platform_spark.operators.ranking import bigram_lm_scores
+from luma_etl_data_platform_spark.operators.timeseries import merge_intervals
+from luma_etl_data_platform_spark.plans import scale_ops as SO
+from tests.conftest import SF_SMOKE
+from tests.parity import assert_matches
+
+
+@pytest.mark.parametrize("name", sorted(SO.QUERIES))
+def test_oracle_parity_smoke(spark, duck_smoke, name):
+    sdf = SO.QUERIES[name](spark, SF_SMOKE)
+    assert_matches(sdf, duck_smoke.execute(SO.ORACLE[name]).fetchdf(), name)
+
+
+# ---------------------------------------------------------------------------
+# KMV
+# ---------------------------------------------------------------------------
+
+def test_kmv_exact_below_k(spark):
+    # fewer distinct values than k → the sketch IS the value set and
+    # the estimate is exact
+    df = spark.createDataFrame(
+        [("g", i % 7) for i in range(100)], "g string, v long")
+    est = K.kmv_estimate(K.kmv_sketch(df, "g", "v", k=64), "g", k=64).collect()
+    assert len(est) == 1
+    assert est[0]["n_sketch"] == 7 and est[0]["est_distinct"] == 7.0
+
+
+def test_kmv_estimate_within_error(spark):
+    # 2000 distinct values, k=64 → RSE ~ 1/sqrt(62) ≈ 13%; allow 4 sigma
+    df = spark.createDataFrame([("g", i) for i in range(2000)],
+                               "g string, v long")
+    est = K.kmv_estimate(K.kmv_sketch(df, "g", "v", k=64), "g", k=64).collect()
+    assert abs(est[0]["est_distinct"] - 2000) / 2000 < 0.52
+
+
+def test_kmv_union_merges_sketches(spark):
+    # groups share values; union estimate must track the true union,
+    # not the sum of per-group counts
+    df = spark.createDataFrame(
+        [("a", i) for i in range(500)] + [("b", i) for i in range(250, 750)],
+        "g string, v long")
+    sk = K.kmv_sketch(df, "g", "v", k=64)
+    uni = K.kmv_union(sk, group_expr=F.lit("all"), k=64)
+    est = K.kmv_estimate(uni, "g", k=64).collect()[0]["est_distinct"]
+    assert abs(est - 750) / 750 < 0.52  # true union = 750, not 1000
+
+
+def test_kmv_partitioning_invariant(spark):
+    df = spark.createDataFrame([("g", i * 13 % 997) for i in range(3000)],
+                               "g string, v long")
+    a = K.kmv_estimate(K.kmv_sketch(df, "g", "v"), "g").collect()
+    b = K.kmv_estimate(K.kmv_sketch(df.repartition(17), "g", "v"), "g").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# ---------------------------------------------------------------------------
+# triangles
+# ---------------------------------------------------------------------------
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_triangle_stats_on_k4(spark):
+    # complete graph on 4 nodes: 6 edges, 4 triangles, clustering 1.0
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    row = triangle_stats(_edges(spark, k4)).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 6, 4)
+    assert row["clustering_coeff"] == 1.0
+
+
+def test_triangle_stats_path_has_none(spark):
+    row = triangle_stats(_edges(spark, [(1, 2), (2, 3), (3, 4)])).collect()[0]
+    assert row["n_triangles"] == 0 and row["clustering_coeff"] == 0.0
+
+
+def test_node_triangle_counts_credit_all_corners(spark):
+    # one triangle (1,2,3) plus a pendant edge (3,4)
+    got = {r["node"]: r["n_triangles"]
+           for r in node_triangle_counts(
+               _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_stats_skewed_star_plus_triangles(spark):
+    # a hot hub (star on 50 leaves) contributes wedges but no
+    # triangles; two disjoint triangles elsewhere must still be found
+    star = [(0, i) for i in range(1, 51)]
+    tris = [(100, 101), (101, 102), (100, 102),
+            (200, 201), (201, 202), (200, 202)]
+    row = triangle_stats(_edges(spark, star + tris)).collect()[0]
+    assert row["n_triangles"] == 2
+
+
+def test_bottomk_sample_deterministic_and_mergeable(spark):
+    df = spark.createDataFrame([(i,) for i in range(5000)], "id long")
+    a = sorted(r["id"] for r in K.bottomk_sample(df, "id", k=100).collect())
+    b = sorted(r["id"] for r in
+               K.bottomk_sample(df.repartition(23), "id", k=100).collect())
+    assert a == b and len(a) == 100
+    # mergeability: bottom-k of union == bottom-k of the two bottom-ks
+    lo = df.filter(F.col("id") < 2500)
+    hi = df.filter(F.col("id") >= 2500)
+    merged = K.bottomk_sample(
+        K.bottomk_sample(lo, "id", k=100)
+        .unionByName(K.bottomk_sample(hi, "id", k=100)), "id", k=100)
+    assert sorted(r["id"] for r in merged.collect()) == a
+
+
+def test_bottomk_sample_plan_is_take_ordered(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    plan = K.bottomk_sample(df, "id", k=10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+def test_pagerank_hub_outranks_leaves(spark):
+    # star graph: the hub must accumulate the highest rank
+    star = _edges(spark, [(0, i) for i in range(1, 11)])
+    from luma_etl_data_platform_spark.operators.graph import pagerank
+    rows = {r["node"]: r["rank_scaled"] for r in pagerank(star).collect()}
+    assert rows[0] == max(rows.values())
+    assert all(rows[i] == rows[1] for i in range(2, 11))  # leaves symmetric
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    # a 6-cycle is vertex-transitive: every node gets the same rank
+    cyc = _edges(spark, [(i, (i + 1) % 6) if i + 1 < 6 else (0, 5)
+                         for i in range(6)])
+    from luma_etl_data_platform_spark.operators.graph import pagerank
+    ranks = {r["rank_scaled"] for r in pagerank(cyc).collect()}
+    assert len(ranks) == 1
+
+
+def test_pagerank_partitioning_invariant(spark):
+    import random
+    rnd = random.Random(3)
+    edges = list({(a, b) for _ in range(300)
+                  for a, b in [sorted(rnd.sample(range(60), 2))]})
+    df = _edges(spark, edges)
+    from luma_etl_data_platform_spark.operators.graph import pagerank
+    a = sorted(tuple(r) for r in pagerank(df).collect())
+    b = sorted(tuple(r) for r in pagerank(df.repartition(11)).collect())
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# market basket
+# ---------------------------------------------------------------------------
+
+def test_basket_pair_stats_exclusive_pair_has_high_lift(spark):
+    from luma_etl_data_platform_spark.operators.basket import basket_pair_stats
+    rows = []
+    # x,y always together in 4 baskets; a appears everywhere (20)
+    for b in range(20):
+        rows.append((b, "a"))
+        if b < 4:
+            rows += [(b, "x"), (b, "y")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {(r["item_a"], r["item_b"]): r
+           for r in basket_pair_stats(df, "basket", "item",
+                                      min_pair_count=3).collect()}
+    xy = got[("x", "y")]
+    assert xy["pair_baskets"] == 4
+    assert xy["lift"] == 5.0          # 4*20/(4*4)
+    assert xy["confidence_a_b"] == 1.0
+    ax = got[("a", "x")]
+    assert ax["lift"] == 1.0          # 4*20/(20*4): independent of a
+
+
+def test_basket_pair_stats_min_count_prunes(spark):
+    from luma_etl_data_platform_spark.operators.basket import basket_pair_stats
+    df = spark.createDataFrame(
+        [(1, "p"), (1, "q"), (2, "p"), (2, "q"), (3, "r"), (3, "s")],
+        "basket long, item string")
+    got = basket_pair_stats(df, "basket", "item", min_pair_count=2).collect()
+    assert {(r["item_a"], r["item_b"]) for r in got} == {("p", "q")}
+
+
+# ---------------------------------------------------------------------------
+# interval merge
+# ---------------------------------------------------------------------------
+
+def test_merge_intervals_basic(spark):
+    df = spark.createDataFrame(
+        [("u", 0, 10), ("u", 5, 12), ("u", 20, 25), ("u", 25, 30),
+         ("v", 0, 1)],
+        "k string, s long, e long")
+    rows = {(r["k"], r["island_start"]): r
+            for r in merge_intervals(df, "k", "s", "e").collect()}
+    assert rows[("u", 0)]["island_end"] == 12
+    assert rows[("u", 0)]["n_intervals"] == 2
+    # [20,25) and [25,30) abut: start == prev end is NOT > → merged
+    assert rows[("u", 20)]["island_end"] == 30
+    assert rows[("v", 0)]["n_intervals"] == 1
+
+
+def test_merge_intervals_partitioning_invariant(spark):
+    import random
+    rnd = random.Random(7)
+    data = [("k%d" % (i % 5), s, s + rnd.randint(1, 40))
+            for i in range(400) for s in [rnd.randint(0, 1000)]]
+    df = spark.createDataFrame(data, "k string, s long, e long")
+    a = sorted(tuple(r) for r in merge_intervals(df, "k", "s", "e").collect())
+    b = sorted(tuple(r) for r in
+               merge_intervals(df.repartition(13), "k", "s", "e").collect())
+    assert a == b
+
+
+def test_merge_intervals_contained_interval(spark):
+    # an interval fully inside the running island must not split it
+    df = spark.createDataFrame(
+        [("u", 0, 100), ("u", 10, 20), ("u", 30, 40), ("u", 150, 160)],
+        "k string, s long, e long")
+    got = sorted((r["island_start"], r["island_end"], r["n_intervals"])
+                 for r in merge_intervals(df, "k", "s", "e").collect())
+    assert got == [(0, 100, 3), (150, 160, 1)]
+
+
+# ---------------------------------------------------------------------------
+# bigram LM
+# ---------------------------------------------------------------------------
+
+def test_bigram_lm_repetitive_doc_scores_lower(spark):
+    # doc 1 repeats the corpus-dominant pattern; doc 2 is one-off word
+    # salad → higher perplexity under the corpus LM
+    rows = [(i, "the cat sat on the mat") for i in range(1, 9)]
+    rows.append((9, "zebra quantum verdigris flux polka"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["ppl"] for r in bigram_lm_scores(df).collect()}
+    assert got[1] < got[9]
+    assert len(got) == 9
+
+
+def test_bigram_lm_partitioning_invariant(spark):
+    from luma_etl_data_platform_spark.sources.tables import load_table
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = sorted(tuple(r) for r in bigram_lm_scores(docs).collect())
+    b = sorted(tuple(r) for r in
+               bigram_lm_scores(docs.repartition(13)).collect())
+    assert a == b
+
+
+def test_bigram_lm_skips_sub_bigram_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world again"), (2, "single"), (3, "")],
+        "doc_id long, text string")
+    got = bigram_lm_scores(df).collect()
+    assert {r["doc_id"] for r in got} == {1}
+    assert got[0]["n_bigrams"] == 2
