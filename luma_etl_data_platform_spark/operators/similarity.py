@@ -66,6 +66,41 @@ def cosine_topk(df: DataFrame, query, k: int = 10,
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def batch_cosine_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k by cosine for a BATCH of query vectors in one
+    corpus scan — the retrieval shape real pipelines run (score a
+    training batch / evaluation set, not one vector at a time).
+
+    ``queries`` is a small DataFrame (query_id_col, vec_col);
+    it is broadcast, the corpus is scanned once, and per-query top-k
+    comes from a rank-filtered window partitioned by the query id —
+    Spark's WindowGroupLimit pushes the k-filter to the map side, so
+    shuffled state is O(|queries| · k), never corpus-sized.  Wall-
+    clock amortization vs Q single-query scans: one scan instead of Q.
+
+    Self-matches (corpus id == query id) are excluded.  Returns
+    (query_id, rnk, id, score), rnk dense over (score desc, id).
+    """
+    from pyspark.sql.window import Window as W
+    corpus = _as_double(_spread(df), vec_col)
+    q = _as_double(
+        queries.select(F.col(query_id_col).alias("_qid"),
+                       F.col(vec_col).alias("_qv")), "_qv")
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select(F.col("_qid").alias(query_id_col), F.col(id_col),
+                F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("score"))
+    )
+    win = W.partitionBy(query_id_col).orderBy(F.col("score").desc(),
+                                              F.col(id_col))
+    return (scored.withColumn("rnk", F.row_number().over(win))
+            .filter(F.col("rnk") <= k)
+            .select(query_id_col, "rnk", id_col, "score"))
+
+
 def centroids(df: DataFrame, cluster_col: str = "label",
               vec_col: str = "embedding") -> DataFrame:
     """Element-wise mean vector per cluster: posexplode → avg per

@@ -307,6 +307,31 @@ ORDER BY score DESC, id_a, id_b LIMIT 50
 """
 
 
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched retrieval: top-10 cosine neighbors for the 4 smallest
+    vec_ids in ONE corpus scan (broadcast query batch + per-query
+    rank-filtered window) — the evaluation-set retrieval shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.select(F.col("vec_id").alias("query_id"), "embedding")
+               .orderBy("query_id").limit(4))
+    return S.batch_cosine_topk(emb, queries, k=10)
+
+
+ORACLE["ann_batch_topk"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT 4),
+scored AS (SELECT query_id, e.vec_id,
+                  round(list_dot_product(e.v, q.qv)
+                        / (sqrt(list_dot_product(e.v, e.v))
+                           * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+           FROM e CROSS JOIN q
+           WHERE e.vec_id <> q.query_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, vec_id) AS rnk
+           FROM scored)
+SELECT query_id, rnk, vec_id, score FROM ranked WHERE rnk <= 10
+"""
+
 def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style label-free semantic dedup: cluster around 8
     deterministic seed vectors (smallest md5-hash ids), drop vectors
@@ -787,6 +812,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_batch_topk": ann_batch_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_signlsh_candidates": ann_signlsh_candidates,
     "embedding_neardup_pairs": embedding_neardup_pairs,

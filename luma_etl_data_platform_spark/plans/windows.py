@@ -458,7 +458,45 @@ FROM per_nation ORDER BY 1
 """
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: for each (prev_type, next_type) the transition count
+    and row-normalized probability. lead() over the unique (ts,
+    event_id) order; one shuffle on user_id, then a tiny (types²)
+    aggregate — the path-analysis primitive behind next-action
+    prediction and funnel diagnostics."""
+    ev = load_table(spark, sf_dir, "events")
+    by_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select(F.col("event_type").alias("prev_type"),
+                       F.lead("event_type").over(by_user).alias("next_type"))
+             .filter(F.col("next_type").isNotNull()))
+    counts = (pairs.groupBy("prev_type", "next_type")
+              .agg(F.count(F.lit(1)).alias("n_transitions")))
+    totals = W.partitionBy("prev_type")
+    return (counts
+            .withColumn("prob",
+                        F.round(F.col("n_transitions")
+                                / F.sum("n_transitions").over(totals), 6))
+            .orderBy("prev_type", "next_type"))
+
+
+ORACLE["event_transition_matrix"] = """
+WITH pairs AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+counts AS (SELECT prev_type, next_type, count(*) AS n_transitions
+           FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, n_transitions,
+       round(CAST(n_transitions AS DOUBLE)
+             / sum(n_transitions) OVER (PARTITION BY prev_type), 6) AS prob
+FROM counts ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "event_transition_matrix": event_transition_matrix,
     "asof_events_orders": asof_events_orders,
     "event_type_unpivot": event_type_unpivot,
     "range_join_user_bursts": range_join_user_bursts,

@@ -62,6 +62,22 @@ def test_cosine_topk_self_excluded_and_sorted(spark):
     assert all(-1.0 <= s <= 1.0 for s in scores)
 
 
+def test_batch_cosine_topk_matches_single_query(spark):
+    # the batched scan must reproduce per-query brute force exactly
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = (emb.select(F.col("vec_id").alias("query_id"), "embedding")
+               .orderBy("query_id").limit(3))
+    batch = S.batch_cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    assert set(by_q) == {0, 1, 2}
+    for qid, got in by_q.items():
+        q = emb.filter(F.col("vec_id") == qid)
+        single = S.cosine_topk(emb.filter(F.col("vec_id") != qid), q, k=5)
+        assert got == [(r["vec_id"], r["score"]) for r in single.collect()]
+
+
 def test_ivf_probes_restrict_search(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     q = emb.filter(F.col("vec_id") == 0)
