@@ -127,6 +127,63 @@ def test_bottomk_sample_plan_is_take_ordered(spark):
 
 
 # ---------------------------------------------------------------------------
+# plan-shape regressions for the scale-native batch
+# ---------------------------------------------------------------------------
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_batch_ann_broadcasts_queries_and_group_limits(spark):
+    """The query batch must broadcast (never shuffle the corpus
+    against it) and the per-query top-k must be a WindowGroupLimit —
+    the two properties that keep the batched scan O(corpus) work and
+    O(|queries|*k) shuffled state."""
+    from luma_etl_data_platform_spark.operators.similarity import (
+        batch_cosine_topk)
+    from luma_etl_data_platform_spark.sources.tables import load_table
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = (emb.select(F.col("vec_id").alias("query_id"), "embedding")
+               .orderBy("query_id").limit(3))
+    plan = _plan(batch_cosine_topk(emb, queries, k=5))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_plan_has_no_nested_loop_joins(spark):
+    """Wedge generation and closure must be equi-joins (hash/sort-
+    merge) — a nested-loop anywhere means the degree-ordering rewrite
+    regressed to all-pairs."""
+    edges = _edges(spark, [(a, b) for a in range(20)
+                           for b in range(a + 1, 20) if (a + b) % 3])
+    plan = _plan(triangle_stats(edges))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is the 1-row triangle-count
+    # scalar attach (a Cross build on one row); wedge generation and
+    # closure must stay equi-joins. The formatted plan names each
+    # operator twice (tree + detail), so count the tree spelling.
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 1
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) \
+        or ("ShuffledHashJoin" in plan)
+
+
+def test_kmv_sketch_single_wide_stage_per_group(spark):
+    """The sketch plan must dedup via hash aggregate (map-side
+    combinable) — not via a global sort or window over raw rows."""
+    df = spark.createDataFrame([("g", i % 50) for i in range(1000)],
+                               "g string, v long")
+    plan = _plan(K.kmv_sketch(df, "g", "v", k=16))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
 # pagerank
 # ---------------------------------------------------------------------------
 

@@ -83,3 +83,52 @@ def test_signlsh_finds_all_exact_duplicate_pairs(spark):
                  if r["id_b"] - r["id_a"] == 1_000_000}
     assert len(dup_pairs) == 200
     assert all(r["score"] >= 0.999999 for r in pairs)
+
+
+def test_pagerank_on_100k_edge_graph_is_stable(spark):
+    """Preferential-attachment-ish random graph (hubs + long tail):
+    10 integer-carriage iterations must complete, conserve rank mass
+    approximately (floors only lose mass), and be bit-identical under
+    repartitioning."""
+    import random
+    from luma_etl_data_platform_spark.operators.graph import pagerank
+    rnd = random.Random(11)
+    edges = list({(min(a, b), max(a, b))
+                  for _ in range(100_000)
+                  # skewed endpoint choice → hot hubs
+                  for a in [rnd.randint(0, rnd.choice([50, 5000]))]
+                  for b in [rnd.randint(0, 5000)] if a != b})
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    t0 = time.perf_counter()
+    r1 = pagerank(df, iterations=10)
+    rows = r1.collect()
+    assert time.perf_counter() - t0 < 120
+    total = sum(r["rank_scaled"] for r in rows)
+    assert 0.5 * 1_000_000_000_000 < total <= 1_000_000_000_000
+    r2 = sorted(tuple(r) for r in pagerank(df.repartition(29),
+                                           iterations=10).collect())
+    assert sorted(tuple(r) for r in rows) == r2
+
+
+def test_kmv_estimates_on_2m_rows(spark):
+    """2M rows, 4 groups with overlapping 25k-value spaces: per-group
+    estimates must land within 4 sigma (RSE ≈ 1/sqrt(k-2)) of the
+    truth and the merged union sketch must track the global distinct
+    count (not the sum of the groups')."""
+    from luma_etl_data_platform_spark.operators.sketches import (
+        kmv_estimate, kmv_sketch, kmv_union)
+    # group g (= id%4) sees v = (id%100000) + g*25000 where
+    # id%100000 ≡ g (mod 4) → exactly 25 000 distinct v per group
+    df = spark.range(2_000_000).selectExpr(
+        "CAST(id % 4 AS STRING) AS g",
+        "CAST(id % 100000 + (id % 4) * 25000 AS LONG) AS v")
+    sk = kmv_sketch(df, "g", "v", k=256)
+    est = {r["g"]: r["est_distinct"]
+           for r in kmv_estimate(sk, "g", k=256).collect()}
+    for g in est:
+        assert abs(est[g] - 25_000) / 25_000 < 0.25
+    uni = kmv_union(sk, group_expr=F.lit("all"), k=256)
+    uest = kmv_estimate(uni, "g", k=256).collect()[0]["est_distinct"]
+    # union of the 4 groups' value spaces = 175k distinct values
+    truth = df.selectExpr("v").distinct().count()
+    assert abs(uest - truth) / truth < 0.25
