@@ -16,6 +16,48 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row skew diagnosis of a join/partition key: key count, row
+    total, max/p99 per-key frequencies, the hottest key, and the Gini
+    coefficient of the key-frequency distribution — the number that
+    tells you whether a shuffle on this key needs salting or AQE skew
+    handling BEFORE you run the join.
+
+    Gini uses the exact integer identity over ascending-sorted counts
+    ``G = Σ (2i − n − 1)·c_i / (n · Σc)`` — the numerator is a BIGINT
+    sum of exact products (order-free), so the statistic is bit-stable
+    and SQL-oracle-checkable; only the final ratio is a rounded
+    double.  Plan: one groupBy on the key, then a window over the
+    per-key count rows (key-cardinality-sized, not data-sized).
+    """
+    from pyspark.sql.window import Window as W
+    counts = (df.groupBy(F.col(key_col).alias("_k"))
+              .agg(F.count(F.lit(1)).alias("_c")))
+    win = W.orderBy(F.col("_c").asc(), F.col("_k").asc())
+    ranked = counts.withColumn("_i", F.row_number().over(win))
+    # Σ(2i − n − 1)·c  =  2·Σ(i·c) − (n + 1)·Σc  — plain aggregates
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("_c").alias("total_rows"),
+        F.max("_c").alias("max_count"),
+        F.round(F.expr("CAST(percentile(_c, 0.99) AS DOUBLE)"), 6)
+        .alias("p99_count"),
+        F.sum(F.col("_i") * F.col("_c")).alias("_s_ic"),
+    )
+    hottest = (counts
+               .join(F.broadcast(counts.agg(F.max("_c").alias("_mx"))),
+                     F.col("_c") == F.col("_mx"))
+               .agg(F.min("_k").alias("hottest_key")))
+    gini_num = (F.lit(2) * F.col("_s_ic")
+                - (F.col("n_keys") + 1) * F.col("total_rows"))
+    return (agg.crossJoin(F.broadcast(hottest))
+            .select("n_keys", "total_rows", "max_count", "p99_count",
+                    "hottest_key",
+                    F.round(gini_num.cast("double")
+                            / (F.col("n_keys") * F.col("total_rows")), 6)
+                    .alias("gini")))
+
+
 def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     cols = columns or df.columns
     aggs = [F.count(F.lit(1)).alias("__n")]

@@ -300,7 +300,34 @@ FROM s GROUP BY 1 ORDER BY 1
 """
 
 
+def key_skew_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis of events.user_id: frequency extremes,
+    hottest key, and the exact-integer Gini coefficient — the
+    pre-join report that decides salting vs plain shuffle."""
+    from ..operators.profile import key_skew_report
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_report(ev, "user_id")
+
+
+ORACLE["key_skew_users"] = """
+WITH c AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+r AS (SELECT k, c, row_number() OVER (ORDER BY c, k) AS i FROM c),
+a AS (SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS total_rows,
+             max(c) AS max_count,
+             round(CAST(quantile_cont(c, 0.99) AS DOUBLE), 6) AS p99_count,
+             CAST(sum(i * c) AS BIGINT) AS s_ic
+      FROM r),
+h AS (SELECT min(k) AS hottest_key FROM c
+      WHERE c = (SELECT max(c) FROM c))
+SELECT n_keys, total_rows, max_count, p99_count, hottest_key,
+       round(CAST(2 * s_ic - (n_keys + 1) * total_rows AS DOUBLE)
+             / (n_keys * total_rows), 6) AS gini
+FROM a, h
+"""
+
+
 QUERIES = {
+    "key_skew_users": key_skew_users,
     "sampled_value_quantiles": sampled_value_quantiles,
     "kmv_distinct_users": kmv_distinct_users,
     "graph_triangle_stats": graph_triangle_stats,

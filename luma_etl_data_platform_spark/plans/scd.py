@@ -178,4 +178,53 @@ FROM (SELECT * FROM closed UNION ALL SELECT * FROM kept
       UNION ALL SELECT * FROM ins)
 """
 
-QUERIES = {"scd2_customer_history": scd2_customer_history}
+# ---------------------------------------------------------------------------
+# cdc_orders_state: Debezium-style op-log apply. The log is derived
+# deterministically from orders — seq 1 inserts every order, seq 2
+# updates keys % 7 == 0 (price + 10), seq 3 deletes keys % 13 == 0 —
+# so both engines construct the identical stream and the final state
+# must match row-for-row.
+# ---------------------------------------------------------------------------
+def cdc_orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import apply_cdc
+    from ..sources.tables import load_table
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    ins = o.select("*", F.lit("I").alias("op"), F.lit(1).alias("seq"))
+    upd = (o.filter(F.col("o_orderkey") % 7 == 0)
+           .select("o_orderkey", "o_custkey",
+                   F.round(F.col("o_totalprice") + 10.0, 2)
+                   .alias("o_totalprice"),
+                   F.lit("X").alias("o_orderstatus"),
+                   F.lit("U").alias("op"), F.lit(2).alias("seq")))
+    dels = (o.filter(F.col("o_orderkey") % 13 == 0)
+            .select("o_orderkey", "o_custkey", "o_totalprice",
+                    "o_orderstatus",
+                    F.lit("D").alias("op"), F.lit(3).alias("seq")))
+    log = ins.unionByName(upd).unionByName(dels)
+    return apply_cdc(log, ["o_orderkey"], "seq")
+
+
+ORACLE["cdc_orders_state"] = """
+WITH log AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+         'I' AS op, 1 AS seq FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, round(o_totalprice + 10.0, 2), 'X',
+         'U', 2 FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+         'D', 3 FROM orders WHERE o_orderkey % 13 = 0),
+ranked AS (
+  SELECT *, row_number() OVER (
+             PARTITION BY o_orderkey
+             ORDER BY seq DESC,
+                      CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1
+                              ELSE 0 END DESC) AS rn
+  FROM log)
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, seq
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+QUERIES = {"scd2_customer_history": scd2_customer_history,
+           "cdc_orders_state": cdc_orders_state}

@@ -291,6 +291,54 @@ def test_merge_intervals_contained_interval(spark):
 
 
 # ---------------------------------------------------------------------------
+# cdc apply
+# ---------------------------------------------------------------------------
+
+def test_apply_cdc_last_op_wins_and_deletes(spark):
+    from luma_etl_data_platform_spark.operators.cdc import apply_cdc
+    log = spark.createDataFrame(
+        [(1, "a", "I", 1), (1, "b", "U", 2),          # update wins
+         (2, "c", "I", 1), (2, "c", "D", 2),          # deleted
+         (3, "d", "I", 1),                            # plain insert
+         (4, "e", "U", 5), (4, "stale", "I", 1)],     # out-of-order arrival
+        "k long, payload string, op string, seq long")
+    got = {r["k"]: r["payload"]
+           for r in apply_cdc(log, ["k"], "seq").collect()}
+    assert got == {1: "b", 3: "d", 4: "e"}
+
+
+def test_apply_cdc_same_seq_delete_precedence(spark):
+    from luma_etl_data_platform_spark.operators.cdc import apply_cdc
+    log = spark.createDataFrame(
+        [(1, "x", "U", 7), (1, "y", "D", 7)],
+        "k long, payload string, op string, seq long")
+    assert apply_cdc(log, ["k"], "seq").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# key skew report
+# ---------------------------------------------------------------------------
+
+def test_key_skew_report_gini_by_hand(spark):
+    from luma_etl_data_platform_spark.operators.profile import key_skew_report
+    # counts per key: a=1, b=1, c=1, d=97 → Σ(2i-n-1)c = 288,
+    # gini = 288 / (4 * 100) = 0.72
+    rows = ([("a",), ("b",), ("c",)] + [("d",)] * 97)
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_report(df, "k").collect()[0]
+    assert (r["n_keys"], r["total_rows"], r["max_count"]) == (4, 100, 97)
+    assert r["hottest_key"] == "d"
+    assert r["gini"] == 0.72
+
+
+def test_key_skew_report_uniform_is_near_zero(spark):
+    from luma_etl_data_platform_spark.operators.profile import key_skew_report
+    df = spark.createDataFrame([(i % 10,) for i in range(1000)], "k long")
+    r = key_skew_report(df, "k").collect()[0]
+    assert r["gini"] == 0.0 and r["max_count"] == 100
+
+
+# ---------------------------------------------------------------------------
 # bigram LM
 # ---------------------------------------------------------------------------
 
