@@ -98,6 +98,64 @@ def bottomk_sample(df: DataFrame, key_col: str, k: int = 1024,
             .drop("_h"))
 
 
+def bloom_lanes(df: DataFrame, key_col: str, m_bits: int = 65536,
+                k_hashes: int = 3) -> DataFrame:
+    """Build a portable Bloom filter over ``key_col`` as (lane, bits)
+    rows: ``m_bits`` bit positions packed into 64-bit BIGINT lanes,
+    bit positions derived from the portable md5 hash under
+    ``k_hashes`` seeds — every engine that evaluates md5 identically
+    builds the *same* filter, so downstream pruning decisions (and
+    their false positives) are bit-for-bit reproducible.
+
+    Build plan: explode keys × seeds (narrow), groupBy lane with
+    ``bit_or`` (map-side combinable) — at most ``m_bits/64`` output
+    rows regardless of input size; broadcast it to probe.
+    """
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(k_hashes)])).alias("_s")
+    pos = portable_hash32(F.col(key_col), F.col("_s")) % m_bits
+    # explicit floor — Spark's double→long cast truncates while SQL
+    # engines' CAST may round, so the oracle states floor() too
+    lanes = (df.select(F.col(key_col), seeds)
+             .select(pos.alias("_pos"))
+             .select(F.expr("CAST(floor(_pos / 64) AS BIGINT)").alias("lane"),
+                     F.expr("shiftleft(CAST(1 AS BIGINT),"
+                            " CAST(_pos % 64 AS INT))").alias("_bit"))
+             .groupBy("lane").agg(F.bit_or("_bit").alias("bits")))
+    return lanes
+
+
+def bloom_might_contain(df: DataFrame, key_col: str, lanes: DataFrame,
+                        m_bits: int = 65536, k_hashes: int = 3) -> DataFrame:
+    """Filter ``df`` to rows whose key passes the Bloom filter (all
+    ``k_hashes`` bits set).  Probe plan: explode each row into its k
+    (lane, bit) lookups, broadcast-join the ≤ m/64-row lane table,
+    keep rows where every lookup hits — shuffle-free with respect to
+    the big side (the groupBy re-aggregates the k-exploded rows on a
+    synthetic unique id, combinable map-side).
+
+    This is the pre-join pruning pattern: at 100 TB, probing a 8 KiB
+    broadcast filter before a shuffle join drops the shuffled volume
+    to matches + the filter's false positives.
+    """
+    probe_id = F.monotonically_increasing_id().alias("_pid")
+    with_id = df.withColumn("_pid", probe_id)
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(k_hashes)])).alias("_s")
+    pos = portable_hash32(F.col(key_col), F.col("_s")) % m_bits
+    probes = (with_id.select("_pid", F.col(key_col), seeds)
+              .select("_pid", pos.alias("_pos"))
+              .select("_pid",
+                      F.expr("CAST(floor(_pos / 64) AS BIGINT)").alias("lane"),
+                      (F.col("_pos") % 64).cast("int").alias("_bit")))
+    hits = (probes.join(F.broadcast(lanes), "lane", "left")
+            .select("_pid",
+                    F.coalesce(
+                        F.expr("shiftright(bits, _bit)")
+                        .bitwiseAND(F.lit(1)), F.lit(0)).alias("_hit")))
+    passing = (hits.groupBy("_pid").agg(F.min("_hit").alias("_all"))
+               .filter(F.col("_all") == 1).select("_pid"))
+    return with_id.join(passing, "_pid", "left_semi").drop("_pid")
+
+
 def kmv_estimate(sketch: DataFrame, group_col: str, k: int = 64) -> DataFrame:
     """Distinct-count estimate from a sketch: exact count when the
     group has fewer than ``k`` distinct hashes (the sketch IS the

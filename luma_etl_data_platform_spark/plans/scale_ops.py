@@ -30,7 +30,8 @@ from ..operators.fuzzy import fuzzy_pairs
 from ..operators.graph import pagerank, triangle_stats
 from ..operators.ranking import bigram_lm_scores
 from ..operators.sketches import (
-    bottomk_sample, kmv_estimate, kmv_sketch, kmv_union)
+    bloom_lanes, bloom_might_contain, bottomk_sample, kmv_estimate,
+    kmv_sketch, kmv_union)
 from ..operators.timeseries import merge_intervals
 from ..sources.tables import load_table
 
@@ -326,7 +327,66 @@ FROM a, h
 """
 
 
+def bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join pruning audit: build a portable filter
+    over rich customers (c_acctbal > 9900), probe every order, and
+    report candidate vs exact match counts + the realized false-
+    positive rate.  Because the filter's bits are md5-derived, the
+    candidate set — including its false positives — reproduces
+    exactly in the oracle."""
+    cust = (load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_acctbal") > 9900).select("c_custkey"))
+    # deliberately small filter (1024 bits) so the realized FP rate is
+    # non-zero at test scale and the fp accounting is exercised
+    lanes = bloom_lanes(cust, "c_custkey", m_bits=1024)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    cand = bloom_might_contain(orders, "o_custkey", lanes, m_bits=1024)
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_exact = (orders.join(cust, orders.o_custkey == cust.c_custkey,
+                           "left_semi")
+               .agg(F.count(F.lit(1)).alias("n_exact")))
+    n_all = orders.agg(F.count(F.lit(1)).alias("n_orders"))
+    return (n_all.crossJoin(F.broadcast(n_cand))
+            .crossJoin(F.broadcast(n_exact))
+            .select("n_orders", "n_candidates", "n_exact",
+                    F.round((F.col("n_candidates") - F.col("n_exact"))
+                            .cast("double")
+                            / (F.col("n_orders") - F.col("n_exact")), 6)
+                    .alias("fp_rate")))
+
+
+ORACLE["bloom_prune_orders"] = """
+WITH small AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9900),
+seeds AS (SELECT unnest([0, 1, 2]) AS s),
+bpos AS (SELECT (CAST('0x' || substr(md5(s || ':' || CAST(c_custkey AS VARCHAR)),
+                                     1, 8) AS BIGINT)) % 1024 AS pos
+         FROM small CROSS JOIN seeds),
+lanes AS (SELECT CAST(floor(pos / 64) AS BIGINT) AS lane,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 64 AS INT)) AS bits
+          FROM bpos GROUP BY 1),
+probes AS (SELECT o_orderkey,
+                  (CAST('0x' || substr(md5(s || ':' || CAST(o_custkey AS VARCHAR)),
+                                       1, 8) AS BIGINT)) % 1024 AS pos
+           FROM orders CROSS JOIN seeds),
+hits AS (SELECT o_orderkey,
+                min(coalesce((bits >> CAST(pos % 64 AS INT)) & 1, 0)) AS ok
+         FROM probes LEFT JOIN lanes
+           ON CAST(floor(pos / 64) AS BIGINT) = lanes.lane
+         GROUP BY 1),
+c AS (SELECT count(*) AS n_candidates FROM hits WHERE ok = 1),
+e AS (SELECT count(*) AS n_exact FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM small)),
+t AS (SELECT count(*) AS n_orders FROM orders)
+SELECT n_orders, n_candidates, n_exact,
+       round(CAST(n_candidates - n_exact AS DOUBLE)
+             / (n_orders - n_exact), 6) AS fp_rate
+FROM t, c, e
+"""
+
+
 QUERIES = {
+    "bloom_prune_orders": bloom_prune_orders,
     "key_skew_users": key_skew_users,
     "sampled_value_quantiles": sampled_value_quantiles,
     "kmv_distinct_users": kmv_distinct_users,

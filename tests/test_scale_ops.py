@@ -290,6 +290,33 @@ def test_merge_intervals_contained_interval(spark):
     assert got == [(0, 100, 3), (150, 160, 1)]
 
 
+def test_bloom_filter_no_false_negatives_and_bounded_fps(spark):
+    # members must ALL pass (no false negatives — the Bloom contract);
+    # with a deliberately tiny 64-bit filter, non-members mostly pass
+    # too, but the candidate set must be deterministic
+    members = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    lanes = K.bloom_lanes(members, "k", m_bits=64, k_hashes=3)
+    cand = K.bloom_might_contain(probe, "k", lanes, m_bits=64, k_hashes=3)
+    got = {r["k"] for r in cand.collect()}
+    assert set(range(10)) <= got          # no false negatives
+    again = {r["k"] for r in K.bloom_might_contain(
+        probe.repartition(7), "k", lanes, m_bits=64, k_hashes=3).collect()}
+    assert got == again                   # deterministic candidates
+
+
+def test_bloom_filter_prunes_with_adequate_sizing(spark):
+    # 10 members in a 4096-bit filter: ~30/4096 fill, FP ~ 4e-7 —
+    # pruning should reject essentially every non-member
+    members = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(5000)], "k long")
+    lanes = K.bloom_lanes(members, "k", m_bits=4096, k_hashes=3)
+    cand = K.bloom_might_contain(probe, "k", lanes, m_bits=4096, k_hashes=3)
+    got = {r["k"] for r in cand.collect()}
+    assert set(range(10)) <= got
+    assert len(got) <= 15                 # at most a handful of FPs
+
+
 # ---------------------------------------------------------------------------
 # cdc apply
 # ---------------------------------------------------------------------------
