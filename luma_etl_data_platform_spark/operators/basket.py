@@ -31,8 +31,14 @@ def basket_pair_stats(df: DataFrame, basket_col: str, item_col: str,
     ``support = pair/N``, ``confidence_a_b = pair/baskets(a)``,
     ``lift = pair·N / (baskets(a)·baskets(b))``.
     """
-    items = df.select(F.col(basket_col).alias("_b"),
-                      F.col(item_col).alias("_i")).distinct().persist()
+    # eager localCheckpoint, not persist(): the (basket, item)
+    # projection feeds four downstream branches, and checkpoint blocks
+    # are released by the ContextCleaner once the result is GC'd —
+    # persist() would pin cache for the session (CacheManager never
+    # auto-frees), leaking across a long-lived driver.
+    items = (df.select(F.col(basket_col).alias("_b"),
+                       F.col(item_col).alias("_i"))
+             .distinct().localCheckpoint(eager=True))
     n = items.select("_b").distinct().agg(
         F.count(F.lit(1)).alias("_n"))
     item_supp = items.groupBy("_i").agg(F.count(F.lit(1)).alias("_s"))

@@ -33,10 +33,20 @@ def apply_cdc(ops: DataFrame, key_cols: list[str], seq_col: str,
               op_col: str = "op") -> DataFrame:
     """Final state from an op log: latest (seq, op-precedence) row per
     key, deletes dropped.  Returns the payload columns (everything
-    except the op column) of surviving rows."""
+    except the op column) of surviving rows.
+
+    Fully deterministic even on degenerate logs: after (seq desc,
+    op-precedence desc) the remaining payload columns break any
+    residual tie (duplicate flushes carrying different payloads at
+    the same sequence — normal in at-least-once op streams — would
+    otherwise make row_number partition-order-dependent)."""
     tagged = ops.withColumn("_op", F.col(op_col))
+    skip = set(key_cols) | {seq_col, op_col}
+    payload_tiebreak = [F.col(c).desc_nulls_last()
+                        for c in ops.columns if c not in skip]
     win = (W.partitionBy(*key_cols)
-           .orderBy(F.col(seq_col).desc(), _OP_RANK.desc()))
+           .orderBy(F.col(seq_col).desc(), _OP_RANK.desc(),
+                    *payload_tiebreak))
     latest = (tagged.withColumn("_rn", F.row_number().over(win))
               .filter(F.col("_rn") == 1)
               .filter(F.col("_op") != "D"))

@@ -70,7 +70,11 @@ def triangle_stats(edges: DataFrame, src: str = "id_a",
     contract: id_a < id_b, no duplicates).
     """
     deg = _degrees(edges, src, dst)
-    o = oriented_edges(edges, src, dst)
+    # o is referenced three times (two wedge sides + closure); an
+    # eager localCheckpoint computes the orientation (and whatever
+    # expensive join produced the edges) exactly once, with blocks
+    # freed by the ContextCleaner when the result dies
+    o = oriented_edges(edges, src, dst).localCheckpoint(eager=True)
 
     # Wedges rooted at u: pairs of out-neighbors ordered by the same
     # (deg, id) total order, so the closing edge — if present — is
@@ -136,7 +140,10 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
                                        F.col(src).alias("v"))))
     adj = directed.join(deg.withColumnRenamed("node", "u")
                         .withColumnRenamed("deg", "du"), "u")
-    adj = adj.persist()
+    # eager localCheckpoint: reused by all 10 iterations, and the
+    # blocks are ContextCleaner-freed after the result dies (persist
+    # would pin cache for the whole session)
+    adj = adj.localCheckpoint(eager=True)
     n = deg.agg(F.count(F.lit(1)).alias("_n"))
 
     ranks = (deg.crossJoin(F.broadcast(n))
@@ -167,7 +174,7 @@ def node_triangle_counts(edges: DataFrame, src: str = "id_a",
     :func:`triangle_stats`, followed by an explode of the three corners
     and a count — the per-node signal used for spam/boilerplate hub
     detection in near-dup graphs."""
-    o = oriented_edges(edges, src, dst)
+    o = oriented_edges(edges, src, dst).localCheckpoint(eager=True)
     a = o.select(F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("d1"))
     b = o.select(F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("d2"))
     wedges = a.join(b, "u").filter(

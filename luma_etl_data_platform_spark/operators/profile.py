@@ -27,23 +27,38 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
     ``G = Σ (2i − n − 1)·c_i / (n · Σc)`` — the numerator is a BIGINT
     sum of exact products (order-free), so the statistic is bit-stable
     and SQL-oracle-checkable; only the final ratio is a rounded
-    double.  Plan: one groupBy on the key, then a window over the
-    per-key count rows (key-cardinality-sized, not data-sized).
+    double.
+
+    Scale shape: ranks are NEVER assigned per key (a global
+    row_number over billions of keys would be one task).  Keys with
+    the same count occupy a contiguous rank run whose rank-sum is
+    closed-form, so the computation collapses to count-of-counts:
+    one groupBy on the key, one groupBy on the count value, and a
+    window over DISTINCT count values — a set whose size is bounded
+    by O(sqrt(total_rows)) regardless of key cardinality.
     """
     from pyspark.sql.window import Window as W
     counts = (df.groupBy(F.col(key_col).alias("_k"))
               .agg(F.count(F.lit(1)).alias("_c")))
-    win = W.orderBy(F.col("_c").asc(), F.col("_k").asc())
-    ranked = counts.withColumn("_i", F.row_number().over(win))
-    # Σ(2i − n − 1)·c  =  2·Σ(i·c) − (n + 1)·Σc  — plain aggregates
-    agg = ranked.agg(
-        F.count(F.lit(1)).alias("n_keys"),
-        F.sum("_c").alias("total_rows"),
+    # count-of-counts: multiplicity m per distinct count value c
+    coc = counts.groupBy("_c").agg(F.count(F.lit(1)).alias("_m"))
+    run = (coc.withColumn(
+        "_cum", F.sum("_m").over(
+            W.orderBy("_c").rowsBetween(W.unboundedPreceding, 0))))
+    # ranks for count value c run from start = (cum−m+1) to cum;
+    # Σ i over the run = m·(2·start + m − 1) / 2, exact in BIGINT
+    run_rank_sum = F.expr(
+        "_m * (2 * (_cum - _m + 1) + _m - 1) DIV 2")
+    agg = run.agg(
+        F.sum("_m").alias("n_keys"),
+        F.sum(F.col("_c") * F.col("_m")).alias("total_rows"),
         F.max("_c").alias("max_count"),
-        F.round(F.expr("CAST(percentile(_c, 0.99) AS DOUBLE)"), 6)
-        .alias("p99_count"),
-        F.sum(F.col("_i") * F.col("_c")).alias("_s_ic"),
+        F.sum(F.col("_c") * run_rank_sum).alias("_s_ic"),
     )
+    p99 = counts.agg(
+        F.round(F.expr("CAST(percentile(_c, 0.99) AS DOUBLE)"), 6)
+        .alias("p99_count"))
+    agg = agg.crossJoin(F.broadcast(p99))
     hottest = (counts
                .join(F.broadcast(counts.agg(F.max("_c").alias("_mx"))),
                      F.col("_c") == F.col("_mx"))

@@ -127,33 +127,34 @@ def bloom_lanes(df: DataFrame, key_col: str, m_bits: int = 65536,
 def bloom_might_contain(df: DataFrame, key_col: str, lanes: DataFrame,
                         m_bits: int = 65536, k_hashes: int = 3) -> DataFrame:
     """Filter ``df`` to rows whose key passes the Bloom filter (all
-    ``k_hashes`` bits set).  Probe plan: explode each row into its k
-    (lane, bit) lookups, broadcast-join the ≤ m/64-row lane table,
-    keep rows where every lookup hits — shuffle-free with respect to
-    the big side (the groupBy re-aggregates the k-exploded rows on a
-    synthetic unique id, combinable map-side).
+    ``k_hashes`` bits set).  The ≤ m/64 lane rows collapse into ONE
+    broadcast map (lane → bits); each probe row evaluates its k bit
+    tests as pure column expressions against that map — a map-only
+    filter: no explode, no groupBy, no shuffle or re-keying of the
+    probed side, and no synthetic row ids (which would not survive
+    recomputation).
 
-    This is the pre-join pruning pattern: at 100 TB, probing a 8 KiB
-    broadcast filter before a shuffle join drops the shuffled volume
-    to matches + the filter's false positives.
+    This is the pre-join pruning pattern: at 100 TB, probing a KB-
+    sized broadcast filter before a shuffle join drops the shuffled
+    volume to matches + the filter's false positives.
     """
-    probe_id = F.monotonically_increasing_id().alias("_pid")
-    with_id = df.withColumn("_pid", probe_id)
-    seeds = F.explode(F.array(*[F.lit(s) for s in range(k_hashes)])).alias("_s")
-    pos = portable_hash32(F.col(key_col), F.col("_s")) % m_bits
-    probes = (with_id.select("_pid", F.col(key_col), seeds)
-              .select("_pid", pos.alias("_pos"))
-              .select("_pid",
-                      F.expr("CAST(floor(_pos / 64) AS BIGINT)").alias("lane"),
-                      (F.col("_pos") % 64).cast("int").alias("_bit")))
-    hits = (probes.join(F.broadcast(lanes), "lane", "left")
-            .select("_pid",
-                    F.coalesce(
-                        F.expr("shiftright(bits, _bit)")
-                        .bitwiseAND(F.lit(1)), F.lit(0)).alias("_hit")))
-    passing = (hits.groupBy("_pid").agg(F.min("_hit").alias("_all"))
-               .filter(F.col("_all") == 1).select("_pid"))
-    return with_id.join(passing, "_pid", "left_semi").drop("_pid")
+    bitmap = lanes.agg(
+        F.map_from_entries(F.collect_list(F.struct("lane", "bits")))
+        .alias("_bm"))
+    out = df.crossJoin(F.broadcast(bitmap))
+    cond = F.lit(True)
+    helper_cols = []
+    for s in range(k_hashes):
+        pos = portable_hash32(F.col(key_col), s) % m_bits
+        out = (out
+               .withColumn(f"_p{s}", pos)
+               .withColumn(f"_l{s}", F.expr(f"CAST(floor(_p{s} / 64) AS BIGINT)"))
+               .withColumn(f"_b{s}", (F.col(f"_p{s}") % 64).cast("int")))
+        hit = F.expr(
+            f"coalesce(shiftright(element_at(_bm, _l{s}), _b{s}) & 1, 0) = 1")
+        cond = cond & hit
+        helper_cols += [f"_p{s}", f"_l{s}", f"_b{s}"]
+    return out.filter(cond).drop("_bm", *helper_cols)
 
 
 def kmv_estimate(sketch: DataFrame, group_col: str, k: int = 64) -> DataFrame:

@@ -66,7 +66,11 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     demonstrating the property that makes sketches worth their error
     bar: cross-group union cardinality without re-reading the data."""
     ev = load_table(spark, sf_dir, "events")
-    sk = kmv_sketch(ev, "event_type", "user_id", k=_KMV_K).persist()
+    # eager localCheckpoint (not persist): the tiny sketch feeds both
+    # the per-type estimates and the union merge; checkpoint blocks
+    # are ContextCleaner-freed, cached plans are not
+    sk = (kmv_sketch(ev, "event_type", "user_id", k=_KMV_K)
+          .localCheckpoint(eager=True))
     uni = kmv_union(sk, group_expr=F.lit("__union__"), k=_KMV_K)
     return (kmv_estimate(sk, "event_type", k=_KMV_K)
             .unionByName(kmv_estimate(uni, "event_type", k=_KMV_K))
@@ -145,8 +149,9 @@ def interval_coverage_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = ev.select("user_id", F.col("ts").alias("s"),
                    (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"))
     islands = merge_intervals(iv, "user_id", "s", "e")
-    # timestampdiff works on TIMESTAMP_NTZ (load_table yields NTZ) and
-    # never consults the session timezone
+    # timestampdiff is pure wall-clock arithmetic — works on the
+    # normalized TimestampType load_table emits without consulting
+    # the session timezone
     covered = F.expr(
         "timestampdiff(MICROSECOND, island_start, island_end)")
     return (islands.groupBy("user_id")

@@ -50,7 +50,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # division would lose precision above 2^53 ns.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(dt, T.TimestampNTZType):
-            df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+            # NOT to_utc_timestamp: Spark implicitly casts NTZ→LTZ via
+            # the SESSION timezone first, which would shift the epoch
+            # on any non-UTC session. timestampdiff against an NTZ
+            # epoch literal is pure wall-clock arithmetic.
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
         return df
     return spark.read.parquet(path)
 

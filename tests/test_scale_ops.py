@@ -290,6 +290,25 @@ def test_merge_intervals_contained_interval(spark):
     assert got == [(0, 100, 3), (150, 160, 1)]
 
 
+def test_load_table_events_epoch_is_session_tz_independent(spark):
+    # the NTZ→timestamp normalization must yield wall-clock-as-UTC
+    # epochs on ANY session timezone (to_utc_timestamp would shift by
+    # the session offset — the bug this guards against)
+    from luma_etl_data_platform_spark.sources.tables import load_table
+    import duckdb
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        got = (load_table(spark, SF_SMOKE, "events").orderBy("event_id")
+               .limit(1).selectExpr("unix_micros(ts) AS us").collect()[0]["us"])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    want = duckdb.sql(
+        f"SELECT epoch_us(ts) FROM '{SF_SMOKE}/events.parquet' "
+        "ORDER BY event_id LIMIT 1").fetchone()[0]
+    assert got == want
+
+
 def test_bloom_filter_no_false_negatives_and_bounded_fps(spark):
     # members must ALL pass (no false negatives — the Bloom contract);
     # with a deliberately tiny 64-bit filter, non-members mostly pass
@@ -332,6 +351,20 @@ def test_apply_cdc_last_op_wins_and_deletes(spark):
     got = {r["k"]: r["payload"]
            for r in apply_cdc(log, ["k"], "seq").collect()}
     assert got == {1: "b", 3: "d", 4: "e"}
+
+
+def test_apply_cdc_duplicate_flush_is_deterministic(spark):
+    # two 'U' rows at the same seq with different payloads (at-least-
+    # once delivery): the payload tiebreak must pick the same winner
+    # at any partitioning
+    from luma_etl_data_platform_spark.operators.cdc import apply_cdc
+    log = spark.createDataFrame(
+        [(1, "x", "U", 7), (1, "y", "U", 7), (1, "a", "I", 1)],
+        "k long, payload string, op string, seq long")
+    a = apply_cdc(log, ["k"], "seq").collect()
+    b = apply_cdc(log.repartition(13), ["k"], "seq").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert a[0]["payload"] == "y"   # desc tiebreak: 'y' > 'x'
 
 
 def test_apply_cdc_same_seq_delete_precedence(spark):
