@@ -39,6 +39,47 @@ def minmax_scale(df: DataFrame, group_col: str, value_col: str,
     return spread(df).groupBy(group_col).applyInPandas(scale, out_schema)
 
 
+def clamped_running_sum(df: DataFrame, key_col: str, order_cols: list[str],
+                        value_col: str, lo: float, hi: float) -> DataFrame:
+    """Per-key running balance clamped to [lo, hi] at every step —
+    the inventory/credit-ledger recurrence
+    ``bal_i = clamp(bal_{i-1} + v_i)``.
+
+    This is the canonical NON-windowable operator: the clamp makes
+    the recurrence non-associative, so no frame spec or prefix-sum
+    trick expresses it — it is exactly what grouped-map
+    ``applyInPandas`` exists for.  Each key's history is processed
+    sequentially inside one Arrow batch group; work distributes
+    across keys (shuffle on the key), and the per-key sequential
+    scan is the algorithmic lower bound for this recurrence.
+
+    Determinism: the addition order is fixed by ``order_cols`` (must
+    be a per-key unique ordering), and IEEE addition/min/max of the
+    same operands in the same order is bit-identical in any engine —
+    a recursive-CTE oracle reproduces it exactly.
+
+    Returns (key, *order_cols, value, balance).
+    """
+    out_schema = ", ".join(
+        [f"{key_col} {dict(df.dtypes)[key_col]}"]
+        + [f"{c} {dict(df.dtypes)[c]}" for c in order_cols]
+        + [f"{value_col} double", "balance double"])
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        bal = 0.0
+        out = []
+        for v in pdf[value_col].astype("float64"):
+            bal = min(max(bal + v, lo), hi)
+            out.append(bal)
+        pdf = pdf[[key_col, *order_cols, value_col]].copy()
+        pdf["balance"] = out
+        return pdf
+
+    return (spread(df).select(key_col, *order_cols, value_col)
+            .groupBy(key_col).applyInPandas(run, out_schema))
+
+
 def token_count_arrow(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Token counting via ``mapInArrow`` — the zero-copy RecordBatch
     UDF surface (vs pandas conversion in mapInPandas). Semantics

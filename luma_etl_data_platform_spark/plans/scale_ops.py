@@ -390,7 +390,41 @@ FROM t, c, e
 """
 
 
+def clamped_balance_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user credit-ledger balance: each event adds (value − 50),
+    clamped to [0, 500] at every step.  The clamp makes the
+    recurrence non-associative — NOT expressible with window frames —
+    so this runs through grouped-map applyInPandas, and the oracle is
+    a recursive CTE stepping the identical IEEE arithmetic."""
+    from ..operators.grouped import clamped_running_sum
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "ts", "event_id",
+                  (F.col("value") - 50.0).alias("delta")))
+    out = clamped_running_sum(ev, "user_id", ["ts", "event_id"],
+                              "delta", lo=0.0, hi=500.0)
+    return out.select("user_id", "event_id",
+                      F.round(F.col("balance"), 6).alias("balance"))
+
+
+ORACLE["clamped_balance_users"] = """
+WITH RECURSIVE s AS (
+  SELECT user_id, event_id, value - 50.0 AS d,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+r(user_id, event_id, rn, bal) AS (
+  SELECT user_id, event_id, rn, least(greatest(0.0 + d, 0.0), 500.0)
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.rn,
+         least(greatest(r.bal + s.d, 0.0), 500.0)
+  FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+SELECT user_id, event_id, round(bal, 6) AS balance FROM r
+"""
+
+
 QUERIES = {
+    "clamped_balance_users": clamped_balance_users,
     "bloom_prune_orders": bloom_prune_orders,
     "key_skew_users": key_skew_users,
     "sampled_value_quantiles": sampled_value_quantiles,

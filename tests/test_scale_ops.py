@@ -376,6 +376,41 @@ def test_apply_cdc_same_seq_delete_precedence(spark):
 
 
 # ---------------------------------------------------------------------------
+# clamped running sum
+# ---------------------------------------------------------------------------
+
+def test_clamped_running_sum_clamps_both_ends(spark):
+    from luma_etl_data_platform_spark.operators.grouped import (
+        clamped_running_sum)
+    df = spark.createDataFrame(
+        [("u", 1, 80.0), ("u", 2, 50.0),   # 80 -> clamp 100
+         ("u", 3, -300.0),                 # clamp 0
+         ("u", 4, 30.0)],                  # 30
+        "k string, i long, v double")
+    got = {r["i"]: r["balance"]
+           for r in clamped_running_sum(df, "k", ["i"], "v",
+                                        lo=0.0, hi=100.0).collect()}
+    assert got == {1: 80.0, 2: 100.0, 3: 0.0, 4: 30.0}
+    # associativity check: a plain prefix sum would give 4 -> -140,
+    # proving the clamp participates at every step, not just at the end
+
+
+def test_clamped_running_sum_partitioning_invariant(spark):
+    from luma_etl_data_platform_spark.operators.grouped import (
+        clamped_running_sum)
+    import random
+    rnd = random.Random(5)
+    rows = [("k%d" % (i % 7), i, rnd.uniform(-40, 45)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    a = sorted(tuple(r) for r in
+               clamped_running_sum(df, "k", ["i"], "v", 0.0, 200.0).collect())
+    b = sorted(tuple(r) for r in
+               clamped_running_sum(df.repartition(17), "k", ["i"], "v",
+                                   0.0, 200.0).collect())
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
 # key skew report
 # ---------------------------------------------------------------------------
 
