@@ -162,7 +162,39 @@ def sql_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["sql_bag_setops"] = _BAG_OPS
 
 
+# ---------------------------------------------------------------------------
+# sql_null_semantics: the three-valued-logic battery — NOT IN against
+# a set containing NULL matches NOTHING (the classic production trap),
+# NOT EXISTS anti-joins correctly, and IS NOT DISTINCT FROM adds the
+# null-safe match. Both key sets are salted with NULLs via NULLIF.
+# ---------------------------------------------------------------------------
+_NULL_SEMANTICS = """
+WITH probe AS (SELECT o_orderkey, NULLIF(o_custkey % 50, 7) AS k FROM orders),
+ref AS (SELECT DISTINCT NULLIF(c_custkey % 50, 11) AS k FROM customer)
+SELECT
+ (SELECT count(*) FROM probe) AS n_probe,
+ (SELECT count(k) FROM probe) AS n_probe_nonnull,
+ (SELECT count(*) FROM probe WHERE k IN (SELECT k FROM ref)) AS n_in,
+ (SELECT count(*) FROM probe WHERE k NOT IN (SELECT k FROM ref)) AS n_not_in,
+ (SELECT count(*) FROM probe p
+  WHERE EXISTS (SELECT 1 FROM ref r WHERE r.k = p.k)) AS n_exists,
+ (SELECT count(*) FROM probe p
+  WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.k = p.k)) AS n_not_exists,
+ (SELECT count(*) FROM probe p
+  WHERE EXISTS (SELECT 1 FROM ref r
+                WHERE r.k IS NOT DISTINCT FROM p.k)) AS n_nullsafe_exists
+"""
+
+
+def sql_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _NULL_SEMANTICS)
+
+
+ORACLE["sql_null_semantics"] = _NULL_SEMANTICS
+
+
 QUERIES = {
+    "sql_null_semantics": sql_null_semantics,
     "sql_order_share": sql_order_share,
     "sql_window_battery": sql_window_battery,
     "sql_exists_chains": sql_exists_chains,
