@@ -426,7 +426,53 @@ SELECT user_id, event_id, round(bal, 6) AS balance FROM r
 """
 
 
+def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-weighted average event value — each observation
+    holds until the next one (zero-order hold), so the average weights
+    values by how LONG they were current, not by how often they were
+    sampled (the hypertable `time_weight('LOCF')` semantic, which a
+    plain avg() gets wrong on irregular streams).
+
+    Exactness: weights are integer microseconds from lead(ts); the
+    weighted sum is value·micros summed in DECIMAL(38,6), so the
+    result is bit-stable at any partitioning. One shuffle on the key,
+    one window pass, one aggregate."""
+    from pyspark.sql.window import Window as W
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    held_us = F.expr("timestampdiff(MICROSECOND, ts, _next_ts)")
+    stepped = (ev
+               .withColumn("_next_ts", F.lead("ts").over(w))
+               .filter(F.col("_next_ts").isNotNull())
+               .withColumn("_w_us", held_us))
+    wsum = F.sum((F.col("value").cast("decimal(18,2)")
+                  * F.col("_w_us")).cast("decimal(38,6)"))
+    tot = F.sum("_w_us")
+    return (stepped.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_intervals"),
+                 tot.alias("held_us"),
+                 F.round((wsum.cast("double") / tot), 6).alias("twa_value")))
+
+
+ORACLE["time_weighted_avg_user"] = """
+WITH stepped AS (
+  SELECT user_id, value,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id))
+         - epoch_us(ts) AS w_us
+  FROM events),
+f AS (SELECT * FROM stepped WHERE w_us IS NOT NULL)
+SELECT user_id, count(*) AS n_intervals,
+       CAST(sum(w_us) AS BIGINT) AS held_us,
+       round(CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * w_us
+                           AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(sum(w_us) AS BIGINT), 6) AS twa_value
+FROM f GROUP BY 1
+"""
+
+
 QUERIES = {
+    "time_weighted_avg_user": time_weighted_avg_user,
     "clamped_balance_users": clamped_balance_users,
     "bloom_prune_orders": bloom_prune_orders,
     "key_skew_users": key_skew_users,
