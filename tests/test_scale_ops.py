@@ -411,6 +411,35 @@ def test_clamped_running_sum_partitioning_invariant(spark):
 
 
 # ---------------------------------------------------------------------------
+# time-weighted average
+# ---------------------------------------------------------------------------
+
+def test_time_weighted_avg_differs_from_row_avg(spark):
+    # value 100 held for 1s, then value 0 held for 9s → TWA = 10.0,
+    # while the row average of observed values would be 50
+    import datetime as dt
+    from luma_etl_data_platform_spark.plans.scale_ops import (
+        time_weighted_avg_user)
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base, 1, 100.0),
+            (1, base + dt.timedelta(seconds=1), 2, 0.0),
+            (1, base + dt.timedelta(seconds=10), 3, 55.0)]  # end marker
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double")
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        # route through a parquet dir so load_table's contract holds
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = time_weighted_avg_user(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_intervals"] == 2
+    assert r["held_us"] == 10_000_000
+    assert r["twa_value"] == 10.0   # (100·1s + 0·9s) / 10s
+
+
+# ---------------------------------------------------------------------------
 # key skew report
 # ---------------------------------------------------------------------------
 
