@@ -24,10 +24,12 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
     handling BEFORE you run the join.
 
     Gini uses the exact integer identity over ascending-sorted counts
-    ``G = Σ (2i − n − 1)·c_i / (n · Σc)`` — the numerator is a BIGINT
-    sum of exact products (order-free), so the statistic is bit-stable
-    and SQL-oracle-checkable; only the final ratio is a rounded
-    double.
+    ``G = Σ (2i − n − 1)·c_i / (n · Σc)`` — the numerator is an exact
+    sum of products carried in DECIMAL(38,0) (order-free and safe past
+    2^63: at billions of keys × trillions of rows the BIGINT form
+    would silently wrap in non-ANSI Spark), so the statistic is
+    bit-stable and SQL-oracle-checkable; only the final ratio is a
+    rounded double.
 
     Scale shape: ranks are NEVER assigned per key (a global
     row_number over billions of keys would be one task).  Keys with
@@ -49,11 +51,14 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
     # Σ i over the run = m·(2·start + m − 1) / 2, exact in BIGINT
     run_rank_sum = F.expr(
         "_m * (2 * (_cum - _m + 1) + _m - 1) DIV 2")
+    # products of two sub-2^63 values fit DECIMAL(38,0) exactly;
+    # summing in decimal keeps the accumulator overflow-proof
     agg = run.agg(
         F.sum("_m").alias("n_keys"),
         F.sum(F.col("_c") * F.col("_m")).alias("total_rows"),
         F.max("_c").alias("max_count"),
-        F.sum(F.col("_c") * run_rank_sum).alias("_s_ic"),
+        F.sum(F.col("_c").cast("decimal(19,0)")
+              * run_rank_sum.cast("decimal(19,0)")).alias("_s_ic"),
     )
     p99 = counts.agg(
         F.round(F.expr("CAST(percentile(_c, 0.99) AS DOUBLE)"), 6)
@@ -63,13 +68,17 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
                .join(F.broadcast(counts.agg(F.max("_c").alias("_mx"))),
                      F.col("_c") == F.col("_mx"))
                .agg(F.min("_k").alias("hottest_key")))
-    gini_num = (F.lit(2) * F.col("_s_ic")
-                - (F.col("n_keys") + 1) * F.col("total_rows"))
+    gini_num = (F.lit(2).cast("decimal(19,0)") * F.col("_s_ic")
+                - (F.col("n_keys") + 1).cast("decimal(19,0)")
+                * F.col("total_rows").cast("decimal(19,0)"))
+    # denominator in double: n_keys*total_rows can also pass 2^63 and
+    # only feeds the rounded ratio, where double precision suffices
+    gini_den = (F.col("n_keys").cast("double")
+                * F.col("total_rows").cast("double"))
     return (agg.crossJoin(F.broadcast(hottest))
             .select("n_keys", "total_rows", "max_count", "p99_count",
                     "hottest_key",
-                    F.round(gini_num.cast("double")
-                            / (F.col("n_keys") * F.col("total_rows")), 6)
+                    F.round(gini_num.cast("double") / gini_den, 6)
                     .alias("gini")))
 
 

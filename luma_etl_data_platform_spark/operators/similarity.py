@@ -216,10 +216,12 @@ def signlsh_neardup_pairs(df: DataFrame, threshold: float = 0.99,
     )
 
 
-def semantic_dedup_summary(df: DataFrame, k: int = 8,
+def semantic_dedup_summary(df: DataFrame, k: int | None = None,
                            threshold: float = 0.30,
                            vec_col: str = "embedding",
-                           id_col: str = "vec_id") -> DataFrame:
+                           id_col: str = "vec_id",
+                           target_cluster_size: int = 10_000,
+                           min_k: int = 8) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023),
     label-free: cluster the corpus around ``k`` deterministic seed
     vectors, then inside each cluster drop every vector that has a
@@ -240,14 +242,25 @@ def semantic_dedup_summary(df: DataFrame, k: int = 8,
     pipelines); the only corpus shuffle is the within-cluster
     self-join, which is O(Σ n_c²) pairwise work — ``k`` is the dial
     that bounds cluster sizes, exactly as in the paper (k grows with
-    the corpus so n_c stays bounded). The assignment table is
-    persisted so the corpus is scanned (and the argmax evaluated)
-    ONCE for its three consumers (both self-join sides + the final
-    rollup), not re-derived per branch."""
+    the corpus so n_c stays bounded). When ``k`` is None (default) it
+    is DERIVED from the corpus: ``k = max(min_k, ceil(n /
+    target_cluster_size))``, so expected cluster size stays ≈
+    ``target_cluster_size`` and the self-join cost grows linearly
+    (n·n_c), not quadratically, as the corpus grows — the count that
+    sizes it is a column-pruned id scan, negligible next to the
+    self-join it bounds. The assignment table is persisted so the
+    corpus is scanned (and the argmax evaluated) ONCE for its three
+    consumers (both self-join sides + the final rollup), not
+    re-derived per branch."""
+    import math
+
     from pyspark import StorageLevel
 
     from ..functions.text import portable_hash32
     v = _as_double(_spread(df), vec_col)
+    if k is None:
+        n = v.select(id_col).count()
+        k = max(min_k, math.ceil(n / target_cluster_size))
     seeds = (v.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
              .orderBy(portable_hash32(F.col("sid")), "sid").limit(k))
     seed_row = seeds.agg(F.collect_list(F.struct("sid", "sv")).alias("_seeds"))
@@ -279,6 +292,51 @@ def semantic_dedup_summary(df: DataFrame, k: int = 8,
              F.count(F.col("_drop")).alias("n_dropped"),
              (F.count(F.lit(1)) - F.count(F.col("_drop"))).alias("n_kept"))
     )
+
+
+def knn_edges(df: DataFrame, k: int = 3, block_col: str = "label",
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """k-nearest-neighbor similarity graph over an embedding corpus:
+    undirected edge list (id_a < id_b, distinct) linking each vector
+    to its ``k`` most-cosine-similar neighbors within its block.
+
+    This is the scale-safe edge contract for graph analytics over a
+    similarity corpus: out-degree is capped at ``k`` BY CONSTRUCTION,
+    so the edge count is ≤ k·n — linear in the corpus — and every
+    downstream graph pass (O(m^1.5) triangle census, O(m)-per-round
+    PageRank) stays linear too. Contrast a thresholded similarity
+    graph, whose edge count is quadratic wherever the corpus is dense
+    (the part-name graph measured in SCALING.md is near-block-clique
+    at sf0.1 — 3.1M edges even at the distance-2 cut).
+
+    Plan shape: within-block pair scores (the only shuffle is on the
+    block key), then a per-node window top-k — WindowGroupLimit pushes
+    the rank filter map-side before the shuffle sort — then
+    least/greatest symmetrization + distinct. Blocks here are the
+    pre-assigned cluster column; at 100 TB swap in IVF-centroid or
+    sign-LSH bucket assignments (same plan shape, bounded blocks).
+
+    Determinism: scores rounded to 6dp before ranking, ties broken on
+    neighbor id asc — a SQL oracle derives the identical edge set.
+    """
+    from pyspark.sql.window import Window as W
+    v = _as_double(_spread(df), vec_col)
+    a = v.select(F.col(block_col).alias("_blk"), F.col(id_col).alias("_sa"),
+                 F.col(vec_col).alias("_va"))
+    b = v.select(F.col(block_col).alias("_blk"), F.col(id_col).alias("_sb"),
+                 F.col(vec_col).alias("_vb"))
+    pairs = (a.join(b, "_blk")
+             .filter(F.col("_sa") != F.col("_sb"))
+             .select("_sa", "_sb",
+                     F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+                     .alias("_sc")))
+    w = W.partitionBy("_sa").orderBy(F.desc("_sc"), F.asc("_sb"))
+    knn = (pairs.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") <= k))
+    return (knn.select(F.least("_sa", "_sb").alias("id_a"),
+                       F.greatest("_sa", "_sb").alias("id_b"))
+            .distinct())
 
 
 def quantize_int8(vec: Column) -> Column:

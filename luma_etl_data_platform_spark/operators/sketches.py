@@ -60,14 +60,33 @@ def kmv_sketch(df: DataFrame, group_col: str, value_col: str,
             .drop("_rn"))
 
 
-def kmv_union(*sketches: DataFrame, group_expr=None, k: int = 64) -> DataFrame:
+def kmv_union(*sketches: DataFrame, group_col: str | None = None,
+              group_expr=None, k: int = 64) -> DataFrame:
     """Merge sketches (union semantics): bottom-``k`` of the combined
     distinct hash sets.  ``group_expr`` optionally re-labels groups
     before merging (e.g. ``F.lit('__all__')`` collapses every group
-    into one union sketch)."""
+    into one union sketch).
+
+    ``group_col`` names the group column explicitly; when omitted it
+    is inferred as *the* non-``_h`` column, and any frame that is not
+    exactly (group, ``_h``) — in either order — is rejected rather
+    than silently merged on the wrong key."""
     from functools import reduce
     merged = reduce(DataFrame.unionByName, sketches)
-    gcol = merged.columns[0]
+    if group_col is not None:
+        if group_col not in merged.columns:
+            raise ValueError(
+                f"kmv_union: group_col {group_col!r} not in sketch "
+                f"columns {merged.columns}")
+        gcol = group_col
+    else:
+        others = [c for c in merged.columns if c != "_h"]
+        if "_h" not in merged.columns or len(others) != 1:
+            raise ValueError(
+                "kmv_union: sketch frames must have exactly the "
+                f"columns (group, '_h'); got {merged.columns} — pass "
+                "group_col= to disambiguate")
+        gcol = others[0]
     if group_expr is not None:
         merged = merged.select(group_expr.alias(gcol), "_h")
     merged = merged.distinct()

@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.basket import basket_pair_stats
-from ..operators.fuzzy import fuzzy_pairs
 from ..operators.graph import pagerank, triangle_stats
 from ..operators.ranking import bigram_lm_scores
 from ..operators.sketches import (
@@ -37,28 +36,35 @@ from ..sources.tables import load_table
 
 ORACLE: dict[str, str] = {}
 
-# the fuzzy part-name similarity graph: the shared edge contract of
-# the graph-analytics queries (triangles, PageRank) — one row per
-# undirected pair, id_a < id_b
-# distance <= 2 keeps the graph 4x sparser than fuzzy_part_names'
-# <= 4 contract (31k vs 118k edges at sf0.01) — the census cost is
-# superlinear in density, so the graph queries use the tighter cut
-_FUZZY_EDGE_CTE = """
-e AS (
-  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
-  FROM part a JOIN part b
-    ON substring(a.p_name, 1, 4) = substring(b.p_name, 1, 4)
-   AND a.p_partkey < b.p_partkey
-   AND abs(length(a.p_name) - length(b.p_name)) <= 2
-  WHERE levenshtein(a.p_name, b.p_name) <= 2)
+# the kNN similarity graph over embeddings: the shared edge contract
+# of the graph-analytics queries (triangles, PageRank) — one row per
+# undirected pair, id_a < id_b, each vector linked to its 3 most-
+# similar within-block neighbors. Degree is capped by construction,
+# so edges ≤ 3n — LINEAR in the corpus (968 edges at sf0.01, 3.9k at
+# sf0.1) — unlike the part-name similarity graph this replaced, which
+# is near-block-clique above sf0.1 (3.1M edges at the distance-2 cut;
+# measured in SCALING.md) and made the census quadratic-hostile.
+_KNN_EDGE_CTE = """
+emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+sim AS (SELECT a.vec_id AS sa, b.vec_id AS sb,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS sc
+        FROM emb a JOIN emb b
+          ON a.label = b.label AND a.vec_id <> b.vec_id),
+rk AS (SELECT sa, sb,
+              row_number() OVER (PARTITION BY sa
+                                 ORDER BY sc DESC, sb) AS rn
+       FROM sim),
+e AS (SELECT DISTINCT least(sa, sb) AS id_a, greatest(sa, sb) AS id_b
+      FROM rk WHERE rn <= 3)
 """
 
 
-def _fuzzy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
-    return (fuzzy_pairs(part, "p_name", "p_partkey",
-                        max_distance=2, prefix_len=4)
-            .select("id_a", "id_b"))
+def _knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import knn_edges
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_edges(emb, k=3, block_col="label")
 
 _KMV_K = 64
 
@@ -105,15 +111,16 @@ FROM agg ORDER BY event_type
 
 
 def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle census of the fuzzy part-name similarity graph
-    (edges = blocked levenshtein pairs at distance ≤ 2, a sparser cut
-    than ``fuzzy_part_names``): node/edge/triangle counts + global
-    clustering coefficient, via degree-ordered wedge enumeration."""
-    return triangle_stats(_fuzzy_edges(spark, sf_dir))
+    """Triangle census of the embedding kNN similarity graph (each
+    vector → its 3 nearest within-block neighbors; degree-capped, so
+    the graph stays sparse at every SF): node/edge/triangle counts +
+    global clustering coefficient, via degree-ordered wedge
+    enumeration."""
+    return triangle_stats(_knn_graph_edges(spark, sf_dir))
 
 
 ORACLE["graph_triangle_stats"] = f"""
-WITH {_FUZZY_EDGE_CTE},
+WITH {_KNN_EDGE_CTE},
 deg AS (SELECT node, count(*) AS deg
         FROM (SELECT id_a AS node FROM e UNION ALL SELECT id_b FROM e)
         GROUP BY 1),
@@ -217,11 +224,11 @@ FROM pd
 
 
 def graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 PageRank vertices of the fuzzy part-name graph —
-    iterative message passing with integer pico-unit rank carriage
+    """Top-20 PageRank vertices of the embedding kNN similarity graph
+    — iterative message passing with integer pico-unit rank carriage
     (bit-stable at any partitioning, reproduced exactly by the
     unrolled-iteration SQL oracle)."""
-    ranks = pagerank(_fuzzy_edges(spark, sf_dir), iterations=10)
+    ranks = pagerank(_knn_graph_edges(spark, sf_dir), iterations=10)
     return (ranks.orderBy(F.col("rank_scaled").desc(), "node").limit(20))
 
 
@@ -244,7 +251,7 @@ r{i} AS (SELECT b.v AS node,
               JOIN deg d ON b.u = d.node
               CROSS JOIN n
        GROUP BY b.v, nn)""")
-    return (f"WITH {_FUZZY_EDGE_CTE}, " + ",".join(ctes)
+    return (f"WITH {_KNN_EDGE_CTE}, " + ",".join(ctes)
             + f"\nSELECT node, rank AS rank_scaled FROM r{iterations}"
             + "\nORDER BY rank_scaled DESC, node LIMIT 20")
 
@@ -358,9 +365,15 @@ def bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (n_all.crossJoin(F.broadcast(n_cand))
             .crossJoin(F.broadcast(n_exact))
             .select("n_orders", "n_candidates", "n_exact",
-                    F.round((F.col("n_candidates") - F.col("n_exact"))
-                            .cast("double")
-                            / (F.col("n_orders") - F.col("n_exact")), 6)
+                    # guard the degenerate every-key-matches case:
+                    # 0-denominator would yield NULL (non-ANSI) or
+                    # error (ANSI) — return 0.0 on both engines
+                    F.round(F.when(
+                        F.col("n_orders") > F.col("n_exact"),
+                        (F.col("n_candidates") - F.col("n_exact"))
+                        .cast("double")
+                        / (F.col("n_orders") - F.col("n_exact")))
+                        .otherwise(F.lit(0.0)), 6)
                     .alias("fp_rate")))
 
 
@@ -387,8 +400,10 @@ e AS (SELECT count(*) AS n_exact FROM orders
       WHERE o_custkey IN (SELECT c_custkey FROM small)),
 t AS (SELECT count(*) AS n_orders FROM orders)
 SELECT n_orders, n_candidates, n_exact,
-       round(CAST(n_candidates - n_exact AS DOUBLE)
-             / (n_orders - n_exact), 6) AS fp_rate
+       round(CASE WHEN n_orders > n_exact
+                  THEN CAST(n_candidates - n_exact AS DOUBLE)
+                       / (n_orders - n_exact)
+                  ELSE 0.0 END, 6) AS fp_rate
 FROM t, c, e
 """
 

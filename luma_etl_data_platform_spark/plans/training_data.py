@@ -333,21 +333,30 @@ SELECT query_id, rnk, vec_id, score FROM ranked WHERE rnk <= 10
 """
 
 def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style label-free semantic dedup: cluster around 8
-    deterministic seed vectors (smallest md5-hash ids), drop vectors
-    with a ≥0.30-cosine smaller-id neighbor in their cluster; report
-    the per-cluster keep/drop summary."""
+    """SemDeDup-style label-free semantic dedup: cluster around
+    k = max(8, ceil(n/10000)) deterministic seed vectors (smallest
+    md5-hash ids — k derived from corpus size so cluster sizes stay
+    bounded as the corpus grows), drop vectors with a ≥0.30-cosine
+    smaller-id neighbor in their cluster; report the per-cluster
+    keep/drop summary. The oracle derives the identical k from
+    count(*)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return (S.semantic_dedup_summary(emb, k=8, threshold=0.30)
+    return (S.semantic_dedup_summary(emb, threshold=0.30,
+                                     target_cluster_size=10_000, min_k=8)
             .orderBy("cluster"))
 
 
 ORACLE["semantic_dedup_clusters"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-seeds AS (SELECT vec_id AS sid, v AS sv FROM e
-          ORDER BY CAST('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 8)
-                        AS BIGINT), vec_id
-          LIMIT 8),
+kv AS (SELECT greatest(8, CAST(ceil(count(*) / 10000.0) AS BIGINT)) AS k
+       FROM e),
+seeds AS (SELECT sid, sv FROM (
+            SELECT vec_id AS sid, v AS sv,
+                   row_number() OVER (
+                     ORDER BY CAST('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 8)
+                                   AS BIGINT), vec_id) AS rn
+            FROM e)
+          WHERE rn <= (SELECT k FROM kv)),
 scored AS (SELECT e.vec_id, e.v, s.sid,
                   round(list_dot_product(e.v, s.sv)
                         / (sqrt(list_dot_product(e.v, e.v))
@@ -482,7 +491,13 @@ GROUP BY 1 ORDER BY 1
 def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import connected_components
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    # prefix-filtered pair source: identical pair set to the plain
+    # inverted-index join (lossless, Bayardo et al.), but hot shingles
+    # never enter the candidate join — the last uncapped quadratic
+    # plan shape in the registry is gone. Oracle unchanged (the plain
+    # join IS its oracle).
+    pairs = D.prefix_filter_jaccard_pairs(docs, "text", "doc_id", n=3,
+                                          threshold=0.5)
     comps = connected_components(pairs)
     return (comps.groupBy(F.col("component").alias("rep_id"))
             .agg(F.count(F.lit(1)).alias("cluster_size"),

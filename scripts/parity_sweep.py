@@ -1,7 +1,8 @@
 """Full-strictness parity sweep at an arbitrary SF — a local stand-in
 for the driver's CORRECTNESS gate (which runs at sf0.01).
 
-Usage:  python scripts/parity_sweep.py [sf_dir]
+Usage:  python scripts/parity_sweep.py [sf_dir] [query_name ...]
+(optional query names restrict the sweep to that subset)
 
 Runs every registered query against its DuckDB oracle with the STRICT
 comparator from tests/parity.py (float 4973.0 != int 4973) and prints
@@ -17,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -45,6 +47,12 @@ def main() -> int:
 
     queries = api.all_queries()
     oracles = api.all_oracles()
+    if ONLY:
+        unknown = ONLY - set(queries)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            return 1
+        queries = {k: v for k, v in queries.items() if k in ONLY}
     fails: list[str] = []
     for name in sorted(queries):
         t0 = time.perf_counter()
