@@ -1,0 +1,162 @@
+"""Lakehouse MERGE under the correctness gate: drive the log-table
+format (sources/lakehouse.py) through a REAL multi-commit upsert
+history — create, update+insert merge, mixed update/delete merge —
+and hand the final table state to the DuckDB oracle, which replays
+the identical op-log as plain relational algebra.
+
+This is the row-level MERGE INTO the reference platform scaffolds as
+T-SQL column lists (db/columns/dbcolumngen.py:3-32) but never
+executes in-repo; here the whole path runs: commit log, file-level
+copy-on-write pruning, clause semantics (WHEN MATCHED [AND cond]
+DELETE / UPDATE, WHEN NOT MATCHED INSERT), snapshot read.
+
+Determinism notes: batches are keyed on ``o_orderkey % k`` so the
+op-log derives from the data, not RNG; price updates add 100.0
+(exact in IEEE double on 2-dp inputs — both engines compute the
+identical sum); output rounds to 2dp regardless.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import lakehouse as LH
+from ..sources.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+_COLS = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-commit upsert history on a log table seeded from orders:
+
+    1. CREATE  — orders with ``o_orderkey % 4 != 0`` (6 data files).
+    2. MERGE   — source = orders with ``o_orderkey % 10 == 6`` at
+       price+100: matched rows update (all columns), unmatched insert.
+    3. MERGE   — source = orders with ``o_orderkey % 10 == 3`` at
+       price+100: matched URGENT rows DELETE, other matched rows
+       update, unmatched insert.
+
+    Returns the final table state (the oracle replays the same three
+    steps relationally). File-level pruning is asserted structurally
+    in tests/test_lakehouse.py; here the gate checks END STATE."""
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_merge_")
+    path = f"{tmp}/orders_tbl"
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+
+    initial = orders.filter(F.col("o_orderkey") % 4 != 0)
+    LH.create_table(spark, path, initial.repartition(6), ["o_orderkey"])
+
+    batch1 = (orders.filter(F.col("o_orderkey") % 10 == 6)
+              .withColumn("o_totalprice", F.col("o_totalprice") + 100.0))
+    LH.merge_into(spark, path, batch1, ["o_orderkey"], update_set="all")
+
+    batch2 = (orders.filter(F.col("o_orderkey") % 10 == 3)
+              .withColumn("o_totalprice", F.col("o_totalprice") + 100.0))
+    LH.merge_into(spark, path, batch2, ["o_orderkey"], update_set="all",
+                  delete_condition=F.col("src.o_orderpriority")
+                  == "1-URGENT")
+
+    final = (LH.read_table(spark, path)
+             .select("o_orderkey", "o_orderstatus",
+                     F.round("o_totalprice", 2).alias("o_totalprice"),
+                     "o_orderpriority"))
+    # materialize before the temp table dir can be cleaned up
+    final = final.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
+ORACLE["merge_upsert_orders"] = """
+WITH i AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+           FROM orders WHERE o_orderkey % 4 <> 0),
+b1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice,
+              o_orderpriority
+       FROM orders WHERE o_orderkey % 10 = 6),
+s1 AS (SELECT * FROM i
+       WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b1)
+       UNION ALL
+       SELECT * FROM b1),
+b2 AS (SELECT o_orderkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice,
+              o_orderpriority
+       FROM orders WHERE o_orderkey % 10 = 3),
+s2 AS (SELECT * FROM s1
+       WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+       UNION ALL
+       -- matched, not urgent: source version (update-all)
+       SELECT b2.* FROM b2
+       WHERE o_orderkey IN (SELECT o_orderkey FROM s1)
+         AND o_orderpriority <> '1-URGENT'
+       UNION ALL
+       -- not matched: insert (urgent or not — delete is a MATCHED clause)
+       SELECT b2.* FROM b2
+       WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s1))
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice,
+       o_orderpriority
+FROM s2
+"""
+
+
+def lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation under the gate: create (v1), merge (v2),
+    then read BOTH versions from the same table — the v1 read must
+    still see the pre-merge state byte-for-byte (immutable data
+    files; commits only add/remove references). Returns per-status
+    rollups of each snapshot tagged ``v1``/``v2``; the oracle derives
+    both states relationally."""
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_tt_")
+    path = f"{tmp}/orders_tbl"
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+
+    initial = orders.filter(F.col("o_orderkey") % 3 == 0)
+    LH.create_table(spark, path, initial.repartition(4), ["o_orderkey"])
+    batch = (orders.filter(F.col("o_orderkey") % 6 == 0)
+             .withColumn("o_totalprice", F.col("o_totalprice") + 50.0))
+    LH.merge_into(spark, path, batch, ["o_orderkey"], update_set="all")
+
+    def _roll(df: DataFrame, tag: str) -> DataFrame:
+        return (df.groupBy("o_orderstatus")
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.round(F.sum(F.col("o_totalprice")
+                                   .cast("decimal(18,2)"))
+                             .cast("decimal(38,6)"), 2)
+                     .cast("double").alias("total_price"))
+                .withColumn("snapshot", F.lit(tag)))
+
+    out = (_roll(LH.read_table(spark, path, version=1), "v1")
+           .unionByName(_roll(LH.read_table(spark, path), "v2"))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["lakehouse_time_travel"] = """
+WITH i AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderkey % 3 = 0),
+b AS (SELECT o_orderkey, o_orderstatus, o_totalprice + 50.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 6 = 0),
+v2 AS (SELECT * FROM i WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b)
+       UNION ALL SELECT * FROM b),
+r1 AS (SELECT o_orderstatus, count(*) AS n_orders,
+              CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_price,
+              'v1' AS snapshot
+       FROM i GROUP BY 1),
+r2 AS (SELECT o_orderstatus, count(*) AS n_orders,
+              CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_price,
+              'v2' AS snapshot
+       FROM v2 GROUP BY 1)
+SELECT * FROM r1 UNION ALL SELECT * FROM r2
+"""
+
+
+QUERIES = {
+    "merge_upsert_orders": merge_upsert_orders,
+    "lakehouse_time_travel": lakehouse_time_travel,
+}

@@ -42,8 +42,8 @@ ORACLE: dict[str, str] = {}
 _N_FILES = 4  # staged input files → micro-batches per run
 
 
-def _stage(df: DataFrame, path: str) -> None:
-    df.repartition(_N_FILES).write.parquet(path)
+def _stage(df: DataFrame, path: str, n_files: int = _N_FILES) -> None:
+    df.repartition(n_files).write.parquet(path)
 
 
 def _read_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -173,8 +173,136 @@ FROM events GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# stream_interval_join: stream-stream interval join
+# (streaming/microbatch.stream_stream_interval_join) — purchases
+# joined to the clicks of the preceding hour, drained over genuine
+# micro-batches; every match must equal the batch interval join.
+#
+# Determinism note: the staged files split the event-time range
+# arbitrarily, so a tight watermark would drop "late" rows depending
+# on which batch they landed in. The twin uses a watermark longer
+# than the data's whole time span — nothing is ever late, state
+# covers the run, and the result is file-split-invariant. Production
+# uses a tight watermark and bounded state; the SEMANTICS under test
+# (key + interval condition, cross-batch matching) are identical.
+# ---------------------------------------------------------------------------
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.microbatch import stream_stream_interval_join
+    tmp = tempfile.mkdtemp(prefix="luma_stream_ssj_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts")
+    # 2 files/side = 2 genuine micro-batches per stream (cross-batch
+    # matching still exercised) at half the per-batch state overhead
+    _stage(ev.filter(F.col("event_type") == "purchase"), f"{tmp}/left", 2)
+    _stage(ev.filter(F.col("event_type") == "click"), f"{tmp}/right", 2)
+    joined = stream_stream_interval_join(
+        _read_stream(spark, f"{tmp}/left"),
+        _read_stream(spark, f"{tmp}/right"),
+        interval="1 hour", watermark="30 days")
+    out = f"{tmp}/out"
+    q = (joined.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", f"{tmp}/ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return spark.read.parquet(out).select(
+        "user_id", "l_event_id", "r_event_id", "l_ts", "r_ts")
+
+
+ORACLE["stream_interval_join"] = """
+SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id,
+       l.ts AS l_ts, r.ts AS r_ts
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+"""
+
+
+# ---------------------------------------------------------------------------
+# stream_session_windows: native session windows
+# (streaming/microbatch.session_window_agg) under the oracle. Append
+# mode only emits sessions the watermark has CLOSED, so after the
+# data drains, far-future sentinel events are staged and the stream
+# re-run on the same checkpoint: the first sentinel pass advances the
+# watermark past every real session's end, the second pass's batch
+# emits what the advance closed (emission lands on the batch AFTER
+# the advance when no-data batches don't fire). The sentinel user is
+# filtered from the result; the oracle is the batch gaps-and-islands
+# sessionization of the full event set.
+#
+# Watermark note (same as stream_interval_join): the staged files
+# split event time arbitrarily, so a tight watermark would DROP most
+# rows of later batches as late — measured: a 2h watermark loses
+# ~half the sessions. The twin's watermark exceeds the data span
+# (nothing is late, state holds the whole run, sessions close only
+# via the sentinels), making the result file-split-invariant. A
+# production stream has roughly time-ordered arrival and uses the
+# tight watermark; the session-merge semantics under test are the
+# same.
+# ---------------------------------------------------------------------------
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.microbatch import session_window_agg
+    tmp = tempfile.mkdtemp(prefix="luma_stream_sess_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts",
+        # decimal carriage: cross-batch session-state merges re-add
+        # partial sums exactly, so results are micro-batch-invariant
+        F.col("value").cast("decimal(18,2)").alias("value"))
+    _stage(ev, f"{tmp}/src", 2)   # 2 data batches + 2 sentinel passes
+    out = f"{tmp}/out"
+
+    def _run() -> None:
+        q = (session_window_agg(_read_stream(spark, f"{tmp}/src"),
+                                gap="30 minutes", watermark="30 days")
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", f"{tmp}/ck")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+
+    _run()
+    far = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    for bump in (1, 2):      # two flush passes (advance, then emit)
+        sentinel = spark.createDataFrame(
+            [(-1, far, None)], "user_id long, ts timestamp, value decimal(18,2)"
+        ).withColumn("ts", F.col("ts")
+                     + F.expr(f"INTERVAL {31 * bump} DAYS"))
+        sentinel.write.mode("append").parquet(f"{tmp}/src")
+        _run()
+
+    sess = spark.read.parquet(out).filter(F.col("user_id") != -1)
+    return sess.select(
+        "session_start", "session_end", "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("session_value").cast("double").alias("session_value"))
+
+
+ORACLE["stream_session_windows"] = """
+WITH e AS (SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS value
+           FROM events),
+x AS (SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS nf
+      FROM e),
+s AS (SELECT *, sum(nf) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x),
+g AS (SELECT user_id, sid, min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events,
+             CAST(round(sum(value), 2) AS DOUBLE) AS session_value
+      FROM s GROUP BY 1, 2)
+SELECT session_start, session_end, user_id, n_events, session_value FROM g
+"""
+
+
 QUERIES = {
     "stream_rollup_hourly": stream_rollup_hourly,
     "stream_user_totals": stream_user_totals,
     "stream_ingest_dedup": stream_ingest_dedup,
+    "stream_interval_join": stream_interval_join,
+    "stream_session_windows": stream_session_windows,
 }

@@ -485,17 +485,282 @@ GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 100
 """
 
 
+# ---------------------------------------------------------------------------
+# Third batch: the five remaining canonical shapes, adapted to the
+# synthetic schema (no partsupp table — the part↔supplier association
+# and "supply cost"/"stock" figures come from lineitem facts instead;
+# no comment columns — q16's complaints filter becomes a negative-
+# balance filter). Shapes preserved: q2 correlated-min join-back,
+# q9 multi-join profit rollup, q11 global-threshold HAVING,
+# q16 filtered distinct-count, q20 nested semi-join chain.
+# ---------------------------------------------------------------------------
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 adaptation: minimum-cost supplier per size-15 part in
+    EUROPE. ``partsupp.ps_supplycost`` is absent; the offer price is
+    the minimum observed ``l_extendedprice`` per (part, supplier) —
+    raw stored doubles, so the min-equality join-back is exact.
+    Shape: aggregate → correlated min → join back at the min →
+    dimension joins → multi-key ORDER BY + LIMIT."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    eu = F.broadcast(
+        nation.join(region.filter(F.col("r_name") == "EUROPE"),
+                    nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name"))
+    offers = (li.groupBy("l_partkey", "l_suppkey")
+              .agg(F.min("l_extendedprice").alias("offer_price")))
+    eu_supp = (supp.join(eu, supp.s_nationkey == eu.n_nationkey)
+               .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    eu_offers = offers.join(eu_supp,
+                            offers.l_suppkey == eu_supp.s_suppkey)
+    min_part = (eu_offers.groupBy("l_partkey")
+                .agg(F.min("offer_price").alias("min_price")))
+    target = F.broadcast(part.filter(F.col("p_size") == 15)
+                         .select("p_partkey", "p_name"))
+    return (eu_offers
+            .join(min_part, ["l_partkey"])
+            .filter(F.col("offer_price") == F.col("min_price"))
+            .join(target, F.col("l_partkey") == F.col("p_partkey"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                    "p_name", F.col("min_price").alias("offer_price"))
+            .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                     "p_partkey")
+            .limit(100))
+
+
+ORACLE["q2_min_cost_supplier"] = """
+WITH eu AS (SELECT n_nationkey, n_name FROM nation
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'),
+offers AS (SELECT l_partkey, l_suppkey,
+                  min(l_extendedprice) AS offer_price
+           FROM lineitem GROUP BY 1, 2),
+eu_offers AS (SELECT o.l_partkey, o.offer_price,
+                     s.s_name, s.s_acctbal, eu.n_name
+              FROM offers o
+              JOIN supplier s ON o.l_suppkey = s.s_suppkey
+              JOIN eu ON s.s_nationkey = eu.n_nationkey),
+mp AS (SELECT l_partkey, min(offer_price) AS min_price
+       FROM eu_offers GROUP BY 1)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_name,
+       e.offer_price
+FROM eu_offers e
+JOIN mp ON e.l_partkey = mp.l_partkey AND e.offer_price = mp.min_price
+JOIN part p ON e.l_partkey = p.p_partkey
+WHERE p.p_size = 15
+ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 adaptation: profit per (supplier nation, order year) over
+    parts named like '%red%'. ``ps_supplycost`` is absent; unit cost
+    is ``p_retailprice`` — profit = revenue − retailprice·quantity,
+    decimal-exact end to end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    red = F.broadcast(part.filter(F.col("p_name").like("%red%"))
+                      .select("p_partkey", "p_retailprice"))
+    profit = (revenue_expr()
+              - dmoney(F.col("p_retailprice")) * dmoney(F.col("l_quantity")))
+    return (
+        li.join(red, li.l_partkey == red.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(exact_sum(profit).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+ORACLE["q9_product_type_profit"] = f"""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(round(sum({SQL_REV}
+                      - CAST(p_retailprice AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))), 2)
+            AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY 1, 2 DESC
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 adaptation: parts whose EUROPE-supplied revenue exceeds
+    0.1% of all EUROPE-supplied revenue. ``partsupp`` stock value is
+    absent; 'value' is lineitem revenue from EUROPE suppliers.
+    Shape: grouped sum HAVING > (scalar-subquery global threshold) —
+    the threshold is a 1-row broadcast, no second scan of the
+    grouped data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    eu = F.broadcast(
+        nation.join(region.filter(F.col("r_name") == "EUROPE"),
+                    nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey"))
+    eu_supp = F.broadcast(supp.join(eu, supp.s_nationkey == eu.n_nationkey)
+                          .select("s_suppkey"))
+    eu_li = li.join(eu_supp, li.l_suppkey == eu_supp.s_suppkey)
+    per_part = (eu_li.groupBy("l_partkey")
+                .agg(F.sum(revenue_expr()).alias("_val")))
+    total = per_part.agg(
+        (F.sum("_val") * F.lit(0.001).cast("decimal(9,4)"))
+        .alias("_threshold"))
+    return (per_part.crossJoin(F.broadcast(total))
+            .filter(F.col("_val") > F.col("_threshold"))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    F.round(F.col("_val").cast("decimal(38,6)"), 2)
+                    .cast("double").alias("part_value"))
+            .orderBy(F.col("part_value").desc(), "p_partkey"))
+
+
+ORACLE["q11_important_stock"] = f"""
+WITH eu_s AS (SELECT s_suppkey FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'),
+pp AS (SELECT l_partkey, sum({SQL_REV}) AS val
+       FROM lineitem JOIN eu_s ON l_suppkey = s_suppkey
+       GROUP BY 1),
+t AS (SELECT sum(val) * CAST(0.001 AS DECIMAL(9,4)) AS threshold FROM pp)
+SELECT l_partkey AS p_partkey,
+       CAST(round(val, 2) AS DOUBLE) AS part_value
+FROM pp, t
+WHERE val > threshold
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 adaptation: distinct supplier counts per (brand, type,
+    size) for selected sizes, excluding one brand, the PROMO type,
+    and suppliers with negative balances (stand-in for the original's
+    complaints comment filter; no comment columns in this schema).
+    The part↔supplier association comes from lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    sizes = [1, 9, 14, 19, 23, 36, 45, 49]
+    target = F.broadcast(
+        part.filter(F.col("p_size").isin(sizes)
+                    & (F.col("p_brand") != "Brand#13")
+                    & (F.col("p_type") != "PROMO"))
+        .select("p_partkey", "p_brand", "p_type", "p_size"))
+    ok_supp = F.broadcast(supp.filter(F.col("s_acctbal") >= 0)
+                          .select("s_suppkey"))
+    return (li.join(target, li.l_partkey == target.p_partkey)
+            .join(ok_supp, li.l_suppkey == ok_supp.s_suppkey, "left_semi")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type",
+                     "p_size"))
+
+
+ORACLE["q16_supplier_part_counts"] = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND p_brand <> 'Brand#13'
+  AND p_type <> 'PROMO'
+  AND l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+GROUP BY 1, 2, 3
+ORDER BY 4 DESC, 1, 2, 3
+"""
+
+
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 adaptation: EUROPE suppliers who shipped MORE THAN HALF of
+    some 'small%' part's total 1996 volume. The original's
+    availqty-vs-half-of-shipped threshold (partsupp) becomes
+    per-supplier-share-of-part volume; the comparison is kept integer
+    (2·supplier_qty > total_qty — quantities are integral, so no
+    0.5· float compare). Shape: nested aggregate subqueries feeding a
+    semi-join chain up to the supplier dimension."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    small = F.broadcast(part.filter(F.col("p_name").like("small%"))
+                        .select("p_partkey"))
+    li96 = (li.filter(F.year("l_shipdate") == 1996)
+            .join(small, li.l_partkey == small.p_partkey)
+            .select("l_partkey", "l_suppkey",
+                    F.col("l_quantity").cast("long").alias("qty")))
+    per_supp = (li96.groupBy("l_partkey", "l_suppkey")
+                .agg(F.sum("qty").alias("s_qty")))
+    per_part = (li96.groupBy("l_partkey")
+                .agg(F.sum("qty").alias("t_qty")))
+    dominant = (per_supp.join(per_part, ["l_partkey"])
+                .filter(F.lit(2) * F.col("s_qty") > F.col("t_qty"))
+                .select("l_suppkey").distinct())
+    eu = F.broadcast(
+        nation.join(region.filter(F.col("r_name") == "EUROPE"),
+                    nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey"))
+    return (supp.join(dominant, supp.s_suppkey == dominant.l_suppkey,
+                      "left_semi")
+            .join(eu, supp.s_nationkey == eu.n_nationkey, "left_semi")
+            .select("s_name", "s_acctbal")
+            .orderBy("s_name"))
+
+
+ORACLE["q20_dominant_supplier"] = """
+WITH li96 AS (SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+              FROM lineitem
+              WHERE year(l_shipdate) = 1996
+                AND l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE 'small%')),
+ps AS (SELECT l_partkey, l_suppkey, sum(qty) AS s_qty
+       FROM li96 GROUP BY 1, 2),
+pt AS (SELECT l_partkey, sum(qty) AS t_qty FROM li96 GROUP BY 1),
+dom AS (SELECT DISTINCT ps.l_suppkey
+        FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+        WHERE 2 * ps.s_qty > pt.t_qty)
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+  AND s_nationkey IN (SELECT n_nationkey FROM nation
+                      JOIN region ON n_regionkey = r_regionkey
+                      WHERE r_name = 'EUROPE')
+ORDER BY s_name
+"""
+
+
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
+    "q9_product_type_profit": q9_product_type_profit,
+    "q11_important_stock": q11_important_stock,
     "q12_late_priority_counts": q12_late_priority_counts,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q14_promo_effect": q14_promo_effect,
     "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q20_dominant_supplier": q20_dominant_supplier,
     "q21_waiting_supplier": q21_waiting_supplier,
     "q22_idle_rich_customers": q22_idle_rich_customers,
 }

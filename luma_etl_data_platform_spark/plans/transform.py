@@ -95,10 +95,14 @@ def merge_sql(target: str, source: str, columns: list[str], keys: list[str]) -> 
 
 def upsert(spark: SparkSession, target: str, source: DataFrame,
            keys: list[str]) -> None:
-    """Format-dispatching upsert: native MERGE INTO when a
-    MERGE-capable catalog table format is present (Delta — jars not in
-    this build, gated by import-try), else the parquet
-    overwrite-by-key emulation."""
+    """Format-dispatching upsert, best-capable format first:
+
+    1. Delta catalog table → native ``MERGE INTO`` (jars not in this
+       build, gated by import-try);
+    2. log-table path (has a ``_log`` commit directory) → row-level
+       copy-on-write MERGE with file pruning and an atomic log commit
+       (``sources/lakehouse.merge_into``);
+    3. plain parquet path → overwrite-by-key staged-swap emulation."""
     try:
         from delta.tables import DeltaTable  # noqa: F401
         have_delta = True
@@ -107,6 +111,10 @@ def upsert(spark: SparkSession, target: str, source: DataFrame,
     if have_delta and not target.startswith("/"):
         source.createOrReplaceTempView("_upsert_src")
         spark.sql(merge_sql(target, "_upsert_src", source.columns, keys))
+        return
+    from ..sources import lakehouse as LH
+    if LH.current_version(spark, target) > 0:
+        LH.merge_into(spark, target, source, keys, update_set="all")
         return
     merge_upsert_parquet(spark, target, source, keys)
 

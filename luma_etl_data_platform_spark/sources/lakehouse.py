@@ -1,0 +1,348 @@
+"""Minimal copy-on-write lakehouse table format with a commit log —
+the row-level MERGE the reference only scaffolds as T-SQL column
+lists (reference: db/columns/dbcolumngen.py:3-32) and the staging
+swap only approximates at partition granularity.
+
+Layout::
+
+    table_dir/
+        _log/00000000000000000001.json   # one JSON doc per commit
+        _log/00000000000000000002.json
+        part-<uuid>.parquet              # immutable data files
+
+Each commit lists ``add`` / ``remove`` file actions; the table state
+at version V is the replay of commits 1..V. Data files are immutable
+and never deleted by commits (only by :func:`vacuum`), which buys:
+
+- **Snapshot isolation**: a reader that pinned version V keeps a
+  consistent file list even while writers commit V+1, V+2, …
+- **Time travel**: :func:`read_table` accepts any historical version.
+- **Atomic commits**: a commit is one rename of a temp file to
+  ``_log/<version>.json``. The Hadoop FileSystem rename contract
+  fails when the destination exists, so two writers racing to the
+  same version cannot both win — the loser re-reads the log and
+  retries (optimistic concurrency, as in the Delta protocol paper,
+  Armbrust et al., VLDB'20). On object stores without atomic
+  create-if-absent (plain S3) this needs a coordinating catalog —
+  same caveat as every log-structured format.
+
+**MERGE INTO** (:func:`merge_into`) is copy-on-write at FILE
+granularity, the part Delta/Iceberg actually buy over directory
+swaps: source keys are joined against the live files' key columns
+(``_metadata.file_path`` exposes the provenance of every row — an
+exact, Catalyst-pruned reconnaissance pass that reads only the key
+columns), and ONLY files containing matched keys are rewritten.
+A merge that touches 0.1% of keys rewrites ~0.1% of files, not the
+table; untouched files carry over by reference (asserted byte-for-
+byte in tests/test_lakehouse.py).
+
+Scale shape: the reconnaissance scan is column-pruned to the keys;
+rewrite cost is proportional to matched-file bytes; the commit log
+grows one O(files-touched) JSON doc per commit. File stats (per-file
+row counts; min/max keys recorded at write time) ride in the log for
+observability — a future reader could prune the reconnaissance scan
+with them, the same trajectory Delta took with data skipping.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LOG_DIR = "_log"
+_VERSION_WIDTH = 20
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed the version this writer raced for."""
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _log_path(table_path: str, version: int) -> str:
+    return (f"{table_path.rstrip('/')}/{_LOG_DIR}/"
+            f"{version:0{_VERSION_WIDTH}d}.json")
+
+
+def _read_text(fs, jvm, path: str) -> str:
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    stream = fs.open(p)
+    sink = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 65536, True)
+    return bytes(sink.toByteArray()).decode("utf-8")
+
+
+def _write_commit(spark: SparkSession, table_path: str, version: int,
+                  doc: dict) -> None:
+    """Atomically publish ``doc`` as ``_log/<version>.json`` — write
+    to a temp name, then rename; Hadoop rename fails if the
+    destination exists, so exactly one writer wins each version."""
+    fs, jvm = _fs(spark, table_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    log_dir = f"{table_path.rstrip('/')}/{_LOG_DIR}"
+    fs.mkdirs(Path(log_dir))
+    tmp = Path(f"{log_dir}/.tmp-{uuid.uuid4().hex}")
+    stream = fs.create(tmp, False)
+    try:
+        stream.write(bytearray(json.dumps(doc, sort_keys=True).encode("utf-8")))
+    finally:
+        stream.close()
+    dest = Path(_log_path(table_path, version))
+    if not fs.rename(tmp, dest):
+        fs.delete(tmp, False)
+        raise CommitConflictError(
+            f"version {version} of {table_path} was committed concurrently")
+
+
+def _commits(spark: SparkSession, table_path: str) -> list[dict]:
+    fs, jvm = _fs(spark, table_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    log_dir = Path(f"{table_path.rstrip('/')}/{_LOG_DIR}")
+    if not fs.exists(log_dir):
+        return []
+    docs = []
+    for st in fs.listStatus(log_dir):
+        name = st.getPath().getName()
+        if name.endswith(".json") and not name.startswith("."):
+            docs.append(json.loads(
+                _read_text(fs, jvm, str(st.getPath()))))
+    return sorted(docs, key=lambda d: d["version"])
+
+
+def current_version(spark: SparkSession, table_path: str) -> int:
+    commits = _commits(spark, table_path)
+    return commits[-1]["version"] if commits else 0
+
+
+def snapshot_files(spark: SparkSession, table_path: str,
+                   version: int | None = None) -> list[str]:
+    """Live data-file paths at ``version`` (default: latest) —
+    the replay of add/remove actions in commit order."""
+    live: list[str] = []
+    for doc in _commits(spark, table_path):
+        if version is not None and doc["version"] > version:
+            break
+        removed = set(doc.get("remove", []))
+        live = [f for f in live if f not in removed]
+        live.extend(a["path"] for a in doc.get("add", []))
+    return [f"{table_path.rstrip('/')}/{f}" for f in live]
+
+
+def history(spark: SparkSession, table_path: str) -> list[dict]:
+    """Commit metadata, oldest first (op, version, file counts)."""
+    return [{"version": d["version"], "op": d["op"],
+             "n_added": len(d.get("add", [])),
+             "n_removed": len(d.get("remove", []))}
+            for d in _commits(spark, table_path)]
+
+
+def read_table(spark: SparkSession, table_path: str,
+               version: int | None = None) -> DataFrame:
+    files = snapshot_files(spark, table_path, version)
+    if not files:
+        raise FileNotFoundError(
+            f"no snapshot for {table_path} at version {version}")
+    return spark.read.parquet(*files)
+
+
+def _write_data_files(spark: SparkSession, table_path: str,
+                      df: DataFrame, keys: list[str]) -> list[dict]:
+    """Write ``df`` as new immutable parquet files under the table
+    root; returns add-actions with per-file stats (row count, min/max
+    of the first key — the data-skipping hook)."""
+    tmp_rel = f".stage-{uuid.uuid4().hex}"
+    tmp_dir = f"{table_path.rstrip('/')}/{tmp_rel}"
+    df.write.mode("overwrite").parquet(tmp_dir)
+    fs, jvm = _fs(spark, table_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    adds = []
+    for st in fs.listStatus(Path(tmp_dir)):
+        name = st.getPath().getName()
+        if not name.endswith(".parquet"):
+            continue
+        final = f"part-{uuid.uuid4().hex}.parquet"
+        if not fs.rename(st.getPath(),
+                         Path(f"{table_path.rstrip('/')}/{final}")):
+            raise IOError(f"failed to place data file {final}")
+        adds.append({"path": final})
+    fs.delete(Path(tmp_dir), True)
+    if keys and adds:
+        stats = (spark.read.parquet(
+            *[f"{table_path.rstrip('/')}/{a['path']}" for a in adds])
+            .groupBy(F.col("_metadata.file_path").alias("_f"))
+            .agg(F.count(F.lit(1)).alias("_n"),
+                 F.min(keys[0]).alias("_lo"),
+                 F.max(keys[0]).alias("_hi"))
+            .collect())
+        by_name = {r["_f"].rsplit("/", 1)[-1]:
+                   (r["_n"], str(r["_lo"]), str(r["_hi"])) for r in stats}
+        for a in adds:
+            if a["path"] in by_name:
+                n, lo, hi = by_name[a["path"]]
+                a.update({"rows": n, "min_key": lo, "max_key": hi})
+    return adds
+
+
+def create_table(spark: SparkSession, table_path: str, df: DataFrame,
+                 keys: list[str]) -> None:
+    """Initialize a log table from ``df`` (version 1)."""
+    if current_version(spark, table_path) != 0:
+        raise ValueError(f"{table_path} already has a commit log")
+    adds = _write_data_files(spark, table_path, df, keys)
+    _write_commit(spark, table_path, 1,
+                  {"version": 1, "op": "create", "keys": keys,
+                   "add": adds, "remove": []})
+
+
+def append_table(spark: SparkSession, table_path: str,
+                 df: DataFrame, keys: list[str] | None = None) -> None:
+    """Blind append (no key reconciliation): new files, no removes."""
+    v = current_version(spark, table_path)
+    if v == 0:
+        raise FileNotFoundError(f"{table_path} has no commit log")
+    adds = _write_data_files(spark, table_path, df, keys or [])
+    _write_commit(spark, table_path, v + 1,
+                  {"version": v + 1, "op": "append",
+                   "add": adds, "remove": []})
+
+
+def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
+               keys: list[str],
+               update_set: dict[str, Column] | str | None = "all",
+               delete_condition: Column | str | None = None,
+               insert_when_not_matched: bool = True,
+               max_retries: int = 2) -> dict:
+    """Row-level ``MERGE INTO`` with copy-on-write file rewrites.
+
+    Clause semantics (mirroring ANSI/Delta MERGE):
+
+    - WHEN MATCHED AND ``delete_condition`` THEN DELETE — the
+      condition is evaluated on the joined (target ⋈ source) row;
+      source columns are visible as ``src.<col>``, target columns
+      bare.
+    - WHEN MATCHED THEN UPDATE — ``update_set`` of ``"all"``
+      overwrites every non-key column with the source's; a dict maps
+      target column → expression over the joined row; ``None`` leaves
+      matched rows unchanged.
+    - WHEN NOT MATCHED THEN INSERT (all source columns), disabled
+      with ``insert_when_not_matched=False``.
+
+    Duplicate source keys are the caller's contract to prevent
+    (dedupe first); each duplicate would contribute a row.
+
+    Returns merge stats: files touched/rewritten/carried and the
+    committed version. Retries the whole merge against a fresh
+    snapshot on a commit race (the merge is a deterministic function
+    of snapshot + source, so the rerun is safe)."""
+    for attempt in range(max_retries + 1):
+        try:
+            return _merge_once(spark, table_path, source, keys,
+                               update_set, delete_condition,
+                               insert_when_not_matched)
+        except CommitConflictError:
+            if attempt == max_retries:
+                raise
+    raise AssertionError("unreachable")
+
+
+def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
+                keys: list[str],
+                update_set: dict[str, Column] | str | None,
+                delete_condition: Column | str | None,
+                insert_when_not_matched: bool) -> dict:
+    base_version = current_version(spark, table_path)
+    if base_version == 0:
+        raise FileNotFoundError(f"{table_path} has no commit log")
+    files = snapshot_files(spark, table_path)
+    target = spark.read.parquet(*files)
+    tgt_cols = target.columns
+    src = source.select(*tgt_cols)
+    src_keys = src.select(*keys).distinct()
+
+    # reconnaissance: which live files contain a matched key?  The
+    # scan is pruned to (keys, _metadata) — exact file-level pruning.
+    touched_rows = (target
+                    .select(*keys,
+                            F.col("_metadata.file_path").alias("_f"))
+                    .join(F.broadcast(src_keys), keys, "left_semi")
+                    .select("_f").distinct().collect())
+    touched = sorted(r["_f"] for r in touched_rows)
+    touched_rel = [f.rsplit("/", 1)[-1] for f in touched]
+    carried = [f for f in files
+               if f.rsplit("/", 1)[-1] not in set(touched_rel)]
+
+    parts: list[DataFrame] = []
+    if touched:
+        tgt_touched = spark.read.parquet(*touched)
+        # matched marker: a non-null sentinel column, NOT "any source
+        # column non-null" — which would misclassify under nullable
+        # source data
+        joined = tgt_touched.alias("tgt").join(
+            F.broadcast(src.withColumn("__hit", F.lit(1)).alias("src")),
+            keys, "left")
+        is_matched = F.col("src.__hit").isNotNull()
+        if isinstance(delete_condition, str):
+            delete_condition = F.expr(delete_condition)
+        drop = (is_matched & delete_condition) if delete_condition is not None \
+            else F.lit(False)
+        out_cols = []
+        for c in tgt_cols:
+            if c in keys:
+                out_cols.append(F.col(f"tgt.{c}").alias(c))
+            elif update_set == "all":
+                out_cols.append(
+                    F.when(is_matched, F.col(f"src.{c}"))
+                    .otherwise(F.col(f"tgt.{c}")).alias(c))
+            elif isinstance(update_set, dict) and c in update_set:
+                expr = update_set[c]
+                if isinstance(expr, str):
+                    expr = F.expr(expr)
+                out_cols.append(
+                    F.when(is_matched, expr)
+                    .otherwise(F.col(f"tgt.{c}")).alias(c))
+            else:
+                out_cols.append(F.col(f"tgt.{c}").alias(c))
+        parts.append(joined.filter(~drop).select(*out_cols))
+    if insert_when_not_matched:
+        all_keys = target.select(*keys).distinct()
+        inserts = src.join(all_keys, keys, "left_anti")
+        parts.append(inserts)
+
+    adds: list[dict] = []
+    if parts:
+        from functools import reduce
+        merged = reduce(DataFrame.unionByName, parts)
+        adds = _write_data_files(spark, table_path, merged, keys)
+    doc = {"version": base_version + 1, "op": "merge",
+           "add": adds, "remove": touched_rel}
+    _write_commit(spark, table_path, base_version + 1, doc)
+    return {"version": base_version + 1,
+            "n_files_rewritten": len(touched_rel),
+            "n_files_carried": len(carried),
+            "n_files_added": len(adds)}
+
+
+def vacuum(spark: SparkSession, table_path: str) -> list[str]:
+    """Delete data files referenced by NO commit's current-or-prior
+    snapshot retention (here: files removed by some commit and not
+    present in the latest snapshot). Breaks time travel to versions
+    that referenced them — run only past the read-retention window."""
+    fs, jvm = _fs(spark, table_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = table_path.rstrip("/")
+    live = {f.rsplit("/", 1)[-1] for f in snapshot_files(spark, table_path)}
+    deleted = []
+    for st in fs.listStatus(Path(root)):
+        name = st.getPath().getName()
+        if (st.isFile() and name.endswith(".parquet")
+                and name not in live):
+            fs.delete(st.getPath(), False)
+            deleted.append(name)
+    return sorted(deleted)
