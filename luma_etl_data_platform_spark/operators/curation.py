@@ -182,3 +182,38 @@ def temperature_mix_weights(df: DataFrame, domain_col: str,
              .alias("mix_weight"),
         )
     )
+
+
+def hashed_linear_scores(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         buckets: int = 4096) -> DataFrame:
+    """fastText-style linear quality classifier via the hashing trick
+    (Weinberger et al. 2009): every token hashes into one of
+    ``buckets`` feature slots, each slot carries a fixed weight, and a
+    document's score is the mean slot weight of its token bag.
+
+    The weights here are md5-derived milli-unit integers in
+    [-1000, 1000] — a stand-in for trained parameters with the same
+    execution shape (real weights would arrive as a broadcast lookup
+    or be folded into a literal array exactly like this hash). What
+    matters for the engine is the plan: tokenize -> slot -> weight is
+    a pure narrow Column pipeline (zero joins, zero Python UDFs), the
+    per-doc mean is one map-side-combined groupBy on the doc id, and
+    the score is carried as an exact integer sum until the final
+    division, so it is partition-order invariant and oracle-exact.
+
+    Returns (id, n_tokens, score) with score = sum(w)/1000/n rounded
+    to 6 dp.
+    """
+    from ..functions.text import portable_hash32, tokens
+    tok = df.select(F.col(id_col),
+                    F.explode(tokens(F.col(text_col))).alias("_tk"))
+    slot = portable_hash32(F.col("_tk"), seed=7) % buckets
+    w = (portable_hash32(slot, seed=11) % 2001) - 1000
+    return (tok.select(id_col, w.alias("_w"))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("_w").alias("_sw"))
+            .select(id_col, "n_tokens",
+                    F.round(F.col("_sw").cast("double")
+                            / (F.col("n_tokens") * 1000.0), 6).alias("score")))

@@ -190,3 +190,54 @@ def kmv_estimate(sketch: DataFrame, group_col: str, k: int = 64) -> DataFrame:
                       / F.col("_kth").cast("double")))
     return agg.select(group_col, "n_sketch",
                       F.round(est, 4).alias("est_distinct"))
+
+
+def kmv_pair_jaccard(sketch: DataFrame, group_col: str,
+                     k: int = 64) -> DataFrame:
+    """Pairwise set-operation estimates from stored KMV sketches —
+    the classic KMV intersection estimator (Beyer et al., SIGMOD'07):
+    for groups a < b, merge their sketches into the union's bottom-k;
+    the fraction of union-sketch hashes present in BOTH input sketches
+    estimates the Jaccard similarity, and est_inter = jaccard x
+    est_union.
+
+    This is the whole point of keeping sketches around at 100 TB: the
+    input here is the (group x k)-row sketch table, NEVER the raw
+    data, so any ad-hoc overlap question costs O(groups^2 x k) on
+    rows that fit in one executor — every join below is a broadcast.
+
+    Returns (g_a, g_b, n_union_sketch, n_both, est_union, est_jaccard)
+    with g_a < g_b; doubles rounded to 4/6 dp for comparison
+    stability."""
+    g, ga, gb = group_col, "g_a", "g_b"
+    sk = sketch.select(F.col(g).alias("_g"), "_h")
+    groups = sk.select("_g").distinct()
+    pairs = (groups.select(F.col("_g").alias(ga))
+             .join(F.broadcast(groups.select(F.col("_g").alias(gb))),
+                   F.col(ga) < F.col(gb)))
+    # every hash of either side's sketch, tagged per pair
+    pair_h = (pairs.join(F.broadcast(sk),
+                         (F.col("_g") == F.col(ga)) | (F.col("_g") == F.col(gb)))
+              .select(ga, gb, "_h").distinct())
+    win = W.partitionBy(ga, gb).orderBy("_h")
+    union_sk = (pair_h.withColumn("_rn", F.row_number().over(win))
+                .filter(F.col("_rn") <= k).drop("_rn"))
+    both = (sk.alias("x").join(F.broadcast(sk.alias("y")), "_h")
+            .filter(F.col("x._g") < F.col("y._g"))
+            .select(F.col("x._g").alias(ga), F.col("y._g").alias(gb),
+                    "_h", F.lit(1).alias("_in_both")))
+    marked = union_sk.join(F.broadcast(both), [ga, gb, "_h"], "left")
+    agg = (marked.groupBy(ga, gb)
+           .agg(F.max("_h").alias("_kth"),
+                F.count(F.lit(1)).alias("n_union_sketch"),
+                F.count("_in_both").alias("n_both")))
+    est_union = (F.when(F.col("n_union_sketch") < k,
+                        F.col("n_union_sketch").cast("double"))
+                 .otherwise(F.lit(float(k - 1)) * F.lit(_HASH_SPACE)
+                            / F.col("_kth").cast("double")))
+    return agg.select(
+        ga, gb, "n_union_sketch", "n_both",
+        F.round(est_union, 4).alias("est_union"),
+        F.round(F.col("n_both").cast("double")
+                / F.col("n_union_sketch").cast("double"), 6)
+        .alias("est_jaccard"))

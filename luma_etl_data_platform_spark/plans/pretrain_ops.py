@@ -1,0 +1,417 @@
+"""Round-3 pretraining-corpus operators: exact duplicated-span dedup
+(Lee et al. 2021 substring dedup), a hashing-trick linear quality
+classifier, retrieval-quality calibration (IVF recall vs exact,
+MinHash estimate vs exact Jaccard), KMV set-operation estimates,
+per-dimension embedding statistics, template/boilerplate detection,
+and a deterministic shard-export manifest.
+
+Beyond-reference surface (the reference ERP ETL tool has none of
+these — `SURVEY.md §2.4` "(absent)" families); each query pairs a
+Spark plan with a DuckDB oracle that reproduces the result exactly,
+including the sketch estimates (both engines evaluate the same
+portable md5 arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import portable_hash32, token_count, tokens
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import sketches as K
+from ..operators.curation import hashed_linear_scores
+from ..operators.spans import duplicated_spans
+from ..sources.tables import load_table
+from .training_data import _EMB_CTE, _SH_CTE
+
+ORACLE: dict[str, str] = {}
+QUERIES: dict = {}
+
+
+def _q(name):
+    def reg(fn):
+        QUERIES[name] = fn
+        return fn
+    return reg
+
+
+# ---------------------------------------------------------------------------
+# dedup_span_docs: maximal cross-document duplicated 10-token spans —
+# the "what do I cut" per-document answer (mark-and-merge; no pair
+# explosion, so shared boilerplate costs O(m) not O(m^2) rows).
+# ---------------------------------------------------------------------------
+@_q("dedup_span_docs")
+def dedup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (duplicated_spans(docs, "text", "doc_id", k=10)
+            .orderBy("doc_id", "span_start"))
+
+
+ORACLE["dedup_span_docs"] = """
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents),
+pos AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-9, 0))) AS i FROM tok),
+win AS (SELECT doc_id, i, md5(array_to_string(t[i:i+9], ' ')) AS h FROM pos),
+hot AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM win)
+        GROUP BY h HAVING count(*) >= 2),
+dup AS (SELECT doc_id, i FROM win SEMI JOIN hot USING (h)),
+isl AS (SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+        FROM dup)
+SELECT doc_id, min(i) AS span_start, max(i) AS span_end,
+       max(i) - min(i) + 10 AS span_tokens
+FROM isl GROUP BY doc_id, g
+ORDER BY doc_id, span_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier_scores: hashing-trick linear scorer (fastText
+# shape) — tokenize -> feature slot -> weight is a pure narrow Column
+# pipeline; the integer milli-weight sum is partition-order exact.
+# ---------------------------------------------------------------------------
+@_q("quality_classifier_scores")
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scores = hashed_linear_scores(docs, "text", "doc_id", buckets=4096)
+    return (docs.select("doc_id", "source")
+            .join(scores, "doc_id")
+            .select("doc_id", "source", "n_tokens", "score",
+                    (F.col("score") >= 0).alias("passed"))
+            .orderBy("doc_id"))
+
+
+ORACLE["quality_classifier_scores"] = """
+WITH tok AS (SELECT doc_id, source,
+                    unnest(regexp_extract_all(lower(text), '\\w+')) AS tk
+             FROM documents),
+w AS (SELECT doc_id, source,
+             (CAST('0x' || substr(md5('11:' ||
+                (CAST('0x' || substr(md5('7:' || tk), 1, 8) AS BIGINT) % 4096)
+              ), 1, 8) AS BIGINT) % 2001) - 1000 AS wm
+      FROM tok),
+agg AS (SELECT doc_id, source, count(*) AS n_tokens,
+               CAST(sum(wm) AS BIGINT) AS sw
+        FROM w GROUP BY 1, 2)
+SELECT doc_id, source, n_tokens,
+       round(CAST(sw AS DOUBLE) / (n_tokens * 1000.0), 6) AS score,
+       round(CAST(sw AS DOUBLE) / (n_tokens * 1000.0), 6) >= 0 AS passed
+FROM agg ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_recall: retrieval-quality calibration — recall@10 of the
+# IVF probe path against the exact brute-force top-10, per nprobe.
+# The "measure, don't guess" query for the ANN recall/cost dial.
+# ---------------------------------------------------------------------------
+@_q("ann_ivf_recall")
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    min_id = emb.agg(F.min("vec_id").alias("_mid"))
+    q = emb.join(F.broadcast(min_id), F.col("vec_id") == F.col("_mid"))
+    exact = (S.cosine_topk(emb, q, k=10)
+             .select("vec_id").withColumn("_hit", F.lit(1)))
+    per_probe = [
+        S.ivf_topk(emb, q, k=10, nprobe=np)
+        .select(F.lit(np).alias("nprobe"), "vec_id")
+        for np in (1, 2, 4)
+    ]
+    allp = per_probe[0].unionByName(per_probe[1]).unionByName(per_probe[2])
+    return (allp.join(F.broadcast(exact), "vec_id", "left")
+            .groupBy("nprobe")
+            .agg(F.count("_hit").alias("n_hits"))
+            .select("nprobe", "n_hits",
+                    F.round(F.col("n_hits") / 10.0, 4).alias("recall"))
+            .orderBy("nprobe"))
+
+
+ORACLE["ann_ivf_recall"] = f"""
+WITH {_EMB_CTE},
+cent AS (SELECT label, list(m ORDER BY i) AS c
+         FROM (SELECT label, i, avg(v[i]) AS m
+               FROM e, generate_series(1, 64) t(i) GROUP BY 1, 2)
+         GROUP BY label),
+pr AS (SELECT label,
+              row_number() OVER (
+                ORDER BY round(list_dot_product(c, qv)
+                               / (sqrt(list_dot_product(c, c))
+                                  * sqrt(list_dot_product(qv, qv))), 6) DESC,
+                         label) AS r
+       FROM cent, q),
+np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+scored AS (SELECT vec_id, label,
+                  round(list_dot_product(v, qv)
+                        / (sqrt(list_dot_product(v, v))
+                           * sqrt(list_dot_product(qv, qv))), 6) AS score
+           FROM e, q),
+ivf AS (SELECT nprobe, vec_id,
+               row_number() OVER (PARTITION BY nprobe
+                                  ORDER BY score DESC, vec_id) AS rk
+        FROM scored JOIN pr USING (label) JOIN np ON pr.r <= np.nprobe),
+ex AS (SELECT vec_id FROM scored ORDER BY score DESC, vec_id LIMIT 10)
+SELECT nprobe,
+       count(CASE WHEN vec_id IN (SELECT vec_id FROM ex) THEN 1 END) AS n_hits,
+       round(count(CASE WHEN vec_id IN (SELECT vec_id FROM ex) THEN 1 END)
+             / 10.0, 4) AS recall
+FROM ivf WHERE rk <= 10 GROUP BY nprobe ORDER BY nprobe
+"""
+
+
+# ---------------------------------------------------------------------------
+# kmv_type_jaccard: pairwise audience-overlap estimates from stored
+# KMV sketches (Beyer et al. SIGMOD'07 intersection estimator) with
+# the exact Jaccard alongside for calibration. The sketch-level ops
+# never touch raw data — every join is a broadcast of <= k rows/group.
+# ---------------------------------------------------------------------------
+@_q("kmv_type_jaccard")
+def kmv_type_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sk = K.kmv_sketch(ev, "event_type", "user_id", k=64)
+    est = K.kmv_pair_jaccard(sk, "event_type", k=64)
+    du = ev.select("event_type", "user_id").distinct()
+    sizes = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("_n"))
+    inter = (du.alias("x").join(du.alias("y"), "user_id")
+             .filter(F.col("x.event_type") < F.col("y.event_type"))
+             .groupBy(F.col("x.event_type").alias("g_a"),
+                      F.col("y.event_type").alias("g_b"))
+             .agg(F.count(F.lit(1)).alias("_ni")))
+    exact = (inter
+             .join(sizes.select(F.col("event_type").alias("g_a"),
+                                F.col("_n").alias("_na")), "g_a")
+             .join(sizes.select(F.col("event_type").alias("g_b"),
+                                F.col("_n").alias("_nb")), "g_b")
+             .select("g_a", "g_b",
+                     F.round(F.col("_ni") / (F.col("_na") + F.col("_nb")
+                                             - F.col("_ni")), 6)
+                     .alias("exact_jaccard")))
+    return (est.join(exact, ["g_a", "g_b"], "left")
+            .select(F.col("g_a").alias("type_a"), F.col("g_b").alias("type_b"),
+                    "n_union_sketch", "n_both", "est_union", "est_jaccard",
+                    F.coalesce("exact_jaccard", F.lit(0.0))
+                    .alias("exact_jaccard"))
+            .orderBy("type_a", "type_b"))
+
+
+ORACLE["kmv_type_jaccard"] = """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (SELECT event_type AS g,
+             CAST('0x' || substr(md5('0:' || user_id), 1, 8) AS BIGINT) AS _h
+      FROM du),
+sk AS (SELECT g, _h FROM (
+         SELECT g, _h, row_number() OVER (PARTITION BY g ORDER BY _h) AS rn
+         FROM (SELECT DISTINCT g, _h FROM h))
+       WHERE rn <= 64),
+gs AS (SELECT DISTINCT g FROM sk),
+pairs AS (SELECT a.g AS g_a, b.g AS g_b FROM gs a JOIN gs b ON a.g < b.g),
+ph AS (SELECT DISTINCT g_a, g_b, _h
+       FROM pairs JOIN sk ON sk.g = g_a OR sk.g = g_b),
+usk AS (SELECT g_a, g_b, _h FROM (
+          SELECT g_a, g_b, _h,
+                 row_number() OVER (PARTITION BY g_a, g_b ORDER BY _h) AS rn
+          FROM ph)
+        WHERE rn <= 64),
+inb AS (SELECT x.g AS g_a, y.g AS g_b, x._h
+         FROM sk x JOIN sk y ON x._h = y._h AND x.g < y.g),
+agg AS (SELECT g_a, g_b, max(u._h) AS kth, count(*) AS n_union_sketch,
+               count(b._h) AS n_both
+        FROM usk u LEFT JOIN inb b USING (g_a, g_b, _h)
+        GROUP BY 1, 2),
+est AS (SELECT g_a, g_b, n_union_sketch, n_both,
+               round(CASE WHEN n_union_sketch < 64
+                          THEN CAST(n_union_sketch AS DOUBLE)
+                          ELSE 63.0 * 4294967296.0 / CAST(kth AS DOUBLE) END,
+                     4) AS est_union,
+               round(CAST(n_both AS DOUBLE) / CAST(n_union_sketch AS DOUBLE),
+                     6) AS est_jaccard
+        FROM agg),
+sz AS (SELECT event_type AS g, count(*) AS n FROM du GROUP BY 1),
+ex AS (SELECT x.event_type AS g_a, y.event_type AS g_b, count(*) AS ni
+       FROM du x JOIN du y ON x.user_id = y.user_id
+                          AND x.event_type < y.event_type
+       GROUP BY 1, 2)
+SELECT est.g_a AS type_a, est.g_b AS type_b, n_union_sketch, n_both,
+       est_union, est_jaccard,
+       coalesce(round(CAST(ni AS DOUBLE) / (a.n + b.n - ni), 6), 0.0)
+         AS exact_jaccard
+FROM est
+LEFT JOIN ex ON est.g_a = ex.g_a AND est.g_b = ex.g_b
+LEFT JOIN sz a ON est.g_a = a.g
+LEFT JOIN sz b ON est.g_b = b.g
+ORDER BY type_a, type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding_dim_stats: per-dimension feature statistics over the
+# vector corpus — the pre-normalization profile pass. Each component
+# is snapped to integer micro-units (floor(v*1e6 + 0.5), identical in
+# both engines) so the sums are exact and partition-order invariant;
+# moments come out of the integer sums at the end.
+# ---------------------------------------------------------------------------
+@_q("embedding_dim_stats")
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = (emb.select(F.posexplode(F.col("embedding").cast("array<double>"))
+                     .alias("dim0", "v"))
+          .select((F.col("dim0") + 1).alias("dim"),
+                  F.floor(F.col("v") * 1000000.0 + F.lit(0.5))
+                  .cast("decimal(20,0)").alias("vm")))
+    agg = (ex.groupBy("dim")
+           .agg(F.count(F.lit(1)).alias("n_vecs"),
+                F.sum("vm").alias("sx"),
+                F.sum((F.col("vm") * F.col("vm")).cast("decimal(38,0)"))
+                .alias("sxx"),
+                F.min("vm").alias("mn"), F.max("vm").alias("mx")))
+    sxd, sxxd = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    n = F.col("n_vecs")
+    return (agg.select(
+        "dim", "n_vecs",
+        F.round(sxd / (n * 1000000.0), 6).alias("mean_v"),
+        F.round(F.sqrt((sxxd - sxd * sxd / n) / (n - 1)) / 1000000.0, 6)
+        .alias("std_v"),
+        F.round(F.col("mn").cast("double") / 1000000.0, 6).alias("min_v"),
+        F.round(F.col("mx").cast("double") / 1000000.0, 6).alias("max_v"))
+        .orderBy("dim"))
+
+
+ORACLE["embedding_dim_stats"] = """
+WITH ex AS (SELECT i AS dim,
+                   CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT) AS vm
+            FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+                 generate_series(1, 64) t(i)),
+agg AS (SELECT dim, count(*) AS n_vecs,
+               CAST(sum(vm) AS DOUBLE) AS sxd,
+               CAST(sum(vm * vm) AS DOUBLE) AS sxxd,
+               min(vm) AS mn, max(vm) AS mx
+        FROM ex GROUP BY 1)
+SELECT dim, n_vecs,
+       round(sxd / (n_vecs * 1000000.0), 6) AS mean_v,
+       round(sqrt((sxxd - sxd * sxd / n_vecs) / (n_vecs - 1)) / 1000000.0, 6)
+         AS std_v,
+       round(CAST(mn AS DOUBLE) / 1000000.0, 6) AS min_v,
+       round(CAST(mx AS DOUBLE) / 1000000.0, 6) AS max_v
+FROM agg ORDER BY dim
+"""
+
+
+# ---------------------------------------------------------------------------
+# shard_manifest: deterministic hash-sharding of the corpus into 16
+# export shards, with the per-shard accounting a training-data export
+# publishes (doc/token/byte totals, id range). Pure narrow map + one
+# 16-group aggregate; at 100 TB this is the manifest stage before
+# write.partitionBy("shard").
+# ---------------------------------------------------------------------------
+@_q("shard_manifest")
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shard = portable_hash32(F.col("doc_id"), seed=13) % 16
+    return (docs.select(shard.alias("shard"),
+                        token_count(F.col("text")).alias("_nt"),
+                        F.col("n_chars"), F.col("doc_id"))
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_nt").alias("n_tokens"),
+                 F.sum("n_chars").alias("n_bytes"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.max("doc_id").alias("max_doc_id"))
+            .orderBy("shard"))
+
+
+ORACLE["shard_manifest"] = """
+SELECT CAST('0x' || substr(md5('13:' || doc_id), 1, 8) AS BIGINT) % 16 AS shard,
+       count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(lower(text), '\\w+'))) AS BIGINT)
+         AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# template_prefix_clusters: boilerplate/template detection — documents
+# sharing their first-8-token prefix form a cluster (scraped template
+# pages, license headers, form letters). One narrow hash + one
+# groupBy; cluster count is bounded by distinct prefixes.
+# ---------------------------------------------------------------------------
+@_q("template_prefix_clusters")
+def template_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pf = F.md5(F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 8)))
+    return (docs.select(pf.alias("prefix_hash"), "doc_id", "source")
+            .groupBy("prefix_hash")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("source").alias("n_sources"),
+                 F.min("doc_id").alias("rep_doc"))
+            .filter(F.col("n_docs") >= 2)
+            .orderBy(F.col("n_docs").desc(), "prefix_hash"))
+
+
+ORACLE["template_prefix_clusters"] = """
+WITH p AS (SELECT doc_id, source,
+                  md5(array_to_string(
+                        regexp_extract_all(lower(text), '\\w+')[1:8], ' '))
+                    AS prefix_hash
+           FROM documents)
+SELECT prefix_hash, count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources, min(doc_id) AS rep_doc
+FROM p GROUP BY 1 HAVING count(*) >= 2
+ORDER BY n_docs DESC, prefix_hash
+"""
+
+
+# ---------------------------------------------------------------------------
+# minhash_calibration: sketch-accuracy audit — for every exact-Jaccard
+# pair >= 0.5, the MinHash-16 signature estimate (matching components
+# / 16) against the exact Jaccard. The "measure, don't guess" query
+# for the minhash recall dial: mean |err| bounds the threshold slack
+# LSH banding needs.
+# ---------------------------------------------------------------------------
+@_q("minhash_calibration")
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.prefix_filter_jaccard_pairs(docs, "text", "doc_id",
+                                          n=3, threshold=0.5)
+    sig = D.minhash_signatures(docs, "text", "doc_id", n=3, num_hashes=16)
+    sa = sig.select(F.col("id").alias("id_a"),
+                    *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(16)])
+    sb = sig.select(F.col("id").alias("id_b"),
+                    *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(16)])
+    matches = sum(
+        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(16))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b",
+                    F.col("jaccard").alias("exact_j"),
+                    matches.alias("n_sig_match"))
+            .withColumn("est_j", F.round(F.col("n_sig_match") / 16.0, 6))
+            .withColumn("abs_err",
+                        F.round(F.abs(F.col("est_j") - F.col("exact_j")), 6))
+            .orderBy("id_a", "id_b"))
+
+
+ORACLE["minhash_calibration"] = f"""
+WITH {_SH_CTE},
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM hs a JOIN hs b
+             ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b, round(c / (x.n + y.n - c), 6) AS exact_j
+          FROM common JOIN sz x ON id_a = x.doc_id
+                      JOIN sz y ON id_b = y.doc_id
+          WHERE round(c / (x.n + y.n - c), 6) >= 0.5),
+seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+mh AS (SELECT doc_id, seed, min((h1 + seed * h2) % 4294967296) AS mv
+       FROM hs CROSS JOIN seeds GROUP BY 1, 2),
+m AS (SELECT p.id_a, p.id_b, p.exact_j,
+             count(CASE WHEN x.mv = y.mv THEN 1 END) AS n_sig_match
+      FROM pairs p
+      JOIN mh x ON x.doc_id = p.id_a
+      JOIN mh y ON y.doc_id = p.id_b AND y.seed = x.seed
+      GROUP BY 1, 2, 3)
+SELECT id_a, id_b, exact_j, n_sig_match,
+       round(n_sig_match / 16.0, 6) AS est_j,
+       round(abs(round(n_sig_match / 16.0, 6) - exact_j), 6) AS abs_err
+FROM m ORDER BY id_a, id_b
+"""
