@@ -351,7 +351,8 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                                 n: int = 3, threshold: float = 0.5,
-                                persist_index: bool = True) -> DataFrame:
+                                persist_index: bool = True,
+                                index: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard join via AllPairs/PPJoin prefix filtering: same
     result as ``ngram_jaccard_pairs`` (lossless), but candidates come
     from joining only each document's PREFIX — its
@@ -375,8 +376,9 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     verification counts. All equi-joins; never a cross product."""
     from pyspark.sql.window import Window as W
 
-    idx = _shingle_index(df, text_col, id_col, n, None)
-    if persist_index:
+    idx = index if index is not None \
+        else _shingle_index(df, text_col, id_col, n, None)
+    if persist_index and index is None:
         from pyspark import StorageLevel
         idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = idx.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("_df"))

@@ -42,7 +42,11 @@ def window_hashes(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 10) -> DataFrame:
     """(id, i, h): md5 of the k-token window starting at 1-based token
     position i.  Documents shorter than k tokens emit no windows."""
-    t = tokens(F.col(text_col))
+    # Tokenize behind its own projection so the regex runs once per
+    # row — referencing tokens(text) inside the per-window lambda would
+    # re-evaluate the extraction for every window (measured 5x cost).
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    t = F.col("_t")
     # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — guard
     # docs shorter than k tokens explicitly
     n_win = F.size(t) - (k - 1)
@@ -54,7 +58,7 @@ def window_hashes(df: DataFrame, text_col: str = "text",
             i.alias("i"),
             F.md5(F.array_join(F.slice(t, i, k), " ")).alias("h")),
     )
-    return (df.select(F.col(id_col), F.explode(win).alias("w"))
+    return (toked.select(F.col(id_col), F.explode(win).alias("w"))
             .select(id_col, F.col("w.i").alias("i"), F.col("w.h").alias("h")))
 
 

@@ -371,10 +371,17 @@ ORDER BY n_docs DESC, prefix_hash
 # ---------------------------------------------------------------------------
 @_q("minhash_calibration")
 def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
     docs = load_table(spark, sf_dir, "documents")
+    # ONE persisted shingle index feeds both the exact-Jaccard join
+    # and the signature aggregation — the md5 digests dominate, so
+    # sharing them halves the corpus-scan work.
+    idx = (D._shingle_index(docs, "text", "doc_id", 3, None)
+           .persist(StorageLevel.MEMORY_AND_DISK))
     pairs = D.prefix_filter_jaccard_pairs(docs, "text", "doc_id",
-                                          n=3, threshold=0.5)
-    sig = D.minhash_signatures(docs, "text", "doc_id", n=3, num_hashes=16)
+                                          n=3, threshold=0.5, index=idx)
+    sig = D.minhash_signatures(docs, "text", "doc_id", n=3, num_hashes=16,
+                               index=idx)
     sa = sig.select(F.col("id").alias("id_a"),
                     *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(16)])
     sb = sig.select(F.col("id").alias("id_b"),
@@ -414,4 +421,116 @@ SELECT id_a, id_b, exact_j, n_sig_match,
        round(n_sig_match / 16.0, 6) AS est_j,
        round(abs(round(n_sig_match / 16.0, 6) - exact_j), 6) AS abs_err
 FROM m ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# curation_funnel_report: the end-to-end corpus-curation pipeline as
+# ONE composed plan — language gate, Gopher rule filter, template
+# (opening-prefix) dedup, duplicated-span cut, classifier threshold —
+# reporting surviving docs/tokens after every stage. This is the
+# composability flagship: each stage is the registered operator
+# applied to the previous stage's survivors, and the whole funnel is
+# still a declarative plan Catalyst can prune (the per-stage counts
+# share one scan lineage; the survivor set is checkpointed once
+# before the span stage, which walks it twice).
+# ---------------------------------------------------------------------------
+@_q("curation_funnel_report")
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import gopher_rule_flags
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_rule_flags(F.col("text"))
+    all_pass = (flags["pass_wc"] & flags["pass_awl"]
+                & flags["pass_stop"] & flags["pass_rep"])
+    pf = F.md5(F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 8)))
+    base = docs.select(
+        "doc_id", "lang", "text",
+        token_count(F.col("text")).alias("wc"),
+        all_pass.alias("gopher_ok"), pf.alias("pf"))
+    s1 = base.filter(F.col("lang") == "en")
+    s2 = s1.filter(F.col("gopher_ok"))
+    from pyspark.sql.window import Window as W
+    s3 = (s2.withColumn("_rep", F.min("doc_id").over(W.partitionBy("pf")))
+          .filter(F.col("doc_id") == F.col("_rep"))
+          .localCheckpoint(eager=False))
+    dup_tok = (duplicated_spans(s3, "text", "doc_id", k=10)
+               .groupBy("doc_id")
+               .agg(F.sum("span_tokens").alias("_dt")))
+    s4 = (s3.join(dup_tok, "doc_id", "left")
+          .filter(F.coalesce(F.col("_dt"), F.lit(0)) <= 0.3 * F.col("wc")))
+    sc = hashed_linear_scores(s4, "text", "doc_id").select("doc_id", "score")
+    s5 = s4.join(sc, "doc_id").filter(F.col("score") >= -0.05)
+
+    def _stage(df, name):
+        return df.agg(F.lit(name).alias("stage"),
+                      F.count(F.lit(1)).alias("n_docs"),
+                      F.coalesce(F.sum("wc"), F.lit(0)).alias("n_tokens"))
+
+    out = (_stage(base, "00_ingest")
+           .unionByName(_stage(s1, "01_lang"))
+           .unionByName(_stage(s2, "02_gopher"))
+           .unionByName(_stage(s3, "03_template_dedup"))
+           .unionByName(_stage(s4, "04_span_clean"))
+           .unionByName(_stage(s5, "05_classifier")))
+    return out.orderBy("stage")
+
+
+from ..operators import curation as _C  # noqa: E402  (oracle constants)
+
+ORACLE["curation_funnel_report"] = f"""
+WITH tok AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '\\w+') AS t
+             FROM documents),
+m AS (SELECT *, len(t) AS wc,
+         CASE WHEN len(t) > 0
+              THEN list_aggregate(list_transform(t, x -> len(x)), 'sum') / len(t)
+              ELSE 0.0 END AS awl,
+         len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it'))) AS sw,
+         CASE WHEN len(t) - 2 > 0
+              THEN round(1.0 - len(list_distinct(list_transform(
+                     generate_series(1, len(t) - 2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+                   / (len(t) - 2), 6)
+              ELSE 0.0 END AS rep,
+         md5(array_to_string(t[1:8], ' ')) AS pf
+      FROM tok),
+s1 AS (SELECT * FROM m WHERE lang = 'en'),
+s2 AS (SELECT * FROM s1
+       WHERE wc BETWEEN {_C.MIN_TOKENS} AND {_C.MAX_TOKENS}
+         AND awl BETWEEN {_C.MIN_AVG_TOKEN_LEN} AND {_C.MAX_AVG_TOKEN_LEN}
+         AND sw >= {_C.MIN_STOPWORDS} AND rep <= {_C.MAX_REPETITION}),
+s3 AS (SELECT * FROM s2
+       WHERE doc_id = (SELECT min(doc_id) FROM s2 x WHERE x.pf = s2.pf)),
+pos AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-9, 0))) AS i
+        FROM s3),
+win AS (SELECT doc_id, i, md5(array_to_string(t[i:i+9], ' ')) AS h FROM pos),
+hot AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM win)
+        GROUP BY h HAVING count(*) >= 2),
+dup AS (SELECT doc_id, i FROM win SEMI JOIN hot USING (h)),
+isl AS (SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+        FROM dup),
+sp AS (SELECT doc_id, sum(mx - mn + 10) AS dup_tok
+       FROM (SELECT doc_id, g, min(i) AS mn, max(i) AS mx FROM isl GROUP BY 1, 2)
+       GROUP BY 1),
+s4 AS (SELECT s3.* FROM s3 LEFT JOIN sp USING (doc_id)
+       WHERE coalesce(dup_tok, 0) <= 0.3 * wc),
+w AS (SELECT doc_id,
+             (CAST('0x' || substr(md5('11:' ||
+                (CAST('0x' || substr(md5('7:' || tk), 1, 8) AS BIGINT) % 4096)
+              ), 1, 8) AS BIGINT) % 2001) - 1000 AS wm
+      FROM (SELECT doc_id, unnest(t) AS tk FROM s4)),
+sc AS (SELECT doc_id,
+              round(CAST(CAST(sum(wm) AS BIGINT) AS DOUBLE)
+                    / (count(*) * 1000.0), 6) AS score
+       FROM w GROUP BY 1),
+s5 AS (SELECT s4.* FROM s4 JOIN sc USING (doc_id) WHERE score >= -0.05)
+SELECT * FROM (
+  SELECT '00_ingest' AS stage, count(*) AS n_docs,
+         CAST(coalesce(sum(wc), 0) AS BIGINT) AS n_tokens FROM m
+  UNION ALL SELECT '01_lang', count(*), CAST(coalesce(sum(wc), 0) AS BIGINT) FROM s1
+  UNION ALL SELECT '02_gopher', count(*), CAST(coalesce(sum(wc), 0) AS BIGINT) FROM s2
+  UNION ALL SELECT '03_template_dedup', count(*), CAST(coalesce(sum(wc), 0) AS BIGINT) FROM s3
+  UNION ALL SELECT '04_span_clean', count(*), CAST(coalesce(sum(wc), 0) AS BIGINT) FROM s4
+  UNION ALL SELECT '05_classifier', count(*), CAST(coalesce(sum(wc), 0) AS BIGINT) FROM s5
+) ORDER BY stage
 """

@@ -83,3 +83,18 @@ def test_kmv_pair_jaccard_estimates_under_sketching(spark):
     assert r["n_union_sketch"] == 128
     assert 0.15 < r["est_jaccard"] < 0.55                 # RSE ~ 1/sqrt(k)
     assert 900 < r["est_union"] < 2300
+
+
+def test_curation_funnel_monotone(spark):
+    from luma_etl_data_platform_spark.plans.pretrain_ops import (
+        curation_funnel_report,
+    )
+    rows = curation_funnel_report(spark, "/root/testdata/sf0.001").collect()
+    assert [r["stage"] for r in rows] == [
+        "00_ingest", "01_lang", "02_gopher", "03_template_dedup",
+        "04_span_clean", "05_classifier"]
+    docs = [r["n_docs"] for r in rows]
+    toks = [r["n_tokens"] for r in rows]
+    assert docs == sorted(docs, reverse=True)      # each stage only removes
+    assert toks == sorted(toks, reverse=True)
+    assert docs[0] > 0
