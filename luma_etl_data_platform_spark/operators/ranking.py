@@ -202,3 +202,56 @@ def vocab_profile(df: DataFrame, text_col: str = "text",
         F.sum("_c").alias("total_tokens"),
         F.round(F.count(F.lit(1)).cast("double") / F.sum("_c"), 6)
         .alias("type_token_ratio"))
+
+
+def dsir_importance_scores(df: DataFrame, target_col: str,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023) under a unigram bag-of-words feature model: every document
+    is scored by its average log-likelihood ratio between a TARGET
+    distribution (docs where ``target_col`` is true — the domain you
+    want more of) and the overall corpus distribution, both add-one
+    smoothed over the shared vocabulary. High scorers look like the
+    target domain; resampling by these weights tilts the pretraining
+    mixture toward it.
+
+    Scale shape: two vocabulary-bounded aggregations (global + target
+    unigram counts) produce a per-token log-ratio table that is
+    VOCAB-sized, not corpus-sized, so it is explicitly broadcast and
+    the per-doc scoring join is map-side — the corpus token stream is
+    never shuffled. Scalar totals (token counts, vocabulary size)
+    ride along as broadcast 1-row aggregates.
+
+    Determinism: the per-token log-ratio is quantized to integer
+    micro-nats (round * 1e6 — same carriage as
+    :func:`bigram_lm_scores`), per-doc totals are exact BIGINT sums,
+    and only the final average returns to doubles.
+
+    Returns (id, n_tokens, sum_lr_micro, avg_lr).
+    """
+    tok = (_spread(df)
+           .select(F.col(id_col), F.col(target_col).alias("_tgt"),
+                   F.explode(tokens(F.col(text_col))).alias("_tk")))
+    totals = tok.agg(
+        F.countDistinct("_tk").alias("_vv"),
+        F.count(F.lit(1)).alias("_na"),
+        F.count(F.when(F.col("_tgt"), 1)).alias("_nt"))
+    counts = (tok.groupBy("_tk")
+              .agg(F.count(F.lit(1)).alias("_ca"),
+                   F.count(F.when(F.col("_tgt"), 1)).alias("_ct")))
+    lam = (counts.crossJoin(F.broadcast(totals))
+           .select("_tk", F.round(
+               (F.log((F.col("_ct") + 1.0)
+                      / (F.col("_nt") + F.col("_vv")).cast("double"))
+                - F.log((F.col("_ca") + 1.0)
+                        / (F.col("_na") + F.col("_vv")).cast("double")))
+               * 1000000.0, 0).cast("long").alias("_lr")))
+    return (tok.join(F.broadcast(lam), "_tk")
+            .groupBy(F.col(id_col).alias("id"))
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("_lr").alias("sum_lr_micro"))
+            .select("id", "n_tokens", "sum_lr_micro",
+                    F.round(F.col("sum_lr_micro").cast("double")
+                            / (F.col("n_tokens") * 1000000.0), 6)
+                    .alias("avg_lr")))

@@ -156,7 +156,57 @@ SELECT * FROM r1 UNION ALL SELECT * FROM r2
 """
 
 
+def lakehouse_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE under the gate: seed a table with 9 cadence-sized
+    files (create + two appends), range-cluster-compact on the order
+    key, and report the structural outcome (file counts) next to a
+    content rollup that must be IDENTICAL before and after — the
+    oracle computes the same rollup straight from the op-log replay
+    and derives the packed file count arithmetically
+    (ceil(rows / target))."""
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_opt_")
+    path = f"{tmp}/orders_tbl"
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+
+    LH.create_table(spark, path,
+                    orders.filter(F.col("o_orderkey") % 2 == 1)
+                    .repartition(4), ["o_orderkey"])
+    LH.append_table(spark, path,
+                    orders.filter(F.col("o_orderkey") % 4 == 0)
+                    .repartition(3), ["o_orderkey"])
+    LH.append_table(spark, path,
+                    orders.filter(F.col("o_orderkey") % 4 == 2)
+                    .repartition(2), ["o_orderkey"])
+    n_before = len(LH.snapshot_files(spark, path))
+    LH.compact(spark, path, target_rows=100_000, sort_by="o_orderkey")
+    n_after = len(LH.snapshot_files(spark, path))
+
+    out = (LH.read_table(spark, path)
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                        .cast("decimal(38,6)"), 2)
+                .cast("double").alias("total_price"),
+                F.countDistinct("o_orderkey").alias("n_keys"))
+           .withColumn("n_files_before", F.lit(n_before))
+           .withColumn("n_files_after", F.lit(n_after))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["lakehouse_compaction"] = """
+SELECT count(*) AS n_rows,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_price,
+       count(DISTINCT o_orderkey) AS n_keys,
+       9 AS n_files_before,
+       CAST(ceil(count(*) / 100000.0) AS BIGINT) AS n_files_after
+FROM orders
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "lakehouse_time_travel": lakehouse_time_travel,
+    "lakehouse_compaction": lakehouse_compaction,
 }

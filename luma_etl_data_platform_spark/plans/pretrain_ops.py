@@ -534,3 +534,50 @@ SELECT * FROM (
   UNION ALL SELECT '05_classifier', count(*), CAST(coalesce(sum(wc), 0) AS BIGINT) FROM s5
 ) ORDER BY stage
 """
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance_topk: DSIR (Xie et al. 2023) data selection — the 50
+# documents whose unigram distribution best matches the src0 target
+# domain, scored by average smoothed log-likelihood ratio carried as
+# exact integer micro-nats. The log-ratio table is vocab-sized and
+# broadcast; the corpus token stream is never shuffled.
+# ---------------------------------------------------------------------------
+@_q("dsir_importance_topk")
+def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import dsir_importance_scores
+    docs = load_table(spark, sf_dir, "documents")
+    scored = dsir_importance_scores(
+        docs.withColumn("_is_tgt", F.col("source") == "src0"),
+        "_is_tgt", "text", "doc_id")
+    return (scored.withColumnRenamed("id", "doc_id")
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .select("doc_id", "source", "n_tokens", "sum_lr_micro", "avg_lr")
+            .orderBy(F.col("avg_lr").desc(), "doc_id")
+            .limit(50))
+
+
+ORACLE["dsir_importance_topk"] = """
+WITH tok AS (SELECT doc_id, source = 'src0' AS tgt,
+                    unnest(regexp_extract_all(lower(text), '\\w+')) AS tk
+             FROM documents),
+tot AS (SELECT count(DISTINCT tk) AS vv, count(*) AS na,
+               count(*) FILTER (WHERE tgt) AS nt
+        FROM tok),
+cnt AS (SELECT tk, count(*) AS ca, count(*) FILTER (WHERE tgt) AS ct
+        FROM tok GROUP BY 1),
+lam AS (SELECT tk,
+               CAST(round((ln((ct + 1.0) / CAST(nt + vv AS DOUBLE))
+                           - ln((ca + 1.0) / CAST(na + vv AS DOUBLE)))
+                          * 1000000.0, 0) AS BIGINT) AS lr
+        FROM cnt, tot),
+d AS (SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(lr) AS BIGINT) AS sum_lr_micro
+      FROM tok JOIN lam USING (tk) GROUP BY 1)
+SELECT d.doc_id, docs.source, n_tokens, sum_lr_micro,
+       round(CAST(sum_lr_micro AS DOUBLE) / (n_tokens * 1000000.0), 6)
+         AS avg_lr
+FROM d JOIN documents docs ON d.doc_id = docs.doc_id
+ORDER BY avg_lr DESC, d.doc_id
+LIMIT 50
+"""

@@ -172,3 +172,50 @@ def test_history_records_ops(table, spark):
     LH.merge_into(spark, table, src, ["k"], insert_when_not_matched=False)
     ops = [h["op"] for h in LH.history(spark, table)]
     assert ops == ["create", "append", "append", "merge"]
+
+
+def test_compact_packs_small_files_content_identical(table, spark):
+    before = _rows(LH.read_table(spark, table))
+    v_before = LH.current_version(spark, table)
+    stats = LH.compact(spark, table, target_rows=100)
+    assert stats["n_files_compacted"] == 3
+    assert stats["n_files_added"] == 1
+    assert len(LH.snapshot_files(spark, table)) == 1
+    assert _rows(LH.read_table(spark, table)) == before
+    # pre-compaction snapshot still time-travelable (files not deleted)
+    assert _rows(LH.read_table(spark, table, version=v_before)) == before
+    assert LH.history(spark, table)[-1]["op"] == "compact"
+
+
+def test_compact_noop_when_files_already_big(table, spark):
+    LH.compact(spark, table, target_rows=100)
+    stats = LH.compact(spark, table, target_rows=100)
+    assert stats["n_files_compacted"] == 0
+    assert LH.current_version(spark, table) == 4  # no empty commit
+
+
+def test_compact_sort_by_produces_disjoint_key_ranges(tmp_path, spark):
+    path = str(tmp_path / "tbl2")
+    # interleaved keys across 4 small files
+    rows = [dict(k=k, v=k * 10, tag="x") for k in range(40)]
+    LH.create_table(spark, path, _mk(spark, rows[:10]).coalesce(1), ["k"])
+    for lo in (10, 20, 30):
+        # shuffle key order across appends so ranges overlap pre-compact
+        chunk = [rows[i] for i in range(lo, lo + 10)][::-1]
+        LH.append_table(spark, path, _mk(spark, chunk).coalesce(1), ["k"])
+    LH.compact(spark, path, target_rows=20, sort_by="k")
+    doc = [d for d in LH._commits(spark, path) if d["op"] == "compact"][-1]
+    ranges = sorted((int(a["min_key"]), int(a["max_key"]))
+                    for a in doc["add"])
+    assert len(ranges) == 2
+    # range clustering => file key ranges do not overlap
+    assert ranges[0][1] < ranges[1][0]
+    assert _rows(LH.read_table(spark, path)) == sorted(
+        (r["k"], r["v"], r["tag"]) for r in rows)
+
+
+def test_vacuum_after_compact_drops_smalls_keeps_packed(table, spark):
+    LH.compact(spark, table, target_rows=100)
+    deleted = LH.vacuum(spark, table)
+    assert len(deleted) == 3
+    assert LH.read_table(spark, table).count() == 6
