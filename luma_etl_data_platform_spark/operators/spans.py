@@ -68,7 +68,12 @@ def duplicated_spans(df: DataFrame, text_col: str = "text",
     (id, span_start, span_end, span_tokens) where span_start/end are
     1-based token positions of the first/last window start and
     span_tokens = span_end - span_start + k (tokens covered)."""
-    wh = window_hashes(df, text_col, id_col, k)
+    from pyspark import StorageLevel
+    # the window-hash index feeds BOTH the shared-hash aggregation and
+    # the mark join — persist it so the corpus is tokenized and
+    # digested once, not twice (same idiom as the minhash index)
+    wh = (window_hashes(df, text_col, id_col, k)
+          .persist(StorageLevel.MEMORY_AND_DISK))
     shared = (wh.select(id_col, "h").distinct()
               .groupBy("h").agg(F.count(F.lit(1)).alias("_nd"))
               .filter(F.col("_nd") >= 2)

@@ -241,3 +241,46 @@ def test_rolling_anomaly_single_exchange(spark):
         rolling_anomaly(ev, "user_id", "ts", "value", "event_id"))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_dsir_broadcasts_vocab_table(spark):
+    """The DSIR log-ratio table is vocab-sized: it must reach the
+    per-doc scoring join as a broadcast — losing it shuffles the full
+    corpus token stream."""
+    from luma_etl_data_platform_spark.operators.ranking import (
+        dsir_importance_scores,
+    )
+    from luma_etl_data_platform_spark.sources.tables import load_table
+    docs = (load_table(spark, SF_SMOKE, "documents")
+            .withColumn("_t", F.col("source") == "src0"))
+    plan = _formatted_plan(dsir_importance_scores(docs, "_t"))
+    assert "BroadcastHashJoin" in plan
+    # scoring join must not sort-merge the token stream
+    assert "SortMergeJoin" not in plan
+
+
+def test_span_dedup_digests_corpus_once(spark):
+    """duplicated_spans feeds two consumers from one persisted
+    window-hash index — losing the persist re-tokenizes and re-hashes
+    the whole corpus for the mark join."""
+    from luma_etl_data_platform_spark.operators.spans import duplicated_spans
+    from luma_etl_data_platform_spark.sources.tables import load_table
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _formatted_plan(duplicated_spans(docs, "text", "doc_id"))
+    # persisted window-hash index: both consumers read the cache, so
+    # the corpus is tokenized/digested once
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_classifier_single_shuffle(spark):
+    """hashed_linear_scores is tokenize->slot->weight (narrow) plus
+    ONE map-side-combined groupBy: exactly one exchange."""
+    from luma_etl_data_platform_spark.operators.curation import (
+        hashed_linear_scores,
+    )
+    from luma_etl_data_platform_spark.sources.tables import load_table
+    docs = load_table(spark, SF_SMOKE, "documents")
+    import re
+    plan = _formatted_plan(hashed_linear_scores(docs, "text", "doc_id"))
+    assert len(re.findall(r"\+- Exchange", plan)) == 1
+    assert "HashAggregate" in plan
