@@ -387,3 +387,38 @@ def neardup_pairs_blocked(df: DataFrame, threshold: float = 0.0, top: int | None
     if top is not None:
         pairs = pairs.orderBy(F.col("score").desc(), "id_a", "id_b").limit(top)
     return pairs
+
+
+def batch_hard_negatives(df: DataFrame, queries: DataFrame, k: int = 5,
+                         vec_col: str = "embedding", id_col: str = "vec_id",
+                         label_col: str = "label",
+                         query_id_col: str = "query_id") -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: per
+    query, the ``k`` most-cosine-similar corpus vectors whose label
+    DIFFERS from the query's — the near-miss examples that make the
+    strongest negatives (Karpukhin et al., DPR).
+
+    Same scale shape as :func:`batch_cosine_topk`: queries (with
+    their labels) broadcast, ONE corpus scan, label-mismatch filter
+    BEFORE the window, per-query rank-filtered window whose k-limit
+    Spark pushes map-side — shuffled state is O(|queries| * k).
+
+    Returns (query_id, rnk, id, label, score)."""
+    from pyspark.sql.window import Window as W
+    corpus = _as_double(_spread(df), vec_col)
+    q = _as_double(
+        queries.select(F.col(query_id_col).alias("_qid"),
+                       F.col(label_col).alias("_qlabel"),
+                       F.col(vec_col).alias("_qv")), "_qv")
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col(label_col) != F.col("_qlabel"))
+        .select(F.col("_qid").alias(query_id_col), F.col(id_col),
+                F.col(label_col),
+                F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("score"))
+    )
+    win = W.partitionBy(query_id_col).orderBy(F.col("score").desc(),
+                                              F.col(id_col))
+    return (scored.withColumn("rnk", F.row_number().over(win))
+            .filter(F.col("rnk") <= k)
+            .select(query_id_col, "rnk", id_col, label_col, "score"))

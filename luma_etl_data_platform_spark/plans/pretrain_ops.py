@@ -581,3 +581,138 @@ FROM d JOIN documents docs ON d.doc_id = docs.doc_id
 ORDER BY avg_lr DESC, d.doc_id
 LIMIT 50
 """
+
+
+# ---------------------------------------------------------------------------
+# rag_chunking: overlapping fixed-width retrieval chunks (64 tokens,
+# stride 48) with deterministic ids — the document-splitting pass in
+# front of an embedding/RAG indexer. Pure narrow plan: strided
+# sequence + slice per row, no shuffle until the output sort.
+# ---------------------------------------------------------------------------
+@_q("rag_chunking")
+def rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_t"))
+    t, width, stride = F.col("_t"), 64, 48
+    starts = (F.when(F.size(t) >= 1,
+                     F.sequence(F.lit(1), F.size(t), F.lit(stride)))
+              .otherwise(F.array().cast("array<int>")))
+    chunk = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start_tok"),
+            F.size(F.slice(t, s, width)).alias("n_chunk_tokens"),
+            F.md5(F.array_join(F.slice(t, s, width), " ")).alias("chunk_hash")))
+    return (toked.select("doc_id", F.posexplode(chunk).alias("idx", "c"))
+            .select("doc_id", (F.col("idx") + 1).alias("chunk_idx"),
+                    F.col("c.start_tok").alias("start_tok"),
+                    F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+                    F.col("c.chunk_hash").alias("chunk_hash"))
+            .orderBy("doc_id", "chunk_idx"))
+
+
+ORACLE["rag_chunking"] = """
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
+             FROM documents),
+st AS (SELECT doc_id, t,
+              unnest(generate_series(1, len(t), 48)) AS start_tok
+       FROM tok WHERE len(t) >= 1)
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id ORDER BY start_tok)
+         AS chunk_idx,
+       start_tok,
+       len(t[start_tok:start_tok+63]) AS n_chunk_tokens,
+       md5(array_to_string(t[start_tok:start_tok+63], ' ')) AS chunk_hash
+FROM st
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# unigram_kl_by_source: distribution-drift monitor — per-source
+# truncated-support KL divergence (tokens observed in the source,
+# add-one smoothed against the corpus unigram distribution). Per-token
+# terms are quantized to integer nano-nats and summed exactly, so the
+# statistic is partition-order invariant; coverage (share of corpus
+# vocabulary the source uses) rides along.
+# ---------------------------------------------------------------------------
+@_q("unigram_kl_by_source")
+def unigram_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("_tk"))
+    totals = tok.agg(F.countDistinct("_tk").alias("_vv"),
+                     F.count(F.lit(1)).alias("_na"))
+    src_tot = tok.groupBy("source").agg(F.count(F.lit(1)).alias("_ns"))
+    corpus_cnt = tok.groupBy("_tk").agg(F.count(F.lit(1)).alias("_ca"))
+    src_cnt = tok.groupBy("source", "_tk").agg(F.count(F.lit(1)).alias("_cs"))
+    joined = (src_cnt.join(F.broadcast(corpus_cnt), "_tk")
+              .join(F.broadcast(src_tot), "source")
+              .crossJoin(F.broadcast(totals)))
+    p_s = (F.col("_cs") + 1.0) / (F.col("_ns") + F.col("_vv")).cast("double")
+    p_a = (F.col("_ca") + 1.0) / (F.col("_na") + F.col("_vv")).cast("double")
+    term = F.round(p_s * F.log(p_s / p_a) * 1e9, 0).cast("long")
+    return (joined.select("source", term.alias("_term"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("vocab_used"),
+                 F.sum("_term").alias("kl_nano"))
+            .join(F.broadcast(src_tot.withColumnRenamed("_ns", "n_tokens")),
+                  "source")
+            .select("source", "n_tokens", "vocab_used", "kl_nano",
+                    F.round(F.col("kl_nano").cast("double") / 1e9, 6)
+                    .alias("kl"))
+            .orderBy("source"))
+
+
+ORACLE["unigram_kl_by_source"] = """
+WITH tok AS (SELECT source, unnest(regexp_extract_all(lower(text), '\\w+'))
+               AS tk
+             FROM documents),
+tot AS (SELECT count(DISTINCT tk) AS vv, count(*) AS na FROM tok),
+st AS (SELECT source, count(*) AS ns FROM tok GROUP BY 1),
+ca AS (SELECT tk, count(*) AS ca FROM tok GROUP BY 1),
+cs AS (SELECT source, tk, count(*) AS cs FROM tok GROUP BY 1, 2),
+terms AS (SELECT source,
+                 CAST(round(((cs + 1.0) / (ns + vv))
+                            * ln(((cs + 1.0) / (ns + vv))
+                                 / ((ca + 1.0) / (na + vv)))
+                            * 1e9, 0) AS BIGINT) AS term
+          FROM cs JOIN ca USING (tk) JOIN st USING (source), tot),
+agg AS (SELECT source, count(*) AS vocab_used,
+               CAST(sum(term) AS BIGINT) AS kl_nano
+        FROM terms GROUP BY 1)
+SELECT source, ns AS n_tokens, vocab_used, kl_nano,
+       round(CAST(kl_nano AS DOUBLE) / 1e9, 6) AS kl
+FROM agg JOIN st USING (source)
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# ann_hard_negatives: contrastive-training hard negatives — per query
+# (the 4 smallest vec_ids), the 5 most-similar vectors with a
+# DIFFERENT label, mined in one broadcast corpus scan.
+# ---------------------------------------------------------------------------
+@_q("ann_hard_negatives")
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.select(F.col("vec_id").alias("query_id"),
+                          "label", "embedding")
+               .orderBy("query_id").limit(4))
+    return S.batch_hard_negatives(emb, queries, k=5)
+
+
+ORACLE["ann_hard_negatives"] = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+      FROM e ORDER BY vec_id LIMIT 4),
+scored AS (SELECT query_id, e.vec_id, e.label,
+                  round(list_dot_product(e.v, q.qv)
+                        / (sqrt(list_dot_product(e.v, e.v))
+                           * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+           FROM e CROSS JOIN q
+           WHERE e.label <> q.qlabel),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, vec_id) AS rnk
+           FROM scored)
+SELECT query_id, rnk, vec_id, label, score FROM ranked WHERE rnk <= 5
+"""

@@ -486,7 +486,62 @@ FROM f GROUP BY 1
 """
 
 
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of the 8 most
+    recent event values (alpha = 1/2, weights normalized over the
+    available tail) — the online-smoothing statistic a feature store
+    would maintain per entity.
+
+    Engine shape: one window (rank the per-user tail; WindowGroupLimit
+    pushes the <=8 filter map-side) + one groupBy that assembles the
+    ordered tail ARRAY, then the weighted sum runs as a sequential
+    higher-order fold over that array (zip_with + aggregate) — fixed
+    evaluation order, so the double arithmetic is bit-reproducible and
+    the DuckDB oracle (list_transform with index + list_reduce) folds
+    to the identical value. Weights are powers of two, so each term is
+    an EXACT halving: no rounding drift between engines.
+
+    At 100 TB the plan is shuffle-bounded by (users x 8) rows — the
+    tail filter happens before the aggregation, so state never grows
+    with history depth."""
+    from pyspark.sql.window import Window as W
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                         F.col("event_id").desc())
+    r = ev.select("user_id", "event_id", "ts", "value",
+                  F.row_number().over(w).alias("_rn"),
+                  F.count(F.lit(1)).over(W.partitionBy("user_id"))
+                  .alias("n_events"))
+    tail = r.filter(F.col("_rn") <= 8)
+    g = (tail.groupBy("user_id", "n_events")
+         .agg(F.array_sort(F.collect_list(F.struct("_rn", "value")))
+              .alias("_pairs")))
+    vals = F.transform(F.col("_pairs"), lambda p: p["value"])
+    weighted = F.zip_with(
+        vals, F.sequence(F.lit(1), F.size(vals)),
+        lambda v, j: v * F.pow(F.lit(0.5), j.cast("double")))
+    wsum = F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x)
+    den = F.lit(1.0) - F.pow(F.lit(0.5), F.size(vals).cast("double"))
+    return (g.select("user_id", "n_events",
+                     F.round(wsum / den, 6).alias("ewma_value"))
+            .orderBy("user_id"))
+
+
+ORACLE["ewma_user_values"] = """
+WITH tails AS (
+  SELECT user_id, count(*) AS n_events,
+         (list(value ORDER BY ts DESC, event_id DESC))[1:8] AS lst
+  FROM events GROUP BY 1)
+SELECT user_id, n_events,
+       round(list_reduce(list_transform(lst, (x, i) -> x * pow(0.5, i)),
+                         (a, b) -> a + b)
+             / (1.0 - pow(0.5, len(lst))), 6) AS ewma_value
+FROM tails ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "ewma_user_values": ewma_user_values,
     "time_weighted_avg_user": time_weighted_avg_user,
     "clamped_balance_users": clamped_balance_users,
     "bloom_prune_orders": bloom_prune_orders,
