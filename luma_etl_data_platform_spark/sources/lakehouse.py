@@ -144,12 +144,20 @@ def history(spark: SparkSession, table_path: str) -> list[dict]:
 
 
 def read_table(spark: SparkSession, table_path: str,
-               version: int | None = None) -> DataFrame:
+               version: int | None = None,
+               merge_schema: bool = False) -> DataFrame:
+    """Snapshot read. ``merge_schema=True`` unions the file schemas
+    (schema evolution: files written before a column existed yield
+    NULL for it) at the cost of reading every file's footer up
+    front — leave it off for fixed-schema tables."""
     files = snapshot_files(spark, table_path, version)
     if not files:
         raise FileNotFoundError(
             f"no snapshot for {table_path} at version {version}")
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
 
 
 def _write_data_files(spark: SparkSession, table_path: str,
@@ -203,7 +211,10 @@ def create_table(spark: SparkSession, table_path: str, df: DataFrame,
 
 def append_table(spark: SparkSession, table_path: str,
                  df: DataFrame, keys: list[str] | None = None) -> None:
-    """Blind append (no key reconciliation): new files, no removes."""
+    """Blind append (no key reconciliation): new files, no removes.
+    An append MAY carry columns earlier commits lack (add-column
+    schema evolution) — read the table with ``merge_schema=True`` to
+    surface them (NULL for pre-evolution files)."""
     v = current_version(spark, table_path)
     if v == 0:
         raise FileNotFoundError(f"{table_path} has no commit log")
@@ -261,7 +272,9 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
     if base_version == 0:
         raise FileNotFoundError(f"{table_path} has no commit log")
     files = snapshot_files(spark, table_path)
-    target = spark.read.parquet(*files)
+    # union schema so merges work on schema-evolved tables (files
+    # written before a column existed read as NULL)
+    target = spark.read.option("mergeSchema", "true").parquet(*files)
     tgt_cols = target.columns
     src = source.select(*tgt_cols)
     src_keys = src.select(*keys).distinct()
@@ -280,7 +293,8 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
 
     parts: list[DataFrame] = []
     if touched:
-        tgt_touched = spark.read.parquet(*touched)
+        tgt_touched = (spark.read.option("mergeSchema", "true")
+                       .schema(target.schema).parquet(*touched))
         # matched marker: a non-null sentinel column, NOT "any source
         # column non-null" — which would misclassify under nullable
         # source data
@@ -424,3 +438,56 @@ def compact(spark: SparkSession, table_path: str,
                 "n_files_compacted": len(candidates),
                 "n_files_added": len(adds)}
     raise AssertionError("unreachable")
+
+
+def snapshot_adds(spark: SparkSession, table_path: str,
+                  version: int | None = None) -> list[dict]:
+    """Live add-actions (with their recorded stats) at ``version`` —
+    same replay as :func:`snapshot_files` but stats-preserving."""
+    live: dict[str, dict] = {}
+    for doc in _commits(spark, table_path):
+        if version is not None and doc["version"] > version:
+            break
+        for r in doc.get("remove", []):
+            live.pop(r, None)
+        for a in doc.get("add", []):
+            live[a["path"]] = a
+    return [live[p] for p in sorted(live)]
+
+
+def read_table_pruned(spark: SparkSession, table_path: str, key_col: str,
+                      lo, hi, version: int | None = None) -> DataFrame:
+    """Data-skipping read: open only the files whose commit-log
+    [min_key, max_key] stats can intersect ``[lo, hi]``, then apply
+    the exact predicate to the survivors. Files without stats are
+    conservatively read.
+
+    This is the payoff of (a) recording per-file key stats at write
+    time and (b) range-clustering via ``compact(sort_by=...)``: after
+    clustering, a selective key-range read opens O(matching) files
+    instead of the whole table — footer reads and task scheduling at
+    a 10^6-file table are the dominant cost of small queries, and
+    this skips them BEFORE Spark ever lists the files. Stats are
+    compared as strings when written (the log is JSON); numeric key
+    columns therefore compare via the original values re-cast, which
+    the caller guarantees by passing lo/hi of the key's type.
+    """
+    adds = snapshot_adds(spark, table_path, version)
+    root = table_path.rstrip("/")
+    keep = []
+    for a in adds:
+        if "min_key" not in a or "max_key" not in a:
+            keep.append(a["path"])
+            continue
+        try:
+            fmin, fmax = type(lo)(a["min_key"]), type(hi)(a["max_key"])
+        except (TypeError, ValueError):
+            keep.append(a["path"])
+            continue
+        if not (fmax < lo or fmin > hi):
+            keep.append(a["path"])
+    if not keep:
+        return (read_table(spark, table_path, version)
+                .filter(F.lit(False)))
+    df = spark.read.parquet(*[f"{root}/{p}" for p in keep])
+    return df.filter((F.col(key_col) >= lo) & (F.col(key_col) <= hi))

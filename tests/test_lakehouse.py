@@ -219,3 +219,59 @@ def test_vacuum_after_compact_drops_smalls_keeps_packed(table, spark):
     deleted = LH.vacuum(spark, table)
     assert len(deleted) == 3
     assert LH.read_table(spark, table).count() == 6
+
+
+def test_read_table_pruned_skips_files_and_matches_full_scan(tmp_path, spark):
+    path = str(tmp_path / "tbl3")
+    rows = [dict(k=k, v=k * 10, tag="x") for k in range(60)]
+    LH.create_table(spark, path, _mk(spark, rows[:20]).coalesce(1), ["k"])
+    LH.append_table(spark, path, _mk(spark, rows[20:40]).coalesce(1), ["k"])
+    LH.append_table(spark, path, _mk(spark, rows[40:]).coalesce(1), ["k"])
+    # range-clustered: 3 files with disjoint key ranges + stats
+    LH.compact(spark, path, target_rows=20, sort_by="k")
+    pruned = LH.read_table_pruned(spark, path, "k", 25, 35)
+    # plan must reference fewer files than the snapshot holds
+    n_snapshot = len(LH.snapshot_files(spark, path))
+    n_scanned = len({r["_f"] for r in pruned.select(
+        F.col("_metadata.file_path").alias("_f")).distinct().collect()})
+    assert n_scanned < n_snapshot
+    expect = sorted((r["k"], r["v"], r["tag"]) for r in rows
+                    if 25 <= r["k"] <= 35)
+    assert _rows(pruned) == expect
+
+
+def test_read_table_pruned_empty_range(tmp_path, spark):
+    path = str(tmp_path / "tbl4")
+    LH.create_table(spark, path,
+                    _mk(spark, [dict(k=1, v=1, tag="a")]).coalesce(1), ["k"])
+    assert LH.read_table_pruned(spark, path, "k", 100, 200).count() == 0
+
+
+def test_append_with_new_column_schema_evolution(tmp_path, spark):
+    path = str(tmp_path / "tbl5")
+    LH.create_table(spark, path,
+                    _mk(spark, [dict(k=1, v=10, tag="a")]).coalesce(1), ["k"])
+    evolved = spark.createDataFrame([Row(k=2, v=20, tag="b", extra="NEW")])
+    LH.append_table(spark, path, evolved.coalesce(1), ["k"])
+    df = LH.read_table(spark, path, merge_schema=True)
+    assert set(df.columns) == {"k", "v", "tag", "extra"}
+    got = {r["k"]: r["extra"] for r in df.collect()}
+    assert got == {1: None, 2: "NEW"}
+
+
+def test_merge_into_evolved_table_updates_and_inserts(tmp_path, spark):
+    path = str(tmp_path / "tbl6")
+    LH.create_table(spark, path,
+                    _mk(spark, [dict(k=1, v=10, tag="a")]).coalesce(1), ["k"])
+    LH.append_table(
+        spark, path,
+        spark.createDataFrame([Row(k=2, v=20, tag="b", extra="E2")])
+        .coalesce(1), ["k"])
+    src = spark.createDataFrame([
+        Row(k=1, v=11, tag="a2", extra="E1"),      # update pre-evolution row
+        Row(k=3, v=30, tag="c", extra="E3"),       # insert
+    ])
+    LH.merge_into(spark, path, src, ["k"], update_set="all")
+    got = {r["k"]: (r["v"], r["extra"])
+           for r in LH.read_table(spark, path, merge_schema=True).collect()}
+    assert got == {1: (11, "E1"), 2: (20, "E2"), 3: (30, "E3")}
