@@ -716,3 +716,76 @@ ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
            FROM scored)
 SELECT query_id, rnk, vec_id, label, score FROM ranked WHERE rnk <= 5
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding_dim_corr_top20: strongest pairwise dimension correlations
+# across the vector corpus — the redundancy screen before
+# dimensionality reduction / whitening. Co-moments accumulate as
+# exact integer micro-unit products (DECIMAL(38,0) sums — partition-
+# order invariant); Pearson assembles from the integer sums in double
+# only at the end. Pair space is dims²/2 = 2016 structs per row,
+# flat-mapped and aggregated with map-side combine — corpus rows
+# stream through once.
+# ---------------------------------------------------------------------------
+@_q("embedding_dim_corr_top20")
+def embedding_dim_corr_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vm = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda v: F.floor(v * 1000000.0 + F.lit(0.5)).cast("long"))
+    # flat (vec, dim, value) stream self-joined on the vector id —
+    # small expressions keep whole-stage codegen fast (a literal
+    # 2016-struct flat-map was measured at ~7s of pure compile time)
+    flat = (emb.select("vec_id", F.posexplode(vm).alias("d0", "v"))
+            .select("vec_id", (F.col("d0") + 1).alias("d"), "v")
+            .localCheckpoint(eager=True))
+    a = flat.select("vec_id", F.col("d").alias("i"), F.col("v").alias("x"))
+    b = flat.select("vec_id", F.col("d").alias("j"), F.col("v").alias("y"))
+    ex = (a.join(b, "vec_id")
+          .filter(F.col("i") < F.col("j"))
+          .select("i", "j",
+                  F.col("x").cast("decimal(20,0)").alias("x"),
+                  F.col("y").cast("decimal(20,0)").alias("y"),
+                  (F.col("x") * F.col("y")).cast("decimal(38,0)").alias("xy")))
+    agg = (ex.groupBy("i", "j")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).alias("syy"),
+                F.sum("xy").alias("sxy")))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    corr = ((n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    return (agg.select(F.col("i").alias("dim_a"), F.col("j").alias("dim_b"),
+                       F.round(corr, 6).alias("corr"))
+            .orderBy(F.abs(F.col("corr")).desc(), "dim_a", "dim_b")
+            .limit(20))
+
+
+ORACLE["embedding_dim_corr_top20"] = """
+WITH e AS (SELECT list_transform(embedding::DOUBLE[],
+                                 v -> CAST(floor(v * 1000000.0 + 0.5)
+                                           AS BIGINT)) AS vm
+           FROM embeddings),
+px AS (SELECT i, j, vm[i] AS x, vm[j] AS y
+       FROM e, generate_series(1, 63) s(i), generate_series(2, 64) t(j)
+       WHERE j > i),
+agg AS (SELECT i, j, count(*) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(y * y) AS DOUBLE) AS syy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy
+        FROM px GROUP BY 1, 2)
+SELECT i AS dim_a, j AS dim_b,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+FROM agg
+ORDER BY abs(round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)) DESC,
+         dim_a, dim_b
+LIMIT 20
+"""

@@ -299,7 +299,66 @@ SELECT session_start, session_end, user_id, n_events, session_value FROM g
 """
 
 
+# ---------------------------------------------------------------------------
+# stream_lakehouse_upsert: streaming CDC upsert ingestion — each
+# micro-batch MERGEs into the copy-on-write log table
+# (sources/lakehouse.py) via foreachBatch, guarded so a row only wins
+# if it is NEWER than the current one ((ts, event_id) version order).
+# The guard is what makes the result micro-batch-INVARIANT: staged
+# files split event time arbitrarily, so batches arrive out of order,
+# and unconditional update-all would leave whichever batch ran last.
+# Final table state = last-write-wins over the whole feed, which the
+# oracle states as one window.
+# ---------------------------------------------------------------------------
+def stream_lakehouse_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import lakehouse as LH
+    tmp = tempfile.mkdtemp(prefix="luma_stream_lh_")
+    feed = (load_table(spark, sf_dir, "events")
+            .select("user_id", "ts", "event_id", "value"))
+    _stage(feed, f"{tmp}/src")
+    path = f"{tmp}/state_tbl"
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        w = W.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                             F.col("event_id").desc())
+        latest = (batch.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn"))
+        if LH.current_version(spark, path) == 0:
+            LH.create_table(spark, path, latest, ["user_id"])
+            return
+        newer = (F.col("src.ts") > F.col("tgt.ts")) | (
+            (F.col("src.ts") == F.col("tgt.ts"))
+            & (F.col("src.event_id") > F.col("tgt.event_id")))
+        upd = {c: F.when(newer, F.col(f"src.{c}"))
+               .otherwise(F.col(f"tgt.{c}"))
+               for c in ("ts", "event_id", "value")}
+        LH.merge_into(spark, path, latest, ["user_id"], update_set=upd)
+
+    q = (_read_stream(spark, f"{tmp}/src")
+         .writeStream.foreachBatch(_apply)
+         .option("checkpointLocation", f"{tmp}/ck")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(600)
+    final = (LH.read_table(spark, path)
+             .select("user_id", "ts", F.col("event_id").alias("last_event_id"),
+                     F.round("value", 6).alias("last_value"))
+             .localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
+ORACLE["stream_lakehouse_upsert"] = """
+SELECT user_id, ts, event_id AS last_event_id,
+       round(value, 6) AS last_value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
 QUERIES = {
+    "stream_lakehouse_upsert": stream_lakehouse_upsert,
     "stream_rollup_hourly": stream_rollup_hourly,
     "stream_user_totals": stream_user_totals,
     "stream_ingest_dedup": stream_ingest_dedup,
