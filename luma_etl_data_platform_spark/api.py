@@ -14,16 +14,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .plans import (
-    cleansing_queries, corpus_analytics, curation, extras, lakehouse_ops,
-    pretrain_ops, scale_ops, scd, setops_udx, sql_api, streaming_twins,
-    tpch_more, training_data, warehouse, windows,
+    cleansing_queries, corpus_analytics, corpus_quality, curation, extras,
+    lakehouse_ops, pretrain_ops, scale_ops, scd, setops_udx, sql_api,
+    streaming_twins, tpch_more, training_data, warehouse, windows,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULES = (warehouse, training_data, windows, extras, cleansing_queries,
             setops_udx, tpch_more, sql_api, streaming_twins, curation,
-            corpus_analytics, scd, scale_ops, lakehouse_ops, pretrain_ops)
+            corpus_analytics, scd, scale_ops, lakehouse_ops, pretrain_ops,
+            corpus_quality)
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -217,3 +217,112 @@ def hashed_linear_scores(df: DataFrame, text_col: str = "text",
             .select(id_col, "n_tokens",
                     F.round(F.col("_sw").cast("double")
                             / (F.col("n_tokens") * 1000.0), 6).alias("score")))
+
+
+def repetition_profile(df: DataFrame, text_col: str, id_col: str,
+                       ns: tuple[int, ...] = (2, 3)) -> DataFrame:
+    """Gopher repetition diagnostics (Rae et al. 2021 appendix A1.1),
+    token-weighted: for each document and each n in ``ns``,
+
+    * ``top{n}gram_frac`` — fraction of the document's tokens covered
+      by occurrences of its single most frequent n-gram
+      (count(top gram) · n / n_tokens), and
+    * ``dup{n}gram_frac`` — fraction covered by ALL n-grams that
+      occur more than once (Σ_{count≥2} count · n / n_tokens).
+
+    The reference Gopher rules measure characters; the synthetic
+    corpus is uniform-length word soup, so token fractions carry the
+    same signal without an extra length join. Numerators are exact
+    BIGINTs; the final division rounds to 6 dp for cross-engine hash
+    stability.
+
+    Plan shape: one positional n-gram explode per document (narrow),
+    one groupBy (id, n, gram) with map-side partial aggregation, one
+    per-(id, n) aggregate, then a conditional-aggregation pivot back
+    to one row per document — two small shuffles total, both keyed on
+    the document id, no self-joins. At 100 TB this is a linear scan:
+    the explode multiplies rows by ~n_tokens but each gram row is
+    tiny and collapses in the first partial aggregate.
+    """
+    t = X.tokens(F.col(text_col))
+
+    # NB: the lambda must take exactly ONE arg — F.transform feeds a
+    # second (the element index) to two-arg lambdas, which would
+    # silently override a `_n=n` default-capture.
+    def _gram_fn(nn):
+        return lambda i: F.concat_ws(" ", F.slice(t, i, nn))
+
+    grams = None
+    for n in ns:
+        g = df.select(
+            F.col(id_col),
+            F.size(t).alias("_nt"),
+            F.lit(n).alias("_n"),
+            F.explode(
+                F.when(
+                    F.size(t) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                        _gram_fn(n),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("_gram"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    counts = (grams.groupBy(id_col, "_nt", "_n", "_gram")
+              .agg(F.count(F.lit(1)).alias("_c")))
+    per_n = (counts.groupBy(id_col, "_nt", "_n")
+             .agg(F.max("_c").alias("_top"),
+                  F.sum(F.when(F.col("_c") >= 2, F.col("_c"))
+                        .otherwise(F.lit(0))).alias("_dup"))
+             .withColumn("_top_frac",
+                         F.round(F.col("_top") * F.col("_n")
+                                 / F.col("_nt").cast("double"), 6))
+             .withColumn("_dup_frac",
+                         F.round(F.col("_dup") * F.col("_n")
+                                 / F.col("_nt").cast("double"), 6)))
+    aggs = [F.max("_nt").alias("n_tokens")]
+    for n in ns:
+        aggs.append(F.max(F.when(F.col("_n") == n, F.col("_top_frac")))
+                    .alias(f"top{n}gram_frac"))
+        aggs.append(F.max(F.when(F.col("_n") == n, F.col("_dup_frac")))
+                    .alias(f"dup{n}gram_frac"))
+    return per_n.groupBy(id_col).agg(*aggs)
+
+
+def budget_pack(df: DataFrame, id_col: str, score_col: str,
+                tokens_col: str, budget: int) -> DataFrame:
+    """Token-budget-constrained selection: walk documents in
+    (score DESC, id ASC) order and keep them while the running token
+    total stays within ``budget`` — the curation step that turns
+    "score everything" into "ship exactly N tokens of the best data".
+
+    Adds ``cum_tokens`` (running total INCLUDING the row) and keeps
+    only rows with ``cum_tokens <= budget``.
+
+    Scale design — a global prefix sum without a global window:
+    the score is snapped to exact integer micro-units and used as a
+    bucket key; bucket token totals (one row per DISTINCT score) are
+    cumulated in a tiny bucket-level window, broadcast back, and each
+    row's running total is its bucket offset plus a WITHIN-bucket
+    window partitioned by the bucket — so no stage ever moves the
+    corpus to one partition. Distinct-score cardinality, not corpus
+    size, bounds the serial step. Arithmetic is BIGINT throughout;
+    the selection is bit-stable under any partitioning.
+    """
+    micro = F.floor(F.col(score_col) * 1000000.0 + F.lit(0.5)).cast("long")
+    rows = df.withColumn("_b", micro)
+    buckets = (rows.groupBy("_b")
+               .agg(F.sum(F.col(tokens_col).cast("long")).alias("_btot")))
+    w_b = W.orderBy(F.desc("_b")).rowsBetween(W.unboundedPreceding, -1)
+    offsets = buckets.withColumn(
+        "_off", F.coalesce(F.sum("_btot").over(w_b), F.lit(0)))
+    w_in = (W.partitionBy("_b").orderBy(id_col)
+            .rowsBetween(W.unboundedPreceding, 0))
+    out = (rows.join(F.broadcast(offsets.select("_b", "_off")), "_b")
+           .withColumn("cum_tokens",
+                       F.col("_off")
+                       + F.sum(F.col(tokens_col).cast("long")).over(w_in))
+           .filter(F.col("cum_tokens") <= budget)
+           .drop("_b", "_off"))
+    return out

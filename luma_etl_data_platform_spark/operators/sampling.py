@@ -57,3 +57,40 @@ def quantile_trim(df: DataFrame, group_col: str, value_col: str,
         .filter((F.col(value_col) >= F.col("_qlo")) & (F.col(value_col) <= F.col("_qhi")))
         .drop("_qlo", "_qhi")
     )
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
+                    k: int, seed: int = 0,
+                    scale: int = 1_000_000) -> DataFrame:
+    """Deterministic probability-proportional-to-size order sampling
+    (Ohlsson's sequential Poisson scheme): each row gets priority
+    u/w — u a portable uniform hash of the key, w its weight — and
+    the sample is the k smallest priorities. Heavier rows draw
+    smaller priorities and are proportionally more likely to make
+    the cut.
+
+    Exactness: the priority is carried as the INTEGER
+    ``(u * scale) div w`` (BIGINT; u < 2^32 so u·scale < 2^52 — no
+    overflow, no floating-point division), so the selected set is
+    bit-identical in any engine and under any partitioning; ties
+    break on the key.
+
+    Plan shape: narrow map to compute the priority, then a global
+    ``ORDER BY … LIMIT k`` which Spark executes as
+    TakeOrderedAndProject — each partition ships only its local
+    top-k, no full sort, no corpus shuffle. The priority column also
+    makes the sample MERGEABLE: the weighted sample of a union of
+    shards is the k smallest priorities across the shards' samples.
+
+    Rows with non-positive weight are excluded (they have no mass).
+    """
+    u = portable_hash32(F.col(key_col), seed=seed)
+    w = F.col(weight_col).cast("long")
+    df2 = (df.filter(w > 0)
+           .withColumn("_u", u)
+           .withColumn("_priority",
+                       F.expr(f"(_u * CAST({scale} AS BIGINT)) div "
+                              f"CAST({weight_col} AS BIGINT)")))
+    return (df2.drop("_u")
+            .orderBy("_priority", key_col)
+            .limit(k))

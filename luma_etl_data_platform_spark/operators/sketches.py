@@ -241,3 +241,57 @@ def kmv_pair_jaccard(sketch: DataFrame, group_col: str,
         F.round(F.col("n_both").cast("double")
                 / F.col("n_union_sketch").cast("double"), 6)
         .alias("est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — portable md5 lanes
+# ---------------------------------------------------------------------------
+
+def cms_lanes(df: DataFrame, key_col: str,
+              depth: int = 4, width: int = 1024) -> DataFrame:
+    """Count-min sketch of occurrence counts of ``key_col``:
+    ``depth`` independent hash rows × ``width`` counters, returned as
+    a DataFrame ``(_row, _bucket, _cnt)`` with at most depth×width
+    rows regardless of input size.
+
+    Scale design: the per-row bucket is a narrow map expression; the
+    only shuffle groups on (row, bucket) — at most depth×width
+    distinct keys, so map-side partial aggregation collapses each
+    input partition to ≤ depth×width rows before the exchange. The
+    sketch is mergeable (counter-wise sum), making it the standing
+    heavy-hitter / frequency monitor for a 100-TB stream: state is
+    KB-sized and the update path never touches the driver.
+
+    Portable: bucket = portable md5 hash (seed=row index) mod width —
+    DuckDB computes the identical sketch, so even the *estimates*
+    (biased high, never low) hash-match an independent oracle.
+    """
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("_row")
+    keyed = df.select(F.col(key_col).cast("string").alias("_k")).select("_k", rows)
+    bucket = F.pmod(portable_hash32(F.col("_k"), seed=F.col("_row")), F.lit(width))
+    return (keyed.select("_row", bucket.alias("_bucket"))
+            .groupBy("_row", "_bucket")
+            .agg(F.count(F.lit(1)).alias("_cnt")))
+
+
+def cms_estimate(lanes: DataFrame, keys: DataFrame, key_col: str,
+                 depth: int = 4, width: int = 1024) -> DataFrame:
+    """Point-query the sketch for each key in ``keys``: the estimate
+    is the MIN over the ``depth`` rows of the addressed counters
+    (one-sided error: estimate ≥ true count, overshoot bounded by
+    e·N/width with probability 1 − e^−depth).
+
+    The sketch is tiny (≤ depth×width rows) and broadcast; the probe
+    is a narrow map + broadcast join + groupBy(key) with depth rows
+    per key — no corpus-sized shuffle.
+    """
+    probes = (keys.select(F.col(key_col).cast("string").alias("_k"))
+              .distinct()
+              .select("_k", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+                      .alias("_row")))
+    bucket = F.pmod(portable_hash32(F.col("_k"), seed=F.col("_row")), F.lit(width))
+    probes = probes.withColumn("_bucket", bucket)
+    joined = probes.join(F.broadcast(lanes), ["_row", "_bucket"], "left")
+    return (joined.groupBy("_k")
+            .agg(F.min(F.coalesce(F.col("_cnt"), F.lit(0))).alias("cms_est"))
+            .withColumnRenamed("_k", key_col))

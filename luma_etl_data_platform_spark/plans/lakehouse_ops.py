@@ -205,8 +205,66 @@ FROM orders
 """
 
 
+def lakehouse_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed under the gate: create a log table from an
+    orders subset, run ONE mixed merge (updates + inserts + deletes),
+    then read the v1→v2 change feed off the copy-on-write file diff
+    (`sources/lakehouse.read_changes`). The oracle replays the merge
+    relationally and derives the same change rows: inserts are
+    unmatched source keys, deletes are matched URGENT keys, updates
+    emit pre- and post-image rows; COW carry-over rows (copied
+    verbatim into rewritten files) must NOT appear — that is the
+    property this gate actually pins."""
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_cdf_")
+    path = f"{tmp}/orders_tbl"
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+
+    initial = orders.filter(F.col("o_orderkey") % 4 != 0)
+    LH.create_table(spark, path, initial.repartition(6), ["o_orderkey"])
+
+    batch = (orders.filter(F.col("o_orderkey") % 10 == 6)
+             .withColumn("o_totalprice", F.col("o_totalprice") + 100.0))
+    LH.merge_into(spark, path, batch, ["o_orderkey"], update_set="all",
+                  delete_condition=F.col("src.o_orderpriority")
+                  == "1-URGENT")
+
+    feed = (LH.read_changes(spark, path, from_version=1, to_version=2)
+            .select("o_orderkey", "o_orderstatus",
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    "o_orderpriority", "_change_type")
+            .orderBy("o_orderkey", "_change_type")
+            .localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return feed
+
+
+ORACLE["lakehouse_change_feed"] = """
+WITH i AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+           FROM orders WHERE o_orderkey % 4 <> 0),
+b AS (SELECT o_orderkey, o_orderstatus,
+             o_totalprice + 100.0 AS o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 6),
+ins AS (SELECT b.*, 'insert' AS _change_type FROM b
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM i)),
+m AS (SELECT i.* FROM i WHERE o_orderkey IN (SELECT o_orderkey FROM b)),
+del AS (SELECT m.*, 'delete' AS _change_type FROM m
+        WHERE o_orderpriority = '1-URGENT'),
+pre AS (SELECT m.*, 'update_preimage' AS _change_type FROM m
+        WHERE o_orderpriority <> '1-URGENT'),
+post AS (SELECT b.*, 'update_postimage' AS _change_type FROM b
+         WHERE o_orderkey IN (SELECT o_orderkey FROM i)
+           AND o_orderpriority <> '1-URGENT')
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice,
+       o_orderpriority, _change_type
+FROM (SELECT * FROM ins UNION ALL SELECT * FROM del
+      UNION ALL SELECT * FROM pre UNION ALL SELECT * FROM post)
+ORDER BY o_orderkey, _change_type
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "lakehouse_time_travel": lakehouse_time_travel,
     "lakehouse_compaction": lakehouse_compaction,
+    "lakehouse_change_feed": lakehouse_change_feed,
 }

@@ -491,3 +491,93 @@ def read_table_pruned(spark: SparkSession, table_path: str, key_col: str,
                 .filter(F.lit(False)))
     df = spark.read.parquet(*[f"{root}/{p}" for p in keep])
     return df.filter((F.col(key_col) >= lo) & (F.col(key_col) <= hi))
+
+
+def read_changes(spark: SparkSession, table_path: str,
+                 from_version: int, to_version: int | None = None,
+                 keys: list[str] | None = None) -> DataFrame:
+    """Change data feed between two snapshots, computed from the
+    copy-on-write file diff (the Delta-CDF contract without stored
+    change files): rows are keyed, and a row counts as changed only
+    if its payload differs between the snapshots.
+
+    Returns the table columns plus ``_change_type`` in
+    ``insert | update_preimage | update_postimage | delete``.
+
+    Scale design — this reads only the files the commits TOUCHED:
+    a file present in both snapshots is immutable (COW never edits in
+    place), so its rows cannot have changed and it is skipped
+    entirely. The diff joins removed-file rows against added-file
+    rows on the table keys — for a merge that rewrote k of N files,
+    the join input is k files, not the table. Rows copied verbatim
+    into a rewritten file (COW carry-over) hash-compare equal and are
+    filtered out, so the feed contains exactly the logical changes.
+    """
+    if keys is None:
+        for doc in _commits(spark, table_path):
+            if doc.get("keys"):
+                keys = list(doc["keys"])
+                break
+    if not keys:
+        raise ValueError(f"{table_path}: no key columns recorded or given")
+    old_names = set(f.rsplit("/", 1)[-1] for f in
+                    snapshot_files(spark, table_path, from_version))
+    new_names = set(f.rsplit("/", 1)[-1] for f in
+                    snapshot_files(spark, table_path, to_version))
+    root = table_path.rstrip("/")
+    removed = [f"{root}/{n}" for n in sorted(old_names - new_names)]
+    added = [f"{root}/{n}" for n in sorted(new_names - old_names)]
+
+    base = read_table(spark, table_path, version=to_version or None)
+    empty = (base.limit(0)
+             .withColumn("_change_type", F.lit("").cast("string")))
+    if not removed and not added:
+        return empty
+
+    def _aligned(paths: list[str], payload: list[str]) -> DataFrame:
+        d = spark.read.option("mergeSchema", "true").parquet(*paths)
+        for c in payload:
+            if c not in d.columns:
+                d = d.withColumn(c, F.lit(None))
+        return d
+
+    payload = [c for c in base.columns if c not in keys]
+    out_cols = keys + payload
+
+    def _typed(df: DataFrame, change: str) -> DataFrame:
+        return df.select(*out_cols).withColumn(
+            "_change_type", F.lit(change))
+
+    if not removed:
+        return _typed(_aligned(added, payload), "insert")
+    if not added:
+        return _typed(_aligned(removed, payload), "delete")
+
+    def _sig(prefix: str) -> Column:
+        # NUL-sentinel per column so (NULL, 'x') never collides with
+        # ('x', NULL); md5 over the concatenation is the row payload id
+        parts = [F.coalesce(F.col(f"{prefix}{c}").cast("string"),
+                            F.lit(chr(0))) for c in payload]
+        return F.md5(F.concat_ws(chr(1), *parts))
+
+    o = _aligned(removed, payload).select(
+        *keys, F.lit(1).alias("_o"),
+        *[F.col(c).alias(f"_old_{c}") for c in payload])
+    n = _aligned(added, payload).select(
+        *keys, F.lit(1).alias("_n"),
+        *[F.col(c).alias(f"_new_{c}") for c in payload])
+    j = o.join(n, keys, "full_outer").localCheckpoint(eager=True)
+
+    ins = (j.filter(F.col("_o").isNull())
+           .select(*keys, *[F.col(f"_new_{c}").alias(c) for c in payload])
+           .withColumn("_change_type", F.lit("insert")))
+    del_ = (j.filter(F.col("_n").isNull())
+            .select(*keys, *[F.col(f"_old_{c}").alias(c) for c in payload])
+            .withColumn("_change_type", F.lit("delete")))
+    both = j.filter(F.col("_o").isNotNull() & F.col("_n").isNotNull())
+    diff = both.filter(_sig("_old_") != _sig("_new_"))
+    pre = (diff.select(*keys, *[F.col(f"_old_{c}").alias(c) for c in payload])
+           .withColumn("_change_type", F.lit("update_preimage")))
+    post = (diff.select(*keys, *[F.col(f"_new_{c}").alias(c) for c in payload])
+            .withColumn("_change_type", F.lit("update_postimage")))
+    return ins.unionByName(del_).unionByName(pre).unionByName(post)

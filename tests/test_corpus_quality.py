@@ -1,0 +1,99 @@
+"""Unit tests for the round-3 corpus-quality batch: repetition
+profile, BPE pair counts, count-min sketch, weighted sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from luma_etl_data_platform_spark.operators.bpe import (
+    bpe_pair_counts, word_frequencies)
+from luma_etl_data_platform_spark.operators.curation import repetition_profile
+from luma_etl_data_platform_spark.operators.sampling import weighted_sample
+from luma_etl_data_platform_spark.operators.sketches import (
+    cms_estimate, cms_lanes)
+
+
+def test_repetition_profile_hand_computed(spark):
+    # "a b a b c" → bigrams: (a b)x2, (b a), (b c) → top2 = 2*2/5,
+    # dup2 = 2*2/5; trigrams: all distinct → top3 = 3/5, dup3 = 0.
+    df = spark.createDataFrame([Row(doc_id=1, text="a b a b c")])
+    row = repetition_profile(df, "text", "doc_id", ns=(2, 3)).collect()[0]
+    assert row["n_tokens"] == 5
+    assert row["top2gram_frac"] == round(2 * 2 / 5, 6)
+    assert row["dup2gram_frac"] == round(2 * 2 / 5, 6)
+    assert row["top3gram_frac"] == round(1 * 3 / 5, 6)
+    assert row["dup3gram_frac"] == 0.0
+
+
+def test_repetition_profile_short_doc_has_null_trigram(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="x y")])
+    row = repetition_profile(df, "text", "doc_id", ns=(2, 3)).collect()[0]
+    assert row["top2gram_frac"] == round(2 / 2, 6)
+    assert row["top3gram_frac"] is None  # no trigrams exist
+
+
+def test_word_frequencies_collapse(spark):
+    df = spark.createDataFrame([Row(text="the cat the dog"),
+                                Row(text="the cat")])
+    freq = {r["word"]: r["n_word"]
+            for r in word_frequencies(df, "text").collect()}
+    assert freq == {"the": 3, "cat": 2, "dog": 1}
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    # corpus: "ab ab b" → words: ab(x2), b(x1)
+    # ab → (a,b) x2, (b,</w>) x2 ; b → (b,</w>) x1
+    df = spark.createDataFrame([Row(text="ab ab b")])
+    pairs = {(r["left"], r["right"]): r["pair_count"]
+             for r in bpe_pair_counts(df, "text").collect()}
+    assert pairs == {("a", "b"): 2, ("b", "</w>"): 3}
+
+
+def test_cms_estimate_is_one_sided(spark):
+    # CMS never underestimates: est >= exact for every key.
+    rows = [Row(k=f"u{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows)
+    lanes = cms_lanes(df, "k", depth=4, width=64)
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(lanes, exact, "k", depth=4, width=64)
+    joined = exact.join(est, "k").collect()
+    assert len(joined) == 7
+    for r in joined:
+        assert r["cms_est"] >= r["n"]
+
+
+def test_cms_lanes_bounded_size(spark):
+    df = spark.createDataFrame([Row(k=str(i)) for i in range(500)])
+    lanes = cms_lanes(df, "k", depth=3, width=16)
+    assert lanes.count() <= 3 * 16
+    # each lane row sums to the total input count
+    per_row = lanes.groupBy("_row").agg(F.sum("_cnt").alias("s")).collect()
+    assert {r["s"] for r in per_row} == {500}
+
+
+def test_weighted_sample_exact_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [Row(id=i, w=(i % 5) + 1) for i in range(100)])
+    s1 = weighted_sample(df, "id", "w", k=10).select("id").collect()
+    s2 = weighted_sample(df.repartition(7), "id", "w", k=10).select(
+        "id").collect()
+    assert [r["id"] for r in s1] == [r["id"] for r in s2]  # partition-stable
+    assert len(s1) == 10
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # weight 100 vs weight 1: the heavy half should dominate the
+    # sample (priority = u/w, so heavy rows draw ~100x smaller keys).
+    df = spark.createDataFrame(
+        [Row(id=i, w=100 if i < 500 else 1) for i in range(1000)])
+    got = weighted_sample(df, "id", "w", k=50).collect()
+    heavy = sum(1 for r in got if r["w"] == 100)
+    assert heavy >= 45
+
+
+def test_weighted_sample_drops_nonpositive_weights(spark):
+    df = spark.createDataFrame([Row(id=1, w=0), Row(id=2, w=-3),
+                                Row(id=3, w=5)])
+    got = weighted_sample(df, "id", "w", k=10).collect()
+    assert [r["id"] for r in got] == [3]

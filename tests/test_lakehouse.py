@@ -275,3 +275,40 @@ def test_merge_into_evolved_table_updates_and_inserts(tmp_path, spark):
     got = {r["k"]: (r["v"], r["extra"])
            for r in LH.read_table(spark, path, merge_schema=True).collect()}
     assert got == {1: (11, "E1"), 2: (20, "E2"), 3: (30, "E3")}
+
+
+def test_read_changes_mixed_merge(table, spark):
+    # v3 -> v4: update k=1 (v 10->99), delete k=11, insert k=31.
+    src = spark.createDataFrame([
+        Row(k=1, v=99, tag="a"),
+        Row(k=11, v=0, tag="b"),
+        Row(k=31, v=310, tag="d"),
+    ])
+    LH.merge_into(spark, table, src, ["k"], update_set="all",
+                  delete_condition=F.col("src.k") == 11)
+    feed = LH.read_changes(spark, table, from_version=3).collect()
+    by_type = {}
+    for r in feed:
+        by_type.setdefault(r["_change_type"], []).append((r["k"], r["v"]))
+    assert by_type["insert"] == [(31, 310)]
+    assert by_type["delete"] == [(11, 110)]
+    assert by_type["update_preimage"] == [(1, 10)]
+    assert by_type["update_postimage"] == [(1, 99)]
+    # COW carry-over rows (k=2 shares k=1's file; k=12 shares k=11's)
+    # must NOT surface as changes
+    keys = {r["k"] for r in feed}
+    assert 2 not in keys and 12 not in keys and 21 not in keys
+
+
+def test_read_changes_pure_append_is_all_inserts(table, spark):
+    LH.append_table(spark, table,
+                    spark.createDataFrame([Row(k=41, v=410, tag="e")]),
+                    ["k"])
+    feed = LH.read_changes(spark, table, from_version=3).collect()
+    assert [(r["k"], r["_change_type"]) for r in feed] == [(41, "insert")]
+
+
+def test_read_changes_same_version_is_empty(table, spark):
+    feed = LH.read_changes(spark, table, from_version=3, to_version=3)
+    assert feed.count() == 0
+    assert "_change_type" in feed.columns
