@@ -82,3 +82,99 @@ def bpe_pair_counts(df: DataFrame, text_col: str) -> DataFrame:
              F.col("p.right").alias("right"))
     return (pairs.groupBy("left", "right")
             .agg(F.sum("n_word").alias("pair_count")))
+
+
+def _pair_counts_from_symbols(vocab: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts from a ``(symbols, n_word)``
+    vocabulary, where ``symbols`` is the space-joined symbol string
+    (space-padded on both ends)."""
+    arr = F.split(F.trim(F.col("symbols")), " ")
+    # guard: a fully-merged word has ONE symbol; sequence(1, 0) would
+    # count DOWN and index past the array (repo invariant: always
+    # guard sequence upper bounds)
+    adj = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.struct(
+                F.element_at(arr, i).alias("left"),
+                F.element_at(arr, i + 1).alias("right"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+    pairs = (vocab.select("n_word", F.explode(adj).alias("p"))
+             .select("n_word", "p.left", "p.right"))
+    return (pairs.groupBy("left", "right")
+            .agg(F.sum("n_word").alias("pair_count")))
+
+
+def bpe_train(df: DataFrame, text_col: str, n_merges: int = 5) -> list[dict]:
+    """See :func:`_bpe_loop` — returns the merge list only."""
+    merges, _ = _bpe_loop(df, text_col, n_merges)
+    return merges
+
+
+def bpe_vocab(df: DataFrame, text_col: str, n_merges: int = 5) -> DataFrame:
+    """The vocabulary AFTER applying the first ``n_merges`` learned
+    merges: ``(symbols, n_word)`` with ``symbols`` the space-joined
+    subword segmentation of each distinct word. Exploding this by
+    weight gives the corpus's subword-token distribution — the
+    "what does the tokenizer actually produce" audit."""
+    _, vocab = _bpe_loop(df, text_col, n_merges)
+    return vocab
+
+
+def _bpe_loop(df: DataFrame, text_col: str,
+              n_merges: int) -> tuple[list[dict], DataFrame]:
+    """Train the first ``n_merges`` BPE merges on the corpus: a
+    driver loop where each iteration is ONE relational pass over the
+    vocabulary table — count adjacent symbol pairs, pick the top pair
+    (count DESC, then left, right — a total order), and apply the
+    merge by delimiter-padded literal replace on the symbol string.
+
+    Returns ``([{merge_rank, left, right, pair_count}, ...], vocab)``
+    where ``vocab`` is the post-merge ``(symbols, n_word)`` table.
+
+    Scale design: the corpus collapses to its vocabulary once
+    (``word_frequencies``); each iteration then shuffles only
+    vocabulary-sized data and ships exactly ONE row to the driver
+    (the argmax pair — a bounded collect, the same cost class as any
+    aggregate readback). The vocabulary is localCheckpointed each
+    round so the replace chain doesn't grow the lineage.
+
+    Merge-application semantics: ``replace(' l r ', ' lr ')`` merges
+    non-overlapping occurrences left-to-right. For a self-merge pair
+    inside a run of the same symbol (``x x x x`` under merge (x,x))
+    the shared delimiter makes it merge every OTHER occurrence in one
+    pass (``xx x x``) where canonical BPE pairs greedily (``xx xx``);
+    runs regroup on subsequent merges of the same pair, and the
+    semantics are engine-portable (DuckDB ``replace`` scans
+    identically), which is what the oracle gate requires.
+    """
+    base = (word_frequencies(df, text_col)
+            .select(
+                F.concat(F.lit(" "),
+                         F.regexp_replace("word", "(.)", "$1 "),
+                         F.lit(END_MARK + " ")).alias("symbols"),
+                "n_word")
+            .coalesce(1)
+            .localCheckpoint(eager=True))
+    # One checkpoint only: the corpus collapses to the vocabulary
+    # here; each iteration re-derives symbols as a stack of k literal
+    # replaces over it (narrow, vocabulary-sized — k stays small), so
+    # the loop costs one shuffle + one 1-row collect per merge and no
+    # per-round materialization.
+    sym = F.col("symbols")
+    merges: list[dict] = []
+    for rank in range(1, n_merges + 1):
+        vocab = base.select(sym.alias("symbols"), "n_word")
+        top = (_pair_counts_from_symbols(vocab)
+               .orderBy(F.desc("pair_count"), "left", "right")
+               .limit(1).collect())
+        if not top:
+            break
+        l, r, c = top[0]["left"], top[0]["right"], top[0]["pair_count"]
+        merges.append({"merge_rank": rank, "left": l, "right": r,
+                       "pair_count": c})
+        sym = F.replace(sym, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
+    return merges, base.select(sym.alias("symbols"), "n_word")

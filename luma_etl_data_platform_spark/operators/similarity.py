@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..core.partitioning import spread as _spread
 
@@ -422,3 +423,60 @@ def batch_hard_negatives(df: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rnk", F.row_number().over(win))
             .filter(F.col("rnk") <= k)
             .select(query_id_col, "rnk", id_col, label_col, "score"))
+
+
+def nearest_centroid_confusion(df: DataFrame, vec_col: str = "embedding",
+                               id_col: str = "vec_id",
+                               label_col: str = "label") -> DataFrame:
+    """Nearest-centroid (Rocchio) classification self-evaluation:
+    build per-label centroids, classify every vector by cosine to
+    the nearest centroid, and return the confusion matrix
+    ``(label, predicted, n_vecs)`` — the standing label-quality /
+    cluster-coherence audit for an embedded corpus.
+
+    Exactness: vectors are snapped to integer micro-units, so the
+    per-label per-dimension SUM vector is exact BIGINT (partition-
+    order independent). Cosine to the centroid equals cosine to that
+    sum vector (the 1/n scale cancels), so no division ever happens
+    in the aggregation — dot products and norms are exact BIGINTs,
+    and only the final score does IEEE double sqrt/divide (identical
+    in every engine on identical integers), rounded to 6 dp before
+    the argmax so near-ties resolve identically everywhere.
+
+    Scale design: one posexplode pass to the (labels × dims) sum
+    table (tiny), which broadcasts back as an L-row centroid array
+    table; classification is a broadcast nested-loop over L
+    centroids with a JVM-side zip_with/aggregate fold per pair — the
+    corpus is scanned once, never shuffled, and the only wide stage
+    is the final confusion groupBy over L² keys.
+    """
+    vi = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 1000000.0 + F.lit(0.5))
+        .cast("long"))
+    vecs = (df.select(F.col(id_col), F.col(label_col), vi.alias("_vi"))
+            .withColumn("_nv", F.aggregate(
+                F.transform("_vi", lambda a: a * a),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)))
+    sums = (vecs.select(label_col,
+                        F.posexplode("_vi").alias("_d", "_x"))
+            .groupBy(label_col, "_d").agg(F.sum("_x").alias("_s")))
+    cent = (sums.groupBy(label_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("_d", "_s"))),
+                lambda t: t["_s"]).alias("_c"))
+            .select(F.col(label_col).alias("predicted"), "_c")
+            .withColumn("_nc", F.aggregate(
+                F.transform("_c", lambda a: a * a),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)))
+    dot = F.aggregate(F.zip_with("_vi", "_c", lambda a, b: a * b),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    score = F.round(dot / (F.sqrt(F.col("_nv").cast("double"))
+                           * F.sqrt(F.col("_nc").cast("double"))), 6)
+    scored = (vecs.crossJoin(F.broadcast(cent))
+              .withColumn("_score", score))
+    w = W.partitionBy(id_col).orderBy(F.desc("_score"), "predicted")
+    pred = (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1))
+    return (pred.groupBy(label_col, "predicted")
+            .agg(F.count(F.lit(1)).alias("n_vecs")))

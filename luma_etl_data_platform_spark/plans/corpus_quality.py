@@ -170,3 +170,264 @@ FROM documents
 WHERE n_chars > 0
 ORDER BY priority, doc_id LIMIT 200
 """
+
+
+# ---------------------------------------------------------------------------
+# shingle_novelty_docs: per-document novelty — fraction of a doc's
+# distinct 3-shingles that first appear (by doc_id order) in that
+# doc. The "is the corpus still adding information" growth curve.
+# ---------------------------------------------------------------------------
+@_q("shingle_novelty_docs")
+def shingle_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import shingles
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (docs.select("doc_id", F.explode(shingles(F.col("text"), 3))
+                      .alias("_s")))
+    firsts = sh.groupBy("_s").agg(F.min("doc_id").alias("_first"))
+    per = (sh.join(firsts, "_s")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_shingles"),
+                F.sum(F.when(F.col("_first") == F.col("doc_id"), 1)
+                      .otherwise(0)).alias("n_novel")))
+    return (per.join(docs.select("doc_id", "source"), "doc_id")
+            .select("doc_id", "source", "n_shingles", "n_novel",
+                    F.round(F.col("n_novel")
+                            / F.col("n_shingles").cast("double"), 6)
+                    .alias("novelty"))
+            .orderBy("doc_id"))
+
+
+ORACLE["shingle_novelty_docs"] = """
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
+             FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+       FROM (SELECT doc_id, t,
+                    unnest(generate_series(1, greatest(len(t)-2, 0))) AS i
+             FROM tok)),
+firsts AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+per AS (SELECT doc_id, count(*) AS n_sh,
+               sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel
+        FROM sh JOIN firsts USING (s) GROUP BY 1)
+SELECT p.doc_id, d.source, CAST(n_sh AS BIGINT) AS n_shingles,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       round(n_novel / CAST(n_sh AS DOUBLE), 6) AS novelty
+FROM per p JOIN documents d ON p.doc_id = d.doc_id
+ORDER BY p.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# source_overlap_matrix: pairwise shingle overlap between sources —
+# the cross-corpus contamination / redundancy audit before mixing.
+# ---------------------------------------------------------------------------
+@_q("source_overlap_matrix")
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import shingles
+    docs = load_table(spark, sf_dir, "documents")
+    ss = (docs.select("source", F.explode(shingles(F.col("text"), 3))
+                      .alias("_s"))
+          .distinct()
+          .localCheckpoint(eager=True))
+    totals = ss.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    pairs = (ss.select(F.col("source").alias("source_a"), "_s")
+             .join(ss.select(F.col("source").alias("source_b"), "_s"), "_s")
+             .filter(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    ta = totals.select(F.col("source").alias("source_a"),
+                       F.col("_n").alias("n_a"))
+    tb = totals.select(F.col("source").alias("source_b"),
+                       F.col("_n").alias("n_b"))
+    return (pairs.join(F.broadcast(ta), "source_a")
+            .join(F.broadcast(tb), "source_b")
+            .select("source_a", "source_b", "n_a", "n_b", "n_common",
+                    F.round(F.col("n_common")
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.col("n_common")).cast("double"), 6)
+                    .alias("jaccard"))
+            .orderBy("source_a", "source_b"))
+
+
+ORACLE["source_overlap_matrix"] = """
+WITH tok AS (SELECT source, regexp_extract_all(lower(text), '\\w+') AS t
+             FROM documents),
+ss AS (SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS s
+       FROM (SELECT source, t,
+                    unnest(generate_series(1, greatest(len(t)-2, 0))) AS i
+             FROM tok)),
+tot AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                 count(*) AS n_common
+          FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+          GROUP BY 1, 2)
+SELECT source_a, source_b,
+       CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       round(n_common / CAST(ta.n + tb.n - n_common AS DOUBLE), 6)
+         AS jaccard
+FROM pairs JOIN tot ta ON ta.source = source_a
+           JOIN tot tb ON tb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# budget_pack_selection: ship exactly <= 20k tokens of the
+# best-scoring documents (hashing-trick classifier score), running
+# total via the bucketed two-phase prefix sum — no global window.
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 20_000
+
+
+@_q("budget_pack_selection")
+def budget_pack_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import budget_pack, hashed_linear_scores
+    docs = load_table(spark, sf_dir, "documents")
+    scores = hashed_linear_scores(docs, "text", "doc_id", buckets=4096)
+    return (budget_pack(scores, "doc_id", "score", "n_tokens",
+                        budget=_PACK_BUDGET)
+            .select("doc_id", "score", "n_tokens", "cum_tokens")
+            .orderBy("cum_tokens"))
+
+
+ORACLE["budget_pack_selection"] = """
+WITH tok AS (SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '\\w+')) AS tk
+             FROM documents),
+w AS (SELECT doc_id,
+             (CAST('0x' || substr(md5('11:' ||
+                (CAST('0x' || substr(md5('7:' || tk), 1, 8) AS BIGINT) % 4096)
+              ), 1, 8) AS BIGINT) % 2001) - 1000 AS wm
+      FROM tok),
+agg AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(wm) AS BIGINT) AS sw
+        FROM w GROUP BY 1),
+scored AS (SELECT doc_id,
+                  round(CAST(sw AS DOUBLE) / (n_tokens * 1000.0), 6) AS score,
+                  CAST(n_tokens AS BIGINT) AS n_tokens
+           FROM agg),
+run AS (SELECT doc_id, score, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM scored)
+SELECT doc_id, score, n_tokens, cum_tokens
+FROM run WHERE cum_tokens <= 20000
+ORDER BY cum_tokens
+"""
+
+
+# ---------------------------------------------------------------------------
+# centroid_label_confusion: nearest-centroid classification confusion
+# matrix over the embeddings table — label-coherence audit.
+# ---------------------------------------------------------------------------
+@_q("centroid_label_confusion")
+def centroid_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import nearest_centroid_confusion
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (nearest_centroid_confusion(emb)
+            .orderBy("label", "predicted"))
+
+
+ORACLE["centroid_label_confusion"] = """
+WITH e2 AS (SELECT vec_id, label,
+                   list_transform(embedding::DOUBLE[],
+                     x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS vi
+            FROM embeddings),
+dd AS (SELECT vec_id, label, i, vi[i] AS x
+       FROM e2, unnest(generate_series(1, 64)) t(i)),
+s AS (SELECT label, i, CAST(sum(x) AS BIGINT) AS s FROM dd GROUP BY 1, 2),
+nc AS (SELECT label AS predicted, CAST(sum(s * s) AS BIGINT) AS nc2
+       FROM s GROUP BY 1),
+nv AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS nv2 FROM dd GROUP BY 1),
+dot AS (SELECT dd.vec_id, s.label AS predicted,
+               CAST(sum(dd.x * s.s) AS BIGINT) AS dot
+        FROM dd JOIN s ON dd.i = s.i GROUP BY 1, 2),
+scored AS (SELECT d.vec_id, d.predicted,
+                  round(d.dot / (sqrt(CAST(nv.nv2 AS DOUBLE))
+                                 * sqrt(CAST(nc.nc2 AS DOUBLE))), 6)
+                    AS score
+           FROM dot d JOIN nv USING (vec_id) JOIN nc USING (predicted)),
+pred AS (SELECT vec_id, predicted FROM scored
+         QUALIFY row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY score DESC, predicted) = 1)
+SELECT e2.label, p.predicted, count(*) AS n_vecs
+FROM pred p JOIN e2 USING (vec_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_merges: K-iteration BPE training (driver loop, one
+# vocabulary-sized relational pass per merge) — the oracle unrolls
+# the identical K rounds as a CTE chain.
+# ---------------------------------------------------------------------------
+_BPE_MERGES = 5
+
+
+@_q("bpe_train_merges")
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        merges,
+        schema="merge_rank bigint, left string, right string, "
+               "pair_count bigint").orderBy("merge_rank")
+
+
+def _bpe_oracle(n: int, final_select: str | None = None) -> str:
+    sql = """WITH v0 AS (
+  SELECT ' ' || array_to_string(str_split(word, ''), ' ') || ' </w> '
+           AS symbols,
+         n_word
+  FROM (SELECT tk AS word, count(*) AS n_word
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS tk
+              FROM documents) GROUP BY tk))"""
+    for k in range(1, n + 1):
+        sql += f""",
+p{k} AS (SELECT a[i] AS l, a[i+1] AS r, CAST(sum(n_word) AS BIGINT) AS c
+         FROM (SELECT str_split(trim(symbols), ' ') AS a, n_word
+               FROM v{k-1}),
+              unnest(generate_series(1, greatest(len(a)-1, 0))) t(i)
+         GROUP BY 1, 2),
+t{k} AS (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+v{k} AS (SELECT replace(symbols,
+           ' ' || (SELECT l FROM t{k}) || ' ' || (SELECT r FROM t{k}) || ' ',
+           ' ' || (SELECT l FROM t{k}) || (SELECT r FROM t{k}) || ' ')
+             AS symbols,
+         n_word FROM v{k-1})"""
+    if final_select is not None:
+        return sql + "\n" + final_select
+    sql += "\nSELECT * FROM (" + " UNION ALL ".join(
+        f'SELECT CAST({k} AS BIGINT) AS merge_rank, l AS "left", '
+        f'r AS "right", c AS pair_count FROM t{k}'
+        for k in range(1, n + 1)) + ") ORDER BY merge_rank"
+    return sql
+
+
+ORACLE["bpe_train_merges"] = _bpe_oracle(_BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# bpe_vocab_tokens: the corpus's subword-token distribution after
+# applying the learned merges — "what does the tokenizer produce".
+# ---------------------------------------------------------------------------
+@_q("bpe_vocab_tokens")
+def bpe_vocab_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_vocab
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = bpe_vocab(docs, "text", n_merges=_BPE_MERGES)
+    toks = vocab.select(
+        "n_word",
+        F.explode(F.split(F.trim(F.col("symbols")), " ")).alias("token"))
+    return (toks.groupBy("token")
+            .agg(F.sum("n_word").alias("token_count"))
+            .orderBy(F.desc("token_count"), "token")
+            .limit(20))
+
+
+ORACLE["bpe_vocab_tokens"] = _bpe_oracle(_BPE_MERGES, final_select=f"""
+SELECT tok AS token, CAST(sum(n_word) AS BIGINT) AS token_count
+FROM (SELECT unnest(str_split(trim(symbols), ' ')) AS tok, n_word
+      FROM v{_BPE_MERGES})
+GROUP BY 1 ORDER BY token_count DESC, token LIMIT 20
+""")

@@ -97,3 +97,67 @@ def test_weighted_sample_drops_nonpositive_weights(spark):
                                 Row(id=3, w=5)])
     got = weighted_sample(df, "id", "w", k=10).collect()
     assert [r["id"] for r in got] == [3]
+
+
+def test_budget_pack_hand_computed(spark):
+    # scores: a=3.0(10 tok), b=2.0(15), c=2.0(5), d=1.0(100)
+    # order: a, b, c (score desc, id asc) → cum 10, 25, 30; budget 30
+    # keeps a,b,c; d would push to 130 → dropped.
+    from luma_etl_data_platform_spark.operators.curation import budget_pack
+    df = spark.createDataFrame([
+        Row(id="a", score=3.0, tok=10), Row(id="b", score=2.0, tok=15),
+        Row(id="c", score=2.0, tok=5), Row(id="d", score=1.0, tok=100),
+    ])
+    got = {r["id"]: r["cum_tokens"]
+           for r in budget_pack(df, "id", "score", "tok", 30).collect()}
+    assert got == {"a": 10, "b": 25, "c": 30}
+
+
+def test_budget_pack_partition_stable(spark):
+    from luma_etl_data_platform_spark.operators.curation import budget_pack
+    rows = [Row(id=i, score=float(i % 7), tok=10) for i in range(100)]
+    df = spark.createDataFrame(rows)
+    a = sorted(r["id"] for r in budget_pack(df, "id", "score", "tok",
+                                            300).collect())
+    b = sorted(r["id"] for r in budget_pack(df.repartition(13), "id",
+                                            "score", "tok", 300).collect())
+    assert a == b and len(a) == 30
+
+
+def test_nearest_centroid_perfect_separation(spark):
+    # two well-separated clusters on axis-aligned unit vectors →
+    # every vector classifies to its own label (diagonal confusion).
+    from luma_etl_data_platform_spark.operators.similarity import (
+        nearest_centroid_confusion)
+    rows = []
+    for i in range(10):
+        rows.append(Row(vec_id=i, label=0,
+                        embedding=[1.0, 0.01 * i, 0.0, 0.0]))
+        rows.append(Row(vec_id=100 + i, label=1,
+                        embedding=[0.0, 0.0, 1.0, 0.01 * i]))
+    df = spark.createDataFrame(rows)
+    got = {(r["label"], r["predicted"]): r["n_vecs"]
+           for r in nearest_centroid_confusion(df).collect()}
+    assert got == {(0, 0): 10, (1, 1): 10}
+
+
+def test_bpe_train_toy_corpus(spark):
+    # low x3, lower, lowest, new, newer → merges: (l,o)=5, (lo,w)=5,
+    # (low,</w>)=3 (the three whole-word 'low's), then (e,r)=2.
+    from luma_etl_data_platform_spark.operators.bpe import bpe_train
+    df = spark.createDataFrame([Row(text="low low lower lowest"),
+                                Row(text="low new newer")])
+    got = [(m["left"], m["right"], m["pair_count"])
+           for m in bpe_train(df, "text", 4)]
+    assert got == [("l", "o", 5), ("lo", "w", 5),
+                   ("low", "</w>", 3), ("e", "r", 2)]
+
+
+def test_bpe_train_stops_when_fully_merged(spark):
+    # single word: merges exhaust after len(word)+1 symbols collapse
+    from luma_etl_data_platform_spark.operators.bpe import bpe_train
+    df = spark.createDataFrame([Row(text="ab")])
+    got = bpe_train(df, "text", 10)
+    # 'a b </w>' → (a,b) then (ab,</w>) then nothing left
+    assert [(m["left"], m["right"]) for m in got] == [
+        ("a", "b"), ("ab", "</w>")]
