@@ -318,3 +318,98 @@ def cms_join_size(lanes_a: DataFrame, lanes_b: DataFrame) -> DataFrame:
                .groupBy("_row")
                .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_est")))
     return per_row.agg(F.min("_est").alias("join_size_est"))
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (Flajolet et al. 2007) — md5 registers
+# ---------------------------------------------------------------------------
+
+# m = 256 registers (p = 8 bucket bits); rho is derived from a 52-bit
+# suffix (13 md5 hex chars), so registers are capped at 53.
+HLL_M = 256
+_HLL_RHO_BITS = 52
+
+
+def hll_sketch(df: DataFrame, group_col: str, value_col: str,
+               seed: int = 0) -> DataFrame:
+    """Per-group HyperLogLog registers from the portable md5 hash:
+    bucket = first 8 hash bits (2 hex chars), rho = 1 + leading-zero
+    count of the next 52 bits (13 hex chars), register = max(rho).
+
+    Unlike the engine-native ``approx_count_distinct`` (HLL++ with
+    engine-private state), this sketch is bit-for-bit reproducible in
+    any engine that evaluates md5 — DuckDB builds the *identical*
+    register file, so HLL estimates can sit under the strict hash
+    comparator instead of a rows-only check.
+
+    Scale shape: narrow map (hash + two substrings + a CASE ladder),
+    then ONE map-side-combinable shuffle on (group, bucket) — at most
+    256 rows per group survive regardless of input size. The
+    leading-zero count is computed on hex characters (count of
+    leading '0' chars x 4 + a 16-way CASE on the first non-zero
+    digit), avoiding float log2 whose boundary rounding differs
+    between engines.
+
+    Returns (group_col, _bucket, _reg)."""
+    payload = F.concat(F.lit(str(seed)), F.lit(":"),
+                       F.col(value_col).cast("string"))
+    h = F.md5(payload)
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    hex13 = F.substring(h, 3, 13)
+    trimmed = F.regexp_replace(hex13, "^0*", "")
+    nlead0 = F.lit(13) - F.length(trimmed)
+    first = F.substring(trimmed, 1, 1)
+    lz4 = (F.when(first == "1", 3)
+           .when(first.isin("2", "3"), 2)
+           .when(first.isin("4", "5", "6", "7"), 1)
+           .otherwise(0))
+    rho = (F.when(F.length(trimmed) == 0, F.lit(_HLL_RHO_BITS + 1))
+           .otherwise(nlead0 * 4 + lz4 + 1))
+    return (df.select(F.col(group_col), bucket.alias("_bucket"),
+                      rho.cast("int").alias("_rho"))
+            .groupBy(group_col, "_bucket")
+            .agg(F.max("_rho").alias("_reg")))
+
+
+def hll_merge(*sketches: DataFrame, group_col: str,
+              group_expr=None) -> DataFrame:
+    """Union-merge register files: register-wise max. ``group_expr``
+    optionally relabels groups first (e.g. ``F.lit('__union__')``
+    collapses every group into one union sketch) — the lossless-union
+    property is WHY HLL is the standing distinct-count monitor at
+    100 TB: per-partition/per-day sketches combine without re-reading
+    data."""
+    from functools import reduce
+    merged = reduce(DataFrame.unionByName, sketches)
+    if group_expr is not None:
+        merged = merged.select(group_expr.alias(group_col),
+                               "_bucket", "_reg")
+    return (merged.groupBy(group_col, "_bucket")
+            .agg(F.max("_reg").alias("_reg")))
+
+
+def hll_estimate(sketch: DataFrame, group_col: str) -> DataFrame:
+    """Raw HLL estimate alpha_m * m^2 / sum_j 2^-reg_j from a register
+    file. The harmonic sum is carried as the EXACT integer
+    sum(2^(53-reg)) (max 256 * 2^53 < 2^62 — BIGINT-safe), with empty
+    registers contributing 2^53 each; the final expression is a fixed
+    tree of IEEE double ops on that integer, so both engines round
+    identically. No bias/linear-counting correction — this is the
+    *calibration* form; pair it with an exact count to measure the
+    error (see ``hll_distinct_calibration``).
+
+    Returns (group_col, n_zero_regs, est_distinct)."""
+    two53 = 1 << _HLL_RHO_BITS + 1
+    term = F.expr(f"shiftleft(1L, {_HLL_RHO_BITS + 1} - _reg)")
+    agg = (sketch.groupBy(group_col)
+           .agg(F.sum(term).alias("_s_present"),
+                F.count(F.lit(1)).alias("_nb")))
+    s_scaled = (F.col("_s_present")
+                + (F.lit(HLL_M) - F.col("_nb")).cast("long") * F.lit(two53))
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+    est = (alpha * F.lit(65536.0) * F.lit(float(two53))
+           / s_scaled.cast("double"))
+    return agg.select(
+        group_col,
+        (F.lit(HLL_M) - F.col("_nb")).cast("long").alias("n_zero_regs"),
+        F.round(est, 4).alias("est_distinct"))

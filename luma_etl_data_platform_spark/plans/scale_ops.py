@@ -540,6 +540,84 @@ FROM tails ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# hll_distinct_calibration: per-type portable-HLL distinct-user
+# estimates NEXT TO the exact counts, plus a '__union__' row whose
+# registers come from MERGING the per-type sketches (register-wise
+# max) — the lossless-union property that makes HLL the standing
+# distinct monitor at 100 TB. Unlike the engine-native
+# approx_count_distinct queries (rows-only), the md5 register file is
+# engine-independent, so estimates hash-match the DuckDB oracle.
+# ---------------------------------------------------------------------------
+def hll_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_estimate, hll_merge, hll_sketch
+    ev = load_table(spark, sf_dir, "events")
+    # eager localCheckpoint: the <=1280-row register file feeds both
+    # the per-type estimates and the union merge
+    sk = (hll_sketch(ev, "event_type", "user_id")
+          .localCheckpoint(eager=True))
+    uni = hll_merge(sk, group_col="event_type",
+                    group_expr=F.lit("__union__"))
+    ests = (hll_estimate(sk, "event_type")
+            .unionByName(hll_estimate(uni, "event_type")))
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_distinct"))
+             .unionByName(
+                 ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+                 .select(F.lit("__union__").alias("event_type"),
+                         "exact_distinct")))
+    ex = F.col("exact_distinct").cast("double")
+    return (ests.join(F.broadcast(exact), "event_type")
+            .select("event_type", "n_zero_regs", "est_distinct",
+                    "exact_distinct",
+                    F.round((F.col("est_distinct") - ex) / ex
+                            * F.lit(100.0), 4).alias("err_pct"))
+            .orderBy("event_type"))
+
+
+ORACLE["hll_distinct_calibration"] = """
+WITH r AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)), 1, 2)
+              AS BIGINT) AS bucket,
+         regexp_replace(substr(md5('0:' || CAST(user_id AS VARCHAR)), 3, 13),
+                        '^0*', '') AS t
+  FROM events),
+rho AS (SELECT event_type, bucket,
+               CASE WHEN t = '' THEN 53
+                    ELSE (13 - length(t)) * 4 +
+                         CASE WHEN substr(t, 1, 1) = '1' THEN 3
+                              WHEN substr(t, 1, 1) IN ('2','3') THEN 2
+                              WHEN substr(t, 1, 1) IN ('4','5','6','7') THEN 1
+                              ELSE 0 END + 1 END AS rho
+        FROM r),
+regs AS (SELECT event_type, bucket, max(rho) AS reg FROM rho GROUP BY 1, 2),
+allregs AS (SELECT * FROM regs
+            UNION ALL SELECT '__union__', bucket, reg FROM regs),
+mreg AS (SELECT event_type, bucket, max(reg) AS reg FROM allregs GROUP BY 1, 2),
+agg AS (SELECT event_type,
+               sum(CAST(1 AS BIGINT) << (53 - reg)) AS s_present,
+               count(*) AS nb
+        FROM mreg GROUP BY 1),
+est AS (SELECT event_type, CAST(256 - nb AS BIGINT) AS n_zero_regs,
+               round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                     * 9007199254740992.0
+                     / CAST(s_present
+                            + CAST(256 - nb AS BIGINT) * 9007199254740992
+                            AS DOUBLE), 4) AS est_distinct
+        FROM agg),
+ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+       FROM events GROUP BY 1
+       UNION ALL
+       SELECT '__union__', count(DISTINCT user_id) FROM events)
+SELECT est.event_type, n_zero_regs, est_distinct, exact_distinct,
+       round((est_distinct - CAST(exact_distinct AS DOUBLE))
+             / CAST(exact_distinct AS DOUBLE) * 100.0, 4) AS err_pct
+FROM est JOIN ex ON est.event_type = ex.event_type
+ORDER BY est.event_type
+"""
+
+
 QUERIES = {
     "ewma_user_values": ewma_user_values,
     "time_weighted_avg_user": time_weighted_avg_user,
@@ -548,6 +626,7 @@ QUERIES = {
     "key_skew_users": key_skew_users,
     "sampled_value_quantiles": sampled_value_quantiles,
     "kmv_distinct_users": kmv_distinct_users,
+    "hll_distinct_calibration": hll_distinct_calibration,
     "graph_triangle_stats": graph_triangle_stats,
     "graph_pagerank_top20": graph_pagerank_top20,
     "interval_coverage_user": interval_coverage_user,

@@ -493,3 +493,49 @@ def test_bigram_lm_skips_sub_bigram_docs(spark):
     got = bigram_lm_scores(df).collect()
     assert {r["doc_id"] for r in got} == {1}
     assert got[0]["n_bigrams"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Portable HLL
+# ---------------------------------------------------------------------------
+
+def test_hll_estimate_within_error(spark):
+    # m=256 registers → RSE ≈ 1.04/sqrt(256) ≈ 6.5%; raw (uncorrected)
+    # estimator at n >> m is well inside 4 sigma
+    df = spark.createDataFrame([("g", i) for i in range(5000)],
+                               "g string, v long")
+    est = K.hll_estimate(K.hll_sketch(df, "g", "v"), "g").collect()
+    assert len(est) == 1
+    assert abs(est[0]["est_distinct"] - 5000) / 5000 < 0.26
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    # register-wise max of two groups' sketches == sketch of the
+    # concatenated data (lossless union)
+    a = spark.createDataFrame([("a", i) for i in range(800)],
+                              "g string, v long")
+    b = spark.createDataFrame([("b", i) for i in range(400, 1200)],
+                              "g string, v long")
+    merged = K.hll_merge(K.hll_sketch(a, "g", "v"), K.hll_sketch(b, "g", "v"),
+                         group_col="g", group_expr=F.lit("u"))
+    direct = K.hll_sketch(
+        a.unionByName(b).withColumn("g", F.lit("u")), "g", "v")
+    assert sorted(merged.collect()) == sorted(direct.collect())
+
+
+def test_hll_partitioning_invariant(spark):
+    df = spark.createDataFrame([("g", i % 300) for i in range(3000)],
+                               "g string, v long")
+    one = K.hll_estimate(K.hll_sketch(df.coalesce(1), "g", "v"), "g").collect()
+    many = K.hll_estimate(K.hll_sketch(df.repartition(16), "g", "v"),
+                          "g").collect()
+    assert one == many
+
+
+def test_hll_registers_bounded(spark):
+    # at most m=256 register rows per group, registers in [1, 53]
+    df = spark.createDataFrame([("g", i) for i in range(10000)],
+                               "g string, v long")
+    sk = K.hll_sketch(df, "g", "v").collect()
+    assert len(sk) <= 256
+    assert all(1 <= r["_reg"] <= 53 for r in sk)
