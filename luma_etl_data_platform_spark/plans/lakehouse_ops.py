@@ -262,9 +262,69 @@ ORDER BY o_orderkey, _change_type
 """
 
 
+def lakehouse_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under the gate: materialize a
+    per-status count+sum MV from the v1 snapshot, run a mixed merge
+    (updates + inserts + deletes), then refresh the MV from the v1→v2
+    CHANGE FEED ONLY (`operators/ivm.apply_changes_to_mv` — the base
+    table is never re-read). The oracle aggregates the replayed FINAL
+    state directly, so a hash match proves the IVM identity:
+    incremental fold == full recompute, to the last decimal digit."""
+    from ..operators.ivm import aggregate_mv, apply_changes_to_mv
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_ivm_")
+    path = f"{tmp}/orders_tbl"
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+
+    initial = orders.filter(F.col("o_orderkey") % 4 != 0)
+    LH.create_table(spark, path, initial.repartition(6), ["o_orderkey"])
+    sums = {"o_totalprice": "decimal(18,2)"}
+    mv0 = aggregate_mv(LH.read_table(spark, path, version=1),
+                       ["o_orderstatus"], sums).localCheckpoint(eager=True)
+
+    batch = (orders.filter(F.col("o_orderkey") % 10 == 6)
+             .withColumn("o_totalprice", F.col("o_totalprice") + 100.0))
+    LH.merge_into(spark, path, batch, ["o_orderkey"], update_set="all",
+                  delete_condition=F.col("src.o_orderpriority")
+                  == "1-URGENT")
+
+    feed = LH.read_changes(spark, path, from_version=1, to_version=2)
+    mv1 = apply_changes_to_mv(mv0, feed, ["o_orderstatus"], sums)
+    out = (mv1.select("o_orderstatus",
+                      F.col("n_rows").alias("n_orders"),
+                      F.round("sum_o_totalprice", 2).cast("double")
+                      .alias("total_price"))
+           .orderBy("o_orderstatus")
+           .localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["lakehouse_incremental_mv"] = """
+WITH i AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+           FROM orders WHERE o_orderkey % 4 <> 0),
+b AS (SELECT o_orderkey, o_orderstatus,
+             o_totalprice + 100.0 AS o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 6),
+-- final state: unmatched base rows + matched-non-urgent updates + inserts
+s2 AS (SELECT * FROM i WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b)
+       UNION ALL
+       SELECT b.* FROM b
+       WHERE o_orderkey IN (SELECT o_orderkey FROM i)
+         AND o_orderpriority <> '1-URGENT'
+       UNION ALL
+       SELECT b.* FROM b
+       WHERE o_orderkey NOT IN (SELECT o_orderkey FROM i))
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_price
+FROM s2 GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "lakehouse_time_travel": lakehouse_time_travel,
     "lakehouse_compaction": lakehouse_compaction,
     "lakehouse_change_feed": lakehouse_change_feed,
+    "lakehouse_incremental_mv": lakehouse_incremental_mv,
 }

@@ -312,3 +312,64 @@ def test_read_changes_same_version_is_empty(table, spark):
     feed = LH.read_changes(spark, table, from_version=3, to_version=3)
     assert feed.count() == 0
     assert "_change_type" in feed.columns
+
+
+# ---------------------------------------------------------------------------
+# Incremental MV maintenance off the change feed
+# ---------------------------------------------------------------------------
+
+def _mv_rows(df):
+    return sorted((r["tag"], r["n_rows"], str(r["sum_v"])) for r in df.collect())
+
+
+def test_ivm_fold_equals_full_recompute(table, spark):
+    from luma_etl_data_platform_spark.operators.ivm import (
+        aggregate_mv, apply_changes_to_mv)
+    sums = {"v": "decimal(18,2)"}
+    v1 = LH.current_version(spark, table)
+    mv0 = aggregate_mv(LH.read_table(spark, table), ["tag"], sums)
+    # update k=1, insert k=99 (new group), delete k=21
+    src = _mk(spark, [dict(k=1, v=1000, tag="a"),
+                      dict(k=99, v=990, tag="z"),
+                      dict(k=21, v=0, tag="c")])
+    LH.merge_into(spark, table, src, ["k"], update_set="all",
+                  delete_condition=F.col("src.k") == 21)
+    feed = LH.read_changes(spark, table, from_version=v1,
+                           to_version=LH.current_version(spark, table))
+    mv1 = apply_changes_to_mv(mv0, feed, ["tag"], sums)
+    full = aggregate_mv(LH.read_table(spark, table), ["tag"], sums)
+    assert _mv_rows(mv1) == _mv_rows(full)
+
+
+def test_ivm_group_drops_when_count_hits_zero(table, spark):
+    from luma_etl_data_platform_spark.operators.ivm import (
+        aggregate_mv, apply_changes_to_mv)
+    sums = {"v": "decimal(18,2)"}
+    v1 = LH.current_version(spark, table)
+    mv0 = aggregate_mv(LH.read_table(spark, table), ["tag"], sums)
+    # delete BOTH rows of group 'b'
+    src = _mk(spark, [dict(k=11, v=0, tag="b"), dict(k=12, v=0, tag="b")])
+    LH.merge_into(spark, table, src, ["k"], update_set="all",
+                  delete_condition=F.lit(True))
+    feed = LH.read_changes(spark, table, from_version=v1,
+                           to_version=LH.current_version(spark, table))
+    mv1 = apply_changes_to_mv(mv0, feed, ["tag"], sums)
+    tags = {r["tag"] for r in mv1.collect()}
+    assert tags == {"a", "c"}
+
+
+def test_ivm_untouched_groups_pass_through_unchanged(table, spark):
+    from luma_etl_data_platform_spark.operators.ivm import (
+        aggregate_mv, apply_changes_to_mv)
+    sums = {"v": "decimal(18,2)"}
+    v1 = LH.current_version(spark, table)
+    mv0 = aggregate_mv(LH.read_table(spark, table), ["tag"], sums)
+    before = dict((t, (n, s)) for t, n, s in _mv_rows(mv0))
+    src = _mk(spark, [dict(k=1, v=999, tag="a")])  # touches only 'a'
+    LH.merge_into(spark, table, src, ["k"], update_set="all")
+    feed = LH.read_changes(spark, table, from_version=v1,
+                           to_version=LH.current_version(spark, table))
+    mv1 = apply_changes_to_mv(mv0, feed, ["tag"], sums)
+    after = dict((t, (n, s)) for t, n, s in _mv_rows(mv1))
+    assert after["b"] == before["b"] and after["c"] == before["c"]
+    assert after["a"] != before["a"]
