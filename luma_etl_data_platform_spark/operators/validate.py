@@ -152,3 +152,25 @@ def cast_profile(df: DataFrame, target: T.StructType) -> CastProfile:
     d = row.asDict()
     n = d.pop("__n")
     return CastProfile(total_rows=n, failures={k: int(v or 0) for k, v in d.items()})
+
+
+def expectations_report(df: DataFrame, checks: dict[str, F.Column]) -> DataFrame:
+    """Declarative expectation suite (the Great-Expectations shape the
+    reference approximates with scattered runtime warnings —
+    lambda_function.py:140-158, utilities/utilities.py:69-82):
+    ``checks`` maps a check name to a VIOLATION predicate; the report
+    is one row per check with its violation count.
+
+    Plan shape: every check compiles to a conditional sum in a SINGLE
+    aggregate over ONE scan — adding a check adds an expression, not a
+    pass — then a driver-side ``stack`` unpivots the 1×N result. At
+    100 TB this is the only affordable shape: N full-table validation
+    queries collapse into one map-side-combinable scan."""
+    if not checks:
+        raise ValueError("expectations_report: no checks given")
+    aggs = [F.coalesce(F.sum(c.cast("long")), F.lit(0)).alias(n)
+            for n, c in checks.items()]
+    wide = df.agg(*aggs)
+    pairs = ", ".join(f"'{n}', `{n}`" for n in checks)
+    return wide.selectExpr(
+        f"stack({len(checks)}, {pairs}) AS (check_name, n_violations)")

@@ -136,7 +136,93 @@ def _pii_oracle() -> str:
 ORACLE["pii_redaction_stats"] = _pii_oracle()
 
 
+def expectations_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over orders: null / set-membership
+    / range / regex / temporal-bounds expectations compile into ONE
+    conditional-aggregate scan (operators/validate.expectations_report),
+    plus a uniqueness check and a referential-integrity check against
+    the customer dimension (broadcast anti-join — the dim is the small
+    side). The price-cap expectation is deliberately tight so the fail
+    path is exercised: the report carries real violation counts, not a
+    wall of zeros. NULL-valued fields count as violations (null-safe
+    predicates on both sides)."""
+    from ..operators.validate import expectations_report
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    st, pr, dt, py = (F.col("o_orderstatus"), F.col("o_totalprice"),
+                      F.col("o_orderdate"), F.col("o_orderpriority"))
+    checks = {
+        "orderkey_not_null": F.col("o_orderkey").isNull(),
+        "status_in_set": ~st.isin("O", "F", "P") | st.isNull(),
+        "price_positive": ~(pr > 0.0) | pr.isNull(),
+        "price_under_300k": ~(pr < 300000.0) | pr.isNull(),
+        "date_in_range": ~dt.between("1992-01-01", "1998-12-31")
+                         | dt.isNull(),
+        "priority_format": ~py.rlike("^[1-5]-[A-Z]") | py.isNull(),
+    }
+    base = expectations_report(orders, checks)
+    uniq = (orders.agg((F.count("o_orderkey")
+                        - F.countDistinct("o_orderkey"))
+                       .alias("n_violations"))
+            .select(F.lit("orderkey_unique").alias("check_name"),
+                    "n_violations"))
+    fk = (orders.join(F.broadcast(customer.select(
+              F.col("c_custkey").alias("o_custkey"))),
+              "o_custkey", "left_anti")
+          .agg(F.count(F.lit(1)).alias("n_violations"))
+          .select(F.lit("custkey_in_customer").alias("check_name"),
+                  "n_violations"))
+    return (base.unionByName(uniq).unionByName(fk)
+            .withColumn("status", F.when(F.col("n_violations") == 0,
+                                         F.lit("pass"))
+                        .otherwise(F.lit("fail")))
+            .orderBy("check_name"))
+
+
+ORACLE["expectations_orders_report"] = """
+WITH wide AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0)
+      AS BIGINT) AS orderkey_not_null,
+    CAST(coalesce(sum(CASE WHEN NOT o_orderstatus IN ('O','F','P')
+                        OR o_orderstatus IS NULL THEN 1 ELSE 0 END), 0)
+      AS BIGINT) AS status_in_set,
+    CAST(coalesce(sum(CASE WHEN NOT (o_totalprice > 0.0)
+                        OR o_totalprice IS NULL THEN 1 ELSE 0 END), 0)
+      AS BIGINT) AS price_positive,
+    CAST(coalesce(sum(CASE WHEN NOT (o_totalprice < 300000.0)
+                        OR o_totalprice IS NULL THEN 1 ELSE 0 END), 0)
+      AS BIGINT) AS price_under_300k,
+    CAST(coalesce(sum(CASE WHEN NOT (o_orderdate BETWEEN '1992-01-01'
+                                AND '1998-12-31')
+                        OR o_orderdate IS NULL THEN 1 ELSE 0 END), 0)
+      AS BIGINT) AS date_in_range,
+    CAST(coalesce(sum(CASE WHEN NOT regexp_matches(o_orderpriority,
+                                              '^[1-5]-[A-Z]')
+                        OR o_orderpriority IS NULL THEN 1 ELSE 0 END), 0)
+      AS BIGINT) AS priority_format
+  FROM orders),
+long AS (
+  SELECT 'orderkey_not_null' AS check_name, orderkey_not_null
+    AS n_violations FROM wide
+  UNION ALL SELECT 'status_in_set', status_in_set FROM wide
+  UNION ALL SELECT 'price_positive', price_positive FROM wide
+  UNION ALL SELECT 'price_under_300k', price_under_300k FROM wide
+  UNION ALL SELECT 'date_in_range', date_in_range FROM wide
+  UNION ALL SELECT 'priority_format', priority_format FROM wide
+  UNION ALL SELECT 'orderkey_unique',
+    count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders
+  UNION ALL SELECT 'custkey_in_customer',
+    (SELECT count(*) FROM orders o
+     WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)) )
+SELECT check_name, n_violations,
+       CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+FROM long ORDER BY check_name
+"""
+
+
 QUERIES = {
     "cleanse_mixed_orders": cleanse_mixed_orders,
     "pii_redaction_stats": pii_redaction_stats,
+    "expectations_orders_report": expectations_orders_report,
 }

@@ -221,3 +221,31 @@ def test_pipeline_end_to_end(spark, tmp_path):
     )
     got = {(r["id"][:4], r["amount"]) for r in cleansed.collect()}
     assert got == {("6f96", 100.0), ("N/A", 0.0)}
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectation suite
+# ---------------------------------------------------------------------------
+
+def test_expectations_report_counts_and_null_handling(spark):
+    from pyspark.sql import functions as F
+    from luma_etl_data_platform_spark.operators.validate import (
+        expectations_report)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "c"), (4, "dd")],
+        "k int, s string")
+    rep = expectations_report(df, {
+        "k_not_null": F.col("k").isNull(),
+        "s_single_char": ~F.col("s").rlike("^.$") | F.col("s").isNull(),
+    })
+    got = {r["check_name"]: r["n_violations"] for r in rep.collect()}
+    assert got == {"k_not_null": 1, "s_single_char": 2}
+
+
+def test_expectations_report_empty_input_is_all_zero(spark):
+    from pyspark.sql import functions as F
+    from luma_etl_data_platform_spark.operators.validate import (
+        expectations_report)
+    df = spark.createDataFrame([], "k int")
+    rep = expectations_report(df, {"k_not_null": F.col("k").isNull()})
+    assert [r["n_violations"] for r in rep.collect()] == [0]
