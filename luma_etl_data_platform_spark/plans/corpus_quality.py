@@ -375,7 +375,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_oracle(n: int, final_select: str | None = None) -> str:
-    sql = """WITH v0 AS (
+    sql = """WITH v0 AS MATERIALIZED (
   SELECT ' ' || array_to_string(str_split(word, ''), ' ') || ' </w> '
            AS symbols,
          n_word
@@ -384,13 +384,13 @@ def _bpe_oracle(n: int, final_select: str | None = None) -> str:
               FROM documents) GROUP BY tk))"""
     for k in range(1, n + 1):
         sql += f""",
-p{k} AS (SELECT a[i] AS l, a[i+1] AS r, CAST(sum(n_word) AS BIGINT) AS c
+p{k} AS MATERIALIZED (SELECT a[i] AS l, a[i+1] AS r, CAST(sum(n_word) AS BIGINT) AS c
          FROM (SELECT str_split(trim(symbols), ' ') AS a, n_word
                FROM v{k-1}),
               unnest(generate_series(1, greatest(len(a)-1, 0))) t(i)
          GROUP BY 1, 2),
-t{k} AS (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
-v{k} AS (SELECT replace(symbols,
+t{k} AS MATERIALIZED (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+v{k} AS MATERIALIZED (SELECT replace(symbols,
            ' ' || (SELECT l FROM t{k}) || ' ' || (SELECT r FROM t{k}) || ' ',
            ' ' || (SELECT l FROM t{k}) || (SELECT r FROM t{k}) || ' ')
              AS symbols,
@@ -430,4 +430,66 @@ SELECT tok AS token, CAST(sum(n_word) AS BIGINT) AS token_count
 FROM (SELECT unnest(str_split(trim(symbols), ' ')) AS tok, n_word
       FROM v{_BPE_MERGES})
 GROUP BY 1 ORDER BY token_count DESC, token LIMIT 20
+""")
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode_stats: ENCODE the corpus with the trained tokenizer —
+# per-source fertility (tokens/word) and compression (chars/token),
+# the two numbers every tokenizer audit reports. Encoding a word is a
+# lookup of its trained segmentation, so the corpus-side encode is a
+# broadcast join of the word stream against the (word → n_tokens)
+# table derived from the post-merge vocabulary; integer totals, one
+# shuffle for the per-source aggregate.
+# ---------------------------------------------------------------------------
+@_q("bpe_encode_stats")
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+    from ..operators.bpe import bpe_vocab
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = bpe_vocab(docs, "text", n_merges=_BPE_MERGES)
+    seg = vocab.select(
+        F.replace(F.replace(F.col("symbols"), F.lit(" "), F.lit("")),
+                  F.lit("</w>"), F.lit("")).alias("word"),
+        F.size(F.split(F.trim(F.col("symbols")), " ")).cast("long")
+        .alias("n_tok"))
+    words = docs.select("source",
+                        F.explode(tokens(F.col("text"))).alias("word"))
+    # the trained segmentation is vocabulary-sized (millions of rows ≈
+    # ~100 MB at web scale) — broadcast it; the corpus-sized word
+    # stream never shuffles on the join key
+    j = words.join(F.broadcast(seg), "word").withColumn(
+        "n_chars", F.length("word").cast("long"))
+    return (j.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_tok").alias("n_tokens"),
+                 F.sum("n_chars").alias("n_chars"))
+            .select("source", "n_words", "n_tokens", "n_chars",
+                    F.round(F.col("n_tokens").cast("double")
+                            / F.col("n_words").cast("double"), 6)
+                    .alias("tokens_per_word"),
+                    F.round(F.col("n_chars").cast("double")
+                            / F.col("n_tokens").cast("double"), 6)
+                    .alias("chars_per_token"))
+            .orderBy("source"))
+
+
+ORACLE["bpe_encode_stats"] = _bpe_oracle(_BPE_MERGES, final_select=f"""
+, seg AS (SELECT replace(replace(symbols, ' ', ''), '</w>', '') AS word,
+                 CAST(len(str_split(trim(symbols), ' ')) AS BIGINT) AS n_tok
+          FROM v{_BPE_MERGES}),
+dw AS (SELECT source, unnest(regexp_extract_all(lower(text), '\\w+')) AS word
+       FROM documents),
+j AS (SELECT dw.source, seg.n_tok,
+             CAST(length(dw.word) AS BIGINT) AS n_chars
+      FROM dw JOIN seg USING (word))
+SELECT source, count(*) AS n_words,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       round(CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS tokens_per_word,
+       round(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE), 6)
+         AS chars_per_token
+FROM j GROUP BY 1 ORDER BY 1
 """)
