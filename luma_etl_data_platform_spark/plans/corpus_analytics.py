@@ -376,3 +376,75 @@ FROM agg
 """
 
 QUERIES["user_event_entropy"] = user_event_entropy
+
+
+# ---------------------------------------------------------------------------
+# ols_trend_by_type: per-type least-squares trend of event value over
+# time — drift detection as regression. All four OLS power sums are
+# carried exactly (epoch seconds anchored to a literal to keep
+# per-row products in BIGINT; value in integer cents; sums in
+# DECIMAL(38,0)), and the closed-form slope/intercept is a fixed tree
+# of IEEE double ops on those exact sums — partition-order-free in
+# both engines. The oracle does the identical arithmetic in HUGEINT
+# (DuckDB's 128-bit exact integer).
+# One map-side-combinable shuffle; no window, no second pass.
+# ---------------------------------------------------------------------------
+_OLS_T0 = 1_704_000_000  # 2024-01-01 UTC, just below the event range
+
+
+def ols_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ols_trend(load_table(spark, sf_dir, "events"))
+
+
+def ols_trend(ev: DataFrame) -> DataFrame:
+    x = F.col("ts").cast("long") - F.lit(_OLS_T0)
+    yc = F.round(F.col("value") * 100.0, 0).cast("long")  # integer cents
+    d38 = "decimal(38,0)"
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(d38)).cast(d38).alias("sx"),
+        F.sum(yc.cast(d38)).cast(d38).alias("sy"),
+        F.sum((x * x).cast(d38)).cast(d38).alias("sxx"),
+        F.sum((x * yc).cast(d38)).cast(d38).alias("sxy"))
+    n38 = F.col("n").cast(d38)
+    num = (n38 * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n38 * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope_cents_s = num / den
+    return agg.select(
+        "event_type", F.col("n").alias("n_events"),
+        F.round(F.col("sy").cast("double") / 100.0
+                / F.col("n").cast("double"), 6).alias("mean_value"),
+        F.round(slope_cents_s * F.lit(864.0), 8).alias("slope_per_day"),
+        F.round(F.col("sy").cast("double") / 100.0 / F.col("n").cast("double")
+                - slope_cents_s / F.lit(100.0)
+                * (F.col("sx").cast("double") / F.col("n").cast("double")),
+                6).alias("intercept_value")).orderBy("event_type")
+
+
+ORACLE["ols_trend_by_type"] = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) - {_OLS_T0} AS x,
+         CAST(round(value * 100.0, 0) AS BIGINT) AS yc
+  FROM events),
+agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(yc AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x * x AS HUGEINT)) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x * yc AS HUGEINT)) AS HUGEINT) AS sxy
+  FROM base GROUP BY 1)
+SELECT event_type, n AS n_events,
+       round(CAST(sy AS DOUBLE) / 100.0 / CAST(n AS DOUBLE), 6) AS mean_value,
+       round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+             * 864.0, 8) AS slope_per_day,
+       round(CAST(sy AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)
+             - CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) / 100.0
+               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         AS intercept_value
+FROM agg ORDER BY event_type
+"""
+
+QUERIES["ols_trend_by_type"] = ols_trend_by_type

@@ -131,3 +131,20 @@ def test_entropy_bounds_and_purity(spark):
         assert 0.0 <= r["type_entropy"] <= round(math.log(5), 6) + 1e-9
         if r["n_distinct_types"] == 1:
             assert r["type_entropy"] == 0.0
+
+
+def test_ols_trend_hand_computed(spark):
+    # y = 2x + 3 exactly (x = seconds past the anchor) → slope
+    # 2 value-units/sec = 172800/day, intercept 3 at the anchor
+    from pyspark.sql import functions as F
+    from luma_etl_data_platform_spark.plans.corpus_analytics import (
+        _OLS_T0, ols_trend)
+    base = spark.createDataFrame([(k,) for k in range(1, 6)], "k long")
+    ev = base.select(
+        F.lit("t").alias("event_type"),
+        F.timestamp_seconds(F.col("k") + F.lit(_OLS_T0)).alias("ts"),
+        (F.col("k") * 2.0 + 3.0).alias("value"))
+    row = ols_trend(ev).collect()[0]
+    assert row["n_events"] == 5
+    assert row["slope_per_day"] == 172800.0
+    assert row["intercept_value"] == 3.0
