@@ -1,0 +1,124 @@
+"""Distributed PCA: top principal component via exact-integer Gram
+aggregation + driver-side power iteration.
+
+The split follows Spark MLlib's own ``computePrincipalComponents``
+shape — the only corpus-sized pass is the d×d Gram aggregation; the
+eigen-solve runs on the driver over a d² table (d = 64 here), which
+is bounded state exactly like a schema-key list or an aggregate
+readback. What MLlib does NOT give you is cross-engine
+reproducibility: its Gram is a float sum (partition-order dependent)
+and its eigensolver is LAPACK. Here every step up to the final
+normalization is EXACT integer arithmetic:
+
+- vectors snap to integer micro-units (the repo's embedding
+  convention, ``floor(x*1e6 + 0.5)``);
+- the uncentered Gram ``G = Σ q qᵀ`` aggregates BIGINT products into
+  DECIMAL(38,0) (order-free); the centered scatter matrix is the
+  exact integer identity ``A = n·G − s sᵀ`` (s = per-dim sums), so no
+  mean-subtraction division ever happens;
+- power iteration runs in arbitrary-precision Python ints with a
+  truncating rescale ``v' = sign(w)·(|w|·1e6 ÷ wmax)`` (integer floor
+  division on non-negative operands — unambiguous in every engine);
+  after K fixed rounds the iterate is a deterministic function of the
+  data, converged or not, which is what an oracle gate needs;
+- only the final loadings/explained-share computation touches IEEE
+  doubles, as a fixed expression tree over exact integers.
+
+Scale shape: the Gram pass emits each row's d² outer product from a
+nested array transform (no self-join, no corpus shuffle) and the
+(i,j)-keyed aggregation collapses map-side to ≤ d² rows per
+partition. Driver state is O(d²) integers.
+
+Reference scope: beyond-reference surface (the reference has no
+linear algebra); mandated by the task brief's embedding family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_M = 10**6  # micro-unit scale for both quantization and the iterate
+
+
+def _quantized(vec_col: str):
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 1000000.0 + F.lit(0.5))
+        .cast("long"))
+
+
+def gram_terms(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """(i, j, g) exact Gram entries ``Σ q_i q_j`` over the corpus,
+    1-indexed dims; one narrow explode pass, one ≤ d²-key shuffle."""
+    vi = _quantized(vec_col)
+    outer = F.flatten(F.transform(
+        vi, lambda x, i: F.transform(
+            vi, lambda y, j: F.struct(
+                (i + 1).alias("i"), (j + 1).alias("j"),
+                (x * y).alias("p")))))
+    return (df.select(F.explode(outer).alias("o"))
+            .select("o.i", "o.j", "o.p")
+            .groupBy("i", "j")
+            .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("g")))
+
+
+def dim_sums(df: DataFrame, vec_col: str) -> DataFrame:
+    """(i, s, n is carried separately) exact per-dimension sums."""
+    vi = _quantized(vec_col)
+    return (df.select(F.posexplode(vi).alias("i0", "q"))
+            .select((F.col("i0") + 1).alias("i"), "q")
+            .groupBy("i")
+            .agg(F.sum(F.col("q").cast("decimal(38,0)")).alias("s")))
+
+
+def _power_iterate(A: list[list[int]], dim: int,
+                   k_iters: int) -> list[int]:
+    v = [_M] * dim
+    for _ in range(k_iters):
+        w = [sum(A[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        wm = max(abs(x) for x in w)
+        if wm == 0:  # zero scatter — degenerate input, keep iterate
+            break
+        v = [(x * _M) // wm if x >= 0 else -((-x * _M) // wm) for x in w]
+    return v
+
+
+def pca_top_component(spark: SparkSession, df: DataFrame, vec_col: str,
+                      dim: int, k_iters: int = 8) -> DataFrame:
+    """Top principal component of the micro-unit-quantized vectors:
+    returns (dim, loading, explained_share) with ``dim`` 0-based,
+    ``loading`` the unit-norm component (sign fixed so the largest-
+    magnitude coordinate is positive; ties → lowest dim), and
+    ``explained_share`` the Rayleigh-quotient estimate λ/trace of the
+    variance share — constant across rows."""
+    g_rows = gram_terms(df, vec_col, dim).collect()
+    s_rows = dim_sums(df, vec_col).collect()
+    n = df.count()
+
+    G = [[0] * dim for _ in range(dim)]
+    for r in g_rows:
+        G[r["i"] - 1][r["j"] - 1] = int(r["g"])
+    s = [0] * dim
+    for r in s_rows:
+        s[r["i"] - 1] = int(r["s"])
+    A = [[n * G[i][j] - s[i] * s[j] for j in range(dim)]
+         for i in range(dim)]
+
+    v = _power_iterate(A, dim, k_iters)
+    w = [sum(A[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+    num = sum(v[i] * w[i] for i in range(dim))          # vᵀAv
+    den = sum(x * x for x in v)                          # vᵀv
+    trace = sum(A[i][i] for i in range(dim))
+    d_sel = min(range(dim), key=lambda d: (-abs(v[d]), d))
+    sgn = 1.0 if v[d_sel] >= 0 else -1.0
+
+    rows = [(i, v[i]) for i in range(dim)]
+    vdf = spark.createDataFrame(rows, "dim int, v long")
+    loading = F.round(F.col("v").cast("double") * F.lit(sgn)
+                      / F.sqrt(F.lit(float(den))), 6)
+    share = F.round(F.lit(float(num))
+                    / (F.lit(float(den)) * F.lit(float(trace))), 8)
+    return (vdf.select("dim", loading.alias("loading"),
+                       share.alias("explained_share"))
+            .orderBy("dim"))

@@ -493,3 +493,76 @@ SELECT source, count(*) AS n_words,
          AS chars_per_token
 FROM j GROUP BY 1 ORDER BY 1
 """)
+
+
+# ---------------------------------------------------------------------------
+# pca_top_component: top principal component of the embedding corpus
+# (operators/pca.py — exact-integer scatter matrix, K-round integer
+# power iteration). The oracle unrolls the identical K rounds over
+# HUGEINT CTEs: same quantization, same A = n·G − s·sᵀ, same
+# truncating rescale, same sign fix — so even this "iterative
+# numerical" operator hash-matches an independent engine.
+# ---------------------------------------------------------------------------
+_PCA_DIM = 64
+_PCA_ITERS = 8
+
+
+@_q("pca_top_component")
+def pca_top_component_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pca import pca_top_component
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_top_component(spark, emb, "embedding", _PCA_DIM,
+                             k_iters=_PCA_ITERS)
+
+
+def _pca_oracle(dim: int, iters: int) -> str:
+    sql = f"""WITH e2 AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS vi
+  FROM embeddings),
+dd AS MATERIALIZED (SELECT vec_id, i, vi[i] AS q
+       FROM e2, unnest(generate_series(1, {dim})) t(i)),
+g AS MATERIALIZED (SELECT a.i, b.i AS j,
+       CAST(sum(a.q * b.q) AS HUGEINT) AS gij
+     FROM dd a JOIN dd b USING (vec_id) GROUP BY 1, 2),
+s AS MATERIALIZED (SELECT i, CAST(sum(q) AS HUGEINT) AS si
+     FROM dd GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM e2),
+a AS MATERIALIZED (SELECT g.i, g.j,
+       CAST((SELECT n FROM nn) AS HUGEINT) * gij - sa.si * sb.si AS aij
+     FROM g JOIN s sa ON g.i = sa.i JOIN s sb ON g.j = sb.i),
+v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS x
+       FROM unnest(generate_series(1, {dim})) t(i))"""
+    prev = "v0"
+    for k in range(1, iters + 1):
+        sql += f""",
+w{k} AS MATERIALIZED (SELECT a.i, CAST(sum(aij * {prev}.x) AS HUGEINT) AS w
+      FROM a JOIN {prev} ON a.j = {prev}.i GROUP BY 1),
+m{k} AS (SELECT max(abs(w)) AS wm FROM w{k}),
+v{k} AS MATERIALIZED (SELECT i,
+        CASE WHEN w >= 0 THEN (w * 1000000) // (SELECT wm FROM m{k})
+             ELSE -(((0 - w) * 1000000) // (SELECT wm FROM m{k})) END AS x
+      FROM w{k})"""
+        prev = f"v{k}"
+    sql += f""",
+wf AS MATERIALIZED (SELECT a.i, CAST(sum(aij * {prev}.x) AS HUGEINT) AS w
+     FROM a JOIN {prev} ON a.j = {prev}.i GROUP BY 1),
+den AS (SELECT CAST(sum(x * x) AS HUGEINT) AS den FROM {prev}),
+num AS (SELECT CAST(sum({prev}.x * wf.w) AS HUGEINT) AS num
+        FROM {prev} JOIN wf ON {prev}.i = wf.i),
+tr AS (SELECT CAST(sum(aij) AS HUGEINT) AS tr FROM a WHERE i = j),
+sgn AS (SELECT CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END AS sg
+        FROM {prev} ORDER BY abs(x) DESC, i LIMIT 1)
+SELECT i - 1 AS dim,
+       round(CAST(x AS DOUBLE) * (SELECT sg FROM sgn)
+             / sqrt(CAST((SELECT den FROM den) AS DOUBLE)), 6) AS loading,
+       round(CAST((SELECT num FROM num) AS DOUBLE)
+             / (CAST((SELECT den FROM den) AS DOUBLE)
+                * CAST((SELECT tr FROM tr) AS DOUBLE)), 8)
+         AS explained_share
+FROM {prev} ORDER BY dim"""
+    return sql
+
+
+ORACLE["pca_top_component"] = _pca_oracle(_PCA_DIM, _PCA_ITERS)

@@ -187,3 +187,47 @@ def test_bpe_encode_stats_hand_computed(spark):
     total_chars = (words.join(seg, "word")
                    .agg(F.sum(F.length("word"))).collect()[0][0])
     assert total_chars == 8  # 2 docs x 2 words x 2 chars
+
+
+def test_pca_two_point_direction(spark):
+    # two points: component must align with their difference (0.5, 3)
+    from luma_etl_data_platform_spark.operators.pca import pca_top_component
+    df = spark.createDataFrame([([1.0, 2.0],), ([0.5, -1.0],)],
+                               "embedding array<double>")
+    rows = {r["dim"]: r for r in
+            pca_top_component(spark, df, "embedding", 2).collect()}
+    import math
+    exp = (0.5 / math.hypot(0.5, 3.0), 3.0 / math.hypot(0.5, 3.0))
+    assert abs(rows[0]["loading"] - exp[0]) < 1e-4
+    assert abs(rows[1]["loading"] - exp[1]) < 1e-4
+    # rank-1 scatter → the top component explains everything
+    assert abs(rows[0]["explained_share"] - 1.0) < 1e-6
+
+
+def test_pca_partitioning_invariant(spark):
+    from luma_etl_data_platform_spark.operators.pca import pca_top_component
+    import random
+    rng = random.Random(7)
+    data = [([rng.uniform(-1, 1) for _ in range(8)],) for _ in range(200)]
+    df = spark.createDataFrame(data, "embedding array<double>")
+    a = pca_top_component(spark, df.coalesce(1), "embedding", 8).collect()
+    b = pca_top_component(spark, df.repartition(16), "embedding", 8).collect()
+    assert a == b
+
+
+def test_pca_sign_convention(spark):
+    # flipping every vector must leave the component unchanged (sign
+    # is fixed from the iterate, not the data orientation)
+    from pyspark.sql import functions as F
+    from luma_etl_data_platform_spark.operators.pca import pca_top_component
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 0.25],), ([0.5, -1.0, 0.75],), ([0.1, 0.9, -0.3],)],
+        "embedding array<double>")
+    neg = df.select(F.transform("embedding", lambda x: -x).alias("embedding"))
+    a = pca_top_component(spark, df, "embedding", 3).collect()
+    b = pca_top_component(spark, neg, "embedding", 3).collect()
+    la = [r["loading"] for r in a]
+    lb = [r["loading"] for r in b]
+    assert la == lb or la == [-x for x in lb]
+    big = max(la, key=abs)
+    assert big >= 0
