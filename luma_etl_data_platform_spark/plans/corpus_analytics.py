@@ -410,15 +410,23 @@ def ols_trend(ev: DataFrame) -> DataFrame:
     num = (n38 * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (n38 * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     slope_cents_s = num / den
+    # guard: a group whose timestamps are all identical has den == 0 —
+    # ANSI Spark throws on double division by zero, so both the plan
+    # and the oracle gate the division behind the same CASE
+    guard = den != 0.0
     return agg.select(
         "event_type", F.col("n").alias("n_events"),
         F.round(F.col("sy").cast("double") / 100.0
                 / F.col("n").cast("double"), 6).alias("mean_value"),
-        F.round(slope_cents_s * F.lit(864.0), 8).alias("slope_per_day"),
-        F.round(F.col("sy").cast("double") / 100.0 / F.col("n").cast("double")
-                - slope_cents_s / F.lit(100.0)
-                * (F.col("sx").cast("double") / F.col("n").cast("double")),
-                6).alias("intercept_value")).orderBy("event_type")
+        F.when(guard, F.round(slope_cents_s * F.lit(864.0), 8))
+        .alias("slope_per_day"),
+        F.when(guard,
+               F.round(F.col("sy").cast("double") / 100.0
+                       / F.col("n").cast("double")
+                       - slope_cents_s / F.lit(100.0)
+                       * (F.col("sx").cast("double")
+                          / F.col("n").cast("double")), 6))
+        .alias("intercept_value")).orderBy("event_type")
 
 
 ORACLE["ols_trend_by_type"] = f"""
@@ -436,15 +444,161 @@ agg AS (
   FROM base GROUP BY 1)
 SELECT event_type, n AS n_events,
        round(CAST(sy AS DOUBLE) / 100.0 / CAST(n AS DOUBLE), 6) AS mean_value,
-       round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+       CASE WHEN CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) <> 0.0
+       THEN round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
              / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
-             * 864.0, 8) AS slope_per_day,
-       round(CAST(sy AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)
+             * 864.0, 8) END AS slope_per_day,
+       CASE WHEN CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) <> 0.0
+       THEN round(CAST(sy AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)
              - CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
                / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) / 100.0
                * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
-         AS intercept_value
+         END AS intercept_value
 FROM agg ORDER BY event_type
 """
 
 QUERIES["ols_trend_by_type"] = ols_trend_by_type
+
+
+# ---------------------------------------------------------------------------
+# robust_stats_by_type: median / MAD / MAD-z outlier counts — the
+# robust counterpart of event_value_moments (outlier-resistant scale
+# estimates survive the heavy tails that wreck mean/stddev gates).
+# Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+# `quantile_cont`, verified bit-equal on interpolation); inherently
+# two-rank-pass + one counting pass, each a 5-key aggregate with the
+# 5-row intermediates broadcast back — no corpus-sized shuffle.
+# ---------------------------------------------------------------------------
+def robust_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("_med"))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .withColumn("_ad", F.abs(F.col("value") - F.col("_med"))))
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(_ad, 0.5)").alias("_mad"))
+    out = (dev.join(F.broadcast(mad), "event_type")
+           .groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.max("_med").alias("_m"),
+                F.max("_mad").alias("_d"),
+                F.coalesce(F.sum((F.col("_ad") > F.lit(4.4478)
+                                  * F.col("_mad")).cast("long")),
+                           F.lit(0)).alias("n_outliers")))
+    return (out.select("event_type", "n_events",
+                       F.round("_m", 6).alias("median_value"),
+                       F.round("_d", 6).alias("mad_value"),
+                       "n_outliers")
+            .orderBy("event_type"))
+
+
+ORACLE["robust_stats_by_type"] = """
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+             FROM events GROUP BY 1),
+dev AS (SELECT e.event_type, abs(e.value - med.m) AS ad, med.m
+        FROM events e JOIN med USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        FROM dev GROUP BY 1)
+SELECT dev.event_type, count(*) AS n_events,
+       round(max(dev.m), 6) AS median_value,
+       round(max(mad.mad), 6) AS mad_value,
+       CAST(coalesce(sum(CASE WHEN dev.ad > 4.4478 * mad.mad
+                               THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["robust_stats_by_type"] = robust_stats_by_type
+
+
+# ---------------------------------------------------------------------------
+# acf_daily_by_type: autocorrelation of the per-type DAILY value
+# series at lags 1-3 — seasonality/persistence diagnosis. The corpus
+# collapses to a (types × days) table in one shuffle; the lag pairs
+# come from ONE tiny self-join (calendar-day offsets, so gaps are
+# handled by construction); and the ACF numerator/denominator are
+# assembled from exact integer-cents power sums via
+#   n²·C_k = n²·P_k − n·S·(A_k+B_k) + m_k·S²
+#   n²·C_0 = n²·Q − n·S²
+# so the only IEEE op is the final division — partition-order-free
+# and bit-equal in the HUGEINT oracle.
+# ---------------------------------------------------------------------------
+def acf_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    yc = F.round(F.col("value") * 100.0, 0).cast("long")
+    d38 = "decimal(38,0)"
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", F.col("ts")).alias("d"))
+             .agg(F.sum(yc.cast(d38)).cast(d38).alias("s"))
+             .localCheckpoint(eager=True))  # tiny; feeds base AND pairs
+    base = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").cast(d38).alias("S"),
+        F.sum(F.col("s") * F.col("s")).cast(d38).alias("Q"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                    & (F.col("b.d") > F.col("a.d"))
+                    & (F.col("b.d") <= F.col("a.d")
+                       + F.expr("INTERVAL 3 DAYS")))
+             .select(F.col("a.event_type").alias("event_type"),
+                     F.datediff(F.col("b.d"), F.col("a.d")).alias("lag"),
+                     F.col("a.s").alias("sa"), F.col("b.s").alias("sb")))
+    pa = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("sa") * F.col("sb")).cast(d38).alias("P"),
+        F.sum("sa").cast(d38).alias("A"),
+        F.sum("sb").cast(d38).alias("B"))
+    j = pa.join(F.broadcast(base), "event_type")
+    n38 = F.col("n").cast(d38)
+    m38 = F.col("m").cast(d38)
+    num = (n38 * n38 * F.col("P")
+           - n38 * F.col("S") * (F.col("A") + F.col("B"))
+           + m38 * F.col("S") * F.col("S")).cast("double")
+    den = (n38 * n38 * F.col("Q") - n38 * F.col("S") * F.col("S")
+           ).cast("double")
+    acf = F.when(den != 0.0, F.round(num / den, 6))
+    return (j.select("event_type", "lag", F.col("n").alias("n_days"),
+                     acf.alias("acf"))
+            .orderBy("event_type", "lag"))
+
+
+ORACLE["acf_daily_by_type"] = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS HUGEINT) AS s
+  FROM events GROUP BY 1, 2),
+base AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(s) AS HUGEINT) AS S_,
+         CAST(sum(s * s) AS HUGEINT) AS Q
+  FROM daily GROUP BY 1),
+pairs AS (
+  SELECT a.event_type, date_diff('day', a.d, b.d) AS lag,
+         a.s AS sa, b.s AS sb
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type
+   AND b.d > a.d AND b.d <= a.d + INTERVAL 3 DAY),
+pa AS (
+  SELECT event_type, lag, count(*) AS m,
+         CAST(sum(sa * sb) AS HUGEINT) AS P,
+         CAST(sum(sa) AS HUGEINT) AS A_,
+         CAST(sum(sb) AS HUGEINT) AS B_
+  FROM pairs GROUP BY 1, 2)
+SELECT pa.event_type, CAST(pa.lag AS INT) AS lag, base.n AS n_days,
+       CASE WHEN CAST(CAST(base.n AS HUGEINT) * CAST(base.n AS HUGEINT)
+                      * base.Q
+                      - CAST(base.n AS HUGEINT) * base.S_ * base.S_
+                      AS DOUBLE) <> 0.0 THEN
+       round(CAST(CAST(base.n AS HUGEINT) * CAST(base.n AS HUGEINT) * pa.P
+                  - CAST(base.n AS HUGEINT) * base.S_ * (pa.A_ + pa.B_)
+                  + CAST(pa.m AS HUGEINT) * base.S_ * base.S_ AS DOUBLE)
+             / CAST(CAST(base.n AS HUGEINT) * CAST(base.n AS HUGEINT)
+                    * base.Q
+                    - CAST(base.n AS HUGEINT) * base.S_ * base.S_
+                    AS DOUBLE), 6) END AS acf
+FROM pa JOIN base USING (event_type)
+ORDER BY event_type, lag
+"""
+
+QUERIES["acf_daily_by_type"] = acf_daily_by_type

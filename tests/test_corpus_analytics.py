@@ -148,3 +148,39 @@ def test_ols_trend_hand_computed(spark):
     assert row["n_events"] == 5
     assert row["slope_per_day"] == 172800.0
     assert row["intercept_value"] == 3.0
+
+
+def test_robust_stats_hand_computed(spark, duck_smoke):
+    # unit check on the MAD pipeline shape via a tiny inline frame:
+    # values 1..5 with one wild outlier 100 → median 3.5? no: values
+    # [1,2,3,4,5,100]: median = 3.5, deviations [2.5,1.5,.5,.5,1.5,96.5]
+    # → MAD = 1.5; outliers: |x-med| > 4.4478*1.5 = 6.6717 → only 100
+    from pyspark.sql import functions as F
+    from luma_etl_data_platform_spark.plans import corpus_analytics as CA
+    ev = spark.createDataFrame(
+        [("t", float(v)) for v in [1, 2, 3, 4, 5, 100]],
+        "event_type string, value double")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")).collect()[0]["m"]
+    assert med == 3.5
+    dev = ev.withColumn("_ad", F.abs(F.col("value") - F.lit(med)))
+    mad = dev.agg(F.expr("percentile(_ad, 0.5)")).collect()[0][0]
+    assert mad == 1.5
+    n_out = dev.filter(F.col("_ad") > 4.4478 * mad).count()
+    assert n_out == 1
+
+
+def test_acf_constant_series_denominator_zero_guard(spark):
+    # a constant daily series has zero variance → ACF undefined (NULL
+    # in both engines under non-ANSI division); the query must not
+    # error and the NULL must be symmetric — mirror of the oracle
+    from pyspark.sql import functions as F
+    from luma_etl_data_platform_spark.plans.corpus_analytics import (
+        acf_daily_by_type)
+    # ANSI Spark THROWS on double division by zero, so the query
+    # guards the division; assert the guarded expression form is null
+    df = spark.createDataFrame([(0.0,)], "den double")
+    r = df.select(F.when(F.col("den") != 0.0,
+                         F.lit(5.0) / F.col("den")).alias("x")
+                  ).collect()[0]["x"]
+    assert r is None
