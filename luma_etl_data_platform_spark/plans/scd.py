@@ -226,5 +226,83 @@ SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, seq
 FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 
+
+# ---------------------------------------------------------------------------
+# scd2_point_in_time_join: the consumption side of SCD2 — join facts
+# to the dimension version that was ACTIVE at fact time (temporal /
+# AS OF join). History derived with scd2_merge mid-way through the
+# event window (balances bump for c_custkey % 7 == 0 at 2024-01-15),
+# so events genuinely split across versions. Plan: the history is
+# dimension-sized → broadcast; the range predicate (ts ∈
+# [valid_from, valid_to)) runs as a broadcast join with no shuffle of
+# the fact side — the right 100-TB shape for fact-to-versioned-dim
+# lookups. Money totals in exact DECIMAL.
+# ---------------------------------------------------------------------------
+_PIT_FROM = "2024-01-01 00:00:00"
+_PIT_TS = "2024-01-15 00:00:00"
+
+
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+    cust = load_table(spark, sf_dir, "customer")
+    cur = cust.select(
+        "c_custkey", "c_name", "c_acctbal",
+        F.lit(_PIT_FROM).cast("timestamp").alias("valid_from"),
+        F.lit(OPEN_TS).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"))
+    src = cust.select(
+        "c_custkey", "c_name",
+        F.when(F.col("c_custkey") % 7 == 0,
+               F.round(F.col("c_acctbal") + F.lit(100.0), 2))
+        .otherwise(F.col("c_acctbal")).alias("c_acctbal"))
+    hist = scd2_merge(cur, None, src, "c_custkey", ["c_name", "c_acctbal"],
+                      _PIT_TS)
+    ev = load_table(spark, sf_dir, "events")
+    j = ev.join(
+        F.broadcast(hist),
+        (ev["user_id"] == hist["c_custkey"])
+        & (ev["ts"] >= hist["valid_from"]) & (ev["ts"] < hist["valid_to"]))
+    return (j.groupBy(F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss")
+                      .alias("version_from"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                         .cast("decimal(38,6)"), 2).cast("double")
+                 .alias("balance_total"))
+            .orderBy("version_from"))
+
+
+ORACLE["scd2_point_in_time_join"] = """
+WITH src AS (SELECT c_custkey, c_name,
+                    CASE WHEN c_custkey % 7 = 0
+                         THEN round(c_acctbal + 100.0, 2)
+                         ELSE c_acctbal END AS c_acctbal
+             FROM customer),
+-- history: unchanged keys keep one open row from 2024-01-01; changed
+-- keys (%7=0) get a closed row + a new open row from 2024-01-15
+hist AS (
+  SELECT c_custkey, c_acctbal,
+         TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+         CASE WHEN c_custkey % 7 = 0
+              THEN TIMESTAMP '2024-01-15 00:00:00'
+              ELSE TIMESTAMP '9999-12-31 00:00:00' END AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_acctbal,
+         TIMESTAMP '2024-01-15 00:00:00' AS valid_from,
+         TIMESTAMP '9999-12-31 00:00:00' AS valid_to
+  FROM src WHERE c_custkey % 7 = 0)
+SELECT strftime(h.valid_from, '%Y-%m-%d %H:%M:%S') AS version_from,
+       count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users,
+       CAST(round(CAST(sum(CAST(h.c_acctbal AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6)), 2) AS DOUBLE) AS balance_total
+FROM events e JOIN hist h
+  ON e.user_id = h.c_custkey
+ AND e.ts >= h.valid_from AND e.ts < h.valid_to
+GROUP BY 1 ORDER BY 1
+"""
+
 QUERIES = {"scd2_customer_history": scd2_customer_history,
-           "cdc_orders_state": cdc_orders_state}
+           "cdc_orders_state": cdc_orders_state,
+           "scd2_point_in_time_join": scd2_point_in_time_join}
