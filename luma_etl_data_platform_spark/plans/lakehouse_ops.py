@@ -321,10 +321,64 @@ FROM s2 GROUP BY 1 ORDER BY 1
 """
 
 
+def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) locality audit under the gate: quantize
+    (o_custkey, o_orderkey) to 16-bit grid coordinates (min/max
+    linear scaling — exact integer arithmetic), interleave bits
+    (`operators/layout.morton_key`), and roll up by the top-3-bit
+    z-prefix — the quadtree cells a z-clustered layout writes as
+    files. Each cell's min/max span in BOTH dimensions is what file
+    stats would store, i.e. the pruning leverage a predicate on
+    EITHER column gets. The oracle states the identical 16-term
+    interleave; physical file narrowing is asserted structurally in
+    tests/test_layout.py."""
+    from ..operators.layout import morton_key
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.agg(F.min("o_custkey").alias("minc"),
+                   F.max("o_custkey").alias("maxc"),
+                   F.min("o_orderkey").alias("mink"),
+                   F.max("o_orderkey").alias("maxk"))
+    q = (orders.crossJoin(F.broadcast(b))
+         .select(
+             "o_custkey", "o_orderkey",
+             F.expr("((o_custkey - minc) * 65535) div (maxc - minc)")
+             .alias("q1"),
+             F.expr("((o_orderkey - mink) * 65535) div (maxk - mink)")
+             .alias("q2")))
+    z = morton_key(F.col("q1"), F.col("q2"), bits=16)
+    return (q.withColumn("zcell", F.shiftright(z, 29))
+            .groupBy("zcell")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("o_custkey").alias("min_custkey"),
+                 F.max("o_custkey").alias("max_custkey"),
+                 F.min("o_orderkey").alias("min_orderkey"),
+                 F.max("o_orderkey").alias("max_orderkey"))
+            .orderBy("zcell"))
+
+
+ORACLE["zorder_locality_stats"] = """
+WITH b AS (SELECT min(o_custkey) AS minc, max(o_custkey) AS maxc,
+                  min(o_orderkey) AS mink, max(o_orderkey) AS maxk
+           FROM orders),
+q AS (SELECT o_custkey, o_orderkey,
+             ((o_custkey - minc) * 65535) // (maxc - minc) AS q1,
+             ((o_orderkey - mink) * 65535) // (maxk - mink) AS q2
+      FROM orders CROSS JOIN b),
+z AS (SELECT o_custkey, o_orderkey,
+             ((((q1 >> 0) & 1) * 1 + ((q2 >> 0) & 1) * 2) + (((q1 >> 1) & 1) * 4 + ((q2 >> 1) & 1) * 8) + (((q1 >> 2) & 1) * 16 + ((q2 >> 2) & 1) * 32) + (((q1 >> 3) & 1) * 64 + ((q2 >> 3) & 1) * 128) + (((q1 >> 4) & 1) * 256 + ((q2 >> 4) & 1) * 512) + (((q1 >> 5) & 1) * 1024 + ((q2 >> 5) & 1) * 2048) + (((q1 >> 6) & 1) * 4096 + ((q2 >> 6) & 1) * 8192) + (((q1 >> 7) & 1) * 16384 + ((q2 >> 7) & 1) * 32768) + (((q1 >> 8) & 1) * 65536 + ((q2 >> 8) & 1) * 131072) + (((q1 >> 9) & 1) * 262144 + ((q2 >> 9) & 1) * 524288) + (((q1 >> 10) & 1) * 1048576 + ((q2 >> 10) & 1) * 2097152) + (((q1 >> 11) & 1) * 4194304 + ((q2 >> 11) & 1) * 8388608) + (((q1 >> 12) & 1) * 16777216 + ((q2 >> 12) & 1) * 33554432) + (((q1 >> 13) & 1) * 67108864 + ((q2 >> 13) & 1) * 134217728) + (((q1 >> 14) & 1) * 268435456 + ((q2 >> 14) & 1) * 536870912) + (((q1 >> 15) & 1) * 1073741824 + ((q2 >> 15) & 1) * 2147483648)) AS zkey
+      FROM q)
+SELECT zkey >> 29 AS zcell, count(*) AS n_orders,
+       min(o_custkey) AS min_custkey, max(o_custkey) AS max_custkey,
+       min(o_orderkey) AS min_orderkey, max(o_orderkey) AS max_orderkey
+FROM z GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "lakehouse_time_travel": lakehouse_time_travel,
     "lakehouse_compaction": lakehouse_compaction,
     "lakehouse_change_feed": lakehouse_change_feed,
     "lakehouse_incremental_mv": lakehouse_incremental_mv,
+    "zorder_locality_stats": zorder_locality_stats,
 }
