@@ -3,13 +3,20 @@ columns with typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
 The Spark-side plumbing is real — binary columns, explicit output
-schemas, Arrow batch iteration, partition-parallel decode — while the
-actual media decoding is STUBBED: the container has no image/audio
-libraries, so ``decode_image_meta`` derives deterministic fake
-dimensions from the content digest, and the resize/real-decode paths
-raise ``NotImplementedError`` unless PIL/soundfile are importable
-(import-try gated). Swap ``_fake_dims`` for a real decoder and
-nothing else changes.
+schemas, Arrow batch iteration, partition-parallel decode — and the
+decode story splits by format class:
+
+- **fixed-layout formats are REALLY decoded**: P6 PPM images
+  (``decode_ppm_stats`` — header parse, pixel reshape, channel
+  stats), raw grayscale bitmaps (``resize_raw_gray`` — true
+  nearest-neighbor resample), byte-sample audio
+  (``extract_audio_features``);
+- **entropy-coded codecs (JPEG/PNG) stay PIL-gated**: the container
+  has no image libraries, so ``resize_images`` raises
+  ``NotImplementedError`` behind an import-try, and
+  ``decode_image_meta`` derives deterministic digest dims for
+  unknown blob formats. Swap ``_fake_dims`` for a PIL open and
+  nothing else changes.
 
 Scale: mapInPandas streams Arrow batches (bounded by
 spark.sql.execution.arrow.maxRecordsPerBatch) so executor memory is
@@ -204,3 +211,99 @@ def extract_audio_features(df: DataFrame, content_col: str = "content",
                                "rms", "n_sign_changes"])
 
     return spread(df).mapInPandas(batches, AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode: PPM (P6) — a complete decoder needs no codec
+# library (header: "P6\n<w> <h>\n<maxval>\n", then w*h*3 RGB bytes),
+# so this path actually parses and decodes, unlike the PIL-gated
+# resize_images. JPEG/PNG stay behind the PIL import-try — entropy
+# coding is a genuine library dependency; fixed-layout formats are
+# not.
+# ---------------------------------------------------------------------------
+
+PPM_STATS_SCHEMA = ("doc_id long, width int, height int, n_pixels long, "
+                    "mean_r double, mean_g double, mean_b double")
+
+
+def make_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Serialize a P6 PPM blob (pixels cycled/truncated to w*h*3)."""
+    need = width * height * 3
+    if len(pixels) == 0:
+        pixels = b"\x00"
+    body = (pixels * (need // len(pixels) + 1))[:need]
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + body
+
+
+def attach_demo_ppm(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Demo PPM corpus: per doc, a REAL P6 image whose dimensions
+    derive from the row (w = 4 + doc_id % 5, h = 3 + length % 4) and
+    whose pixel bytes cycle the document's utf-8 text — fully
+    deterministic, so an oracle can replay the expected channel
+    statistics from the relational columns alone."""
+    from ..core.partitioning import spread as _spread
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                raw = str(text).encode("utf-8")
+                w = 4 + int(did) % 5
+                h = 3 + len(raw) % 4
+                ids.append(int(did))
+                blobs.append(make_ppm(w, h, raw))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "content": blobs,
+                "media_type": pd.Series(["image/x-portable-pixmap"]
+                                        * len(ids)),
+            })
+
+    return _spread(df.select(id_col, text_col)).mapInPandas(
+        batches, "doc_id long, content binary, media_type string")
+
+
+def decode_ppm_stats(df: DataFrame, content_col: str = "content",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Decode P6 blobs: parse the header (magic, dimensions, maxval),
+    reshape the payload to (h, w, 3), and emit per-channel means —
+    the real decode path of the multimodal family. Malformed or
+    non-P6 blobs are dropped (dead-letter semantics belong to the
+    caller). Channel sums are exact int64; the one division per
+    channel rounds half-away (both engines' round())."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(blob)
+                if not blob.startswith(b"P6"):
+                    continue
+                # header = 3 whitespace-separated tokens after magic
+                parts = blob.split(b"\n", 3)
+                if len(parts) < 4:
+                    continue
+                try:
+                    w, h = (int(t) for t in parts[1].split())
+                    maxval = int(parts[2])
+                except ValueError:
+                    continue
+                if maxval != 255 or w <= 0 or h <= 0:
+                    continue
+                body = parts[3][:w * h * 3]
+                if len(body) < w * h * 3:
+                    continue
+                img = np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+                sums = img.astype(np.int64).sum(axis=(0, 1))
+                n = w * h
+                rows.append((int(did), w, h, n,
+                             _round_away(float(sums[0]) / n, 4),
+                             _round_away(float(sums[1]) / n, 4),
+                             _round_away(float(sums[2]) / n, 4)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_pixels",
+                               "mean_r", "mean_g", "mean_b"])
+
+    return spread(df).mapInPandas(batches, PPM_STATS_SCHEMA)

@@ -667,6 +667,42 @@ FROM orders GROUP BY 1 ORDER BY 1
 """
 
 
+# multimodal PPM: a REAL image decode under the gate — the blobs are
+# genuine P6 PPM files (header + RGB payload) built deterministically
+# from each document, and decode_ppm_stats actually parses the
+# header and reshapes the pixel array. The oracle replays the
+# construction relationally: pixel p cycles the text bytes
+# (ascii(substr(text, p % L + 1))), channel = p % 3.
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_demo_ppm(docs)
+    return MM.decode_ppm_stats(media).orderBy("doc_id")
+
+
+ORACLE["multimodal_ppm_decode"] = """
+WITH d AS (SELECT doc_id, text, length(text) AS L,
+                  4 + doc_id % 5 AS w,
+                  3 + length(text) % 4 AS h
+           FROM documents),
+px AS (SELECT doc_id, w, h, p % 3 AS ch,
+              ascii(substr(text, CAST(p % L AS INT) + 1, 1)) AS b
+       FROM d, unnest(generate_series(0, 3 * w * h - 1)) t(p)),
+agg AS (SELECT doc_id, w, h, ch, CAST(sum(b) AS BIGINT) AS s
+        FROM px GROUP BY 1, 2, 3, 4),
+a2 AS (SELECT doc_id, w, h,
+              round(CAST(max(CASE WHEN ch = 0 THEN s END) AS DOUBLE)
+                    / (w * h), 4) AS mean_r,
+              round(CAST(max(CASE WHEN ch = 1 THEN s END) AS DOUBLE)
+                    / (w * h), 4) AS mean_g,
+              round(CAST(max(CASE WHEN ch = 2 THEN s END) AS DOUBLE)
+                    / (w * h), 4) AS mean_b
+       FROM agg GROUP BY 1, 2, 3)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels, mean_r, mean_g, mean_b
+FROM a2 ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "revenue_cube": revenue_cube,
     "config_lookup_enrichment": config_lookup_enrichment,
@@ -685,6 +721,7 @@ QUERIES = {
     "part_string_functions": part_string_functions,
     "quantity_price_corr": quantity_price_corr,
     "multimodal_image_meta": multimodal_image_meta,
+    "multimodal_ppm_decode": multimodal_ppm_decode,
     "multimodal_frame_stats": multimodal_frame_stats,
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_resize_checksum": multimodal_resize_checksum,

@@ -72,3 +72,38 @@ def test_split_empty_frame(spark):
     df = _empty_docs(spark)
     train, test = train_test_split(df, "doc_id", 0.5)
     assert train.count() == 0 and test.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# PPM decode (real image decode path)
+# ---------------------------------------------------------------------------
+
+def test_ppm_roundtrip_decode(spark):
+    from luma_etl_data_platform_spark.operators import multimodal as MM
+    blob = MM.make_ppm(2, 2, bytes([10, 20, 30] * 4))
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "doc_id long, content binary")
+    row = MM.decode_ppm_stats(df).collect()[0]
+    assert (row["width"], row["height"], row["n_pixels"]) == (2, 2, 4)
+    assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (10.0, 20.0, 30.0)
+
+
+def test_ppm_malformed_blobs_dropped(spark):
+    from luma_etl_data_platform_spark.operators import multimodal as MM
+    good = MM.make_ppm(3, 1, bytes(range(9)))
+    bad_magic = b"P5\n3 1\n255\n" + bytes(9)
+    truncated = MM.make_ppm(4, 4, bytes(10))[:-5]
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad_magic)),
+         (3, bytearray(truncated))],
+        "doc_id long, content binary")
+    rows = MM.decode_ppm_stats(df).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_ppm_pixel_cycling(spark):
+    from luma_etl_data_platform_spark.operators import multimodal as MM
+    # 1x2 image needs 6 bytes from a 4-byte source: cycles 0123 01
+    blob = MM.make_ppm(2, 1, bytes([0, 1, 2, 3]))
+    body = blob.split(b"\n", 3)[3]
+    assert body == bytes([0, 1, 2, 3, 0, 1])
