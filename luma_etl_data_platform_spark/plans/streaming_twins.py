@@ -357,7 +357,74 @@ QUALIFY row_number() OVER (PARTITION BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# stream_hll_distinct: sketch maintenance as a STREAM — each
+# micro-batch appends its own per-type HLL register file (bounded:
+# ≤ types×256 rows per batch), and the standing estimate is the
+# register-wise max over everything appended so far. Register merge
+# is idempotent, associative and commutative, so the result is
+# micro-batch-invariant BY CONSTRUCTION — the batch twin predicts it
+# exactly. This is the 100-TB distinct-count monitor: per-batch
+# sketch state in KBs, no raw re-scan, estimates on demand.
+# ---------------------------------------------------------------------------
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_estimate, hll_merge, hll_sketch
+    tmp = tempfile.mkdtemp(prefix="luma_stream_hll_")
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    _stage(ev, f"{tmp}/src")
+    out = f"{tmp}/regs"
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        hll_sketch(batch_df, "event_type", "user_id") \
+            .write.mode("append").parquet(out)
+
+    q = (_read_stream(spark, f"{tmp}/src").writeStream
+         .foreachBatch(_sink)
+         .option("checkpointLocation", f"{tmp}/ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+
+    regs = spark.read.parquet(out)
+    merged = hll_merge(regs, group_col="event_type")
+    res = (hll_estimate(merged, "event_type")
+           .orderBy("event_type")
+           .localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return res
+
+
+ORACLE["stream_hll_distinct"] = """
+WITH r AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)), 1, 2)
+              AS BIGINT) AS bucket,
+         regexp_replace(substr(md5('0:' || CAST(user_id AS VARCHAR)), 3, 13),
+                        '^0*', '') AS t
+  FROM events),
+rho AS (SELECT event_type, bucket,
+               CASE WHEN t = '' THEN 53
+                    ELSE (13 - length(t)) * 4 +
+                         CASE WHEN substr(t, 1, 1) = '1' THEN 3
+                              WHEN substr(t, 1, 1) IN ('2','3') THEN 2
+                              WHEN substr(t, 1, 1) IN ('4','5','6','7') THEN 1
+                              ELSE 0 END + 1 END AS rho
+        FROM r),
+regs AS (SELECT event_type, bucket, max(rho) AS reg FROM rho GROUP BY 1, 2),
+agg AS (SELECT event_type,
+               sum(CAST(1 AS BIGINT) << (53 - reg)) AS s_present,
+               count(*) AS nb
+        FROM regs GROUP BY 1)
+SELECT event_type, CAST(256 - nb AS BIGINT) AS n_zero_regs,
+       round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+             * 9007199254740992.0
+             / CAST(s_present + CAST(256 - nb AS BIGINT) * 9007199254740992
+                    AS DOUBLE), 4) AS est_distinct
+FROM agg ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "stream_hll_distinct": stream_hll_distinct,
     "stream_lakehouse_upsert": stream_lakehouse_upsert,
     "stream_rollup_hourly": stream_rollup_hourly,
     "stream_user_totals": stream_user_totals,

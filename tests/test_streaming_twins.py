@@ -30,3 +30,18 @@ def test_stream_ingest_dedup_exactly_once_after_redelivery(spark):
     # the twin itself redelivers the entire input through a second
     # stream run: a ledger regression double-loads and hash-mismatches
     _check(spark, "stream_ingest_dedup")
+
+
+def test_stream_hll_register_merge_is_batch_invariant(spark):
+    # registers appended per micro-batch then max-merged must equal
+    # the single-shot sketch of the full data — regardless of split
+    from pyspark.sql import functions as F
+    from luma_etl_data_platform_spark.operators.sketches import (
+        hll_merge, hll_sketch)
+    df = spark.createDataFrame(
+        [("t", i % 700) for i in range(4000)], "g string, v long")
+    full = hll_sketch(df, "g", "v")
+    parts = [df.filter(F.col("v") % 3 == k) for k in range(3)]
+    merged = hll_merge(*[hll_sketch(p, "g", "v") for p in parts],
+                       group_col="g")
+    assert sorted(full.collect()) == sorted(merged.collect())
