@@ -174,3 +174,28 @@ def expectations_report(df: DataFrame, checks: dict[str, F.Column]) -> DataFrame
     pairs = ", ".join(f"'{n}', `{n}`" for n in checks)
     return wide.selectExpr(
         f"stack({len(checks)}, {pairs}) AS (check_name, n_violations)")
+
+
+def enforce_expectations(df: DataFrame,
+                         checks: dict[str, F.Column]) -> tuple[DataFrame, DataFrame]:
+    """Constraint ENFORCEMENT (the write-path counterpart of
+    :func:`expectations_report`, i.e. Delta-style CHECK constraints
+    with dead-letter routing instead of job failure): returns
+    ``(clean, rejects)`` where ``rejects`` carries a sorted
+    ``_violations`` array naming every failed rule.
+
+    One narrow map computes all predicates once into a single array
+    column; both outputs are filters over it — Spark evaluates the
+    shared subexpression per row, no second scan, no shuffle. The
+    reference's loader silently repaired or dropped bad values
+    (lambda_function.py:183-199); this makes the routing explicit and
+    auditable."""
+    if not checks:
+        raise ValueError("enforce_expectations: no checks given")
+    names = sorted(checks)
+    viol = F.array_compact(F.array(*[
+        F.when(checks[n], F.lit(n)) for n in names]))
+    tagged = df.withColumn("_violations", viol)
+    clean = tagged.filter(F.size("_violations") == 0).drop("_violations")
+    rejects = tagged.filter(F.size("_violations") > 0)
+    return clean, rejects

@@ -221,8 +221,75 @@ FROM long ORDER BY check_name
 """
 
 
+def constrained_load_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-enforced load: deterministically corrupt orders
+    (status nulled for keys % 11 == 0, price negated for % 13 == 0),
+    route rows through `operators/validate.enforce_expectations`
+    (CHECK-constraint semantics with dead-letter routing), and report
+    the accepted rollup next to per-rule reject counts — including
+    rows rejected by BOTH rules (the `_violations` array keeps every
+    failed rule, so dead-letter triage sees the full picture). The
+    oracle replays corruption + routing relationally."""
+    from ..operators.validate import enforce_expectations
+    orders = load_table(spark, sf_dir, "orders")
+    corrupted = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 13 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"))
+    checks = {
+        "status_not_null": F.col("o_orderstatus").isNull(),
+        "price_positive": ~(F.col("o_totalprice") > 0.0)
+                          | F.col("o_totalprice").isNull(),
+    }
+    clean, rejects = enforce_expectations(corrupted, checks)
+    accepted = clean.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(38,6)"), 2).cast("double")
+        .alias("total_price")).select(
+        F.lit("accepted").alias("bucket"), "n_rows", "total_price")
+    rej = (rejects.select(F.explode("_violations").alias("rule"),
+                          "o_totalprice")
+           .groupBy("rule")
+           .agg(F.count(F.lit(1)).alias("n_rows"))
+           .select(F.concat(F.lit("rejected:"), F.col("rule"))
+                   .alias("bucket"), "n_rows",
+                   F.lit(None).cast("double").alias("total_price")))
+    return accepted.unionByName(rej).orderBy("bucket")
+
+
+ORACLE["constrained_load_report"] = """
+WITH c AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN NULL
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 13 = 0 THEN -o_totalprice
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders),
+flags AS (
+  SELECT *,
+         (o_orderstatus IS NULL) AS v_status,
+         (NOT (o_totalprice > 0.0) OR o_totalprice IS NULL) AS v_price
+  FROM c)
+SELECT 'accepted' AS bucket, count(*) AS n_rows,
+       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_price
+FROM flags WHERE NOT v_status AND NOT v_price
+UNION ALL
+SELECT 'rejected:price_positive', count(*), NULL
+FROM flags WHERE v_price
+UNION ALL
+SELECT 'rejected:status_not_null', count(*), NULL
+FROM flags WHERE v_status
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "cleanse_mixed_orders": cleanse_mixed_orders,
     "pii_redaction_stats": pii_redaction_stats,
     "expectations_orders_report": expectations_orders_report,
+    "constrained_load_report": constrained_load_report,
 }

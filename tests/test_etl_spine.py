@@ -249,3 +249,20 @@ def test_expectations_report_empty_input_is_all_zero(spark):
     df = spark.createDataFrame([], "k int")
     rep = expectations_report(df, {"k_not_null": F.col("k").isNull()})
     assert [r["n_violations"] for r in rep.collect()] == [0]
+
+
+def test_enforce_expectations_routing_and_tags(spark):
+    from pyspark.sql import functions as F
+    from luma_etl_data_platform_spark.operators.validate import (
+        enforce_expectations)
+    df = spark.createDataFrame(
+        [(1, "ok", 10.0), (2, None, 5.0), (3, "ok", -1.0), (4, None, -2.0)],
+        "k int, s string, v double")
+    clean, rejects = enforce_expectations(df, {
+        "s_not_null": F.col("s").isNull(),
+        "v_positive": ~(F.col("v") > 0.0) | F.col("v").isNull(),
+    })
+    assert [r["k"] for r in clean.orderBy("k").collect()] == [1]
+    got = {r["k"]: r["_violations"] for r in rejects.collect()}
+    assert got == {2: ["s_not_null"], 3: ["v_positive"],
+                   4: ["s_not_null", "v_positive"]}
