@@ -238,21 +238,25 @@ def make_ppm(width: int, height: int, pixels: bytes) -> bytes:
 def attach_demo_ppm(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Demo PPM corpus: per doc, a REAL P6 image whose dimensions
-    derive from the row (w = 4 + doc_id % 5, h = 3 + length % 4) and
-    whose pixel bytes cycle the document's utf-8 text — fully
+    derive from the row (w = 4 + doc_id % 5, h = 3 + ascii-length % 4)
+    and whose pixel bytes cycle the document's ASCII bytes — fully
     deterministic, so an oracle can replay the expected channel
-    statistics from the relational columns alone."""
+    statistics from the relational columns alone. Non-ASCII
+    characters are dropped BEFORE byte derivation (the oracle's only
+    per-character primitive is the code point, so byte-level parity
+    requires a 1-byte-per-char alphabet), and an all-non-ASCII/empty
+    text falls back to a single space byte (oracle: CASE L = 0)."""
     from ..core.partitioning import spread as _spread
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, blobs = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                raw = str(text).encode("utf-8")
+                raw0 = str(text).encode("ascii", "ignore")
                 w = 4 + int(did) % 5
-                h = 3 + len(raw) % 4
+                h = 3 + len(raw0) % 4  # length BEFORE the fallback
                 ids.append(int(did))
-                blobs.append(make_ppm(w, h, raw))
+                blobs.append(make_ppm(w, h, raw0 or b" "))
             yield pd.DataFrame({
                 "doc_id": pd.Series(ids, dtype="int64"),
                 "content": blobs,

@@ -12,10 +12,13 @@ normalization is EXACT integer arithmetic:
 
 - vectors snap to integer micro-units (the repo's embedding
   convention, ``floor(x*1e6 + 0.5)``);
-- the uncentered Gram ``G = Σ q qᵀ`` aggregates BIGINT products into
-  DECIMAL(38,0) (order-free); the centered scatter matrix is the
-  exact integer identity ``A = n·G − s sᵀ`` (s = per-dim sums), so no
-  mean-subtraction division ever happens;
+- the uncentered Gram ``G = Σ q qᵀ``, the per-dim sums ``s`` and the
+  row count ``n`` all come from ONE corpus pass (the count/sum terms
+  ride the same exploded struct stream as the outer products, keyed
+  at the reserved index 0), aggregated as BIGINT products into
+  DECIMAL(38,0) (order-free); the centered scatter matrix is then
+  the exact integer identity ``A = n·G − s sᵀ`` — no mean-subtraction
+  division ever happens;
 - power iteration runs in arbitrary-precision Python ints with a
   truncating rescale ``v' = sign(w)·(|w|·1e6 ÷ wmax)`` (integer floor
   division on non-negative operands — unambiguous in every engine);
@@ -24,10 +27,11 @@ normalization is EXACT integer arithmetic:
 - only the final loadings/explained-share computation touches IEEE
   doubles, as a fixed expression tree over exact integers.
 
-Scale shape: the Gram pass emits each row's d² outer product from a
-nested array transform (no self-join, no corpus shuffle) and the
-(i,j)-keyed aggregation collapses map-side to ≤ d² rows per
-partition. Driver state is O(d²) integers.
+Scale shape: the single pass emits each row's d² outer product (plus
+d+1 sum/count terms) from a nested array transform — no self-join,
+no corpus shuffle — and the (i,j)-keyed aggregation collapses
+map-side to ≤ (d+1)² rows per partition. Driver state is O(d²)
+integers.
 
 Reference scope: beyond-reference surface (the reference has no
 linear algebra); mandated by the task brief's embedding family.
@@ -41,35 +45,48 @@ from pyspark.sql import functions as F
 _M = 10**6  # micro-unit scale for both quantization and the iterate
 
 
-def _quantized(vec_col: str):
+def _quantized(vec_col: str, dim: int):
+    # slice first: the dim parameter is a real contract (vectors wider
+    # than dim are truncated; narrower ones error in posexplode math)
     return F.transform(
-        F.col(vec_col),
+        F.slice(F.col(vec_col), 1, dim),
         lambda x: F.floor(x.cast("double") * 1000000.0 + F.lit(0.5))
         .cast("long"))
 
 
-def gram_terms(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
-    """(i, j, g) exact Gram entries ``Σ q_i q_j`` over the corpus,
-    1-indexed dims; one narrow explode pass, one ≤ d²-key shuffle."""
-    vi = _quantized(vec_col)
+def _all_terms(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """ONE corpus pass emitting every aggregate PCA needs as
+    (i, j, t) rows: Gram entries at (i≥1, j≥1), per-dim sums at
+    (i≥1, 0), and the row count at (0, 0) — exact decimal sums."""
+    vi = _quantized(vec_col, dim)
     outer = F.flatten(F.transform(
         vi, lambda x, i: F.transform(
             vi, lambda y, j: F.struct(
                 (i + 1).alias("i"), (j + 1).alias("j"),
-                (x * y).alias("p")))))
-    return (df.select(F.explode(outer).alias("o"))
-            .select("o.i", "o.j", "o.p")
+                (x * y).alias("t")))))
+    sums = F.transform(
+        vi, lambda x, i: F.struct(
+            (i + 1).alias("i"), F.lit(0).alias("j"), x.alias("t")))
+    cnt = F.array(F.struct(F.lit(0).alias("i"), F.lit(0).alias("j"),
+                           F.lit(1).cast("long").alias("t")))
+    return (df.select(F.explode(F.concat(outer, sums, cnt)).alias("o"))
+            .select("o.i", "o.j", "o.t")
             .groupBy("i", "j")
-            .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("g")))
+            .agg(F.sum(F.col("t").cast("decimal(38,0)")).alias("g")))
 
 
-def dim_sums(df: DataFrame, vec_col: str) -> DataFrame:
-    """(i, s, n is carried separately) exact per-dimension sums."""
-    vi = _quantized(vec_col)
-    return (df.select(F.posexplode(vi).alias("i0", "q"))
-            .select((F.col("i0") + 1).alias("i"), "q")
-            .groupBy("i")
-            .agg(F.sum(F.col("q").cast("decimal(38,0)")).alias("s")))
+def gram_terms(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """(i, j, g) exact Gram entries ``Σ q_i q_j`` over the corpus,
+    1-indexed dims (vectors truncated to ``dim``)."""
+    return (_all_terms(df, vec_col, dim)
+            .filter((F.col("i") >= 1) & (F.col("j") >= 1)))
+
+
+def dim_sums(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """(i, s) exact per-dimension sums, 1-indexed."""
+    return (_all_terms(df, vec_col, dim)
+            .filter((F.col("i") >= 1) & (F.col("j") == 0))
+            .select("i", F.col("g").alias("s")))
 
 
 def _power_iterate(A: list[list[int]], dim: int,
@@ -92,16 +109,19 @@ def pca_top_component(spark: SparkSession, df: DataFrame, vec_col: str,
     magnitude coordinate is positive; ties → lowest dim), and
     ``explained_share`` the Rayleigh-quotient estimate λ/trace of the
     variance share — constant across rows."""
-    g_rows = gram_terms(df, vec_col, dim).collect()
-    s_rows = dim_sums(df, vec_col).collect()
-    n = df.count()
+    rows = _all_terms(df, vec_col, dim).collect()
 
     G = [[0] * dim for _ in range(dim)]
-    for r in g_rows:
-        G[r["i"] - 1][r["j"] - 1] = int(r["g"])
     s = [0] * dim
-    for r in s_rows:
-        s[r["i"] - 1] = int(r["s"])
+    n = 0
+    for r in rows:
+        i, j, g = r["i"], r["j"], int(r["g"])
+        if i == 0 and j == 0:
+            n = g
+        elif j == 0:
+            s[i - 1] = g
+        else:
+            G[i - 1][j - 1] = g
     A = [[n * G[i][j] - s[i] * s[j] for j in range(dim)]
          for i in range(dim)]
 
@@ -113,8 +133,8 @@ def pca_top_component(spark: SparkSession, df: DataFrame, vec_col: str,
     d_sel = min(range(dim), key=lambda d: (-abs(v[d]), d))
     sgn = 1.0 if v[d_sel] >= 0 else -1.0
 
-    rows = [(i, v[i]) for i in range(dim)]
-    vdf = spark.createDataFrame(rows, "dim int, v long")
+    vdf = spark.createDataFrame([(i, v[i]) for i in range(dim)],
+                                "dim int, v long")
     loading = F.round(F.col("v").cast("double") * F.lit(sgn)
                       / F.sqrt(F.lit(float(den))), 6)
     share = F.round(F.lit(float(num))

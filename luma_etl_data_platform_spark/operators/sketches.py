@@ -406,10 +406,55 @@ def hll_estimate(sketch: DataFrame, group_col: str) -> DataFrame:
                 F.count(F.lit(1)).alias("_nb")))
     s_scaled = (F.col("_s_present")
                 + (F.lit(HLL_M) - F.col("_nb")).cast("long") * F.lit(two53))
-    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
-    est = (alpha * F.lit(65536.0) * F.lit(float(two53))
+    alpha = (F.lit(0.7213)
+             / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M))))
+    est = (alpha * F.lit(float(HLL_M * HLL_M)) * F.lit(float(two53))
            / s_scaled.cast("double"))
     return agg.select(
         group_col,
         (F.lit(HLL_M) - F.col("_nb")).cast("long").alias("n_zero_regs"),
         F.round(est, 4).alias("est_distinct"))
+
+
+def hll_regs_sql(table: str = "events", group_col: str = "event_type",
+                 value_col: str = "user_id", seed: int = 0) -> str:
+    """DuckDB CTE fragment building the per-group HLL register file —
+    the single source of truth the gate oracles share, so the rho
+    ladder / seed prefix / register cap can never drift between
+    queries and the Spark sketch. Emits CTEs ``r``, ``rho``, ``regs``
+    (regs: group_col, bucket, reg)."""
+    return f"""r AS (
+  SELECT {group_col},
+         CAST('0x' || substr(md5('{seed}:' || CAST({value_col} AS VARCHAR)),
+                             1, 2) AS BIGINT) AS bucket,
+         regexp_replace(substr(md5('{seed}:' || CAST({value_col} AS VARCHAR)),
+                               3, 13), '^0*', '') AS t
+  FROM {table}),
+rho AS (SELECT {group_col}, bucket,
+               CASE WHEN t = '' THEN 53
+                    ELSE (13 - length(t)) * 4 +
+                         CASE WHEN substr(t, 1, 1) = '1' THEN 3
+                              WHEN substr(t, 1, 1) IN ('2','3') THEN 2
+                              WHEN substr(t, 1, 1) IN ('4','5','6','7') THEN 1
+                              ELSE 0 END + 1 END AS rho
+        FROM r),
+regs AS (SELECT {group_col}, bucket, max(rho) AS reg FROM rho GROUP BY 1, 2)"""
+
+
+def hll_estimate_sql(group_col: str = "event_type",
+                     regs_cte: str = "regs") -> str:
+    """DuckDB fragment computing (group, n_zero_regs, est_distinct)
+    from a register CTE — mirrors :func:`hll_estimate` exactly,
+    constants derived from HLL_M."""
+    m = HLL_M
+    two53 = 1 << (_HLL_RHO_BITS + 1)
+    return f"""agg AS (SELECT {group_col},
+               sum(CAST(1 AS BIGINT) << (53 - reg)) AS s_present,
+               count(*) AS nb
+        FROM {regs_cte} GROUP BY 1),
+est AS (SELECT {group_col}, CAST({m} - nb AS BIGINT) AS n_zero_regs,
+               round((0.7213 / (1.0 + 1.079 / {m}.0)) * {m * m}.0
+                     * {two53}.0
+                     / CAST(s_present + CAST({m} - nb AS BIGINT) * {two53}
+                            AS DOUBLE), 4) AS est_distinct
+        FROM agg)"""

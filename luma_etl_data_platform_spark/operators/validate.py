@@ -168,6 +168,13 @@ def expectations_report(df: DataFrame, checks: dict[str, F.Column]) -> DataFrame
     queries collapse into one map-side-combinable scan."""
     if not checks:
         raise ValueError("expectations_report: no checks given")
+    import re as _re
+    bad = [n for n in checks if not _re.fullmatch(r"[A-Za-z0-9_]+", n)]
+    if bad:
+        # names are interpolated into a stack() selectExpr — restrict
+        # to identifier characters rather than escape-quoting SQL
+        raise ValueError(f"expectations_report: check names must be "
+                         f"[A-Za-z0-9_]+; got {bad}")
     aggs = [F.coalesce(F.sum(c.cast("long")), F.lit(0)).alias(n)
             for n, c in checks.items()]
     wide = df.agg(*aggs)

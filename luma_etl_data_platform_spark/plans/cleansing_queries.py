@@ -250,12 +250,17 @@ def constrained_load_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("decimal(38,6)"), 2).cast("double")
         .alias("total_price")).select(
         F.lit("accepted").alias("bucket"), "n_rows", "total_price")
-    rej = (rejects.select(F.explode("_violations").alias("rule"),
-                          "o_totalprice")
-           .groupBy("rule")
-           .agg(F.count(F.lit(1)).alias("n_rows"))
+    # left-join counts onto the full rule list so a rule with zero
+    # rejects still reports a 0 row (the oracle emits every rule
+    # unconditionally)
+    rules = spark.createDataFrame([(r,) for r in sorted(checks)],
+                                  "rule string")
+    counts = (rejects.select(F.explode("_violations").alias("rule"))
+              .groupBy("rule").agg(F.count(F.lit(1)).alias("_n")))
+    rej = (rules.join(counts, "rule", "left")
            .select(F.concat(F.lit("rejected:"), F.col("rule"))
-                   .alias("bucket"), "n_rows",
+                   .alias("bucket"),
+                   F.coalesce(F.col("_n"), F.lit(0)).alias("n_rows"),
                    F.lit(None).cast("double").alias("total_price")))
     return accepted.unionByName(rej).orderBy("bucket")
 

@@ -680,12 +680,17 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["multimodal_ppm_decode"] = """
-WITH d AS (SELECT doc_id, text, length(text) AS L,
-                  4 + doc_id % 5 AS w,
-                  3 + length(text) % 4 AS h
-           FROM documents),
+WITH d0 AS (SELECT doc_id,
+                   regexp_replace(text, '[^\x01-\x7f]', '', 'g') AS t7
+            FROM documents),
+d AS (SELECT doc_id, t7, length(t7) AS L,
+             4 + doc_id % 5 AS w,
+             3 + length(t7) % 4 AS h
+      FROM d0),
 px AS (SELECT doc_id, w, h, p % 3 AS ch,
-              ascii(substr(text, CAST(p % L AS INT) + 1, 1)) AS b
+              CASE WHEN L = 0 THEN 32
+                   ELSE ascii(substr(t7, CAST(p % L AS INT) + 1, 1))
+              END AS b
        FROM d, unnest(generate_series(0, 3 * w * h - 1)) t(p)),
 agg AS (SELECT doc_id, w, h, ch, CAST(sum(b) AS BIGINT) AS s
         FROM px GROUP BY 1, 2, 3, 4),

@@ -341,10 +341,12 @@ def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (orders.crossJoin(F.broadcast(b))
          .select(
              "o_custkey", "o_orderkey",
-             F.expr("((o_custkey - minc) * 65535) div (maxc - minc)")
-             .alias("q1"),
-             F.expr("((o_orderkey - mink) * 65535) div (maxk - mink)")
-             .alias("q2")))
+             # greatest(span, 1): an all-equal column (single-key
+             # slice) must quantize to 0, not divide by zero
+             F.expr("((o_custkey - minc) * 65535)"
+                    " div greatest(maxc - minc, 1)").alias("q1"),
+             F.expr("((o_orderkey - mink) * 65535)"
+                    " div greatest(maxk - mink, 1)").alias("q2")))
     z = morton_key(F.col("q1"), F.col("q2"), bits=16)
     return (q.withColumn("zcell", F.shiftright(z, 29))
             .groupBy("zcell")
@@ -361,8 +363,8 @@ WITH b AS (SELECT min(o_custkey) AS minc, max(o_custkey) AS maxc,
                   min(o_orderkey) AS mink, max(o_orderkey) AS maxk
            FROM orders),
 q AS (SELECT o_custkey, o_orderkey,
-             ((o_custkey - minc) * 65535) // (maxc - minc) AS q1,
-             ((o_orderkey - mink) * 65535) // (maxk - mink) AS q2
+             ((o_custkey - minc) * 65535) // greatest(maxc - minc, 1) AS q1,
+             ((o_orderkey - mink) * 65535) // greatest(maxk - mink, 1) AS q2
       FROM orders CROSS JOIN b),
 z AS (SELECT o_custkey, o_orderkey,
              ((((q1 >> 0) & 1) * 1 + ((q2 >> 0) & 1) * 2) + (((q1 >> 1) & 1) * 4 + ((q2 >> 1) & 1) * 8) + (((q1 >> 2) & 1) * 16 + ((q2 >> 2) & 1) * 32) + (((q1 >> 3) & 1) * 64 + ((q2 >> 3) & 1) * 128) + (((q1 >> 4) & 1) * 256 + ((q2 >> 4) & 1) * 512) + (((q1 >> 5) & 1) * 1024 + ((q2 >> 5) & 1) * 2048) + (((q1 >> 6) & 1) * 4096 + ((q2 >> 6) & 1) * 8192) + (((q1 >> 7) & 1) * 16384 + ((q2 >> 7) & 1) * 32768) + (((q1 >> 8) & 1) * 65536 + ((q2 >> 8) & 1) * 131072) + (((q1 >> 9) & 1) * 262144 + ((q2 >> 9) & 1) * 524288) + (((q1 >> 10) & 1) * 1048576 + ((q2 >> 10) & 1) * 2097152) + (((q1 >> 11) & 1) * 4194304 + ((q2 >> 11) & 1) * 8388608) + (((q1 >> 12) & 1) * 16777216 + ((q2 >> 12) & 1) * 33554432) + (((q1 >> 13) & 1) * 67108864 + ((q2 >> 13) & 1) * 134217728) + (((q1 >> 14) & 1) * 268435456 + ((q2 >> 14) & 1) * 536870912) + (((q1 >> 15) & 1) * 1073741824 + ((q2 >> 15) & 1) * 2147483648)) AS zkey

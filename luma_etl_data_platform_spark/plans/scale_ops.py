@@ -575,37 +575,15 @@ def hll_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
-ORACLE["hll_distinct_calibration"] = """
-WITH r AS (
-  SELECT event_type,
-         CAST('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)), 1, 2)
-              AS BIGINT) AS bucket,
-         regexp_replace(substr(md5('0:' || CAST(user_id AS VARCHAR)), 3, 13),
-                        '^0*', '') AS t
-  FROM events),
-rho AS (SELECT event_type, bucket,
-               CASE WHEN t = '' THEN 53
-                    ELSE (13 - length(t)) * 4 +
-                         CASE WHEN substr(t, 1, 1) = '1' THEN 3
-                              WHEN substr(t, 1, 1) IN ('2','3') THEN 2
-                              WHEN substr(t, 1, 1) IN ('4','5','6','7') THEN 1
-                              ELSE 0 END + 1 END AS rho
-        FROM r),
-regs AS (SELECT event_type, bucket, max(rho) AS reg FROM rho GROUP BY 1, 2),
+from ..operators.sketches import hll_estimate_sql, hll_regs_sql
+
+ORACLE["hll_distinct_calibration"] = (
+    "WITH " + hll_regs_sql() + """,
 allregs AS (SELECT * FROM regs
             UNION ALL SELECT '__union__', bucket, reg FROM regs),
-mreg AS (SELECT event_type, bucket, max(reg) AS reg FROM allregs GROUP BY 1, 2),
-agg AS (SELECT event_type,
-               sum(CAST(1 AS BIGINT) << (53 - reg)) AS s_present,
-               count(*) AS nb
-        FROM mreg GROUP BY 1),
-est AS (SELECT event_type, CAST(256 - nb AS BIGINT) AS n_zero_regs,
-               round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
-                     * 9007199254740992.0
-                     / CAST(s_present
-                            + CAST(256 - nb AS BIGINT) * 9007199254740992
-                            AS DOUBLE), 4) AS est_distinct
-        FROM agg),
+mreg AS (SELECT event_type, bucket, max(reg) AS reg
+         FROM allregs GROUP BY 1, 2),
+""" + hll_estimate_sql(regs_cte="mreg") + """,
 ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
        FROM events GROUP BY 1
        UNION ALL
@@ -614,8 +592,7 @@ SELECT est.event_type, n_zero_regs, est_distinct, exact_distinct,
        round((est_distinct - CAST(exact_distinct AS DOUBLE))
              / CAST(exact_distinct AS DOUBLE) * 100.0, 4) AS err_pct
 FROM est JOIN ex ON est.event_type = ex.event_type
-ORDER BY est.event_type
-"""
+ORDER BY est.event_type""")
 
 
 QUERIES = {

@@ -393,34 +393,12 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
-ORACLE["stream_hll_distinct"] = """
-WITH r AS (
-  SELECT event_type,
-         CAST('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)), 1, 2)
-              AS BIGINT) AS bucket,
-         regexp_replace(substr(md5('0:' || CAST(user_id AS VARCHAR)), 3, 13),
-                        '^0*', '') AS t
-  FROM events),
-rho AS (SELECT event_type, bucket,
-               CASE WHEN t = '' THEN 53
-                    ELSE (13 - length(t)) * 4 +
-                         CASE WHEN substr(t, 1, 1) = '1' THEN 3
-                              WHEN substr(t, 1, 1) IN ('2','3') THEN 2
-                              WHEN substr(t, 1, 1) IN ('4','5','6','7') THEN 1
-                              ELSE 0 END + 1 END AS rho
-        FROM r),
-regs AS (SELECT event_type, bucket, max(rho) AS reg FROM rho GROUP BY 1, 2),
-agg AS (SELECT event_type,
-               sum(CAST(1 AS BIGINT) << (53 - reg)) AS s_present,
-               count(*) AS nb
-        FROM regs GROUP BY 1)
-SELECT event_type, CAST(256 - nb AS BIGINT) AS n_zero_regs,
-       round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
-             * 9007199254740992.0
-             / CAST(s_present + CAST(256 - nb AS BIGINT) * 9007199254740992
-                    AS DOUBLE), 4) AS est_distinct
-FROM agg ORDER BY event_type
-"""
+from ..operators.sketches import hll_estimate_sql, hll_regs_sql
+
+ORACLE["stream_hll_distinct"] = (
+    "WITH " + hll_regs_sql() + ",\n" + hll_estimate_sql()
+    + "\nSELECT event_type, n_zero_regs, est_distinct FROM est "
+      "ORDER BY event_type")
 
 
 QUERIES = {
