@@ -566,3 +566,80 @@ FROM {prev} ORDER BY dim"""
 
 
 ORACLE["pca_top_component"] = _pca_oracle(_PCA_DIM, _PCA_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# kmeans_embedding_clusters: true Lloyd k-means (2 update rounds +
+# final assignment) — operators/kmeans.py. The oracle unrolls the
+# identical rounds: seeded init, exact HUGEINT dots, round-6 argmax
+# with cluster-id ties, empty-cluster carryover.
+# ---------------------------------------------------------------------------
+_KM_K = 8
+_KM_ITERS = 2
+
+
+@_q("kmeans_embedding_clusters")
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import kmeans_clusters
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_clusters(spark, emb, "embedding", "vec_id",
+                           k=_KM_K, iters=_KM_ITERS, dim=64)
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int = 64) -> str:
+    sql = f"""WITH e2 AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS vi
+  FROM embeddings),
+dd AS MATERIALIZED (SELECT vec_id, i, vi[i] AS x
+       FROM e2, unnest(generate_series(1, {dim})) t(i)),
+nv AS MATERIALIZED (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS nv2
+      FROM dd GROUP BY 1),
+seeds AS MATERIALIZED (
+  SELECT vec_id AS cluster FROM e2
+  ORDER BY CAST('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 8)
+                AS BIGINT), vec_id
+  LIMIT {k}),
+c0 AS MATERIALIZED (SELECT s.cluster, dd.i, CAST(dd.x AS HUGEINT) AS s
+      FROM seeds s JOIN dd ON dd.vec_id = s.cluster)"""
+    prev = "c0"
+    for t in range(1, iters + 2):  # iters updates + final assignment
+        sql += f""",
+nc{t} AS (SELECT cluster, CAST(sum(s * s) AS HUGEINT) AS nc2
+          FROM {prev} GROUP BY 1),
+sc{t} AS MATERIALIZED (
+  SELECT dd.vec_id, c.cluster,
+         round(CAST(CAST(sum(dd.x * c.s) AS HUGEINT) AS DOUBLE)
+               / (sqrt(CAST(max(nv.nv2) AS DOUBLE))
+                  * sqrt(CAST(max(nc{t}.nc2) AS DOUBLE))), 6) AS score
+  FROM dd JOIN {prev} c ON dd.i = c.i
+       JOIN nv ON nv.vec_id = dd.vec_id
+       JOIN nc{t} ON nc{t}.cluster = c.cluster
+  GROUP BY 1, 2),
+a{t} AS MATERIALIZED (
+  SELECT vec_id, cluster, score FROM sc{t}
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY score DESC, cluster) = 1)"""
+        if t <= iters:
+            sql += f""",
+u{t} AS MATERIALIZED (
+  SELECT a.cluster, dd.i, CAST(sum(dd.x) AS HUGEINT) AS s
+  FROM a{t} a JOIN dd ON dd.vec_id = a.vec_id
+  GROUP BY 1, 2),
+c{t} AS MATERIALIZED (
+  SELECT * FROM u{t}
+  UNION ALL
+  SELECT * FROM {prev}
+  WHERE cluster NOT IN (SELECT DISTINCT cluster FROM u{t}))"""
+            prev = f"c{t}"
+    last = f"a{iters + 1}"
+    sql += f"""
+SELECT cluster, count(*) AS n_vecs,
+       round(CAST(sum(CAST(score AS DECIMAL(9,6))) AS DOUBLE)
+             / count(*), 6) AS avg_cos
+FROM {last} GROUP BY 1 ORDER BY 1"""
+    return sql
+
+
+ORACLE["kmeans_embedding_clusters"] = _kmeans_oracle(_KM_K, _KM_ITERS)

@@ -595,6 +595,58 @@ FROM est JOIN ex ON est.event_type = ex.event_type
 ORDER BY est.event_type""")
 
 
+# ---------------------------------------------------------------------------
+# hll_sliding_distinct: 7-day TRAILING distinct-user estimates per
+# day — the sketch-windowing pattern: per-day register files are tiny
+# (≤ 256 rows/day), so the sliding union is a register-wise max over
+# a 7-row window of SKETCHES, never a re-scan of raw events. At
+# 100 TB this is how a "distinct users, trailing week, every day"
+# dashboard runs in O(days × 256) state.
+# ---------------------------------------------------------------------------
+def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+    from ..operators.sketches import hll_estimate, hll_sketch
+    ev = load_table(spark, sf_dir, "events")
+    daily = hll_sketch(
+        ev.select(F.date_format(F.date_trunc("day", F.col("ts")),
+                                "yyyy-MM-dd").alias("day"), "user_id"),
+        "day", "user_id")
+    # trailing-7-day register: max over the window of per-day regs for
+    # the same bucket. Day keys are dense here; a RANGE window over
+    # day ordinals would cover calendar gaps identically in both
+    # engines (date_diff-based range frame).
+    days = daily.select("day").distinct()
+    grid = (days.alias("d").join(
+        daily.alias("s"),
+        (F.col("s.day") <= F.col("d.day"))
+        & (F.col("s.day") >= F.date_format(
+            F.date_add(F.to_date(F.col("d.day")), -6), "yyyy-MM-dd")))
+        .select(F.col("d.day").alias("day"), F.col("s._bucket").alias("_bucket"),
+                F.col("s._reg").alias("_reg"))
+        .groupBy("day", "_bucket").agg(F.max("_reg").alias("_reg")))
+    return (hll_estimate(grid, "day")
+            .select("day", "n_zero_regs", "est_distinct")
+            .orderBy("day"))
+
+
+from ..operators.sketches import hll_estimate_sql as _hll_est_sql
+from ..operators.sketches import hll_regs_sql as _hll_regs_sql
+
+ORACLE["hll_sliding_distinct"] = (
+    "WITH " + _hll_regs_sql(
+        table="(SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,"
+              " user_id FROM events)",
+        group_col="day") + """,
+days AS (SELECT DISTINCT day FROM regs),
+grid AS (SELECT d.day, s.bucket, max(s.reg) AS reg
+         FROM days d JOIN regs s
+           ON s.day <= d.day
+          AND s.day >= strftime(CAST(d.day AS DATE) - 6, '%Y-%m-%d')
+         GROUP BY 1, 2),
+""" + _hll_est_sql(group_col="day", regs_cte="grid")
+    + "\nSELECT day, n_zero_regs, est_distinct FROM est ORDER BY day")
+
+
 QUERIES = {
     "ewma_user_values": ewma_user_values,
     "time_weighted_avg_user": time_weighted_avg_user,
@@ -604,6 +656,7 @@ QUERIES = {
     "sampled_value_quantiles": sampled_value_quantiles,
     "kmv_distinct_users": kmv_distinct_users,
     "hll_distinct_calibration": hll_distinct_calibration,
+    "hll_sliding_distinct": hll_sliding_distinct,
     "graph_triangle_stats": graph_triangle_stats,
     "graph_pagerank_top20": graph_pagerank_top20,
     "interval_coverage_user": interval_coverage_user,

@@ -231,3 +231,29 @@ def test_pca_sign_convention(spark):
     assert la == lb or la == [-x for x in lb]
     big = max(la, key=abs)
     assert big >= 0
+
+
+def test_kmeans_separates_two_blobs(spark):
+    from luma_etl_data_platform_spark.operators.kmeans import kmeans_clusters
+    # two well-separated direction blobs in 4-d; k=2 must split 12/8
+    rows = []
+    for i in range(12):
+        rows.append((i, [1.0, 0.9 + 0.01 * i, 0.0, 0.0]))
+    for i in range(12, 20):
+        rows.append((i, [0.0, 0.0, 1.0, 0.9 + 0.01 * i]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_clusters(spark, df, k=2, iters=2, dim=4).collect()
+    assert sorted(r["n_vecs"] for r in out) == [8, 12]
+    assert all(r["avg_cos"] > 0.99 for r in out)
+
+
+def test_kmeans_partitioning_invariant(spark):
+    from luma_etl_data_platform_spark.operators.kmeans import kmeans_clusters
+    import random
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = kmeans_clusters(spark, df.coalesce(1), k=4, iters=2, dim=6).collect()
+    b = kmeans_clusters(spark, df.repartition(16), k=4, iters=2,
+                        dim=6).collect()
+    assert a == b
