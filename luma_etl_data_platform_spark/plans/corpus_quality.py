@@ -643,3 +643,89 @@ FROM {last} GROUP BY 1 ORDER BY 1"""
 
 
 ORACLE["kmeans_embedding_clusters"] = _kmeans_oracle(_KM_K, _KM_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# ann_truncation_recall: matryoshka-style dimensionality ablation —
+# does the top-1 within-label neighbor found with only the first
+# 8/16 dims agree with the full-64-dim answer? The retrieval-quality
+# dial for "store truncated embeddings, re-rank with full ones".
+# All dots/norms are exact integers (micro-unit quantization; every
+# partial sum < 2^53 so even double accumulation is exact), scores
+# round to 6 dp before the argmax, ties break on the neighbor id —
+# bit-identical in both engines.
+# ---------------------------------------------------------------------------
+_TRUNC_CUTS = (8, 16, 64)
+
+
+@_q("ann_truncation_recall")
+def ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+    emb = load_table(spark, sf_dir, "embeddings")
+    vi = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000.0 + F.lit(0.5))
+        .cast("long"))
+    q = (emb.select(F.col("vec_id").alias("vid"), "label",
+                    vi.alias("q"))
+         .localCheckpoint(eager=True))
+    a, b = q.alias("a"), q.alias("b")
+    cuts = F.explode(F.array(*[F.lit(c) for c in _TRUNC_CUTS])).alias("cut")
+    pairs = (a.join(b, (F.col("a.label") == F.col("b.label"))
+                    & (F.col("a.vid") != F.col("b.vid")))
+             .select(F.col("a.vid").alias("va"), F.col("b.vid").alias("vb"),
+                     F.col("a.q").alias("qa"), F.col("b.q").alias("qb"))
+             .select("va", "vb", "qa", "qb", cuts))
+    sa = F.slice(F.col("qa"), 1, F.col("cut"))
+    sb = F.slice(F.col("qb"), 1, F.col("cut"))
+    dot = F.aggregate(F.zip_with(sa, sb, lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    n2 = lambda s: F.aggregate(F.transform(s, lambda x: x * x),
+                               F.lit(0).cast("long"), lambda acc, x: acc + x)
+    score = F.round(dot.cast("double")
+                    / (F.sqrt(n2(sa).cast("double"))
+                       * F.sqrt(n2(sb).cast("double"))), 6)
+    scored = pairs.select("va", "vb", "cut", score.alias("score"))
+    win = W.partitionBy("va", "cut").orderBy(F.desc("score"), F.asc("vb"))
+    top = (scored.withColumn("_rn", F.row_number().over(win))
+           .filter(F.col("_rn") == 1).select("va", "cut", "vb"))
+    truth = (top.filter(F.col("cut") == 64)
+             .select("va", F.col("vb").alias("vb_full")))
+    j = top.join(truth, "va")
+    return (j.groupBy(F.col("cut").alias("trunc_dim"))
+            .agg(F.count(F.lit(1)).alias("n_queries"),
+                 F.round(F.sum((F.col("vb") == F.col("vb_full"))
+                               .cast("long")).cast("double")
+                         / F.count(F.lit(1)), 6).alias("recall_at_1"))
+            .orderBy("trunc_dim"))
+
+
+ORACLE["ann_truncation_recall"] = """
+WITH e2 AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+           x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS vi
+  FROM embeddings),
+cuts AS (SELECT unnest([8, 16, 64]) AS cut),
+sc AS MATERIALIZED (
+  SELECT a.vec_id AS va, b.vec_id AS vb, c.cut,
+         round(list_dot_product(a.vi[1:c.cut]::DOUBLE[],
+                                b.vi[1:c.cut]::DOUBLE[])
+               / (sqrt(list_dot_product(a.vi[1:c.cut]::DOUBLE[],
+                                        a.vi[1:c.cut]::DOUBLE[]))
+                  * sqrt(list_dot_product(b.vi[1:c.cut]::DOUBLE[],
+                                          b.vi[1:c.cut]::DOUBLE[]))), 6)
+           AS score
+  FROM e2 a JOIN e2 b ON a.label = b.label AND a.vec_id <> b.vec_id
+  CROSS JOIN cuts c),
+top AS MATERIALIZED (
+  SELECT va, cut, vb FROM sc
+  QUALIFY row_number() OVER (PARTITION BY va, cut
+                             ORDER BY score DESC, vb) = 1),
+truth AS (SELECT va, vb AS vb_full FROM top WHERE cut = 64)
+SELECT t.cut AS trunc_dim, count(*) AS n_queries,
+       round(CAST(sum(CASE WHEN t.vb = tr.vb_full THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS recall_at_1
+FROM top t JOIN truth tr ON t.va = tr.va
+GROUP BY 1 ORDER BY 1
+"""

@@ -257,3 +257,14 @@ def test_kmeans_partitioning_invariant(spark):
     b = kmeans_clusters(spark, df.repartition(16), k=4, iters=2,
                         dim=6).collect()
     assert a == b
+
+
+def test_truncation_recall_full_dim_is_exact(spark, duck_smoke):
+    from luma_etl_data_platform_spark.plans import corpus_quality as CQ
+    from tests.conftest import SF_SMOKE
+    out = {r["trunc_dim"]: r for r in
+           CQ.QUERIES["ann_truncation_recall"](spark, SF_SMOKE).collect()}
+    # the full-dim cut is its own ground truth
+    assert out[64]["recall_at_1"] == 1.0
+    # truncation can only lose neighbors, never invent better ones
+    assert out[8]["recall_at_1"] <= out[64]["recall_at_1"]
