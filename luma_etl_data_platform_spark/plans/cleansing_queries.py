@@ -298,3 +298,95 @@ QUERIES = {
     "expectations_orders_report": expectations_orders_report,
     "constrained_load_report": constrained_load_report,
 }
+
+
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit: k-anonymity of the (mktsegment, nationkey)
+    quasi-identifier over customers — group-size census, rows at risk
+    (equivalence class < k), and the generalization fallback (drop
+    nationkey): the pre-release check a training-data pipeline runs
+    before shipping user-derived tables. One groupBy per
+    generalization level; k = 25."""
+    cust = load_table(spark, sf_dir, "customer")
+    k = 25
+
+    def _level(cols: list[str], name: str) -> DataFrame:
+        g = cust.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n"))
+        return g.agg(
+            F.lit(name).alias("level"),
+            F.count(F.lit(1)).alias("n_classes"),
+            F.coalesce(F.sum((F.col("_n") < k).cast("long")), F.lit(0))
+            .alias("n_small_classes"),
+            F.coalesce(F.sum(F.when(F.col("_n") < k, F.col("_n"))
+                             .otherwise(F.lit(0))), F.lit(0))
+            .alias("n_rows_at_risk"),
+            F.min("_n").alias("min_class_size"))
+
+    return (_level(["c_mktsegment", "c_nationkey"], "segment+nation")
+            .unionByName(_level(["c_mktsegment"], "segment"))
+            .orderBy("level"))
+
+
+ORACLE["k_anonymity_report"] = """
+WITH g2 AS (SELECT c_mktsegment, c_nationkey, count(*) AS n
+            FROM customer GROUP BY 1, 2),
+g1 AS (SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1)
+SELECT 'segment' AS level, count(*) AS n_classes,
+       CAST(coalesce(sum(CASE WHEN n < 25 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_small_classes,
+       CAST(coalesce(sum(CASE WHEN n < 25 THEN n ELSE 0 END), 0) AS BIGINT)
+         AS n_rows_at_risk,
+       min(n) AS min_class_size
+FROM g1
+UNION ALL
+SELECT 'segment+nation', count(*),
+       CAST(coalesce(sum(CASE WHEN n < 25 THEN 1 ELSE 0 END), 0) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN n < 25 THEN n ELSE 0 END), 0) AS BIGINT),
+       min(n)
+FROM g2
+ORDER BY level
+"""
+
+
+def dp_noisy_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-STYLE noisy release: per-priority order
+    counts + seeded Laplace noise (scale b = 1/ε, ε = 0.5). The noise
+    is derived from the portable md5 hash of the group key — u
+    uniform on (-1/2, 1/2), noise = -b·sign(u)·ln(1 − 2|u|) — so the
+    release is reproducible and hash-checkable. A production DP
+    deployment swaps the seeded hash for a CSPRNG (documented here:
+    determinism and privacy are at odds; this query demonstrates the
+    MECHANISM — sensitivity-1 count + Laplace — not a privacy
+    guarantee)."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("true_count"))
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("dp:"),
+                                          F.col("o_orderpriority"))),
+                           1, 8), 16, 10).cast("long")
+    u = (h.cast("double") / F.lit(4294967296.0)) - F.lit(0.5)
+    b = F.lit(2.0)  # 1/epsilon, epsilon = 0.5
+    noise = (-b * F.signum(u)
+             * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u)))
+    return (g.select("o_orderpriority", "true_count",
+                     F.round((F.col("true_count").cast("double") + noise),
+                             4).alias("noisy_count"))
+            .orderBy("o_orderpriority"))
+
+
+ORACLE["dp_noisy_priority_counts"] = """
+WITH g AS (SELECT o_orderpriority, count(*) AS true_count
+           FROM orders GROUP BY 1),
+n AS (SELECT o_orderpriority, true_count,
+             (CAST(CAST('0x' || substr(md5('dp:' || o_orderpriority), 1, 8)
+                        AS BIGINT) AS DOUBLE) / 4294967296.0) - 0.5 AS u
+      FROM g)
+SELECT o_orderpriority, true_count,
+       round(CAST(true_count AS DOUBLE)
+             + (-2.0 * sign(u) * ln(1.0 - 2.0 * abs(u))), 4)
+         AS noisy_count
+FROM n ORDER BY o_orderpriority
+"""
+
+QUERIES["k_anonymity_report"] = k_anonymity_report
+QUERIES["dp_noisy_priority_counts"] = dp_noisy_priority_counts
