@@ -602,3 +602,87 @@ ORDER BY event_type, lag
 """
 
 QUERIES["acf_daily_by_type"] = acf_daily_by_type
+
+
+# ---------------------------------------------------------------------------
+# seasonal_decomposition_daily: classic additive decomposition of the
+# daily revenue series — centered 7-day moving-average trend, mean
+# day-of-week seasonal of the detrended series, residual. The trick
+# that keeps it bit-stable: the detrended series is carried as the
+# EXACT integer 7·v − S7 (cents·7 units — no division until the final
+# projection), day-of-week is pure date arithmetic (days since a
+# Monday anchor, mod 7 — no locale-dependent dow functions), and
+# every output is a fixed double tree over exact integer sums.
+# Plan: one daily rollup shuffle; the ±3-day self-join and the
+# day-of-week aggregate touch only the 30-row series.
+# ---------------------------------------------------------------------------
+def seasonal_decomposition_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    yc = F.round(F.col("value") * 100.0, 0).cast("long")
+    daily = (ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+             .agg(F.sum(yc).alias("v"))
+             .localCheckpoint(eager=True))
+    a, b = daily.alias("a"), daily.alias("b")
+    win7 = (a.join(b, F.abs(F.datediff(F.col("b.d"), F.col("a.d"))) <= 3)
+            .groupBy(F.col("a.d").alias("d"), F.col("a.v").alias("v"))
+            .agg(F.sum("b.v").alias("s7"), F.count(F.lit(1)).alias("n7")))
+    t = (win7.withColumn("dow",
+                         F.datediff(F.col("d"),
+                                    F.lit("1970-01-05").cast("timestamp")) % 7)
+         .withColumn("detr", F.when(F.col("n7") == 7,
+                                 F.lit(7) * F.col("v") - F.col("s7")))
+         .localCheckpoint(eager=True))
+    dowavg = (t.filter(F.col("detr").isNotNull())
+              .groupBy("dow")
+              .agg(F.sum("detr").alias("sD"), F.count(F.lit(1)).alias("nD")))
+    j = t.join(F.broadcast(dowavg), "dow", "left")
+    trend = F.col("s7").cast("double") / F.lit(7.0) / F.lit(100.0)
+    seas = (F.col("sD").cast("double") / F.col("nD").cast("double")
+            / F.lit(7.0) / F.lit(100.0))
+    valid = F.col("detr").isNotNull()
+    return (j.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("v").cast("double") / F.lit(100.0), 2)
+        .alias("daily_value"),
+        F.when(valid, F.round(trend, 6)).alias("trend"),
+        F.when(valid, F.round(seas, 6)).alias("seasonal"),
+        F.when(valid,
+               F.round(F.col("v").cast("double") / F.lit(100.0)
+                       - trend - seas, 6)).alias("residual"))
+        .orderBy("day"))
+
+
+ORACLE["seasonal_decomposition_daily"] = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d,
+         CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1),
+win7 AS (
+  SELECT a.d, a.v, CAST(sum(b.v) AS BIGINT) AS s7, count(*) AS n7
+  FROM daily a JOIN daily b ON abs(date_diff('day', a.d, b.d)) <= 3
+  GROUP BY 1, 2),
+t AS (
+  SELECT d, v, s7, n7,
+         date_diff('day', TIMESTAMP '1970-01-05 00:00:00', d) % 7 AS dow,
+         CASE WHEN n7 = 7 THEN 7 * v - s7 END AS detr
+  FROM win7),
+dowavg AS (
+  SELECT dow, CAST(sum(detr) AS BIGINT) AS sD, count(*) AS nD
+  FROM t WHERE detr IS NOT NULL GROUP BY 1)
+SELECT strftime(t.d, '%Y-%m-%d') AS day,
+       round(CAST(t.v AS DOUBLE) / 100.0, 2) AS daily_value,
+       CASE WHEN t.detr IS NOT NULL
+            THEN round(CAST(t.s7 AS DOUBLE) / 7.0 / 100.0, 6) END AS trend,
+       CASE WHEN t.detr IS NOT NULL
+            THEN round(CAST(a.sD AS DOUBLE) / CAST(a.nD AS DOUBLE)
+                       / 7.0 / 100.0, 6) END AS seasonal,
+       CASE WHEN t.detr IS NOT NULL
+            THEN round(CAST(t.v AS DOUBLE) / 100.0
+                       - CAST(t.s7 AS DOUBLE) / 7.0 / 100.0
+                       - CAST(a.sD AS DOUBLE) / CAST(a.nD AS DOUBLE)
+                         / 7.0 / 100.0, 6) END AS residual
+FROM t LEFT JOIN dowavg a ON t.dow = a.dow
+ORDER BY day
+"""
+
+QUERIES["seasonal_decomposition_daily"] = seasonal_decomposition_daily

@@ -184,3 +184,18 @@ def test_acf_constant_series_denominator_zero_guard(spark):
                          F.lit(5.0) / F.col("den")).alias("x")
                   ).collect()[0]["x"]
     assert r is None
+
+
+def test_seasonal_decomposition_identity_and_coverage(spark, duck_smoke):
+    from luma_etl_data_platform_spark.plans.corpus_analytics import (
+        seasonal_decomposition_daily)
+    from tests.conftest import SF_SMOKE
+    rows = seasonal_decomposition_daily(spark, SF_SMOKE).collect()
+    assert len(rows) >= 7
+    # edge days (incomplete 7-day window) have null components
+    assert rows[0]["trend"] is None and rows[-1]["trend"] is None
+    # interior days reconstruct: value == trend + seasonal + residual
+    for r in rows:
+        if r["trend"] is not None:
+            recon = r["trend"] + r["seasonal"] + r["residual"]
+            assert abs(recon - r["daily_value"]) < 1e-4
