@@ -58,3 +58,26 @@ def test_components_empty_pairs(spark):
         T.StructField("id_a", T.LongType()),
         T.StructField("id_b", T.LongType())]))
     assert connected_components(pairs).count() == 0
+
+
+def test_entity_resolution_golden_record_shape(spark):
+    # chain a~b~c + isolated d: one entity of 3 with canonical name
+    # from the min id, one singleton
+    from luma_etl_data_platform_spark.operators.clustering import (
+        connected_components)
+    from luma_etl_data_platform_spark.operators.fuzzy import fuzzy_pairs
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, "widget alpha"), (2, "widget alphb"), (3, "widget alphc"),
+         (4, "gadget omega")],
+        "p_partkey long, p_name string")
+    pairs = fuzzy_pairs(df, "p_name", "p_partkey", max_distance=2,
+                        prefix_len=4)
+    comps = connected_components(pairs)
+    labeled = (df.join(comps, df["p_partkey"] == comps["node"], "left")
+               .select("p_partkey", "p_name",
+                       F.coalesce("component", "p_partkey")
+                       .alias("entity_id")))
+    got = {r["entity_id"]: r["n"] for r in
+           labeled.groupBy("entity_id").agg(F.count("*").alias("n")).collect()}
+    assert got == {1: 3, 4: 1}
