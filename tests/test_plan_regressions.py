@@ -284,3 +284,50 @@ def test_classifier_single_shuffle(spark):
     plan = _formatted_plan(hashed_linear_scores(docs, "text", "doc_id"))
     assert len(re.findall(r"\+- Exchange", plan)) == 1
     assert "HashAggregate" in plan
+
+
+def test_pca_single_pass_single_exchange(spark):
+    # the PCA gram/sums/count stream must be ONE aggregation over the
+    # exploded struct stream — exactly one Exchange, no join
+    from luma_etl_data_platform_spark.operators.pca import _all_terms
+    df = spark.createDataFrame([([0.1, 0.2],), ([0.3, 0.4],)],
+                               "embedding array<double>")
+    plan = _formatted_plan(_all_terms(df, "embedding", 2))
+    # one Exchange node in the tree summary ("Exchange (n)")
+    assert plan.count("Exchange (") == 1
+    assert "Join" not in plan
+
+
+def test_kmeans_scoring_broadcasts_centroids(spark):
+    # assignment must broadcast the k-row centroid table — the corpus
+    # side may not shuffle for the scoring join
+    from luma_etl_data_platform_spark.operators.kmeans import kmeans_clusters
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<double>")
+    out = kmeans_clusters(spark, df, k=2, iters=1, dim=2)
+    plan = _formatted_plan(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_expectations_report_single_scan(spark):
+    # N checks must compile to ONE aggregate over one scan
+    from luma_etl_data_platform_spark.operators.validate import (
+        expectations_report)
+    df = spark.createDataFrame([(1, "a")], "k int, s string")
+    rep = expectations_report(df, {
+        "k_null": F.col("k").isNull(),
+        "s_null": F.col("s").isNull(),
+        "k_neg": F.col("k") < 0,
+    })
+    plan = _formatted_plan(rep)
+    assert plan.count("Scan ExistingRDD") <= 1
+    assert "Join" not in plan
+
+
+def test_hll_sketch_one_exchange(spark):
+    from luma_etl_data_platform_spark.operators.sketches import hll_sketch
+    df = spark.createDataFrame([("g", 1)], "g string, v long")
+    plan = _formatted_plan(hll_sketch(df, "g", "v"))
+    assert plan.count("Exchange (") == 1
