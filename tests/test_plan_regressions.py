@@ -322,7 +322,7 @@ def test_expectations_report_single_scan(spark):
         "k_neg": F.col("k") < 0,
     })
     plan = _formatted_plan(rep)
-    assert plan.count("Scan ExistingRDD") <= 1
+    assert plan.count("Scan ExistingRDD (") <= 1
     assert "Join" not in plan
 
 
