@@ -669,7 +669,12 @@ def ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (emb.select(F.col("vec_id").alias("vid"), "label",
                     vi.alias("q"))
          .localCheckpoint(eager=True))
-    a, b = q.alias("a"), q.alias("b")
+    # recall evaluation needs exact ground truth per query — cost is
+    # inherently queries × corpus, so bound the QUERY side (the
+    # standard recall@k protocol): every 17th vector probes, the full
+    # corpus answers. O(n·s/L), never all-pairs.
+    a = q.filter(F.col("vid") % 17 == 0).alias("a")
+    b = q.alias("b")
     cuts = F.explode(F.array(*[F.lit(c) for c in _TRUNC_CUTS])).alias("cut")
     pairs = (a.join(b, (F.col("a.label") == F.col("b.label"))
                     & (F.col("a.vid") != F.col("b.vid")))
@@ -717,7 +722,8 @@ sc AS MATERIALIZED (
                                           b.vi[1:c.cut]::DOUBLE[]))), 6)
            AS score
   FROM e2 a JOIN e2 b ON a.label = b.label AND a.vec_id <> b.vec_id
-  CROSS JOIN cuts c),
+  CROSS JOIN cuts c
+  WHERE a.vec_id % 17 = 0),
 top AS MATERIALIZED (
   SELECT va, cut, vb FROM sc
   QUALIFY row_number() OVER (PARTITION BY va, cut
