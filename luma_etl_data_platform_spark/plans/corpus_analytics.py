@@ -686,3 +686,54 @@ ORDER BY day
 """
 
 QUERIES["seasonal_decomposition_daily"] = seasonal_decomposition_daily
+
+
+# ---------------------------------------------------------------------------
+# winsorized_stats_by_type: P05/P95-clipped robust means — the
+# outlier-insensitive alternative to trimming (keeps n constant).
+# Exact interpolated percentiles (verified Spark percentile ≡ DuckDB
+# quantile_cont); the clipped values cast to DECIMAL(18,6) before the
+# mean, so the sum is partition-order-free (the clip boundaries are
+# identical doubles in both engines → identical decimal casts).
+# ---------------------------------------------------------------------------
+def winsorized_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    qs = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("_p05"),
+        F.expr("percentile(value, 0.95)").alias("_p95"))
+    j = ev.join(F.broadcast(qs), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("_p05")),
+                      F.col("_p95"))
+    return (j.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.max("_p05"), 6).alias("p05"),
+                 F.round(F.max("_p95"), 6).alias("p95"),
+                 F.round(F.sum(clipped.cast("decimal(18,6)"))
+                         .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("winsorized_mean"),
+                 F.coalesce(F.sum(((F.col("value") < F.col("_p05"))
+                                   | (F.col("value") > F.col("_p95")))
+                                  .cast("long")), F.lit(0))
+                 .alias("n_clipped"))
+            .orderBy("event_type"))
+
+
+ORACLE["winsorized_stats_by_type"] = """
+WITH qs AS (SELECT event_type,
+                   quantile_cont(value, 0.05) AS p05,
+                   quantile_cont(value, 0.95) AS p95
+            FROM events GROUP BY 1)
+SELECT e.event_type, count(*) AS n_events,
+       round(max(qs.p05), 6) AS p05,
+       round(max(qs.p95), 6) AS p95,
+       round(CAST(sum(CAST(least(greatest(e.value, qs.p05), qs.p95)
+                           AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS winsorized_mean,
+       CAST(coalesce(sum(CASE WHEN e.value < qs.p05 OR e.value > qs.p95
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_clipped
+FROM events e JOIN qs ON e.event_type = qs.event_type
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["winsorized_stats_by_type"] = winsorized_stats_by_type

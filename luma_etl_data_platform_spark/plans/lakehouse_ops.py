@@ -376,6 +376,55 @@ FROM z GROUP BY 1 ORDER BY 1
 """
 
 
+def lakehouse_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten through the lakehouse: MERGE-delete every
+    row belonging to the erasure subjects (customers with
+    o_custkey % 50 == 0), then audit the erasure from the CHANGE FEED
+    (how many rows were physically deleted) and the final state (zero
+    subject rows remain; untouched totals preserved). Vacuum after
+    the retention window removes the pre-image files — noted in
+    tests/test_lakehouse.py; the gate pins the logical erasure."""
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_gdpr_")
+    path = f"{tmp}/orders_tbl"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    LH.create_table(spark, path, orders.repartition(6), ["o_orderkey"])
+
+    subjects = orders.filter(F.col("o_custkey") % 50 == 0)
+    LH.merge_into(spark, path, subjects, ["o_orderkey"],
+                  update_set="all", delete_condition=F.lit(True))
+
+    feed = LH.read_changes(spark, path, from_version=1, to_version=2)
+    n_del = (feed.filter(F.col("_change_type") == "delete")
+             .count())
+    final = LH.read_table(spark, path)
+    out = (final.agg(
+        F.count(F.lit(1)).alias("n_remaining"),
+        F.coalesce(F.sum((F.col("o_custkey") % 50 == 0).cast("long")),
+                   F.lit(0)).alias("n_subject_rows_left"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(38,6)"), 2).cast("double")
+        .alias("total_price_remaining"))
+        .withColumn("n_deleted", F.lit(n_del).cast("long"))
+        .select("n_deleted", "n_remaining", "n_subject_rows_left",
+                "total_price_remaining")
+        .localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["lakehouse_gdpr_erasure"] = """
+SELECT CAST((SELECT count(*) FROM orders WHERE o_custkey % 50 = 0)
+            AS BIGINT) AS n_deleted,
+       CAST((SELECT count(*) FROM orders WHERE o_custkey % 50 <> 0)
+            AS BIGINT) AS n_remaining,
+       CAST(0 AS BIGINT) AS n_subject_rows_left,
+       (SELECT CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                               AS DECIMAL(38,6)), 2) AS DOUBLE)
+        FROM orders WHERE o_custkey % 50 <> 0) AS total_price_remaining
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "lakehouse_time_travel": lakehouse_time_travel,
@@ -383,4 +432,5 @@ QUERIES = {
     "lakehouse_change_feed": lakehouse_change_feed,
     "lakehouse_incremental_mv": lakehouse_incremental_mv,
     "zorder_locality_stats": zorder_locality_stats,
+    "lakehouse_gdpr_erasure": lakehouse_gdpr_erasure,
 }
