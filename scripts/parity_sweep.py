@@ -33,7 +33,8 @@ def main() -> int:
 
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "24g")
         .config("spark.sql.session.timeZone", "UTC")
