@@ -37,25 +37,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-_M = 10**6
+from ..functions.vectors import micro_units
 
 
-def _quantized(vec_col: str, dim: int):
-    return F.transform(
-        F.slice(F.col(vec_col), 1, dim),
-        lambda x: F.floor(x.cast("double") * 1000000.0 + F.lit(0.5))
-        .cast("long"))
-
-
-def _score(qcol, s_col, ncs_col):
+def _score(qcol, nv2_col, s_col, ncs_col):
+    # nv2 is precomputed once per vector (not re-folded per centroid)
     dot = F.aggregate(
         F.zip_with(qcol, s_col,
                    lambda a, b: a.cast("decimal(38,0)") * b),
         F.lit(0).cast("decimal(38,0)"), lambda acc, x: acc + x)
-    nv2 = F.aggregate(F.transform(qcol, lambda x: x * x),
-                      F.lit(0).cast("long"), lambda acc, x: acc + x)
     return F.round(dot.cast("double")
-                   / (F.sqrt(nv2.cast("double")) * ncs_col), 6)
+                   / (F.sqrt(nv2_col.cast("double")) * ncs_col), 6)
 
 
 def kmeans_clusters(spark: SparkSession, df: DataFrame,
@@ -66,8 +58,11 @@ def kmeans_clusters(spark: SparkSession, df: DataFrame,
     and ``avg_cos`` the mean member-to-centroid cosine (DECIMAL-exact
     sum of the rounded scores, so the mean is order-free)."""
     from ..functions.text import portable_hash32
-    q = (df.select(F.col(id_col).alias("vid"),
-                   _quantized(vec_col, dim).alias("q"))
+    qv = micro_units(F.col(vec_col), dim)
+    nv2 = F.aggregate(F.transform(qv, lambda x: x * x),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    q = (df.select(F.col(id_col).alias("vid"), qv.alias("q"),
+                   nv2.alias("nv2"))
          .localCheckpoint(eager=True))
 
     seed_rows = (q.withColumn("_h", portable_hash32(F.col("vid")))
@@ -87,7 +82,7 @@ def kmeans_clusters(spark: SparkSession, df: DataFrame,
     def _assign():
         scored = (q.crossJoin(F.broadcast(_cent_df()))
                   .select("vid", "q", "cluster",
-                          _score(F.col("q"), F.col("s"),
+                          _score(F.col("q"), F.col("nv2"), F.col("s"),
                                  F.col("ncs")).alias("score")))
         win = W.partitionBy("vid").orderBy(F.desc("score"), F.asc("cluster"))
         return (scored.withColumn("_rn", F.row_number().over(win))

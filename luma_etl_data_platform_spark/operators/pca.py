@@ -42,16 +42,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_M = 10**6  # micro-unit scale for both quantization and the iterate
+from ..functions.vectors import MICRO as _M
+from ..functions.vectors import micro_units
 
 
 def _quantized(vec_col: str, dim: int):
     # slice first: the dim parameter is a real contract (vectors wider
     # than dim are truncated; narrower ones error in posexplode math)
-    return F.transform(
-        F.slice(F.col(vec_col), 1, dim),
-        lambda x: F.floor(x.cast("double") * 1000000.0 + F.lit(0.5))
-        .cast("long"))
+    return micro_units(F.col(vec_col), dim)
 
 
 def _all_terms(df: DataFrame, vec_col: str, dim: int) -> DataFrame:

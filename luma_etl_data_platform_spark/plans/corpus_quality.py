@@ -661,13 +661,19 @@ _TRUNC_CUTS = (8, 16, 64)
 @_q("ann_truncation_recall")
 def ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
+    from ..functions.vectors import micro_units
     emb = load_table(spark, sf_dir, "embeddings")
-    vi = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * 1000000.0 + F.lit(0.5))
-        .cast("long"))
+    vi = micro_units(F.col("embedding"))
+    n2q = lambda s: F.aggregate(F.transform(s, lambda x: x * x),
+                                F.lit(0).cast("long"),
+                                lambda acc, x: acc + x)
+    # norms precomputed ONCE per (vector, cut) — not re-folded per
+    # candidate pair (the nearest_centroid_confusion precedent)
+    norms = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in _TRUNC_CUTS]),
+        F.array(*[n2q(F.slice(vi, 1, c)) for c in _TRUNC_CUTS]))
     q = (emb.select(F.col("vec_id").alias("vid"), "label",
-                    vi.alias("q"))
+                    vi.alias("q"), norms.alias("n2"))
          .localCheckpoint(eager=True))
     # recall evaluation needs exact ground truth per query — cost is
     # inherently queries × corpus, so bound the QUERY side (the
@@ -679,17 +685,18 @@ def ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (a.join(b, (F.col("a.label") == F.col("b.label"))
                     & (F.col("a.vid") != F.col("b.vid")))
              .select(F.col("a.vid").alias("va"), F.col("b.vid").alias("vb"),
-                     F.col("a.q").alias("qa"), F.col("b.q").alias("qb"))
-             .select("va", "vb", "qa", "qb", cuts))
+                     F.col("a.q").alias("qa"), F.col("b.q").alias("qb"),
+                     F.col("a.n2").alias("na"), F.col("b.n2").alias("nb"))
+             .select("va", "vb", "qa", "qb", "na", "nb", cuts))
     sa = F.slice(F.col("qa"), 1, F.col("cut"))
     sb = F.slice(F.col("qb"), 1, F.col("cut"))
     dot = F.aggregate(F.zip_with(sa, sb, lambda x, y: x * y),
                       F.lit(0).cast("long"), lambda acc, x: acc + x)
-    n2 = lambda s: F.aggregate(F.transform(s, lambda x: x * x),
-                               F.lit(0).cast("long"), lambda acc, x: acc + x)
     score = F.round(dot.cast("double")
-                    / (F.sqrt(n2(sa).cast("double"))
-                       * F.sqrt(n2(sb).cast("double"))), 6)
+                    / (F.sqrt(F.element_at(F.col("na"), F.col("cut"))
+                              .cast("double"))
+                       * F.sqrt(F.element_at(F.col("nb"), F.col("cut"))
+                                .cast("double"))), 6)
     scored = pairs.select("va", "vb", "cut", score.alias("score"))
     win = W.partitionBy("va", "cut").orderBy(F.desc("score"), F.asc("vb"))
     top = (scored.withColumn("_rn", F.row_number().over(win))

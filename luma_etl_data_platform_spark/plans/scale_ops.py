@@ -604,7 +604,6 @@ ORDER BY est.event_type""")
 # dashboard runs in O(days × 256) state.
 # ---------------------------------------------------------------------------
 def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
     from ..operators.sketches import hll_estimate, hll_sketch
     ev = load_table(spark, sf_dir, "events")
     daily = hll_sketch(
