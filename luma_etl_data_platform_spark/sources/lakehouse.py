@@ -377,6 +377,7 @@ def _file_rows(spark: SparkSession, table_path: str) -> dict[str, int | None]:
 def compact(spark: SparkSession, table_path: str,
             target_rows: int = 1_000_000,
             sort_by: str | None = None,
+            zorder_by: list[str] | None = None,
             max_retries: int = 2) -> dict:
     """OPTIMIZE: bin-pack the snapshot's small files into
     ~``target_rows``-row files, committed as one atomic ``compact``
@@ -388,8 +389,12 @@ def compact(spark: SparkSession, table_path: str,
     ``sort_by`` additionally range-clusters the output
     (``repartitionByRange`` + ``sortWithinPartitions``), so the
     per-file min/max key stats recorded in the commit log become
-    non-overlapping — the data-skipping payoff of clustering, the
-    small sibling of Delta's OPTIMIZE ZORDER.
+    non-overlapping — the data-skipping payoff of clustering.
+    ``zorder_by=[c1, c2]`` instead clusters on the Morton interleave
+    of the two columns' 16-bit min/max-scaled grid coordinates
+    (operators/layout.morton_key): each output file covers a compact
+    2-D cell, so min/max stats prune point/range predicates on
+    EITHER column — the full sibling of Delta's OPTIMIZE ZORDER.
 
     Why this is a first-class 100-TB operation: streaming/micro-batch
     ingestion produces files sized by arrival cadence, not by optimal
@@ -417,7 +422,21 @@ def compact(spark: SparkSession, table_path: str,
         total = (sum(known) if len(known) == len(candidates)
                  else df.count())
         n_out = max(1, -(-total // target_rows))
-        if sort_by is not None:
+        if zorder_by is not None:
+            from ..operators.layout import morton_key
+            c1, c2 = zorder_by
+            b = df.agg(F.min(c1).alias("_n1"), F.max(c1).alias("_x1"),
+                       F.min(c2).alias("_n2"), F.max(c2).alias("_x2"))
+            q1 = F.expr(f"(({c1} - _n1) * 65535)"
+                        " div greatest(_x1 - _n1, 1)")
+            q2 = F.expr(f"(({c2} - _n2) * 65535)"
+                        " div greatest(_x2 - _n2, 1)")
+            keyed = (df.crossJoin(F.broadcast(b))
+                     .withColumn("_z", morton_key(q1, q2, bits=16))
+                     .drop("_n1", "_x1", "_n2", "_x2"))
+            packed = (keyed.repartitionByRange(n_out, F.col("_z"))
+                      .sortWithinPartitions("_z").drop("_z"))
+        elif sort_by is not None:
             packed = (df.repartitionByRange(n_out, F.col(sort_by))
                       .sortWithinPartitions(sort_by))
         else:
@@ -581,3 +600,68 @@ def read_changes(spark: SparkSession, table_path: str,
     post = (diff.select(*keys, *[F.col(f"_new_{c}").alias(c) for c in payload])
             .withColumn("_change_type", F.lit("update_postimage")))
     return ins.unionByName(del_).unionByName(pre).unionByName(post)
+
+
+def expire_snapshots(spark: SparkSession, table_path: str,
+                     keep_last: int = 1) -> dict:
+    """Iceberg-style snapshot expiration — the retention half of the
+    maintenance pair (compact = layout, expire = history): at 100 TB
+    the pre-image files of every MERGE/OPTIMIZE accumulate forever
+    unless history is bounded.
+
+    Mechanics (mirrors Iceberg's expire+checkpoint):
+
+    1. the oldest KEPT version's commit is rewritten as a
+       ``checkpoint`` carrying the full live add-list (with stats) at
+       that version — log replay no longer needs the expired prefix;
+    2. commit files older than the cutoff are deleted (time travel to
+       them intentionally stops working);
+    3. data files referenced by NO kept version are deleted (unlike
+       :func:`vacuum`, which retains only the LATEST snapshot, this
+       keeps every file any surviving version still needs).
+
+    Returns ``{"expired_versions", "kept_versions", "files_removed"}``.
+    """
+    if keep_last < 1:
+        raise ValueError("expire_snapshots: keep_last must be >= 1")
+    fs, jvm = _fs(spark, table_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    commits = _commits(spark, table_path)
+    if not commits:
+        raise FileNotFoundError(f"{table_path} has no commit log")
+    latest = commits[-1]["version"]
+    cutoff = max(commits[0]["version"], latest - keep_last + 1)
+    expired = [c["version"] for c in commits if c["version"] < cutoff]
+    kept = [c["version"] for c in commits if c["version"] >= cutoff]
+    if not expired:
+        return {"expired_versions": [], "kept_versions": kept,
+                "files_removed": []}
+
+    # 1. checkpoint the cutoff version (full live add-list + keys)
+    live_adds = snapshot_adds(spark, table_path, version=cutoff)
+    keys = next((d.get("keys", []) for d in reversed(commits)
+                 if d.get("keys")), [])
+    doc = {"version": cutoff, "op": "checkpoint", "add": live_adds,
+           "remove": [], "keys": keys}
+    fs.delete(Path(_log_path(table_path, cutoff)), False)
+    _write_commit(spark, table_path, cutoff, doc)
+
+    # 2. drop expired commit files
+    for v in expired:
+        fs.delete(Path(_log_path(table_path, v)), False)
+
+    # 3. delete data files no kept version references
+    retained: set[str] = set()
+    for v in kept:
+        retained.update(f.rsplit("/", 1)[-1]
+                        for f in snapshot_files(spark, table_path, v))
+    root = table_path.rstrip("/")
+    removed = []
+    for st in fs.listStatus(Path(root)):
+        name = st.getPath().getName()
+        if (st.isFile() and name.endswith(".parquet")
+                and name not in retained):
+            fs.delete(st.getPath(), False)
+            removed.append(name)
+    return {"expired_versions": expired, "kept_versions": kept,
+            "files_removed": sorted(removed)}

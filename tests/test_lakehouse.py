@@ -373,3 +373,64 @@ def test_ivm_untouched_groups_pass_through_unchanged(table, spark):
     after = dict((t, (n, s)) for t, n, s in _mv_rows(mv1))
     assert after["b"] == before["b"] and after["c"] == before["c"]
     assert after["a"] != before["a"]
+
+
+# ---------------------------------------------------------------------------
+# zorder compaction + snapshot expiration
+# ---------------------------------------------------------------------------
+
+def test_compact_zorder_clusters_both_dims(tmp_path, spark):
+    import itertools
+    path = str(tmp_path / "ztbl")
+    rows = [dict(k=k, v=v, tag="t") for k, v in
+            itertools.product(range(32), range(32))]
+    LH.create_table(spark, path, _mk(spark, rows).repartition(6), ["k"])
+    LH.compact(spark, path, target_rows=256, zorder_by=["k", "v"])
+    # content identical
+    assert LH.read_table(spark, path).count() == 1024
+    # every packed file covers a bounded 2-D cell: max span product
+    # far below the full grid (32*32); range-only clustering on k
+    # would leave v spanning the full 0..31 in every file
+    spans = []
+    for f in LH.snapshot_files(spark, path):
+        pdf = spark.read.parquet(f).agg(
+            F.min("k"), F.max("k"), F.min("v"), F.max("v")).collect()[0]
+        spans.append((pdf[1] - pdf[0] + 1) * (pdf[3] - pdf[2] + 1))
+    assert len(spans) >= 3
+    assert sorted(spans)[len(spans) // 2] <= 512  # median cell ≤ half grid
+
+
+def test_expire_snapshots_checkpoint_keeps_kept_versions_readable(
+        table, spark):
+    # build 3 more versions on the 3-file fixture
+    src = _mk(spark, [dict(k=1, v=1000, tag="a")])
+    LH.merge_into(spark, table, src, ["k"], update_set="all")
+    src2 = _mk(spark, [dict(k=99, v=990, tag="z")])
+    LH.merge_into(spark, table, src2, ["k"], update_set="all")
+    latest = LH.current_version(spark, table)
+    before_latest = LH.read_table(spark, table).count()
+    before_prev = LH.read_table(spark, table, version=latest - 1).count()
+
+    rep = LH.expire_snapshots(spark, table, keep_last=2)
+    assert rep["kept_versions"] == [latest - 1, latest]
+    assert rep["expired_versions"]
+
+    # kept versions still read correctly (checkpoint carried the base)
+    assert LH.read_table(spark, table).count() == before_latest
+    assert (LH.read_table(spark, table, version=latest - 1).count()
+            == before_prev)
+    # expired versions are gone
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        LH.read_table(spark, table, version=1)
+
+
+def test_expire_snapshots_removes_unreferenced_files(table, spark):
+    src = _mk(spark, [dict(k=1, v=1000, tag="a")])
+    LH.merge_into(spark, table, src, ["k"], update_set="all")
+    rep = LH.expire_snapshots(spark, table, keep_last=1)
+    # the rewritten pre-image file of k=1's original file is dropped
+    assert rep["files_removed"]
+    # and a second expire is a no-op
+    rep2 = LH.expire_snapshots(spark, table, keep_last=1)
+    assert rep2["expired_versions"] == [] and rep2["files_removed"] == []
