@@ -425,6 +425,73 @@ SELECT CAST((SELECT count(*) FROM orders WHERE o_custkey % 50 = 0)
 """
 
 
+def lakehouse_expiration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-expiration under the gate: build a 3-version history
+    (create, update-merge, delete-merge), expire to the last 2
+    versions (checkpoint rewrite + history drop + kept-version-aware
+    file removal), and audit: version counts, CURRENT state totals,
+    and the previous version's row count — both reads run AFTER
+    expiration, so a hash match proves the checkpoint carried the
+    full base and kept snapshots stay exactly readable."""
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_exp_")
+    path = f"{tmp}/orders_tbl"
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+
+    LH.create_table(spark, path,
+                    orders.filter(F.col("o_orderkey") % 3 != 0)
+                    .repartition(5), ["o_orderkey"])
+    b1 = (orders.filter(F.col("o_orderkey") % 10 == 1)
+          .withColumn("o_totalprice", F.col("o_totalprice") + 10.0))
+    LH.merge_into(spark, path, b1, ["o_orderkey"], update_set="all")
+    b2 = orders.filter(F.col("o_orderkey") % 10 == 2)
+    LH.merge_into(spark, path, b2, ["o_orderkey"], update_set="all",
+                  delete_condition=F.lit(True))
+
+    rep = LH.expire_snapshots(spark, path, keep_last=2)
+    cur = LH.read_table(spark, path)
+    prev_rows = LH.read_table(spark, path, version=2).count()
+    out = (cur.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(38,6)"), 2).cast("double")
+        .alias("total_price"))
+        .withColumn("n_expired", F.lit(len(rep["expired_versions"]))
+                    .cast("long"))
+        .withColumn("n_kept", F.lit(len(rep["kept_versions"]))
+                    .cast("long"))
+        .withColumn("prev_version_rows", F.lit(prev_rows).cast("long"))
+        .select("n_expired", "n_kept", "n_rows", "prev_version_rows",
+                "total_price")
+        .localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["lakehouse_expiration_audit"] = """
+WITH i AS (SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey % 3 <> 0),
+b1 AS (SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice
+       FROM orders WHERE o_orderkey % 10 = 1),
+s2 AS (SELECT * FROM i WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b1)
+       UNION ALL SELECT * FROM b1),
+-- v3: matched % 10 = 2 rows delete; unmatched insert
+b2 AS (SELECT o_orderkey, o_totalprice FROM orders
+       WHERE o_orderkey % 10 = 2),
+s3 AS (SELECT * FROM s2
+       WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+       UNION ALL
+       SELECT b2.* FROM b2
+       WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s2))
+SELECT CAST(1 AS BIGINT) AS n_expired,
+       CAST(2 AS BIGINT) AS n_kept,
+       (SELECT count(*) FROM s3) AS n_rows,
+       (SELECT count(*) FROM s2) AS prev_version_rows,
+       (SELECT CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                               AS DECIMAL(38,6)), 2) AS DOUBLE)
+        FROM s3) AS total_price
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "lakehouse_time_travel": lakehouse_time_travel,
@@ -433,4 +500,5 @@ QUERIES = {
     "lakehouse_incremental_mv": lakehouse_incremental_mv,
     "zorder_locality_stats": zorder_locality_stats,
     "lakehouse_gdpr_erasure": lakehouse_gdpr_erasure,
+    "lakehouse_expiration_audit": lakehouse_expiration_audit,
 }
