@@ -150,3 +150,60 @@ def summarize_logs(logs: DataFrame, line_col: str = "value") -> DataFrame:
             F.sum("failed").alias("n_failures"),
         )
     )
+
+
+@dataclass
+class BackfillResult:
+    partitions_run: list[str]
+    partitions_skipped: list[str]
+    failures: dict[str, str]
+
+    @property
+    def ok(self) -> bool:
+        return not self.failures
+
+
+def backfill(partitions: Sequence[str],
+             run_partition: Callable[[str], None],
+             is_done: Callable[[str], bool] | None = None,
+             tracker: "JobTracker | None" = None,
+             max_failures: int | None = None) -> BackfillResult:
+    """Idempotent historical re-run: execute ``run_partition`` for
+    every partition key (typically an ``ingest_date``), skipping
+    partitions ``is_done`` already confirms, isolating failures per
+    partition (the reference's per-class error isolation —
+    workflow.ps1:482-505 — applied along the TIME axis), and
+    stopping early after ``max_failures`` so a systematic breakage
+    doesn't burn the whole range.
+
+    The partition callable must be idempotent (overwrite-partition /
+    staged-swap semantics — transform.replace_parquet_staged or a
+    lakehouse MERGE keyed on the partition), which is what makes
+    re-running a subset after a failure safe. At 100 TB a backfill is
+    driver-orchestrated but each partition's work is a full Spark
+    job; parallelism across partitions belongs to the scheduler, not
+    this loop (two concurrent writers to one table need the
+    lakehouse's optimistic concurrency)."""
+    import time as _time
+    run: list[str] = []
+    skipped: list[str] = []
+    failures: dict[str, str] = {}
+    for p in partitions:
+        if is_done is not None and is_done(p):
+            skipped.append(p)
+            continue
+        t0 = _time.perf_counter()
+        try:
+            run_partition(p)
+            run.append(p)
+            if tracker is not None:
+                tracker.record(f"backfill:{p}", True,
+                               _time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — per-partition isolation
+            failures[p] = f"{type(exc).__name__}: {exc}"
+            if tracker is not None:
+                tracker.record(f"backfill:{p}", False,
+                               _time.perf_counter() - t0)
+            if max_failures is not None and len(failures) >= max_failures:
+                break
+    return BackfillResult(run, skipped, failures)

@@ -621,6 +621,12 @@ def expire_snapshots(spark: SparkSession, table_path: str,
        keeps every file any surviving version still needs).
 
     Returns ``{"expired_versions", "kept_versions", "files_removed"}``.
+
+    Concurrency: run from a single maintenance owner. The checkpoint
+    rewrite replaces an EXISTING version (not a new one), so the
+    optimistic-concurrency guard that protects normal commits does
+    not apply; a writer committing concurrently is safe (it only adds
+    versions above the cutoff) but a second concurrent expire is not.
     """
     if keep_last < 1:
         raise ValueError("expire_snapshots: keep_last must be >= 1")

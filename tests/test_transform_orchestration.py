@@ -232,3 +232,39 @@ def test_audio_features_sign_changes(spark):
     r = MM.extract_audio_features(MM.attach_demo_binary(df)).collect()[0]
     assert r["n_samples"] == 4
     assert r["n_sign_changes"] == 2
+
+
+# ---------------------------------------------------------------------------
+# backfill
+# ---------------------------------------------------------------------------
+
+def test_backfill_skips_done_isolates_failures_and_stops_early():
+    from luma_etl_data_platform_spark.orchestration import backfill
+    ran = []
+
+    def run_partition(p):
+        if p in ("d3", "d5", "d6"):
+            raise RuntimeError(f"boom {p}")
+        ran.append(p)
+
+    res = backfill([f"d{i}" for i in range(1, 8)],
+                   run_partition,
+                   is_done=lambda p: p == "d2",
+                   max_failures=2)
+    assert res.partitions_skipped == ["d2"]
+    assert ran == ["d1", "d4"]
+    assert set(res.failures) == {"d3", "d5"}     # stopped after 2 failures
+    assert not res.ok
+
+
+def test_backfill_is_idempotent_with_done_check(tmp_path):
+    from luma_etl_data_platform_spark.orchestration import backfill
+    done = set()
+
+    def run_partition(p):
+        done.add(p)
+
+    first = backfill(["a", "b"], run_partition, is_done=lambda p: p in done)
+    again = backfill(["a", "b"], run_partition, is_done=lambda p: p in done)
+    assert first.partitions_run == ["a", "b"]
+    assert again.partitions_run == [] and again.partitions_skipped == ["a", "b"]
