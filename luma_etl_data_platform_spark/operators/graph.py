@@ -187,3 +187,41 @@ def node_triangle_counts(edges: DataFrame, src: str = "id_a",
         F.explode(F.array("u", "v1", "v2")).alias("node"))
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles"))
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3,
+                      id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Community detection by synchronous label propagation
+    (Raghavan et al. 2007): labels start as node ids; each round every
+    node adopts the most frequent label among its neighbors, ties →
+    smallest label. Classic LPA breaks ties randomly and updates
+    asynchronously; this variant is SYNCHRONOUS with a total tie
+    order, so a fixed round count gives a deterministic, engine-
+    replayable labeling (converged or not — same doctrine as the
+    PageRank/power-iteration operators).
+
+    Scale shape per round: one neighbor-label join (shuffle on node
+    id), one (node, label) count, one per-node argmax window — all
+    equi-joins, work O(m) per round, no hot-vertex blowup.
+    ``localCheckpoint`` per round caps lineage like the
+    connected-components loop.
+
+    Returns (node, community)."""
+    from pyspark.sql.window import Window as W
+    both = (edges.select(F.col(id_a).alias("n"), F.col(id_b).alias("m"))
+            .unionByName(edges.select(F.col(id_b).alias("n"),
+                                      F.col(id_a).alias("m")))
+            .distinct()
+            .localCheckpoint(eager=True))
+    labels = both.select("n").distinct().select(
+        "n", F.col("n").alias("lbl"))
+    for _ in range(rounds):
+        nb = (both.join(labels.select(F.col("n").alias("m"), "lbl"), "m")
+              .select("n", "lbl"))
+        cnt = nb.groupBy("n", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        win = W.partitionBy("n").orderBy(F.desc("c"), F.asc("lbl"))
+        labels = (cnt.withColumn("_rn", F.row_number().over(win))
+                  .filter(F.col("_rn") == 1).select("n", "lbl")
+                  .localCheckpoint(eager=True))
+    return labels.select(F.col("n").alias("node"),
+                         F.col("lbl").alias("community"))

@@ -646,6 +646,52 @@ grid AS (SELECT d.day, s.bucket, max(s.reg) AS reg
     + "\nSELECT day, n_zero_regs, est_distinct FROM est ORDER BY day")
 
 
+# ---------------------------------------------------------------------------
+# graph_lpa_communities: community detection on the embedding kNN
+# graph — synchronous label propagation, 3 deterministic rounds
+# (operators/graph.label_propagation); the oracle unrolls the same
+# rounds (argmax label with count-desc/label-asc ties).
+# ---------------------------------------------------------------------------
+_LPA_ROUNDS = 3
+
+
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+    comms = label_propagation(_knn_graph_edges(spark, sf_dir),
+                              rounds=_LPA_ROUNDS)
+    return (comms.groupBy("community")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .orderBy(F.desc("n_nodes"), "community")
+            .limit(20))
+
+
+def _lpa_oracle(rounds: int) -> str:
+    sql = f"""WITH {_KNN_EDGE_CTE},
+nbr AS MATERIALIZED (
+  SELECT id_a AS n, id_b AS m FROM e
+  UNION SELECT id_b, id_a FROM e),
+l0 AS MATERIALIZED (SELECT DISTINCT n, n AS lbl FROM nbr)"""
+    prev = "l0"
+    for t in range(1, rounds + 1):
+        sql += f""",
+c{t} AS (SELECT b.n, l.lbl, count(*) AS c
+         FROM nbr b JOIN {prev} l ON b.m = l.n
+         GROUP BY 1, 2),
+l{t} AS MATERIALIZED (
+  SELECT n, lbl FROM c{t}
+  QUALIFY row_number() OVER (PARTITION BY n
+                             ORDER BY c DESC, lbl) = 1)"""
+        prev = f"l{t}"
+    sql += f"""
+SELECT lbl AS community, count(*) AS n_nodes
+FROM {prev} GROUP BY 1
+ORDER BY n_nodes DESC, community LIMIT 20"""
+    return sql
+
+
+ORACLE["graph_lpa_communities"] = _lpa_oracle(_LPA_ROUNDS)
+
+
 QUERIES = {
     "ewma_user_values": ewma_user_values,
     "time_weighted_avg_user": time_weighted_avg_user,
@@ -658,6 +704,7 @@ QUERIES = {
     "hll_sliding_distinct": hll_sliding_distinct,
     "graph_triangle_stats": graph_triangle_stats,
     "graph_pagerank_top20": graph_pagerank_top20,
+    "graph_lpa_communities": graph_lpa_communities,
     "interval_coverage_user": interval_coverage_user,
     "lm_perplexity_docs": lm_perplexity_docs,
     "basket_part_pairs": basket_part_pairs,

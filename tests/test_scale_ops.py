@@ -539,3 +539,29 @@ def test_hll_registers_bounded(spark):
     sk = K.hll_sketch(df, "g", "v").collect()
     assert len(sk) <= 256
     assert all(1 <= r["_reg"] <= 53 for r in sk)
+
+
+# ---------------------------------------------------------------------------
+# Label propagation
+# ---------------------------------------------------------------------------
+
+def test_lpa_two_cliques_converge_to_two_communities(spark):
+    from luma_etl_data_platform_spark.operators.graph import label_propagation
+    import itertools
+    edges = ([(a, b) for a, b in itertools.combinations([1, 2, 3, 4], 2)]
+             + [(a, b) for a, b in itertools.combinations([10, 11, 12], 2)])
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["community"]
+           for r in label_propagation(df, rounds=3).collect()}
+    assert len({got[n] for n in (1, 2, 3, 4)}) == 1
+    assert len({got[n] for n in (10, 11, 12)}) == 1
+    assert got[1] != got[10]
+
+
+def test_lpa_partitioning_invariant(spark):
+    from luma_etl_data_platform_spark.operators.graph import label_propagation
+    edges = [(i, (i * 7) % 23) for i in range(23) if i != (i * 7) % 23]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = sorted(label_propagation(df.coalesce(1), rounds=2).collect())
+    b = sorted(label_propagation(df.repartition(8), rounds=2).collect())
+    assert a == b
