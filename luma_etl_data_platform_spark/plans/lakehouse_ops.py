@@ -492,6 +492,74 @@ SELECT CAST(1 AS BIGINT) AS n_expired,
 """
 
 
+def lakehouse_wap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish under the gate: stage a deliberately
+    corrupted batch (status nulled for o_orderkey % 7 == 0), audit it
+    with the expectation suite AGAINST THE STAGED FILES, abort it
+    (table must be untouched), then stage+publish the cleaned batch.
+    Output: the audit's violation count, the aborted-file count, and
+    the final table rollup — which must equal base + clean batch
+    exactly (the oracle replays the relational equivalent)."""
+    from ..operators.validate import expectations_report
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_wap_")
+    path = f"{tmp}/orders_tbl"
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    LH.create_table(spark, path, base.repartition(4), ["o_orderkey"])
+
+    batch = orders.filter(F.col("o_orderkey") % 2 == 1)
+    bad = batch.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus")))
+
+    pending = LH.stage_append(spark, path, bad.repartition(4),
+                              ["o_orderkey"])
+    audit = expectations_report(
+        LH.read_staged(spark, path, pending),
+        {"status_not_null": F.col("o_orderstatus").isNull()})
+    n_viol = audit.collect()[0]["n_violations"]
+    aborted = LH.abort_staged(spark, path, pending)
+
+    clean = bad.filter(F.col("o_orderstatus").isNotNull())
+    pending2 = LH.stage_append(spark, path, clean, ["o_orderkey"])
+    LH.publish_staged(spark, path, pending2)
+
+    out = (LH.read_table(spark, path).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(38,6)"), 2).cast("double")
+        .alias("total_price"))
+        .withColumn("n_violations", F.lit(int(n_viol)).cast("long"))
+        .withColumn("n_files_aborted", F.lit(len(aborted)).cast("long"))
+        .select("n_violations", "n_files_aborted", "n_rows",
+                "total_price")
+        .localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["lakehouse_wap_audit"] = """
+WITH batch AS (SELECT o_orderkey, o_totalprice,
+                      CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                           ELSE o_orderstatus END AS st
+               FROM orders WHERE o_orderkey % 2 = 1),
+final AS (SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_orderkey % 2 = 0
+          UNION ALL
+          SELECT o_orderkey, o_totalprice FROM batch
+          WHERE st IS NOT NULL)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM batch WHERE st IS NULL)
+         AS n_violations,
+       CAST(4 AS BIGINT) AS n_files_aborted,
+       (SELECT count(*) FROM final) AS n_rows,
+       (SELECT CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                               AS DECIMAL(38,6)), 2) AS DOUBLE)
+        FROM final) AS total_price
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "lakehouse_time_travel": lakehouse_time_travel,
@@ -501,4 +569,5 @@ QUERIES = {
     "zorder_locality_stats": zorder_locality_stats,
     "lakehouse_gdpr_erasure": lakehouse_gdpr_erasure,
     "lakehouse_expiration_audit": lakehouse_expiration_audit,
+    "lakehouse_wap_audit": lakehouse_wap_audit,
 }

@@ -671,3 +671,64 @@ def expire_snapshots(spark: SparkSession, table_path: str,
             removed.append(name)
     return {"expired_versions": expired, "kept_versions": kept,
             "files_removed": sorted(removed)}
+
+
+# ---------------------------------------------------------------------------
+# Write-audit-publish (WAP) — staged commits gated by validation
+# ---------------------------------------------------------------------------
+
+def stage_append(spark: SparkSession, table_path: str, df: DataFrame,
+                 keys: list[str] | None = None) -> dict:
+    """WAP step 1 (WRITE): land ``df`` as immutable data files under
+    the table root WITHOUT committing — the snapshot does not change,
+    so no reader can see the batch. Returns the pending commit
+    payload (add-actions with stats) to pass to :func:`read_staged` /
+    :func:`publish_staged` / :func:`abort_staged`.
+
+    This is the Iceberg write-audit-publish pattern: quality gates
+    run against the staged files themselves (not a sample, not a
+    copy), and only a passing batch becomes part of table history —
+    the lakehouse-native home for `operators/validate`'s expectation
+    suites."""
+    v = current_version(spark, table_path)
+    if v == 0:
+        raise FileNotFoundError(f"{table_path} has no commit log")
+    adds = _write_data_files(spark, table_path, df, keys or [])
+    return {"op": "append", "add": adds, "remove": [],
+            "base_version": v}
+
+
+def read_staged(spark: SparkSession, table_path: str,
+                pending: dict) -> DataFrame:
+    """WAP step 2 (AUDIT): the staged batch as a DataFrame — run
+    expectations_report / enforce_expectations on it."""
+    root = table_path.rstrip("/")
+    files = [f"{root}/{a['path']}" for a in pending["add"]]
+    return spark.read.parquet(*files)
+
+
+def publish_staged(spark: SparkSession, table_path: str,
+                   pending: dict) -> int:
+    """WAP step 3a (PUBLISH): commit the staged files atomically. The
+    staged files are already in place, so publish is metadata-only —
+    one commit write, retried against the current version (appends
+    never conflict on content). Returns the new version."""
+    v = current_version(spark, table_path)
+    doc = {"version": v + 1, "op": pending["op"],
+           "add": pending["add"], "remove": pending["remove"]}
+    _write_commit(spark, table_path, v + 1, doc)
+    return v + 1
+
+
+def abort_staged(spark: SparkSession, table_path: str,
+                 pending: dict) -> list[str]:
+    """WAP step 3b (ABORT): delete the staged files; the table is
+    untouched (they were never referenced by any commit)."""
+    fs, jvm = _fs(spark, table_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = table_path.rstrip("/")
+    removed = []
+    for a in pending["add"]:
+        fs.delete(Path(f"{root}/{a['path']}"), False)
+        removed.append(a["path"])
+    return sorted(removed)

@@ -434,3 +434,35 @@ def test_expire_snapshots_removes_unreferenced_files(table, spark):
     # and a second expire is a no-op
     rep2 = LH.expire_snapshots(spark, table, keep_last=1)
     assert rep2["expired_versions"] == [] and rep2["files_removed"] == []
+
+
+# ---------------------------------------------------------------------------
+# write-audit-publish
+# ---------------------------------------------------------------------------
+
+def test_wap_staged_batch_is_invisible_until_publish(table, spark):
+    v0 = LH.current_version(spark, table)
+    n0 = LH.read_table(spark, table).count()
+    pending = LH.stage_append(
+        spark, table, _mk(spark, [dict(k=50, v=500, tag="w")]), ["k"])
+    # nothing changed yet
+    assert LH.current_version(spark, table) == v0
+    assert LH.read_table(spark, table).count() == n0
+    # audit sees exactly the staged batch
+    assert LH.read_staged(spark, table, pending).count() == 1
+    LH.publish_staged(spark, table, pending)
+    assert LH.current_version(spark, table) == v0 + 1
+    assert LH.read_table(spark, table).count() == n0 + 1
+
+
+def test_wap_abort_leaves_no_trace(table, spark):
+    import os
+    v0 = LH.current_version(spark, table)
+    files0 = sorted(f for f in os.listdir(table) if f.endswith(".parquet"))
+    pending = LH.stage_append(
+        spark, table, _mk(spark, [dict(k=51, v=510, tag="x")]), ["k"])
+    removed = LH.abort_staged(spark, table, pending)
+    assert removed
+    assert LH.current_version(spark, table) == v0
+    files1 = sorted(f for f in os.listdir(table) if f.endswith(".parquet"))
+    assert files0 == files1
