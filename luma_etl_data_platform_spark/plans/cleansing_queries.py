@@ -390,3 +390,32 @@ FROM n ORDER BY o_orderpriority
 
 QUERIES["k_anonymity_report"] = k_anonymity_report
 QUERIES["dp_noisy_priority_counts"] = dp_noisy_priority_counts
+
+
+def masked_customer_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column masking / pseudonymization for a data share: stable
+    md5 pseudonyms for names (joinable across exports, not
+    reversible without the salt), account balances generalized to
+    1000-unit bands, direct identifiers dropped. The export-side
+    complement of k_anonymity_report — portable md5 keeps even the
+    pseudonyms hash-checkable. First 30 subjects by key."""
+    cust = load_table(spark, sf_dir, "customer")
+    pseud = F.substring(F.md5(F.concat(F.lit("pseud:"),
+                                       F.col("c_name"))), 1, 12)
+    band = (F.floor(F.col("c_acctbal") / 1000.0) * 1000).cast("long")
+    return (cust.orderBy("c_custkey").limit(30)
+            .select(F.col("c_custkey"),
+                    pseud.alias("name_pseudonym"),
+                    band.alias("acctbal_band"),
+                    "c_mktsegment"))
+
+
+ORACLE["masked_customer_export"] = """
+SELECT c_custkey,
+       substr(md5('pseud:' || c_name), 1, 12) AS name_pseudonym,
+       CAST(floor(c_acctbal / 1000.0) * 1000 AS BIGINT) AS acctbal_band,
+       c_mktsegment
+FROM customer ORDER BY c_custkey LIMIT 30
+"""
+
+QUERIES["masked_customer_export"] = masked_customer_export
