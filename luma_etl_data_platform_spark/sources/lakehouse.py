@@ -649,8 +649,23 @@ def expire_snapshots(spark: SparkSession, table_path: str,
                  if d.get("keys")), [])
     doc = {"version": cutoff, "op": "checkpoint", "add": live_adds,
            "remove": [], "keys": keys}
-    fs.delete(Path(_log_path(table_path, cutoff)), False)
-    _write_commit(spark, table_path, cutoff, doc)
+    # durable swap: write the checkpoint to a temp log name FIRST;
+    # only then replace the cutoff commit (a crash before the final
+    # rename leaves the original log intact, never a hole)
+    log_dir = f"{table_path.rstrip('/')}/{_LOG_DIR}"
+    tmp_ckpt = Path(f"{log_dir}/.ckpt-{uuid.uuid4().hex}")
+    stream = fs.create(tmp_ckpt, False)
+    try:
+        stream.write(bytearray(json.dumps(doc, sort_keys=True)
+                               .encode("utf-8")))
+    finally:
+        stream.close()
+    dest = Path(_log_path(table_path, cutoff))
+    fs.delete(dest, False)
+    if not fs.rename(tmp_ckpt, dest):
+        fs.delete(tmp_ckpt, False)
+        raise IOError(f"expire_snapshots: failed to install checkpoint "
+                      f"for version {cutoff}")
 
     # 2. drop expired commit files
     for v in expired:
@@ -713,11 +728,17 @@ def publish_staged(spark: SparkSession, table_path: str,
     staged files are already in place, so publish is metadata-only —
     one commit write, retried against the current version (appends
     never conflict on content). Returns the new version."""
-    v = current_version(spark, table_path)
-    doc = {"version": v + 1, "op": pending["op"],
-           "add": pending["add"], "remove": pending["remove"]}
-    _write_commit(spark, table_path, v + 1, doc)
-    return v + 1
+    for _ in range(5):
+        v = current_version(spark, table_path)
+        doc = {"version": v + 1, "op": pending["op"],
+               "add": pending["add"], "remove": pending["remove"]}
+        try:
+            _write_commit(spark, table_path, v + 1, doc)
+            return v + 1
+        except CommitConflictError:
+            continue  # a writer landed v+1 first; appends don't conflict
+    raise CommitConflictError(
+        f"publish_staged: lost the commit race 5 times on {table_path}")
 
 
 def abort_staged(spark: SparkSession, table_path: str,
