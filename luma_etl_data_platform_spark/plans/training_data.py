@@ -928,3 +928,26 @@ GROUP BY 1 ORDER BY n_members DESC, l.entity_id LIMIT 25
 """
 
 QUERIES["entity_resolution_parts"] = entity_resolution_parts
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_minhash: nightly-ingest dedup — pairs involving
+# the NEW batch only (operators/dedup.incremental_minhash_pairs),
+# O(batch + touched) instead of a corpus re-scan. Bit-identical to
+# the full-corpus join filtered to batch-touching pairs, which is
+# exactly what the oracle states.
+# ---------------------------------------------------------------------------
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    return D.incremental_minhash_pairs(old, new, "text", "doc_id",
+                                       n=3, num_hashes=16, bands=4,
+                                       threshold=0.5)
+
+
+ORACLE["dedup_incremental_minhash"] = (
+    ORACLE["dedup_minhash_lsh"]
+    + "  AND (id_a % 4 = 0 OR id_b % 4 = 0)")
+
+QUERIES["dedup_incremental_minhash"] = dedup_incremental_minhash
+

@@ -139,3 +139,25 @@ def test_prefix_jaccard_matches_plain_inverted_index(spark):
             D.prefix_filter_jaccard_pairs(docs, "text", "doc_id",
                                           threshold=0.5).collect()}
     assert pref == plain and plain
+
+
+def test_incremental_minhash_equals_full_filtered(spark):
+    # the defining property: incremental(new batch) == full-corpus
+    # pairs restricted to pairs touching the batch
+    from pyspark.sql import functions as F
+    from luma_etl_data_platform_spark.operators.dedup import (
+        incremental_minhash_pairs, minhash_lsh_pairs)
+    from luma_etl_data_platform_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+    docs = load_table(spark, SF_SMOKE, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    inc = sorted(tuple(r) for r in incremental_minhash_pairs(
+        old, new, "text", "doc_id").collect())
+    full = sorted(
+        tuple(r) for r in
+        minhash_lsh_pairs(docs, "text", "doc_id", n=3, num_hashes=16,
+                          bands=4, threshold=0.5)
+        .filter((F.col("id_a") % 3 == 0) | (F.col("id_b") % 3 == 0))
+        .collect())
+    assert inc == full
