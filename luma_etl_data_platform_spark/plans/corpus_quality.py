@@ -742,3 +742,59 @@ SELECT t.cut AS trunc_dim, count(*) AS n_queries,
 FROM top t JOIN truth tr ON t.va = tr.va
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# bpe_roundtrip_check: tokenizer losslessness audit — decoding every
+# trained segmentation (strip spaces + the </w> marker) must
+# reconstruct its word exactly. The self-validating query every
+# tokenizer deployment should ship: n_mismatch must be 0 and the
+# oracle proves it from the same unrolled merge chain.
+# ---------------------------------------------------------------------------
+@_q("bpe_roundtrip_check")
+def bpe_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_vocab, word_frequencies
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = bpe_vocab(docs, "text", n_merges=_BPE_MERGES)
+    decoded = vocab.select(
+        F.replace(F.replace(F.col("symbols"), F.lit(" "), F.lit("")),
+                  F.lit("</w>"), F.lit("")).alias("word"),
+        F.size(F.split(F.trim(F.col("symbols")), " ")).cast("long")
+        .alias("n_tok"), "n_word")
+    words = word_frequencies(docs, "text").select(
+        F.col("word").alias("orig"), "n_word")
+    j = decoded.join(words, (F.col("word") == F.col("orig"))
+                     & (decoded["n_word"] == words["n_word"]), "full_outer")
+    return j.agg(
+        F.coalesce(F.sum(F.when(F.col("word").isNotNull()
+                                & F.col("orig").isNotNull(), 1)
+                         .otherwise(0)), F.lit(0)).alias("n_roundtrip_ok"),
+        F.coalesce(F.sum(F.when(F.col("word").isNull()
+                                | F.col("orig").isNull(), 1)
+                         .otherwise(0)), F.lit(0)).alias("n_mismatch"),
+        F.coalesce(F.sum(F.when(F.col("word").isNotNull(),
+                                F.col("n_tok")).otherwise(0)), F.lit(0))
+        .alias("total_tokens"))
+
+
+ORACLE["bpe_roundtrip_check"] = _bpe_oracle(_BPE_MERGES, final_select=f"""
+, seg AS (SELECT replace(replace(symbols, ' ', ''), '</w>', '') AS word,
+                 CAST(len(str_split(trim(symbols), ' ')) AS BIGINT) AS n_tok,
+                 n_word
+          FROM v{_BPE_MERGES}),
+w AS (SELECT tk AS orig, count(*) AS n_word
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS tk
+            FROM documents) GROUP BY tk),
+j AS (SELECT seg.word, w.orig, seg.n_tok
+      FROM seg FULL OUTER JOIN w
+        ON seg.word = w.orig AND seg.n_word = w.n_word)
+SELECT CAST(coalesce(sum(CASE WHEN word IS NOT NULL AND orig IS NOT NULL
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_roundtrip_ok,
+       CAST(coalesce(sum(CASE WHEN word IS NULL OR orig IS NULL
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_mismatch,
+       CAST(coalesce(sum(CASE WHEN word IS NOT NULL THEN n_tok
+                              ELSE 0 END), 0) AS BIGINT) AS total_tokens
+FROM j
+""")
