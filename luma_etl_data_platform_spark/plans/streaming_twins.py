@@ -401,7 +401,75 @@ ORACLE["stream_hll_distinct"] = (
       "ORDER BY event_type")
 
 
+# ---------------------------------------------------------------------------
+# stream_wap_ingest: streaming write-audit-publish — every
+# micro-batch stages into the lakehouse invisibly, is audited
+# in-place, and either publishes (atomic metadata commit) or aborts
+# (file delete, zero table history). Batch-level all-or-nothing QA:
+# the input is partitioned into 8 group files (grp = event_id % 8)
+# and rows with event_id % 2500 == 0 carry a corrupted negative
+# value, so exactly the groups containing such ids abort — a
+# deterministic, scale-stable rule the batch-twin oracle replays
+# relationally.
+# ---------------------------------------------------------------------------
+def stream_wap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import lakehouse as LH
+    tmp = tempfile.mkdtemp(prefix="luma_stream_wap_")
+    path = f"{tmp}/tbl"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 8).alias("grp"),
+        F.when(F.col("event_id") % 2500 == 0, F.lit(-1.0))
+        .otherwise(F.col("value")).cast("decimal(18,2)").alias("value"))
+    (ev.repartition(1).write.partitionBy("grp")
+     .parquet(f"{tmp}/src"))
+    LH.create_table(spark, path, ev.filter(F.lit(False)).drop("grp")
+                    .repartition(1), ["event_id"])
+
+    schema = spark.read.parquet(f"{tmp}/src").schema
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        pending = LH.stage_append(spark, path, batch_df.drop("grp"),
+                                  ["event_id"])
+        n_bad = (LH.read_staged(spark, path, pending)
+                 .filter(F.col("value") < 0).count())
+        if n_bad:
+            LH.abort_staged(spark, path, pending)
+        else:
+            LH.publish_staged(spark, path, pending)
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/src")
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", f"{tmp}/ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+
+    out = (LH.read_table(spark, path).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.col("event_id") % 8).alias("n_groups_published"),
+        F.round(F.sum("value").cast("decimal(38,6)"), 2).cast("double")
+        .alias("total_value"))
+        .localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["stream_wap_ingest"] = """
+WITH dirty AS (SELECT DISTINCT event_id % 8 AS grp FROM events
+               WHERE event_id % 2500 = 0),
+clean AS (SELECT event_id, value FROM events
+          WHERE event_id % 8 NOT IN (SELECT grp FROM dirty))
+SELECT count(*) AS n_events,
+       count(DISTINCT event_id % 8) AS n_groups_published,
+       CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_value
+FROM clean
+"""
+
+
 QUERIES = {
+    "stream_wap_ingest": stream_wap_ingest,
     "stream_hll_distinct": stream_hll_distinct,
     "stream_lakehouse_upsert": stream_lakehouse_upsert,
     "stream_rollup_hourly": stream_rollup_hourly,

@@ -45,3 +45,26 @@ def test_stream_hll_register_merge_is_batch_invariant(spark):
     merged = hll_merge(*[hll_sketch(p, "g", "v") for p in parts],
                        group_col="g")
     assert sorted(full.collect()) == sorted(merged.collect())
+
+
+def test_stream_wap_aborted_batches_leave_no_history(spark, tmp_path):
+    # 2 staged batches: one clean (publishes), one dirty (aborts) —
+    # table history holds exactly create + 1 publish
+    from pyspark.sql import Row
+    from luma_etl_data_platform_spark.sources import lakehouse as LH
+    path = str(tmp_path / "wap_tbl")
+    base = spark.createDataFrame([Row(k=0, v=1.0)])
+    LH.create_table(spark, path, base.coalesce(1), ["k"])
+    clean = spark.createDataFrame([Row(k=1, v=2.0)])
+    dirty = spark.createDataFrame([Row(k=2, v=-1.0)])
+    for batch in (clean, dirty):
+        pending = LH.stage_append(spark, path, batch, ["k"])
+        from pyspark.sql import functions as F
+        if LH.read_staged(spark, path, pending).filter(
+                F.col("v") < 0).count():
+            LH.abort_staged(spark, path, pending)
+        else:
+            LH.publish_staged(spark, path, pending)
+    assert LH.current_version(spark, path) == 2
+    assert sorted(r["k"] for r in LH.read_table(spark, path).collect()) \
+        == [0, 1]
