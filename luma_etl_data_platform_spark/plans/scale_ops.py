@@ -692,6 +692,56 @@ ORDER BY n_nodes DESC, community LIMIT 20"""
 ORACLE["graph_lpa_communities"] = _lpa_oracle(_LPA_ROUNDS)
 
 
+def community_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality calibration: do LPA communities on the kNN
+    graph recover the ground-truth labels? Per community (size ≥ 2):
+    size, majority label, and purity = majority fraction — the same
+    calibration doctrine as ann_ivf_recall/minhash_calibration
+    (approximation next to its exact yardstick)."""
+    from ..operators.graph import label_propagation
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    comms = label_propagation(_knn_graph_edges(spark, sf_dir),
+                              rounds=_LPA_ROUNDS)
+    j = comms.join(emb, comms["node"] == emb["vec_id"])
+    by_label = (j.groupBy("community", "label")
+                .agg(F.count(F.lit(1)).alias("n")))
+    from pyspark.sql.window import Window as W
+    win = W.partitionBy("community").orderBy(F.desc("n"), F.asc("label"))
+    top = (by_label.withColumn("_rn", F.row_number().over(win))
+           .filter(F.col("_rn") == 1)
+           .select("community", F.col("label").alias("majority_label"),
+                   F.col("n").alias("n_majority")))
+    sizes = by_label.groupBy("community").agg(F.sum("n").alias("n_members"))
+    return (sizes.join(top, "community")
+            .filter(F.col("n_members") >= 2)
+            .select("community", "n_members", "majority_label",
+                    F.round(F.col("n_majority").cast("double")
+                            / F.col("n_members").cast("double"), 6)
+                    .alias("purity"))
+            .orderBy(F.desc("n_members"), "community")
+            .limit(20))
+
+
+ORACLE["community_label_purity"] = (
+    _lpa_oracle(_LPA_ROUNDS).rsplit("SELECT lbl AS community", 1)[0]
+    .rstrip().rstrip(")") + ")," + f"""
+bl AS (SELECT l.lbl AS community, e.label, count(*) AS n
+      FROM l{_LPA_ROUNDS} l JOIN embeddings e ON l.n = e.vec_id
+      GROUP BY 1, 2),
+top AS (SELECT community, label AS majority_label, n AS n_majority
+        FROM bl
+        QUALIFY row_number() OVER (PARTITION BY community
+                                   ORDER BY n DESC, label) = 1),
+sz AS (SELECT community, CAST(sum(n) AS BIGINT) AS n_members
+       FROM bl GROUP BY 1)
+SELECT sz.community, sz.n_members, top.majority_label,
+       round(CAST(top.n_majority AS DOUBLE)
+             / CAST(sz.n_members AS DOUBLE), 6) AS purity
+FROM sz JOIN top ON sz.community = top.community
+WHERE sz.n_members >= 2
+ORDER BY n_members DESC, sz.community LIMIT 20""")
+
+
 QUERIES = {
     "ewma_user_values": ewma_user_values,
     "time_weighted_avg_user": time_weighted_avg_user,
@@ -705,6 +755,7 @@ QUERIES = {
     "graph_triangle_stats": graph_triangle_stats,
     "graph_pagerank_top20": graph_pagerank_top20,
     "graph_lpa_communities": graph_lpa_communities,
+    "community_label_purity": community_label_purity,
     "interval_coverage_user": interval_coverage_user,
     "lm_perplexity_docs": lm_perplexity_docs,
     "basket_part_pairs": basket_part_pairs,
