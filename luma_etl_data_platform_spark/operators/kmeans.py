@@ -50,13 +50,16 @@ def _score(qcol, nv2_col, s_col, ncs_col):
                    / (F.sqrt(nv2_col.cast("double")) * ncs_col), 6)
 
 
-def kmeans_clusters(spark: SparkSession, df: DataFrame,
-                    vec_col: str = "embedding", id_col: str = "vec_id",
-                    k: int = 8, iters: int = 2, dim: int = 64) -> DataFrame:
-    """Run ``iters`` Lloyd rounds + a final assignment; returns
-    (cluster, n_vecs, avg_cos) with ``cluster`` the seed's vector id
-    and ``avg_cos`` the mean member-to-centroid cosine (DECIMAL-exact
-    sum of the rounded scores, so the mean is order-free)."""
+def kmeans_model(spark: SparkSession, df: DataFrame,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 k: int = 8, iters: int = 2,
+                 dim: int = 64) -> tuple[DataFrame, dict[int, list[int]]]:
+    """Train ``iters`` Lloyd rounds; returns ``(assignment, cents)``
+    where ``assignment`` is the final (vid, q, cluster, score) frame
+    and ``cents`` maps cluster id → exact integer centroid-SUM vector
+    (driver state, k×d ints). The reusable "index" half: serve ANN
+    with it (probe centroids, search members), or roll it up with
+    :func:`kmeans_clusters`."""
     from ..functions.text import portable_hash32
     qv = micro_units(F.col(vec_col), dim)
     nv2 = F.aggregate(F.transform(qv, lambda x: x * x),
@@ -81,13 +84,13 @@ def kmeans_clusters(spark: SparkSession, df: DataFrame,
 
     def _assign():
         scored = (q.crossJoin(F.broadcast(_cent_df()))
-                  .select("vid", "q", "cluster",
+                  .select("vid", "q", "nv2", "cluster",
                           _score(F.col("q"), F.col("nv2"), F.col("s"),
                                  F.col("ncs")).alias("score")))
         win = W.partitionBy("vid").orderBy(F.desc("score"), F.asc("cluster"))
         return (scored.withColumn("_rn", F.row_number().over(win))
                 .filter(F.col("_rn") == 1)
-                .select("vid", "q", "cluster", "score"))
+                .select("vid", "q", "nv2", "cluster", "score"))
 
     for _ in range(iters):
         sums = (_assign()
@@ -103,7 +106,17 @@ def kmeans_clusters(spark: SparkSession, df: DataFrame,
             new.setdefault(cid, s)
         cents = new
 
-    final = _assign()
+    return _assign(), cents
+
+
+def kmeans_clusters(spark: SparkSession, df: DataFrame,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    k: int = 8, iters: int = 2, dim: int = 64) -> DataFrame:
+    """Run ``iters`` Lloyd rounds + a final assignment; returns
+    (cluster, n_vecs, avg_cos) with ``cluster`` the seed's vector id
+    and ``avg_cos`` the mean member-to-centroid cosine (DECIMAL-exact
+    sum of the rounded scores, so the mean is order-free)."""
+    final, _ = kmeans_model(spark, df, vec_col, id_col, k, iters, dim)
     return (final.groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n_vecs"),
                  F.round(F.sum(F.col("score").cast("decimal(9,6)"))

@@ -586,7 +586,8 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                            k=_KM_K, iters=_KM_ITERS, dim=64)
 
 
-def _kmeans_oracle(k: int, iters: int, dim: int = 64) -> str:
+def _kmeans_oracle(k: int, iters: int, dim: int = 64,
+                   final_select: str | None = None) -> str:
     sql = f"""WITH e2 AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
@@ -634,6 +635,8 @@ c{t} AS MATERIALIZED (
   WHERE cluster NOT IN (SELECT DISTINCT cluster FROM u{t}))"""
             prev = f"c{t}"
     last = f"a{iters + 1}"
+    if final_select is not None:
+        return sql + final_select.replace("{last}", last)
     sql += f"""
 SELECT cluster, count(*) AS n_vecs,
        round(CAST(sum(CAST(score AS DECIMAL(9,6))) AS DOUBLE)
@@ -798,3 +801,86 @@ SELECT CAST(coalesce(sum(CASE WHEN word IS NOT NULL AND orig IS NOT NULL
                               ELSE 0 END), 0) AS BIGINT) AS total_tokens
 FROM j
 """)
+
+
+# ---------------------------------------------------------------------------
+# ann_kmeans_ivf_topk: serve ANN from the TRAINED k-means index —
+# the full "train the index, probe it" story: kmeans_model yields the
+# assignment table + exact integer centroid sums; the query vector
+# ranks centroids (driver-side on k×d ints — deterministic), probes
+# the top-2 clusters, and exact cosine search runs over their members
+# only. The oracle replays the identical Lloyd rounds, centroid
+# probe, and member search.
+# ---------------------------------------------------------------------------
+@_q("ann_kmeans_ivf_topk")
+def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    from ..operators.kmeans import kmeans_model
+    from ..operators.multimodal import _round_away
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, cents = kmeans_model(spark, emb, "embedding", "vec_id",
+                                 k=_KM_K, iters=_KM_ITERS, dim=64)
+    assign = assign.localCheckpoint(eager=True)
+    qrow = assign.orderBy("vid").limit(1).collect()[0]
+    qv, qid = list(qrow["q"]), int(qrow["vid"])
+    q2 = sum(x * x for x in qv)
+    qnorm = math.sqrt(float(q2))
+
+    def _cscore(cs: list[int]) -> float:
+        dot = sum(a * b for a, b in zip(qv, cs))
+        c2 = sum(c * c for c in cs)
+        return _round_away(
+            float(dot) / (qnorm * math.sqrt(float(c2))), 6)
+
+    probe = [cid for cid, _ in
+             sorted(cents.items(),
+                    key=lambda kv: (-_cscore(kv[1]), kv[0]))[:2]]
+
+    qlit = F.array(*[F.lit(int(x)).cast("long") for x in qv])
+    dot = F.aggregate(F.zip_with(F.col("q"), qlit, lambda a, b: a * b),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    score = F.round(dot.cast("double")
+                    / (F.sqrt(F.col("nv2").cast("double"))
+                       * F.lit(qnorm)), 6)
+    return (assign.filter(F.col("cluster").isin([int(c) for c in probe])
+                          & (F.col("vid") != qid))
+            .select(F.col("vid").alias("vec_id"), "cluster",
+                    score.alias("score"))
+            .orderBy(F.desc("score"), "vec_id")
+            .limit(10))
+
+
+ORACLE["ann_kmeans_ivf_topk"] = _kmeans_oracle(_KM_K, _KM_ITERS,
+                                               final_select=""",
+q AS (SELECT vi AS qv, vec_id AS qid FROM e2
+      WHERE vec_id = (SELECT min(vec_id) FROM e2)),
+qn AS (SELECT CAST(sum(x * x) AS HUGEINT) AS q2
+       FROM (SELECT unnest(qv) AS x FROM q)),
+qe AS (SELECT i, qv[i] AS x
+       FROM q, unnest(generate_series(1, 64)) t(i)),
+cdot AS (SELECT c.cluster,
+                CAST(sum(c.s * qe.x) AS HUGEINT) AS dot,
+                CAST(sum(c.s * c.s) AS HUGEINT) AS cc2
+         FROM c{iters} c JOIN qe ON qe.i = c.i GROUP BY 1),
+crank AS (SELECT cluster,
+                 round(CAST(dot AS DOUBLE)
+                       / (sqrt(CAST((SELECT q2 FROM qn) AS DOUBLE))
+                          * sqrt(CAST(cc2 AS DOUBLE))), 6) AS cscore
+          FROM cdot),
+probe AS (SELECT cluster FROM crank
+          ORDER BY cscore DESC, cluster LIMIT 2),
+sc AS (SELECT a.vec_id, a.cluster,
+              round(CAST(CAST(sum(dd.x * qe.x) AS HUGEINT) AS DOUBLE)
+                    / (sqrt(CAST(max(nv.nv2) AS DOUBLE))
+                       * sqrt(CAST((SELECT q2 FROM qn) AS DOUBLE))), 6)
+                AS score
+       FROM {last} a
+       JOIN dd ON dd.vec_id = a.vec_id
+       JOIN qe ON qe.i = dd.i
+       JOIN nv ON nv.vec_id = a.vec_id
+       WHERE a.cluster IN (SELECT cluster FROM probe)
+         AND a.vec_id <> (SELECT qid FROM q)
+       GROUP BY 1, 2)
+SELECT vec_id, cluster, score FROM sc
+ORDER BY score DESC, vec_id LIMIT 10""".replace("{iters}",
+                                                str(_KM_ITERS)))
