@@ -951,3 +951,71 @@ ORACLE["dedup_incremental_minhash"] = (
 
 QUERIES["dedup_incremental_minhash"] = dedup_incremental_minhash
 
+
+
+# ---------------------------------------------------------------------------
+# dedup_source_priority: cross-source canonicalization — when a
+# near-dup cluster spans sources, KEEP THE COPY FROM THE PREFERRED
+# SOURCE (licensing/quality tiers), not the arbitrary min-id. The
+# priority here is the demo rule rank = source name order; production
+# passes an explicit tier map. Representative = argmin by
+# (priority, doc_id) — total order, engine-replayable. Output: per
+# source, docs before vs docs kept (the acquisition-team view of
+# "which feeds survive dedup").
+# ---------------------------------------------------------------------------
+def dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+    from ..operators.clustering import connected_components
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source")
+    pairs = D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
+                                "text", "doc_id",
+                                n=3, num_hashes=16, bands=4,
+                                threshold=0.5)
+    comps = connected_components(pairs)
+    labeled = (docs.join(comps, docs["doc_id"] == comps["node"], "left")
+               .select("doc_id", "source",
+                       F.coalesce("component", "doc_id").alias("cl")))
+    win = W.partitionBy("cl").orderBy(F.asc("source"), F.asc("doc_id"))
+    kept = (labeled.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") == 1))
+    before = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    after = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (before.join(after, "source", "left")
+            .select("source", "n_docs",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+            .orderBy("source"))
+
+
+ORACLE["dedup_source_priority"] = (
+    ORACLE["dedup_minhash_lsh"]
+    .replace("WITH ", "WITH RECURSIVE ", 1)
+    .replace("""SELECT id_a, id_b, round(c / (x.n + y.n - c), 6) AS jaccard
+FROM common JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+WHERE round(c / (x.n + y.n - c), 6) >= 0.5""",
+""",
+pairs2 AS (
+  SELECT id_a, id_b FROM common
+  JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+  WHERE round(c / (x.n + y.n - c), 6) >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs2
+          UNION SELECT id_b, id_a FROM pairs2),
+reach(node, anc) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.anc FROM edges e JOIN reach r ON e.dst = r.node),
+comp AS (SELECT node, min(anc) AS component FROM reach GROUP BY node),
+labeled AS (SELECT d.doc_id, d.source,
+                   coalesce(c.component, d.doc_id) AS cl
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+kept AS (SELECT doc_id, source FROM labeled
+         QUALIFY row_number() OVER (PARTITION BY cl
+                                    ORDER BY source, doc_id) = 1),
+bef AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+aft AS (SELECT source, count(*) AS n_kept FROM kept GROUP BY 1)
+SELECT bef.source, bef.n_docs,
+       CAST(coalesce(aft.n_kept, 0) AS BIGINT) AS n_kept
+FROM bef LEFT JOIN aft ON bef.source = aft.source
+ORDER BY bef.source"""))
+
+QUERIES["dedup_source_priority"] = dedup_source_priority
