@@ -139,8 +139,13 @@ def _bpe_loop(df: DataFrame, text_col: str,
     (``word_frequencies``); each iteration then shuffles only
     vocabulary-sized data and ships exactly ONE row to the driver
     (the argmax pair — a bounded collect, the same cost class as any
-    aggregate readback). The vocabulary is localCheckpointed each
-    round so the replace chain doesn't grow the lineage.
+    aggregate readback). The vocabulary keeps its natural (groupBy
+    shuffle) partitioning so every merge round's pair-count explode
+    and literal-replace stack run at full cluster parallelism — at
+    web-scale vocabularies (10M+ distinct words) this is the
+    difference between K parallel rounds and K serialized ones; the
+    per-round argmax collapses to one row regardless of partitioning,
+    so the result is partitioning-invariant by construction.
 
     Merge-application semantics: ``replace(' l r ', ' lr ')`` merges
     non-overlapping occurrences left-to-right. For a self-merge pair
@@ -157,7 +162,6 @@ def _bpe_loop(df: DataFrame, text_col: str,
                          F.regexp_replace("word", "(.)", "$1 "),
                          F.lit(END_MARK + " ")).alias("symbols"),
                 "n_word")
-            .coalesce(1)
             .localCheckpoint(eager=True))
     # One checkpoint only: the corpus collapses to the vocabulary
     # here; each iteration re-derives symbols as a stack of k literal

@@ -470,11 +470,18 @@ def incremental_minhash_pairs(old: DataFrame, new: DataFrame,
         .localCheckpoint(eager=True)
 
     # verification touches only candidate docs: prune the OLD index
-    # down to ids that share a bucket with the batch
+    # down to ids that share a bucket with the batch.  The pruned
+    # index is O(batch + touched) — checkpoint it eagerly so the
+    # cached inputs can be released immediately (a nightly-ingest
+    # building block must not leak cached blocks across calls)
     touched = (candidates.select(F.col("id_a").alias("_id"))
                .unionByName(candidates.select(F.col("id_b").alias("_id")))
                .distinct())
-    idx = (idx_new.unionByName(idx_old.join(touched, "_id", "left_semi")))
+    idx = (idx_new.unionByName(idx_old.join(touched, "_id", "left_semi"))
+           .localCheckpoint(eager=True))
+    idx_old.unpersist()
+    idx_new.unpersist()
+    b_new.unpersist()
     sizes = idx.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ia = idx.withColumnRenamed("_id", "id_a")
     ib = idx.withColumnRenamed("_id", "id_b")

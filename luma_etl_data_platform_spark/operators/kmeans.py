@@ -46,8 +46,15 @@ def _score(qcol, nv2_col, s_col, ncs_col):
         F.zip_with(qcol, s_col,
                    lambda a, b: a.cast("decimal(38,0)") * b),
         F.lit(0).cast("decimal(38,0)"), lambda acc, x: acc + x)
-    return F.round(dot.cast("double")
-                   / (F.sqrt(nv2_col.cast("double")) * ncs_col), 6)
+    denom = F.sqrt(nv2_col.cast("double")) * ncs_col
+    # zero-norm guard: an all-zero vector (or a degenerate all-zero
+    # centroid) has no defined cosine — score it -2.0 (below every
+    # real cosine) so the argmax deterministically ties it to the
+    # smallest cluster id instead of silently propagating NaN/null
+    # (or throwing under ANSI /0)
+    return F.when(denom > 0,
+                  F.round(dot.cast("double") / denom, 6)) \
+            .otherwise(F.lit(-2.0))
 
 
 def kmeans_model(spark: SparkSession, df: DataFrame,

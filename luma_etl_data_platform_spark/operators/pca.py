@@ -135,8 +135,15 @@ def pca_top_component(spark: SparkSession, df: DataFrame, vec_col: str,
                                 "dim int, v long")
     loading = F.round(F.col("v").cast("double") * F.lit(sgn)
                       / F.sqrt(F.lit(float(den))), 6)
-    share = F.round(F.lit(float(num))
-                    / (F.lit(float(den)) * F.lit(float(trace))), 8)
+    # den >= MICRO^2 always (the iterate keeps a ±MICRO coordinate),
+    # but trace == 0 for a degenerate corpus (empty, or every vector
+    # identical → zero scatter): define the share as 0.0 rather than
+    # dividing by zero (ANSI mode would throw; non-ANSI would NaN)
+    if trace > 0:
+        share = F.round(F.lit(float(num))
+                        / (F.lit(float(den)) * F.lit(float(trace))), 8)
+    else:
+        share = F.lit(0.0)
     return (vdf.select("dim", loading.alias("loading"),
                        share.alias("explained_share"))
             .orderBy("dim"))

@@ -38,10 +38,12 @@ byte in tests/test_lakehouse.py).
 
 Scale shape: the reconnaissance scan is column-pruned to the keys;
 rewrite cost is proportional to matched-file bytes; the commit log
-grows one O(files-touched) JSON doc per commit. File stats (per-file
-row counts; min/max keys recorded at write time) ride in the log for
-observability — a future reader could prune the reconnaissance scan
-with them, the same trajectory Delta took with data skipping.
+grows one O(files-touched) JSON doc per commit. Per-file stats (row
+count; min/max of EVERY key column, plus sort/z-order dims after
+OPTIMIZE) ride in the log and drive Delta-style data skipping in
+both :func:`read_table_pruned` and the MERGE reconnaissance scan: a
+file whose recorded key ranges are disjoint from the source's key
+envelope is carried over without ever being opened.
 """
 
 from __future__ import annotations
@@ -69,6 +71,16 @@ def _fs(spark: SparkSession, path: str):
 def _log_path(table_path: str, version: int) -> str:
     return (f"{table_path.rstrip('/')}/{_LOG_DIR}/"
             f"{version:0{_VERSION_WIDTH}d}.json")
+
+
+def _ckpt_path(table_path: str, version: int) -> str:
+    """Checkpoint commits live under a DISTINCT final name so
+    installing one never requires deleting the original commit first:
+    the reader prefers ``<v>.checkpoint.json`` over ``<v>.json`` when
+    both exist, which makes :func:`expire_snapshots` crash-safe at
+    every step (see its docstring)."""
+    return (f"{table_path.rstrip('/')}/{_LOG_DIR}/"
+            f"{version:0{_VERSION_WIDTH}d}.checkpoint.json")
 
 
 def _read_text(fs, jvm, path: str) -> str:
@@ -107,13 +119,21 @@ def _commits(spark: SparkSession, table_path: str) -> list[dict]:
     log_dir = Path(f"{table_path.rstrip('/')}/{_LOG_DIR}")
     if not fs.exists(log_dir):
         return []
-    docs = []
+    # one doc per version; a `<v>.checkpoint.json` shadows `<v>.json`
+    # (expire_snapshots installs checkpoints under the distinct name
+    # and deletes the plain commit only afterwards — a crash between
+    # the two leaves both, and the reader must pick the checkpoint)
+    by_version: dict[int, tuple[bool, dict]] = {}
     for st in fs.listStatus(log_dir):
         name = st.getPath().getName()
-        if name.endswith(".json") and not name.startswith("."):
-            docs.append(json.loads(
-                _read_text(fs, jvm, str(st.getPath()))))
-    return sorted(docs, key=lambda d: d["version"])
+        if not name.endswith(".json") or name.startswith("."):
+            continue
+        doc = json.loads(_read_text(fs, jvm, str(st.getPath())))
+        is_ckpt = name.endswith(".checkpoint.json")
+        prev = by_version.get(doc["version"])
+        if prev is None or (is_ckpt and not prev[0]):
+            by_version[doc["version"]] = (is_ckpt, doc)
+    return [by_version[v][1] for v in sorted(by_version)]
 
 
 def current_version(spark: SparkSession, table_path: str) -> int:
@@ -129,6 +149,11 @@ def snapshot_files(spark: SparkSession, table_path: str,
     for doc in _commits(spark, table_path):
         if version is not None and doc["version"] > version:
             break
+        if doc.get("op") == "checkpoint":
+            # a checkpoint carries the FULL live list at its version:
+            # replay RESETS here, so a surviving pre-checkpoint prefix
+            # (crash mid-expire) can never double-count its adds
+            live = []
         removed = set(doc.get("remove", []))
         live = [f for f in live if f not in removed]
         live.extend(a["path"] for a in doc.get("add", []))
@@ -160,41 +185,68 @@ def read_table(spark: SparkSession, table_path: str,
     return reader.parquet(*files)
 
 
+def _json_stat(v):
+    """Commit-log stat value: native JSON scalar when possible so
+    numeric stats round-trip without string-compare hazards; anything
+    else (dates, decimals) stringifies and readers coerce back."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    return str(v)
+
+
 def _write_data_files(spark: SparkSession, table_path: str,
-                      df: DataFrame, keys: list[str]) -> list[dict]:
+                      df: DataFrame, keys: list[str],
+                      stat_cols: list[str] | None = None,
+                      subdir: str | None = None) -> list[dict]:
     """Write ``df`` as new immutable parquet files under the table
-    root; returns add-actions with per-file stats (row count, min/max
-    of the first key — the data-skipping hook)."""
+    root (or ``subdir`` for WAP staging); returns add-actions with
+    per-file stats: row count, min/max of EVERY key column (plus any
+    ``stat_cols``, e.g. z-order dims) under ``stats``, and the legacy
+    ``min_key``/``max_key`` fields for the first key. The stats are
+    the data-skipping hook used by :func:`read_table_pruned` and the
+    MERGE reconnaissance pruner."""
     tmp_rel = f".stage-{uuid.uuid4().hex}"
-    tmp_dir = f"{table_path.rstrip('/')}/{tmp_rel}"
+    root = table_path.rstrip("/")
+    tmp_dir = f"{root}/{tmp_rel}"
     df.write.mode("overwrite").parquet(tmp_dir)
     fs, jvm = _fs(spark, table_path)
     Path = jvm.org.apache.hadoop.fs.Path
+    dest_prefix = f"{subdir.rstrip('/')}/" if subdir else ""
+    if subdir:
+        fs.mkdirs(Path(f"{root}/{subdir.rstrip('/')}"))
     adds = []
     for st in fs.listStatus(Path(tmp_dir)):
         name = st.getPath().getName()
         if not name.endswith(".parquet"):
             continue
-        final = f"part-{uuid.uuid4().hex}.parquet"
-        if not fs.rename(st.getPath(),
-                         Path(f"{table_path.rstrip('/')}/{final}")):
+        final = f"{dest_prefix}part-{uuid.uuid4().hex}.parquet"
+        if not fs.rename(st.getPath(), Path(f"{root}/{final}")):
             raise IOError(f"failed to place data file {final}")
         adds.append({"path": final})
     fs.delete(Path(tmp_dir), True)
-    if keys and adds:
-        stats = (spark.read.parquet(
-            *[f"{table_path.rstrip('/')}/{a['path']}" for a in adds])
-            .groupBy(F.col("_metadata.file_path").alias("_f"))
-            .agg(F.count(F.lit(1)).alias("_n"),
-                 F.min(keys[0]).alias("_lo"),
-                 F.max(keys[0]).alias("_hi"))
-            .collect())
-        by_name = {r["_f"].rsplit("/", 1)[-1]:
-                   (r["_n"], str(r["_lo"]), str(r["_hi"])) for r in stats}
+    cols = list(dict.fromkeys((keys or []) + (stat_cols or [])))
+    cols = [c for c in cols if c in df.columns]
+    if cols and adds:
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for i, c in enumerate(cols):
+            aggs.append(F.min(c).alias(f"_lo{i}"))
+            aggs.append(F.max(c).alias(f"_hi{i}"))
+        stats = (spark.read.parquet(*[f"{root}/{a['path']}" for a in adds])
+                 .groupBy(F.col("_metadata.file_path").alias("_f"))
+                 .agg(*aggs)
+                 .collect())
+        by_name = {r["_f"].rsplit("/", 1)[-1]: r for r in stats}
         for a in adds:
-            if a["path"] in by_name:
-                n, lo, hi = by_name[a["path"]]
-                a.update({"rows": n, "min_key": lo, "max_key": hi})
+            r = by_name.get(a["path"].rsplit("/", 1)[-1])
+            if r is None:
+                continue
+            col_stats = {c: {"min": _json_stat(r[f"_lo{i}"]),
+                             "max": _json_stat(r[f"_hi{i}"])}
+                         for i, c in enumerate(cols)}
+            a.update({"rows": r["_n"], "stats": col_stats})
+            if keys and keys[0] in col_stats:
+                a["min_key"] = str(r["_lo0"])
+                a["max_key"] = str(r["_hi0"])
     return adds
 
 
@@ -263,6 +315,46 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
     raise AssertionError("unreachable")
 
 
+def _coerced(stat, probe):
+    """Coerce a commit-log stat (JSON scalar or string) to the type of
+    the probe value for comparison; None on failure → conservative."""
+    if stat is None or probe is None:
+        return None
+    if isinstance(stat, type(probe)):
+        return stat
+    try:
+        return type(probe)(stat)
+    except (TypeError, ValueError):
+        return None
+
+
+def _stats_may_match(add: dict, bounds: dict) -> bool:
+    """Can this file's recorded per-column [min, max] ranges intersect
+    the source's key bounds?  Missing/uncoercible stats → True (read
+    it); disjoint on ANY key column → False (a matched key would have
+    to lie inside every column's range simultaneously... no: a row
+    matches when EACH of its key values equals the source row's — a
+    file can be skipped as soon as ONE key column's range is fully
+    outside the source's [min, max] envelope for that column)."""
+    stats = add.get("stats")
+    if not stats:
+        return True
+    for col, (slo, shi) in bounds.items():
+        st = stats.get(col)
+        if not st:
+            continue
+        flo = _coerced(st.get("min"), slo)
+        fhi = _coerced(st.get("max"), shi)
+        if flo is None or fhi is None:
+            continue
+        try:
+            if fhi < slo or flo > shi:
+                return False
+        except TypeError:
+            continue
+    return True
+
+
 def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
                 keys: list[str],
                 update_set: dict[str, Column] | str | None,
@@ -271,22 +363,44 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
     base_version = current_version(spark, table_path)
     if base_version == 0:
         raise FileNotFoundError(f"{table_path} has no commit log")
-    files = snapshot_files(spark, table_path)
+    root = table_path.rstrip("/")
+    adds_live = snapshot_adds(spark, table_path)
+    files = [f"{root}/{a['path']}" for a in adds_live]
     # union schema so merges work on schema-evolved tables (files
     # written before a column existed read as NULL)
     target = spark.read.option("mergeSchema", "true").parquet(*files)
     tgt_cols = target.columns
     src = source.select(*tgt_cols)
-    src_keys = src.select(*keys).distinct()
+    src_keys = src.select(*keys).distinct().localCheckpoint(eager=True)
 
-    # reconnaissance: which live files contain a matched key?  The
-    # scan is pruned to (keys, _metadata) — exact file-level pruning.
-    touched_rows = (target
-                    .select(*keys,
-                            F.col("_metadata.file_path").alias("_f"))
-                    .join(F.broadcast(src_keys), keys, "left_semi")
-                    .select("_f").distinct().collect())
-    touched = sorted(r["_f"] for r in touched_rows)
+    # stat pruning BEFORE reconnaissance: a file whose recorded
+    # per-column key range is disjoint from the source's key envelope
+    # cannot contain a matched key — skip it without opening it.  At
+    # a clustered 10^6-file table this is the difference between a
+    # footer-read per file and O(matching files) I/O for the scan.
+    bnd = src_keys.agg(
+        *[F.min(k).alias(f"_n_{i}") for i, k in enumerate(keys)],
+        *[F.max(k).alias(f"_x_{i}") for i, k in enumerate(keys)]).collect()[0]
+    bounds = {k: (bnd[f"_n_{i}"], bnd[f"_x_{i}"])
+              for i, k in enumerate(keys)
+              if bnd[f"_n_{i}"] is not None}
+    candidates = ([a for a in adds_live if _stats_may_match(a, bounds)]
+                  if bounds else [])
+    n_stat_pruned = len(adds_live) - len(candidates)
+
+    # reconnaissance: which candidate files contain a matched key?
+    # The scan is pruned to (keys, _metadata) — exact file-level
+    # pruning over the stat-surviving files only.
+    touched: list[str] = []
+    if candidates:
+        cand_paths = [f"{root}/{a['path']}" for a in candidates]
+        touched_rows = (spark.read.option("mergeSchema", "true")
+                        .schema(target.schema).parquet(*cand_paths)
+                        .select(*keys,
+                                F.col("_metadata.file_path").alias("_f"))
+                        .join(F.broadcast(src_keys), keys, "left_semi")
+                        .select("_f").distinct().collect())
+        touched = sorted(r["_f"] for r in touched_rows)
     touched_rel = [f.rsplit("/", 1)[-1] for f in touched]
     carried = [f for f in files
                if f.rsplit("/", 1)[-1] not in set(touched_rel)]
@@ -340,14 +454,20 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
     return {"version": base_version + 1,
             "n_files_rewritten": len(touched_rel),
             "n_files_carried": len(carried),
-            "n_files_added": len(adds)}
+            "n_files_added": len(adds),
+            "n_files_stat_pruned": n_stat_pruned}
 
 
 def vacuum(spark: SparkSession, table_path: str) -> list[str]:
     """Delete data files referenced by NO commit's current-or-prior
     snapshot retention (here: files removed by some commit and not
     present in the latest snapshot). Breaks time travel to versions
-    that referenced them — run only past the read-retention window."""
+    that referenced them — run only past the read-retention window.
+
+    Only root-level ``*.parquet`` files are reaped: a WAP writer's
+    uncommitted batch lives under ``.staged-*/`` subdirectories and
+    is never touched (abandoned stages are cleaned by
+    :func:`abort_staged`, not by vacuum)."""
     fs, jvm = _fs(spark, table_path)
     Path = jvm.org.apache.hadoop.fs.Path
     root = table_path.rstrip("/")
@@ -425,14 +545,30 @@ def compact(spark: SparkSession, table_path: str,
         if zorder_by is not None:
             from ..operators.layout import morton_key
             c1, c2 = zorder_by
+
+            # width-safe grid coordinate: ratio in double (no BIGINT
+            # overflow for wide spans, works for double/decimal/date
+            # cluster columns too), floor to a 16-bit cell, clamp.
+            # The zero-span guard also keeps ANSI mode from throwing
+            # on /0 for a constant column.
+            def _grid(c: str, n: str, x: str) -> Column:
+                span = F.col(x).cast("double") - F.col(n).cast("double")
+                ratio = F.when(
+                    span > 0,
+                    (F.col(c).cast("double") - F.col(n).cast("double"))
+                    / span).otherwise(F.lit(0.0))
+                return F.least(
+                    F.lit(65535),
+                    F.greatest(F.lit(0),
+                               F.floor(ratio * 65536.0).cast("int"))
+                ).cast("long")
+
             b = df.agg(F.min(c1).alias("_n1"), F.max(c1).alias("_x1"),
                        F.min(c2).alias("_n2"), F.max(c2).alias("_x2"))
-            q1 = F.expr(f"(({c1} - _n1) * 65535)"
-                        " div greatest(_x1 - _n1, 1)")
-            q2 = F.expr(f"(({c2} - _n2) * 65535)"
-                        " div greatest(_x2 - _n2, 1)")
             keyed = (df.crossJoin(F.broadcast(b))
-                     .withColumn("_z", morton_key(q1, q2, bits=16))
+                     .withColumn("_z", morton_key(_grid(c1, "_n1", "_x1"),
+                                                  _grid(c2, "_n2", "_x2"),
+                                                  bits=16))
                      .drop("_n1", "_x1", "_n2", "_x2"))
             packed = (keyed.repartitionByRange(n_out, F.col("_z"))
                       .sortWithinPartitions("_z").drop("_z"))
@@ -444,7 +580,10 @@ def compact(spark: SparkSession, table_path: str,
         keys = next((d.get("keys", []) for d in
                      reversed(_commits(spark, table_path))
                      if d.get("keys")), [])
-        adds = _write_data_files(spark, table_path, packed, keys)
+        extra = (list(zorder_by) if zorder_by
+                 else [sort_by] if sort_by else [])
+        adds = _write_data_files(spark, table_path, packed, keys,
+                                 stat_cols=extra)
         doc = {"version": base_version + 1, "op": "compact",
                "add": adds, "remove": candidates}
         try:
@@ -467,6 +606,8 @@ def snapshot_adds(spark: SparkSession, table_path: str,
     for doc in _commits(spark, table_path):
         if version is not None and doc["version"] > version:
             break
+        if doc.get("op") == "checkpoint":
+            live = {}  # full-state reset — see snapshot_files
         for r in doc.get("remove", []):
             live.pop(r, None)
         for a in doc.get("add", []):
@@ -486,24 +627,37 @@ def read_table_pruned(spark: SparkSession, table_path: str, key_col: str,
     clustering, a selective key-range read opens O(matching) files
     instead of the whole table — footer reads and task scheduling at
     a 10^6-file table are the dominant cost of small queries, and
-    this skips them BEFORE Spark ever lists the files. Stats are
-    compared as strings when written (the log is JSON); numeric key
-    columns therefore compare via the original values re-cast, which
-    the caller guarantees by passing lo/hi of the key's type.
+    this skips them BEFORE Spark ever lists the files. ``key_col``
+    may be ANY column with recorded per-file stats (every table key,
+    plus z-order dims after ``compact(zorder_by=...)``); numeric
+    stats ride the JSON log natively, others stringify and are
+    coerced back to the type of ``lo``/``hi`` (uncoercible → file
+    conservatively read). Logs from before per-column stats fall
+    back to the legacy first-key ``min_key``/``max_key`` fields —
+    only pass the table's first key column against such logs.
     """
     adds = snapshot_adds(spark, table_path, version)
     root = table_path.rstrip("/")
     keep = []
     for a in adds:
-        if "min_key" not in a or "max_key" not in a:
+        st = (a.get("stats") or {}).get(key_col)
+        if st is None and "min_key" in a and "max_key" in a:
+            # legacy single-key stats (pre-per-column logs): they
+            # describe the FIRST key column only, so trust them only
+            # as a conservative fallback via coercion below
+            st = {"min": a["min_key"], "max": a["max_key"]}
+        if st is None:
+            keep.append(a["path"])
+            continue
+        fmin, fmax = _coerced(st.get("min"), lo), _coerced(st.get("max"), hi)
+        if fmin is None or fmax is None:
             keep.append(a["path"])
             continue
         try:
-            fmin, fmax = type(lo)(a["min_key"]), type(hi)(a["max_key"])
-        except (TypeError, ValueError):
-            keep.append(a["path"])
-            continue
-        if not (fmax < lo or fmin > hi):
+            disjoint = fmax < lo or fmin > hi
+        except TypeError:
+            disjoint = False
+        if not disjoint:
             keep.append(a["path"])
     if not keep:
         return (read_table(spark, table_path, version)
@@ -622,11 +776,18 @@ def expire_snapshots(spark: SparkSession, table_path: str,
 
     Returns ``{"expired_versions", "kept_versions", "files_removed"}``.
 
-    Concurrency: run from a single maintenance owner. The checkpoint
-    rewrite replaces an EXISTING version (not a new one), so the
-    optimistic-concurrency guard that protects normal commits does
-    not apply; a writer committing concurrently is safe (it only adds
-    versions above the cutoff) but a second concurrent expire is not.
+    Crash safety: the checkpoint is installed under the DISTINCT
+    final name ``<cutoff>.checkpoint.json`` (readers prefer it over
+    ``<cutoff>.json``, and replay RESETS at a checkpoint), so there
+    is no delete-then-rename window — a crash at any step leaves
+    either the original log intact or a valid checkpoint alongside
+    whatever prefix survived, never a hole.
+
+    Concurrency: run from a single maintenance owner. A writer
+    committing concurrently is safe — it only adds versions above
+    the cutoff, and a WAP writer's staged files live under
+    ``.staged-*/`` subdirectories this function never scans — but a
+    second concurrent expire is not.
     """
     if keep_last < 1:
         raise ValueError("expire_snapshots: keep_last must be >= 1")
@@ -649,9 +810,12 @@ def expire_snapshots(spark: SparkSession, table_path: str,
                  if d.get("keys")), [])
     doc = {"version": cutoff, "op": "checkpoint", "add": live_adds,
            "remove": [], "keys": keys}
-    # durable swap: write the checkpoint to a temp log name FIRST;
-    # only then replace the cutoff commit (a crash before the final
-    # rename leaves the original log intact, never a hole)
+    # durable install: write the checkpoint to a temp name, then
+    # rename to the DISTINCT `<cutoff>.checkpoint.json` final name.
+    # The plain `<cutoff>.json` commit is never touched until the
+    # checkpoint is durably in place (readers prefer the checkpoint
+    # and reset replay at it), so a crash at any point leaves a log
+    # that replays to the correct snapshot — never a hole.
     log_dir = f"{table_path.rstrip('/')}/{_LOG_DIR}"
     tmp_ckpt = Path(f"{log_dir}/.ckpt-{uuid.uuid4().hex}")
     stream = fs.create(tmp_ckpt, False)
@@ -660,16 +824,22 @@ def expire_snapshots(spark: SparkSession, table_path: str,
                                .encode("utf-8")))
     finally:
         stream.close()
-    dest = Path(_log_path(table_path, cutoff))
-    fs.delete(dest, False)
-    if not fs.rename(tmp_ckpt, dest):
+    dest = Path(_ckpt_path(table_path, cutoff))
+    if fs.exists(dest):
+        # a prior crashed run already installed this checkpoint; its
+        # content is the same deterministic replay-to-cutoff, so
+        # reuse it rather than opening a delete-then-rename window
+        fs.delete(tmp_ckpt, False)
+    elif not fs.rename(tmp_ckpt, dest):
         fs.delete(tmp_ckpt, False)
         raise IOError(f"expire_snapshots: failed to install checkpoint "
                       f"for version {cutoff}")
 
-    # 2. drop expired commit files
+    # 2. drop the now-shadowed plain commit and the expired prefix
+    fs.delete(Path(_log_path(table_path, cutoff)), False)
     for v in expired:
         fs.delete(Path(_log_path(table_path, v)), False)
+        fs.delete(Path(_ckpt_path(table_path, v)), False)
 
     # 3. delete data files no kept version references
     retained: set[str] = set()
@@ -695,10 +865,20 @@ def expire_snapshots(spark: SparkSession, table_path: str,
 def stage_append(spark: SparkSession, table_path: str, df: DataFrame,
                  keys: list[str] | None = None) -> dict:
     """WAP step 1 (WRITE): land ``df`` as immutable data files under
-    the table root WITHOUT committing — the snapshot does not change,
-    so no reader can see the batch. Returns the pending commit
-    payload (add-actions with stats) to pass to :func:`read_staged` /
+    a dedicated ``.staged-<id>/`` subdirectory of the table root
+    WITHOUT committing — the snapshot does not change, so no reader
+    can see the batch. Returns the pending commit payload
+    (add-actions with stats) to pass to :func:`read_staged` /
     :func:`publish_staged` / :func:`abort_staged`.
+
+    The staging subdirectory is what makes WAP safe to run alongside
+    table maintenance: :func:`vacuum` and :func:`expire_snapshots`
+    reap only root-level ``*.parquet`` files, so a staged-but-not-yet
+    -published batch can never be garbage-collected out from under
+    its writer. :func:`publish_staged` renames the files into the
+    root at commit time (a metadata op on HDFS/local filesystems; on
+    S3-like stores it is a copy — the same rename caveat as the
+    commit log itself, module docstring).
 
     This is the Iceberg write-audit-publish pattern: quality gates
     run against the staged files themselves (not a sample, not a
@@ -708,9 +888,11 @@ def stage_append(spark: SparkSession, table_path: str, df: DataFrame,
     v = current_version(spark, table_path)
     if v == 0:
         raise FileNotFoundError(f"{table_path} has no commit log")
-    adds = _write_data_files(spark, table_path, df, keys or [])
+    staged_dir = f".staged-{uuid.uuid4().hex}"
+    adds = _write_data_files(spark, table_path, df, keys or [],
+                             subdir=staged_dir)
     return {"op": "append", "add": adds, "remove": [],
-            "base_version": v}
+            "base_version": v, "staged_dir": staged_dir}
 
 
 def read_staged(spark: SparkSession, table_path: str,
@@ -724,14 +906,34 @@ def read_staged(spark: SparkSession, table_path: str,
 
 def publish_staged(spark: SparkSession, table_path: str,
                    pending: dict) -> int:
-    """WAP step 3a (PUBLISH): commit the staged files atomically. The
-    staged files are already in place, so publish is metadata-only —
-    one commit write, retried against the current version (appends
-    never conflict on content). Returns the new version."""
+    """WAP step 3a (PUBLISH): move the audited files from the staging
+    subdirectory into the table root (verifying each one still
+    exists — a missing file fails loudly BEFORE any commit is
+    written, never after), then commit them atomically, retrying the
+    commit against the current version (appends never conflict on
+    content). Returns the new version."""
+    fs, jvm = _fs(spark, table_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = table_path.rstrip("/")
+    final_adds = []
+    for a in pending["add"]:
+        src = Path(f"{root}/{a['path']}")
+        if not fs.exists(src):
+            raise FileNotFoundError(
+                f"publish_staged: staged file {a['path']} is missing "
+                f"from {table_path} — was the stage aborted or the "
+                "staging directory removed?")
+        final = f"part-{uuid.uuid4().hex}.parquet"
+        if not fs.rename(src, Path(f"{root}/{final}")):
+            raise IOError(f"publish_staged: failed to move staged "
+                          f"file {a['path']} into the table root")
+        final_adds.append({**a, "path": final})
+    if pending.get("staged_dir"):
+        fs.delete(Path(f"{root}/{pending['staged_dir']}"), True)
     for _ in range(5):
         v = current_version(spark, table_path)
         doc = {"version": v + 1, "op": pending["op"],
-               "add": pending["add"], "remove": pending["remove"]}
+               "add": final_adds, "remove": pending["remove"]}
         try:
             _write_commit(spark, table_path, v + 1, doc)
             return v + 1
@@ -743,8 +945,9 @@ def publish_staged(spark: SparkSession, table_path: str,
 
 def abort_staged(spark: SparkSession, table_path: str,
                  pending: dict) -> list[str]:
-    """WAP step 3b (ABORT): delete the staged files; the table is
-    untouched (they were never referenced by any commit)."""
+    """WAP step 3b (ABORT): delete the staged files (and their
+    staging subdirectory); the table is untouched — they were never
+    referenced by any commit."""
     fs, jvm = _fs(spark, table_path)
     Path = jvm.org.apache.hadoop.fs.Path
     root = table_path.rstrip("/")
@@ -752,4 +955,6 @@ def abort_staged(spark: SparkSession, table_path: str,
     for a in pending["add"]:
         fs.delete(Path(f"{root}/{a['path']}"), False)
         removed.append(a["path"])
+    if pending.get("staged_dir"):
+        fs.delete(Path(f"{root}/{pending['staged_dir']}"), True)
     return sorted(removed)

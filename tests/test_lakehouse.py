@@ -466,3 +466,163 @@ def test_wap_abort_leaves_no_trace(table, spark):
     assert LH.current_version(spark, table) == v0
     files1 = sorted(f for f in os.listdir(table) if f.endswith(".parquet"))
     assert files0 == files1
+
+
+# ---------------------------------------------------------------------------
+# round 4: per-column stats / stat-pruned MERGE / crash-safe expire /
+# WAP vs maintenance / concurrent writers
+# ---------------------------------------------------------------------------
+
+def test_merge_stat_pruning_skips_disjoint_files(table, spark):
+    """A merge whose source key envelope misses a file's recorded
+    [min, max] never opens that file: it is stat-pruned BEFORE the
+    reconnaissance scan (asserted via merge stats + mtimes)."""
+    before = {f: os.path.getmtime(f.replace("file:", ""))
+              for f in LH.snapshot_files(spark, table)}
+    src = _mk(spark, [dict(k=11, v=-1, tag="z"), dict(k=12, v=-2, tag="z")])
+    stats = LH.merge_into(spark, table, src, ["k"],
+                          insert_when_not_matched=False)
+    # source envelope [11, 12]: files [1,2] and [21,22] are disjoint
+    assert stats["n_files_stat_pruned"] == 2
+    assert stats["n_files_rewritten"] == 1
+    assert stats["n_files_carried"] == 2
+    carried = [f for f in LH.snapshot_files(spark, table) if f in before]
+    assert len(carried) == 2
+    for f in carried:
+        assert os.path.getmtime(f.replace("file:", "")) == before[f]
+    got = dict((r["k"], r["v"]) for r in LH.read_table(spark, table).collect())
+    assert got[11] == -1 and got[12] == -2 and got[1] == 10
+
+
+def test_merge_stat_pruning_never_misses_matches(table, spark):
+    """An envelope spanning several files keeps every file that could
+    match; results are identical to an unpruned merge."""
+    src = _mk(spark, [dict(k=2, v=-5, tag="z"), dict(k=21, v=-6, tag="z")])
+    stats = LH.merge_into(spark, table, src, ["k"],
+                          insert_when_not_matched=False)
+    # envelope [2, 21] overlaps all three files: nothing stat-pruned,
+    # recon narrows to the two files actually containing 2 and 21
+    assert stats["n_files_stat_pruned"] == 0
+    assert stats["n_files_rewritten"] == 2
+    got = dict((r["k"], r["v"]) for r in LH.read_table(spark, table).collect())
+    assert got[2] == -5 and got[21] == -6 and got[11] == 110
+
+
+def test_per_column_stats_recorded_for_all_keys(tmp_path, spark):
+    path = str(tmp_path / "multikey")
+    LH.create_table(
+        spark, path,
+        _mk(spark, [dict(k=1, v=100, tag="a"),
+                    dict(k=2, v=200, tag="a")]).coalesce(1),
+        ["k", "v"])
+    adds = LH.snapshot_adds(spark, path)
+    assert len(adds) == 1
+    st = adds[0]["stats"]
+    assert st["k"] == {"min": 1, "max": 2}
+    assert st["v"] == {"min": 100, "max": 200}
+    # legacy fields still present for the first key
+    assert adds[0]["min_key"] == "1" and adds[0]["max_key"] == "2"
+
+
+def test_read_table_pruned_on_secondary_key(tmp_path, spark):
+    path = str(tmp_path / "seckey")
+    LH.create_table(
+        spark, path,
+        _mk(spark, [dict(k=i, v=i * 10, tag="a") for i in range(1, 5)])
+        .coalesce(1), ["k", "v"])
+    for lo in (5, 9):
+        LH.append_table(
+            spark, path,
+            _mk(spark, [dict(k=i, v=i * 10, tag="b")
+                        for i in range(lo, lo + 4)]).coalesce(1),
+            ["k", "v"])
+    pruned = LH.read_table_pruned(spark, path, "v", 50, 70)
+    assert len(pruned.inputFiles()) == 1          # only the middle file
+    assert sorted(r["k"] for r in pruned.collect()) == [5, 6, 7]
+
+
+def test_expire_checkpoint_shadowing_never_double_counts(table, spark):
+    """Crash simulation: a checkpoint installed while the plain commit
+    AND the expired prefix still exist (the mid-expire crash state)
+    must shadow the plain commit and reset replay — same rows, no
+    duplicates."""
+    import json as _json
+    src = _mk(spark, [dict(k=1, v=1000, tag="a")])
+    LH.merge_into(spark, table, src, ["k"], update_set="all")
+    latest = LH.current_version(spark, table)
+    want = _rows(LH.read_table(spark, table))
+    cutoff = latest  # checkpoint the latest version, delete nothing
+    live_adds = LH.snapshot_adds(spark, table, version=cutoff)
+    doc = {"version": cutoff, "op": "checkpoint", "add": live_adds,
+           "remove": [], "keys": ["k"]}
+    with open(f"{table}/_log/{cutoff:020d}.checkpoint.json", "w") as f:
+        _json.dump(doc, f)
+    # full prefix + plain commit + checkpoint all present: replay must
+    # reset at the checkpoint, not double-apply its adds
+    assert _rows(LH.read_table(spark, table)) == want
+    assert LH.current_version(spark, table) == latest
+    assert len(LH.snapshot_files(spark, table)) == len(live_adds)
+
+
+def test_wap_staged_batch_survives_vacuum_and_expire(table, spark):
+    src = _mk(spark, [dict(k=1, v=1000, tag="a")])
+    LH.merge_into(spark, table, src, ["k"], update_set="all")
+    pending = LH.stage_append(
+        spark, table, _mk(spark, [dict(k=70, v=700, tag="w")]), ["k"])
+    # maintenance running between stage and publish must not reap the
+    # staged files (they live under .staged-*/, outside the reap scope)
+    LH.vacuum(spark, table)
+    LH.expire_snapshots(spark, table, keep_last=1)
+    assert LH.read_staged(spark, table, pending).count() == 1
+    LH.publish_staged(spark, table, pending)
+    got = dict((r["k"], r["v"]) for r in LH.read_table(spark, table).collect())
+    assert got[70] == 700 and got[1] == 1000
+
+
+def test_publish_staged_fails_loudly_on_missing_files(table, spark):
+    pending = LH.stage_append(
+        spark, table, _mk(spark, [dict(k=71, v=710, tag="w")]), ["k"])
+    LH.abort_staged(spark, table, pending)
+    v0 = LH.current_version(spark, table)
+    with pytest.raises(FileNotFoundError, match="staged file"):
+        LH.publish_staged(spark, table, pending)
+    # no commit was written
+    assert LH.current_version(spark, table) == v0
+
+
+def test_concurrent_writers_serialize(tmp_path, spark):
+    """Two threads committing interleaved merges race the commit log;
+    optimistic-concurrency retry must serialize them: the final state
+    equals the (order-independent) application of all merges, every
+    live file exists on disk, and the version count accounts for
+    every commit exactly once."""
+    import threading
+
+    path = str(tmp_path / "race")
+    rows = [dict(k=i, v=0, tag="base") for i in range(1, 21)]
+    LH.create_table(spark, path, _mk(spark, rows).coalesce(1), ["k"])
+    n_rounds, errs = 4, []
+
+    def writer(keys):
+        try:
+            for _ in range(n_rounds):
+                src = _mk(spark, [dict(k=k, v=0, tag="w") for k in keys])
+                LH.merge_into(spark, path, src, ["k"],
+                              update_set={"v": F.col("tgt.v") + 1},
+                              insert_when_not_matched=False,
+                              max_retries=50)
+        except Exception as e:          # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=writer, args=(list(range(1, 11)),))
+    t2 = threading.Thread(target=writer, args=(list(range(11, 21)),))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    # every commit landed exactly once: base + 2 * n_rounds versions
+    assert LH.current_version(spark, path) == 1 + 2 * n_rounds
+    # serializable outcome: each key incremented n_rounds times
+    got = dict((r["k"], r["v"]) for r in LH.read_table(spark, path).collect())
+    assert got == {k: n_rounds for k in range(1, 21)}
+    # no lost files: every live file is on disk
+    for f in LH.snapshot_files(spark, path):
+        assert os.path.exists(f.replace("file:", ""))
