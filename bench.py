@@ -2,11 +2,35 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "host_canary": {...},
+"extra_queries": {...}}.
 
 Execution is forced through the noop sink (full computation, no
 driver-side materialization cost), after a small JVM warm-up so the
 numbers measure the plans, not classloading.
+
+``host_canary`` makes runs attributable across hosts: the same code
+measured 12.9 s and 20.8 s in consecutive rounds purely from VM speed
+(zero diffs in any bench-listed plan file between the runs — see
+ROUND_NOTES.md "Bench status"). Two fixed workloads are timed next to
+the queries so a slow total can be attributed to the host rather than
+to a plan regression:
+
+- ``python_loop_sec``: a fixed 10^7-iteration pure-Python loop —
+  single-core scalar speed, no Spark involved;
+- ``spark_fixed_job_sec``: best-of-2 of a constant
+  ``spark.range(10^8).sum()`` job — JVM + scheduler + codegen path on
+  the same session the queries use.
+
+To compare rounds, divide each per-query time by the canary ratio
+(this_host_canary / reference_host_canary) before reading a delta as
+a regression.
+
+``extra_queries`` records driver-visible wall times for high-value
+registry entries the driver's correctness sample rarely reaches
+(lakehouse MERGE, WAP streaming ingest, BPE training, PCA); they are
+timed identically but kept OUT of the headline total so the metric
+stays comparable across rounds.
 """
 
 from __future__ import annotations
@@ -37,9 +61,38 @@ HEADLINE = [
     "text_quality_stats",
 ]
 
+# measured and reported, but outside the headline total (see module
+# docstring): rotates never-driver-sampled families through a
+# driver-recorded artifact each round
+EXTRA = [
+    "merge_upsert_orders",
+    "stream_wap_ingest",
+    "bpe_train_merges",
+    "pca_top_component",
+]
+
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _python_loop_canary() -> float:
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(10_000_000):
+        acc += i
+    assert acc == 49999995000000
+    return round(time.perf_counter() - t0, 4)
+
+
+def _spark_fixed_job_canary(spark) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = spark.range(100_000_000).selectExpr("sum(id) as s").collect()[0]["s"]
+        assert n == 4999999950000000
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
 
 
 def main() -> None:
@@ -53,18 +106,24 @@ def main() -> None:
 
     # Warm-up: JVM/codegen/parquet-footer caches, not measured.
     _force(queries[names[0]](spark, sf_dir))
+    canary = {
+        "python_loop_sec": _python_loop_canary(),
+        "spark_fixed_job_sec": _spark_fixed_job_canary(spark),
+    }
 
     # best-of-2 per query: one line of defense against scheduler noise
     # on a shared host (standard practice; plans/caches are identical
     # between repeats so this measures the engine, not the jitter)
-    timings: dict[str, float] = {}
-    for name in names:
+    def _timed(name: str) -> float:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             _force(queries[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        return round(best, 4)
+
+    timings = {name: _timed(name) for name in names}
+    extra = {name: _timed(name) for name in EXTRA if name in queries}
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({
@@ -73,6 +132,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "host_canary": canary,
+        "extra_queries": extra,
     }))
 
 

@@ -28,6 +28,11 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # Let Catalyst offer filters to Python DataSources (the REST-lake
+    # source translates eq/range predicates into the lake-API filter
+    # grammar and still has Spark re-apply them — see
+    # sources/rest_lake.RestLakeReader.pushFilters).
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Arrow batch size for pandas UDFs: large enough to amortize
     # serialization, small enough to bound executor memory per batch.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",

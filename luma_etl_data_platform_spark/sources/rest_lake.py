@@ -30,12 +30,60 @@ injectable fetcher/clock.
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
 from pyspark.sql.types import StructType
 
 DEFAULT_BATCH_SIZE = 10_000  # reference: datalakewrapper.py:88
+
+# the reference's pushdown-builder operator set
+# (utilities/utilities.py:226-238 builds "prop op 'value'"; the
+# _lplFilter theta filter at fsmwrapper.py:169,180-189 is the same
+# grammar with symbolic operators)
+_PUSH_OPS: dict[type, str] = {
+    EqualTo: "eq",
+    GreaterThan: "gt",
+    GreaterThanOrEqual: "ge",
+    LessThan: "lt",
+    LessThanOrEqual: "le",
+}
+
+
+def _filter_to_clause(f: Filter) -> str | None:
+    """Translate a Catalyst filter into the reference's lake-API
+    filter grammar ``prop op 'value'``; None when untranslatable
+    (nested column, unsupported op, or a value the naive grammar
+    cannot quote)."""
+    op = _PUSH_OPS.get(type(f))
+    if op is None:
+        return None
+    path = f.attribute
+    if len(path) != 1:           # no nested-field grammar in the API
+        return None
+    v = f.value
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, str):
+        if "'" in v:             # the grammar has no quote escaping
+            return None
+        val = v
+    elif isinstance(v, (int, float)):
+        val = str(v)
+    else:
+        return None
+    return f"{path[0]} {op} '{val}'"
 
 
 # ---------------------------------------------------------------------------
@@ -96,10 +144,48 @@ class FakeLakeTransport(LakeTransport):
     n_chunks: int = 4
     records_per_object: int = 50
 
-    def _bc_of(self, doc_filter: str) -> str:
-        # filter grammar: "dl_document_name eq 'BC_Name'"
+    _CLAUSE_RE = re.compile(r"(\S+) (eq|ne|gt|ge|lt|le) '([^']*)'")
+
+    @classmethod
+    def _clauses(cls, filter_str: str) -> list[tuple[str, str, str]]:
+        # filter grammar: "prop op 'value' and prop op 'value' ..."
         # (reference: utilities/utilities.py:226-238, datalakewrapper.py:141)
-        return doc_filter.split("'")[1]
+        return cls._CLAUSE_RE.findall(filter_str)
+
+    def _bc_of(self, doc_filter: str) -> str:
+        for prop, op, val in self._clauses(doc_filter):
+            if prop == "dl_document_name" and op == "eq":
+                return val
+        raise ValueError(f"no dl_document_name clause in {doc_filter!r}")
+
+    @staticmethod
+    def _rec_matches(rec: dict, clauses: list[tuple[str, str, str]]) -> bool:
+        """Server-side evaluation of pushed theta clauses against one
+        record. The comparison type follows the RECORD value's type —
+        numeric fields compare numerically, string fields
+        lexicographically — which is exactly Spark's semantics for
+        the column the filter came from; a server that compared by a
+        DIFFERENT rule could over-filter, and dropped objects are
+        unrecoverable even with Spark re-applying the predicate."""
+        for prop, op, val in clauses:
+            if prop in ("dl_document_name", "chunk"):
+                continue
+            a = rec.get(prop)
+            if a is None or isinstance(a, bool):
+                return False
+            if isinstance(a, (int, float)):
+                try:
+                    b = int(val) if isinstance(a, int) else float(val)
+                except ValueError:
+                    return False
+            else:
+                a, b = str(a), val
+            ok = {"eq": a == b, "ne": a != b,
+                  "gt": a > b, "ge": a >= b,
+                  "lt": a < b, "le": a <= b}[op]
+            if not ok:
+                return False
+        return True
 
     def query_split(self, doc_filter: str) -> list[str]:
         return [f"{doc_filter} and chunk eq '{i}'" for i in range(self.n_chunks)]
@@ -115,11 +201,19 @@ class FakeLakeTransport(LakeTransport):
     page_size: int = 2  # deliberately tiny so tests exercise paging
 
     def _all_objects(self, chunk_filter: str) -> list[LakeObject]:
+        clauses = self._clauses(chunk_filter)
         bc = self._bc_of(chunk_filter)
-        chunk_id = int(chunk_filter.split("'")[3])
+        chunk_id = int(next(v for p, o, v in clauses if p == "chunk"))
         objs = self._objects_for(bc)
         mine = [o for i, o in enumerate(objs) if i % self.n_chunks == chunk_id]
-        return [LakeObject(oid, len(recs)) for oid, recs in mine]
+        # theta clauses filter server-side: an object none of whose
+        # records match is not listed at all (and is never fetched)
+        out = []
+        for oid, recs in mine:
+            n = sum(1 for r in recs if self._rec_matches(r, clauses))
+            if n:
+                out.append(LakeObject(oid, n))
+        return out
 
     def list_objects_page(self, chunk_filter: str, page_token: str | None,
                           batch_size: int = DEFAULT_BATCH_SIZE
@@ -154,12 +248,42 @@ class RestLakeReader(DataSourceReader):
         self._transport = transport
         self._bc = business_class
         self._exclude = exclude_ids
+        self._pushed_clauses: list[str] = []
+
+    def pushFilters(self, filters):
+        """Source-side theta-filter pushdown (SURVEY P6): equality and
+        range predicates on top-level columns are translated into the
+        reference's filter grammar (``prop op 'value'`` — the
+        pushdown builder at utilities/utilities.py:226-238; the
+        ``_lplFilter`` theta shape at fsmwrapper.py:169,180-189) and
+        appended to every split-query / object-listing call, so the
+        lake server filters BEFORE transfer.
+
+        Every filter is also returned for Spark to re-evaluate: a
+        REST endpoint's filtering is treated as an optimization, not
+        a correctness contract (a server that ignores the clause
+        still yields exact results) — the same belt-and-suspenders
+        posture JDBC sources take with partial pushdown."""
+        for f in filters:
+            clause = _filter_to_clause(f)
+            if clause is not None:
+                self._pushed_clauses.append(clause)
+            yield f
+
+    @property
+    def pushed_clauses(self) -> list[str]:
+        """The filter clauses that will ride the API query string —
+        exposed for plan-inspection tests."""
+        return list(self._pushed_clauses)
 
     def partitions(self):
         # S1+S2 on the driver: split-query → per-chunk object listing;
         # one Spark partition per chunk keeps fetch parallelism equal
-        # to the API's own partitioning of the class.
-        doc_filter = f"dl_document_name eq '{self._bc}'"
+        # to the API's own partitioning of the class. Pushed theta
+        # clauses join the document-name filter here, so chunks and
+        # object listings are both server-side filtered.
+        doc_filter = " and ".join(
+            [f"dl_document_name eq '{self._bc}'"] + self._pushed_clauses)
         parts = []
         for chunk_filter in self._transport.query_split(doc_filter):
             objs = self._transport.list_objects(chunk_filter)
