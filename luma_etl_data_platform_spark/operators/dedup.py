@@ -379,8 +379,27 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     Ordering is the total order (document frequency asc, h1, h2) —
     both engines derive it identically, so the candidate set (not
     just the verified output) is reproducible. Shuffles: shingle →
-    df join, id → prefix window, shingle → candidate join, pair →
-    verification counts. All equi-joins; never a cross product."""
+    df join, id → prefix window, shingle → candidate join, id →
+    verification array joins. All equi-joins; never a cross product.
+
+    Two further LOSSLESS prunes ride the candidate join (PPJoin,
+    Xiao et al., WWW'08):
+
+    - **length filter**: J(x,y) ≥ t forces min(|x|,|y|) ≥
+      t·max(|x|,|y|); size-incompatible pairs never leave the join.
+    - **positional filter**: a prefix match at sorted positions
+      (pa, pb) bounds the overlap by min(|x|−pa, |y|−pb) + 1 (every
+      common shingle sorts after the first match in BOTH documents);
+      J ≥ t needs overlap ≥ t·(|x|+|y|)/(1+t), so candidates whose
+      loosest match can't reach the bound drop before verification.
+      The required-overlap ceil is epsilon-guarded so float rounding
+      can only UNDER-prune.
+
+    Verification is the standard explode-join intersection count over
+    the surviving candidates. (An array_intersect-over-collected-
+    arrays variant was measured 10× SLOWER: Spark's array_intersect
+    has no hash fast path for struct elements, so per-pair
+    intersection degraded to quadratic interpreted comparisons.)"""
     from pyspark.sql.window import Window as W
 
     idx = index if index is not None \
@@ -398,14 +417,25 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     prefix = ranked.filter(
         F.col("_pos") <= F.col("_sz")
         - F.ceil(F.lit(threshold) * F.col("_sz")) + F.lit(1))
-    cand = (prefix.alias("a")
-            .join(prefix.alias("b"),
-                  (F.col("a.h1") == F.col("b.h1"))
-                  & (F.col("a.h2") == F.col("b.h2"))
-                  & (F.col("a._id") < F.col("b._id")))
-            .select(F.col("a._id").alias("id_a"),
-                    F.col("b._id").alias("id_b"))
-            .distinct())
+    a, b = prefix.alias("a"), prefix.alias("b")
+    matches = (a.join(b, (F.col("a.h1") == F.col("b.h1"))
+                      & (F.col("a.h2") == F.col("b.h2"))
+                      & (F.col("a._id") < F.col("b._id"))
+                      & (F.least(F.col("a._sz"), F.col("b._sz"))
+                         >= F.lit(threshold)
+                         * F.greatest(F.col("a._sz"), F.col("b._sz"))))
+               .select(F.col("a._id").alias("id_a"),
+                       F.col("b._id").alias("id_b"),
+                       (F.least(F.col("a._sz") - F.col("a._pos"),
+                                F.col("b._sz") - F.col("b._pos"))
+                        + F.lit(1)).alias("_ub"),
+                       (F.col("a._sz") + F.col("b._sz")).alias("_szsum")))
+    cand = (matches.groupBy("id_a", "id_b")
+            .agg(F.max("_ub").alias("_ub"), F.first("_szsum").alias("_szsum"))
+            .filter(F.col("_ub")
+                    >= F.ceil(F.lit(threshold / (1.0 + threshold))
+                              * F.col("_szsum") - F.lit(1e-9)))
+            .select("id_a", "id_b"))
     sizes = idx.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ia = idx.select(F.col("_id").alias("id_a"), "h1", "h2")
     ib = idx.select(F.col("_id").alias("id_b"), "h1", "h2")
