@@ -68,7 +68,12 @@ def get_spark(app_name: str = "luma_etl_data_platform_spark",
     builder = builder.master(master)
     conf = dict(_DEFAULTS)
     conf.setdefault("spark.sql.shuffle.partitions", str(cores))
-    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    # local mode runs every executor thread inside the driver JVM, so
+    # this heap is shared by all `cores` concurrent tasks — 16g keeps
+    # ~512MB/task at local[32], which 10x-scale validation runs need
+    # (8g survived single heavy queries but OOM'd back-to-back
+    # persisted-index dedup jobs in one session).
+    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -560,6 +560,94 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM batch WHERE st IS NULL)
 """
 
 
+def lakehouse_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table transactional commit under the gate
+    (sources/lakehouse_txn.py): two log tables (an orders slice and a
+    customer slice) receive one ATOMIC cross-table append — staged
+    batches are invisible before the decision record lands (asserted
+    via the pre-commit counts in the output), then a second
+    transaction stages batches into both tables and ABORTS, which
+    must leave no trace. Final state per table = base + committed
+    batch only; the oracle replays the same relational algebra.
+
+    The reference lands fact+dimension loads as separate per-table
+    stored-proc writes (a crash between them leaves a half-landed
+    subject area); this is the all-or-nothing version of that load.
+    """
+    from ..sources import lakehouse_txn as TX
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_txn_")
+    pa, pb = f"{tmp}/orders_tbl", f"{tmp}/cust_tbl"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal")
+    LH.create_table(spark, pa,
+                    orders.filter(F.col("o_orderkey") % 3 == 0)
+                    .repartition(4), ["o_orderkey"])
+    LH.create_table(spark, pb,
+                    cust.filter(F.col("c_custkey") % 3 == 0)
+                    .repartition(2), ["c_custkey"])
+
+    t1 = TX.begin_transaction(spark, f"{tmp}/_txns")
+    t1.stage_append(pa, orders.filter(F.col("o_orderkey") % 3 == 1),
+                    ["o_orderkey"])
+    t1.stage_append(pb, cust.filter(F.col("c_custkey") % 3 == 1),
+                    ["c_custkey"])
+    # staged batches must be invisible pre-decision
+    n_vis = {"orders": LH.read_table(spark, pa).count(),
+             "customer": LH.read_table(spark, pb).count()}
+    t1.commit()
+
+    t2 = TX.begin_transaction(spark, f"{tmp}/_txns")
+    t2.stage_append(pa, orders.filter(F.col("o_orderkey") % 3 == 2),
+                    ["o_orderkey"])
+    t2.stage_append(pb, cust.filter(F.col("c_custkey") % 3 == 2),
+                    ["c_custkey"])
+    t2.abort()
+
+    def _summary(path: str, tag: str, val_col) -> DataFrame:
+        return (LH.read_table(spark, path).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(val_col.cast("decimal(18,2)"))
+                    .cast("decimal(38,6)"), 2).cast("double")
+            .alias("total_val"))
+            .withColumn("tbl", F.lit(tag))
+            .withColumn("version",
+                        F.lit(LH.current_version(spark, path))
+                        .cast("long"))
+            .withColumn("n_staged_invisible",
+                        F.lit(int(n_vis[tag])).cast("long"))
+            .select("tbl", "version", "n_staged_invisible", "n_rows",
+                    "total_val"))
+
+    out = (_summary(pa, "orders", F.col("o_totalprice"))
+           .unionByName(_summary(pb, "customer", F.col("c_acctbal")))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["lakehouse_multi_table_txn"] = """
+WITH a0 AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 3 = 0),
+a1 AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 3 = 1),
+b0 AS (SELECT c_acctbal AS v FROM customer WHERE c_custkey % 3 = 0),
+b1 AS (SELECT c_acctbal AS v FROM customer WHERE c_custkey % 3 = 1)
+SELECT 'orders' AS tbl, CAST(2 AS BIGINT) AS version,
+       (SELECT count(*) FROM a0) AS n_staged_invisible,
+       (SELECT count(*) FROM a0) + (SELECT count(*) FROM a1) AS n_rows,
+       (SELECT CAST(round(CAST(sum(CAST(v AS DECIMAL(18,2)))
+                               AS DECIMAL(38,6)), 2) AS DOUBLE)
+        FROM (SELECT v FROM a0 UNION ALL SELECT v FROM a1)) AS total_val
+UNION ALL
+SELECT 'customer' AS tbl, CAST(2 AS BIGINT) AS version,
+       (SELECT count(*) FROM b0) AS n_staged_invisible,
+       (SELECT count(*) FROM b0) + (SELECT count(*) FROM b1) AS n_rows,
+       (SELECT CAST(round(CAST(sum(CAST(v AS DECIMAL(18,2)))
+                               AS DECIMAL(38,6)), 2) AS DOUBLE)
+        FROM (SELECT v FROM b0 UNION ALL SELECT v FROM b1)) AS total_val
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "lakehouse_time_travel": lakehouse_time_travel,
@@ -570,4 +658,5 @@ QUERIES = {
     "lakehouse_gdpr_erasure": lakehouse_gdpr_erasure,
     "lakehouse_expiration_audit": lakehouse_expiration_audit,
     "lakehouse_wap_audit": lakehouse_wap_audit,
+    "lakehouse_multi_table_txn": lakehouse_multi_table_txn,
 }

@@ -113,6 +113,36 @@ def _write_commit(spark: SparkSession, table_path: str, version: int,
             f"version {version} of {table_path} was committed concurrently")
 
 
+# final transaction outcomes are immutable once decided — cache them
+# so log replay does one status read per UNRESOLVED transaction only
+_TXN_FINAL: dict[tuple[str, str], str] = {}
+
+
+def txn_state(spark: SparkSession, status_dir: str, txn_id: str) -> str:
+    """Resolve a multi-table transaction's outcome from its decision
+    record: ``committed`` / ``aborted`` when the record exists,
+    ``pending`` otherwise (see :mod:`lakehouse_txn`)."""
+    key = (status_dir.rstrip("/"), txn_id)
+    state = _TXN_FINAL.get(key)
+    if state is not None:
+        return state
+    fs, jvm = _fs(spark, status_dir)
+    path = f"{status_dir.rstrip('/')}/{txn_id}.json"
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(path)):
+        return "pending"
+    state = json.loads(_read_text(fs, jvm, path))["status"]
+    _TXN_FINAL[key] = state
+    return state
+
+
+def _invisible(doc: dict) -> bool:
+    """True when a commit doc must not contribute to snapshot replay:
+    a multi-table-transaction commit whose decision record is absent
+    (pending) or says aborted. The version slot stays consumed either
+    way — tombstones keep version numbering race-safe."""
+    return doc.get("_txn") in ("pending", "aborted")
+
+
 def _commits(spark: SparkSession, table_path: str) -> list[dict]:
     fs, jvm = _fs(spark, table_path)
     Path = jvm.org.apache.hadoop.fs.Path
@@ -133,7 +163,12 @@ def _commits(spark: SparkSession, table_path: str) -> list[dict]:
         prev = by_version.get(doc["version"])
         if prev is None or (is_ckpt and not prev[0]):
             by_version[doc["version"]] = (is_ckpt, doc)
-    return [by_version[v][1] for v in sorted(by_version)]
+    docs = [by_version[v][1] for v in sorted(by_version)]
+    for doc in docs:
+        txn = doc.get("txn")
+        if txn:
+            doc["_txn"] = txn_state(spark, txn["status_dir"], txn["id"])
+    return docs
 
 
 def current_version(spark: SparkSession, table_path: str) -> int:
@@ -149,6 +184,8 @@ def snapshot_files(spark: SparkSession, table_path: str,
     for doc in _commits(spark, table_path):
         if version is not None and doc["version"] > version:
             break
+        if _invisible(doc):
+            continue  # undecided/aborted multi-table txn: no-op slot
         if doc.get("op") == "checkpoint":
             # a checkpoint carries the FULL live list at its version:
             # replay RESETS here, so a surviving pre-checkpoint prefix
@@ -161,10 +198,13 @@ def snapshot_files(spark: SparkSession, table_path: str,
 
 
 def history(spark: SparkSession, table_path: str) -> list[dict]:
-    """Commit metadata, oldest first (op, version, file counts)."""
+    """Commit metadata, oldest first (op, version, file counts;
+    multi-table-transaction commits also carry their resolved
+    ``txn_state``)."""
     return [{"version": d["version"], "op": d["op"],
              "n_added": len(d.get("add", [])),
-             "n_removed": len(d.get("remove", []))}
+             "n_removed": len(d.get("remove", [])),
+             **({"txn_state": d["_txn"]} if "_txn" in d else {})}
             for d in _commits(spark, table_path)]
 
 
@@ -467,11 +507,19 @@ def vacuum(spark: SparkSession, table_path: str) -> list[str]:
     Only root-level ``*.parquet`` files are reaped: a WAP writer's
     uncommitted batch lives under ``.staged-*/`` subdirectories and
     is never touched (abandoned stages are cleaned by
-    :func:`abort_staged`, not by vacuum)."""
+    :func:`abort_staged`, not by vacuum). Files added by a PENDING
+    multi-table transaction commit are log-referenced and retained
+    (the decision may still land as committed); an ABORTED
+    transaction's files are unreferenced by every snapshot and are
+    reaped here."""
     fs, jvm = _fs(spark, table_path)
     Path = jvm.org.apache.hadoop.fs.Path
     root = table_path.rstrip("/")
     live = {f.rsplit("/", 1)[-1] for f in snapshot_files(spark, table_path)}
+    for doc in _commits(spark, table_path):
+        if doc.get("_txn") == "pending":
+            live.update(a["path"].rsplit("/", 1)[-1]
+                        for a in doc.get("add", []))
     deleted = []
     for st in fs.listStatus(Path(root)):
         name = st.getPath().getName()
@@ -606,6 +654,8 @@ def snapshot_adds(spark: SparkSession, table_path: str,
     for doc in _commits(spark, table_path):
         if version is not None and doc["version"] > version:
             break
+        if _invisible(doc):
+            continue  # undecided/aborted multi-table txn: no-op slot
         if doc.get("op") == "checkpoint":
             live = {}  # full-state reset — see snapshot_files
         for r in doc.get("remove", []):
@@ -798,6 +848,18 @@ def expire_snapshots(spark: SparkSession, table_path: str,
         raise FileNotFoundError(f"{table_path} has no commit log")
     latest = commits[-1]["version"]
     cutoff = max(commits[0]["version"], latest - keep_last + 1)
+    # never expire at-or-across an UNDECIDED multi-table transaction:
+    # the checkpoint REPLACES the cutoff's plain commit and replay
+    # resets there, so a pending doc at-or-below the cutoff would be
+    # dropped — and a later COMMITTED decision would surface a
+    # truncated table. Cap the cutoff strictly below it.
+    pending = [c["version"] for c in commits if c.get("_txn") == "pending"]
+    if pending:
+        cutoff = min(cutoff, min(pending) - 1)
+        if cutoff < commits[0]["version"]:
+            return {"expired_versions": [],
+                    "kept_versions": [c["version"] for c in commits],
+                    "files_removed": []}
     expired = [c["version"] for c in commits if c["version"] < cutoff]
     kept = [c["version"] for c in commits if c["version"] >= cutoff]
     if not expired:
@@ -841,11 +903,17 @@ def expire_snapshots(spark: SparkSession, table_path: str,
         fs.delete(Path(_log_path(table_path, v)), False)
         fs.delete(Path(_ckpt_path(table_path, v)), False)
 
-    # 3. delete data files no kept version references
+    # 3. delete data files no kept version references (files added by
+    # a still-PENDING multi-table txn are in no snapshot yet but may
+    # become live when its decision lands — always retained)
     retained: set[str] = set()
     for v in kept:
         retained.update(f.rsplit("/", 1)[-1]
                         for f in snapshot_files(spark, table_path, v))
+    for doc in _commits(spark, table_path):
+        if doc.get("_txn") == "pending":
+            retained.update(a["path"].rsplit("/", 1)[-1]
+                            for a in doc.get("add", []))
     root = table_path.rstrip("/")
     removed = []
     for st in fs.listStatus(Path(root)):

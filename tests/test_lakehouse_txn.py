@@ -1,0 +1,148 @@
+"""Multi-table transactional commit tests: all-or-nothing visibility
+across tables, crash-between-prepares recovery via force-abort,
+decision-record races, and maintenance-op (vacuum / expire) safety
+around pending transactions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from luma_etl_data_platform_spark.sources import lakehouse as LH
+from luma_etl_data_platform_spark.sources import lakehouse_txn as TX
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame([Row(**r) for r in rows])
+
+
+@pytest.fixture()
+def lake(tmp_path, spark):
+    """Two single-file tables (orders-ish A, customers-ish B) plus a
+    shared decision-record directory."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    LH.create_table(spark, a, _mk(spark, [dict(k=1, v=10),
+                                          dict(k=2, v=20)]).coalesce(1),
+                    ["k"])
+    LH.create_table(spark, b, _mk(spark, [dict(k=7, v=70)]).coalesce(1),
+                    ["k"])
+    return a, b, str(tmp_path / "_txns")
+
+
+def test_commit_spans_tables_atomically(lake, spark):
+    a, b, txns = lake
+    t = TX.begin_transaction(spark, txns)
+    t.stage_append(a, _mk(spark, [dict(k=3, v=30)]).coalesce(1), ["k"])
+    t.stage_append(b, _mk(spark, [dict(k=8, v=80)]).coalesce(1), ["k"])
+    # staged but uncommitted: both tables unchanged
+    assert LH.read_table(spark, a).count() == 2
+    assert LH.read_table(spark, b).count() == 1
+    versions = t.commit()
+    assert versions == {a: 2, b: 2}
+    assert sorted((r["k"], r["v"]) for r in
+                  LH.read_table(spark, a).collect()) == [(1, 10), (2, 20),
+                                                         (3, 30)]
+    assert LH.read_table(spark, b).count() == 2
+    assert LH.history(spark, a)[-1] == {
+        "version": 2, "op": "txn_append", "n_added": 1, "n_removed": 0,
+        "txn_state": "committed"}
+
+
+def test_crash_between_prepares_is_invisible_then_force_aborted(
+        lake, spark):
+    a, b, txns = lake
+    t = TX.begin_transaction(spark, txns)
+    pa = t.stage_append(a, _mk(spark, [dict(k=3, v=30)]).coalesce(1), ["k"])
+    t.stage_append(b, _mk(spark, [dict(k=8, v=80)]).coalesce(1), ["k"])
+    # simulate a coordinator crash AFTER preparing table a only
+    marker = {"id": t.txn_id, "status_dir": t.status_dir}
+    t._prepare(a, pa, marker)
+    # the pending commit consumed version 2 but is invisible
+    assert LH.current_version(spark, a) == 2
+    assert LH.read_table(spark, a).count() == 2
+    assert LH.read_table(spark, b).count() == 1
+    # vacuum must NOT reap the pending file (decision may still land)
+    assert LH.vacuum(spark, a) == []
+    # a single-table writer is not blocked by the tombstone
+    LH.append_table(spark, a, _mk(spark, [dict(k=4, v=40)]).coalesce(1))
+    assert LH.current_version(spark, a) == 3
+    assert LH.read_table(spark, a).count() == 3  # 2 base + append only
+    # maintenance resolves the crashed txn: force-abort wins the race
+    assert TX.force_abort_pending(spark, a) == {t.txn_id: "aborted"}
+    assert LH.history(spark, a)[1]["txn_state"] == "aborted"
+    assert LH.read_table(spark, a).count() == 3
+    # the coordinator's belated commit now fails loudly
+    with pytest.raises(TX.TransactionAborted):
+        t.commit()
+    # and the aborted txn's prepared file is now garbage for vacuum
+    assert len(LH.vacuum(spark, a)) == 1
+    assert LH.read_table(spark, a).count() == 3
+
+
+def test_abort_cleans_staged_files(lake, spark, tmp_path):
+    a, b, txns = lake
+    t = TX.begin_transaction(spark, txns)
+    t.stage_append(a, _mk(spark, [dict(k=3, v=30)]).coalesce(1), ["k"])
+    t.stage_append(b, _mk(spark, [dict(k=8, v=80)]).coalesce(1), ["k"])
+    assert t.abort() == "aborted"
+    assert LH.read_table(spark, a).count() == 2
+    assert LH.read_table(spark, b).count() == 1
+    # no staged debris, no log growth
+    assert LH.current_version(spark, a) == 1
+    staged = [p for p in (tmp_path / "a").iterdir()
+              if p.name.startswith(".staged-")]
+    assert staged == []
+    with pytest.raises(RuntimeError):
+        t.commit()
+
+
+def test_expire_snapshots_capped_below_pending_txn(lake, spark):
+    a, _, txns = lake
+    # two more resolved versions so there is an expirable prefix
+    LH.append_table(spark, a, _mk(spark, [dict(k=4, v=40)]).coalesce(1))
+    LH.append_table(spark, a, _mk(spark, [dict(k=5, v=50)]).coalesce(1))
+    t = TX.begin_transaction(spark, txns)
+    pa = t.stage_append(a, _mk(spark, [dict(k=6, v=60)]).coalesce(1), ["k"])
+    t._prepare(a, pa, {"id": t.txn_id, "status_dir": t.status_dir})  # v4
+    LH.append_table(spark, a, _mk(spark, [dict(k=9, v=90)]).coalesce(1))
+    # keep_last=1 would normally checkpoint at v5; the pending v4 caps
+    # the cutoff to v3 so the pending doc (and its file) survive
+    out = LH.expire_snapshots(spark, a, keep_last=1)
+    assert out["expired_versions"] == [1, 2]
+    assert 4 in out["kept_versions"]
+    # decision lands late: the staged rows surface intact
+    assert TX._write_decision(spark, t.status_dir, t.txn_id,
+                              "committed") == "committed"
+    assert sorted(r["k"] for r in LH.read_table(spark, a).collect()) == [
+        1, 2, 4, 5, 6, 9]
+
+
+def test_two_transactions_commit_concurrently(lake, spark):
+    import threading
+    a, b, txns = lake
+    errs = []
+
+    def run(k0):
+        try:
+            t = TX.begin_transaction(spark, txns)
+            t.stage_append(a, _mk(spark, [dict(k=k0, v=k0)]).coalesce(1),
+                           ["k"])
+            t.stage_append(b, _mk(spark, [dict(k=k0, v=k0)]).coalesce(1),
+                           ["k"])
+            t.commit()
+        except Exception as e:  # pragma: no cover - fail the test below
+            errs.append(e)
+
+    th = [threading.Thread(target=run, args=(k,)) for k in (100, 200)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert errs == []
+    # appends never conflict on content: both transactions land
+    assert sorted(r["k"] for r in LH.read_table(spark, a).collect()) == [
+        1, 2, 100, 200]
+    assert sorted(r["k"] for r in LH.read_table(spark, b).collect()) == [
+        7, 100, 200]
+    states = [h.get("txn_state") for h in LH.history(spark, a)]
+    assert states.count("committed") == 2
