@@ -468,8 +468,101 @@ FROM clean
 """
 
 
+def stream_txn_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ninth streaming twin: every micro-batch fans out to TWO log
+    tables — detail rows (events) and the batch's per-type summary —
+    landed as ONE multi-table transaction
+    (sources/lakehouse_txn.py). A poisoned batch (containing any
+    ``event_id % 2000 == 0`` row) is ABORTED atomically: neither its
+    detail rows nor its summary rows may surface.
+
+    The output reads BOTH tables independently; the oracle computes
+    the same figures once from the clean batches — equality proves
+    the cross-table invariant (Σ summary counts == detail count,
+    Σ summary sums == detail sum) held through genuine multi-batch
+    streaming execution. This is the fact+dimension consistency
+    contract the reference's per-table stored-proc loads cannot give.
+    """
+    from ..sources import lakehouse as LH
+    from ..sources import lakehouse_txn as TX
+    tmp = tempfile.mkdtemp(prefix="luma_stream_txn_")
+    pa, pb = f"{tmp}/detail", f"{tmp}/summary"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.col("value").cast("decimal(18,2)").alias("value"),
+        (F.col("event_id") % 6).alias("grp"))
+    (ev.repartition(1).write.partitionBy("grp")
+     .parquet(f"{tmp}/src"))
+    LH.create_table(spark, pa,
+                    ev.filter(F.lit(False)).drop("grp").repartition(1),
+                    ["event_id"])
+    empty_sum = (ev.filter(F.lit(False))
+                 .groupBy("grp", "event_type")
+                 .agg(F.count(F.lit(1)).alias("n_events"),
+                      F.sum("value").cast("decimal(38,2)")
+                      .alias("sum_value")))
+    LH.create_table(spark, pb, empty_sum.repartition(1),
+                    ["grp", "event_type"])
+
+    schema = spark.read.parquet(f"{tmp}/src").schema
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)  # two consumers
+        t = TX.begin_transaction(spark, f"{tmp}/_txns")
+        t.stage_append(pa, batch_df.drop("grp"), ["event_id"])
+        summary = (batch_df.groupBy("grp", "event_type")
+                   .agg(F.count(F.lit(1)).alias("n_events"),
+                        F.sum("value").cast("decimal(38,2)")
+                        .alias("sum_value")))
+        t.stage_append(pb, summary, ["grp", "event_type"])
+        if batch_df.filter(F.col("event_id") % 2000 == 0).count():
+            t.abort()
+        else:
+            t.commit()
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/src")
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", f"{tmp}/ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+
+    detail = LH.read_table(spark, pa).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value").cast("decimal(38,6)"), 2).cast("double")
+        .alias("total_value"))
+    summ = LH.read_table(spark, pb).agg(
+        F.count(F.lit(1)).alias("n_summary_rows"),
+        F.sum("n_events").alias("summary_events"),
+        F.round(F.sum("sum_value").cast("decimal(38,6)"), 2)
+        .cast("double").alias("summary_value"))
+    out = detail.crossJoin(F.broadcast(summ)).localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["stream_txn_fanout"] = """
+WITH dirty AS (SELECT DISTINCT event_id % 6 AS grp FROM events
+               WHERE event_id % 2000 = 0),
+clean AS (SELECT event_id % 6 AS grp, event_type,
+                 CAST(value AS DECIMAL(18,2)) AS value
+          FROM events
+          WHERE event_id % 6 NOT IN (SELECT grp FROM dirty))
+SELECT count(*) AS n_events,
+       CAST(round(CAST(sum(value) AS DECIMAL(38,6)), 2) AS DOUBLE)
+         AS total_value,
+       (SELECT count(*) FROM (SELECT DISTINCT grp, event_type
+                              FROM clean) d) AS n_summary_rows,
+       count(*) AS summary_events,
+       CAST(round(CAST(sum(value) AS DECIMAL(38,6)), 2) AS DOUBLE)
+         AS summary_value
+FROM clean
+"""
+
+
 QUERIES = {
     "stream_wap_ingest": stream_wap_ingest,
+    "stream_txn_fanout": stream_txn_fanout,
     "stream_hll_distinct": stream_hll_distinct,
     "stream_lakehouse_upsert": stream_lakehouse_upsert,
     "stream_rollup_hourly": stream_rollup_hourly,
