@@ -356,6 +356,44 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def _prefix_candidates(idx: DataFrame, threshold: float) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from AllPairs prefix filtering
+    with the two lossless PPJoin prunes (length + positional) — see
+    :func:`prefix_filter_jaccard_pairs` for the proofs. Split out so
+    the pruning behavior is regression-testable on crafted corpora."""
+    from pyspark.sql.window import Window as W
+
+    dfreq = idx.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("_df"))
+    w = W.partitionBy("_id").orderBy("_df", "h1", "h2")
+    ranked = (idx.join(dfreq, ["h1", "h2"])
+              .select("_id", "h1", "h2", "_df",
+                      F.row_number().over(w).alias("_pos"),
+                      F.count(F.lit(1)).over(W.partitionBy("_id"))
+                      .alias("_sz")))
+    prefix = ranked.filter(
+        F.col("_pos") <= F.col("_sz")
+        - F.ceil(F.lit(threshold) * F.col("_sz")) + F.lit(1))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    matches = (a.join(b, (F.col("a.h1") == F.col("b.h1"))
+                      & (F.col("a.h2") == F.col("b.h2"))
+                      & (F.col("a._id") < F.col("b._id"))
+                      & (F.least(F.col("a._sz"), F.col("b._sz"))
+                         >= F.lit(threshold)
+                         * F.greatest(F.col("a._sz"), F.col("b._sz"))))
+               .select(F.col("a._id").alias("id_a"),
+                       F.col("b._id").alias("id_b"),
+                       (F.least(F.col("a._sz") - F.col("a._pos"),
+                                F.col("b._sz") - F.col("b._pos"))
+                        + F.lit(1)).alias("_ub"),
+                       (F.col("a._sz") + F.col("b._sz")).alias("_szsum")))
+    return (matches.groupBy("id_a", "id_b")
+            .agg(F.max("_ub").alias("_ub"), F.first("_szsum").alias("_szsum"))
+            .filter(F.col("_ub")
+                    >= F.ceil(F.lit(threshold / (1.0 + threshold))
+                              * F.col("_szsum") - F.lit(1e-9)))
+            .select("id_a", "id_b"))
+
+
 def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                                 n: int = 3, threshold: float = 0.5,
                                 persist_index: bool = True,
@@ -400,42 +438,12 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     arrays variant was measured 10× SLOWER: Spark's array_intersect
     has no hash fast path for struct elements, so per-pair
     intersection degraded to quadratic interpreted comparisons.)"""
-    from pyspark.sql.window import Window as W
-
     idx = index if index is not None \
         else _shingle_index(df, text_col, id_col, n, None)
     if persist_index and index is None:
         from pyspark import StorageLevel
         idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
-    dfreq = idx.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("_df"))
-    w = W.partitionBy("_id").orderBy("_df", "h1", "h2")
-    ranked = (idx.join(dfreq, ["h1", "h2"])
-              .select("_id", "h1", "h2", "_df",
-                      F.row_number().over(w).alias("_pos"),
-                      F.count(F.lit(1)).over(W.partitionBy("_id"))
-                      .alias("_sz")))
-    prefix = ranked.filter(
-        F.col("_pos") <= F.col("_sz")
-        - F.ceil(F.lit(threshold) * F.col("_sz")) + F.lit(1))
-    a, b = prefix.alias("a"), prefix.alias("b")
-    matches = (a.join(b, (F.col("a.h1") == F.col("b.h1"))
-                      & (F.col("a.h2") == F.col("b.h2"))
-                      & (F.col("a._id") < F.col("b._id"))
-                      & (F.least(F.col("a._sz"), F.col("b._sz"))
-                         >= F.lit(threshold)
-                         * F.greatest(F.col("a._sz"), F.col("b._sz"))))
-               .select(F.col("a._id").alias("id_a"),
-                       F.col("b._id").alias("id_b"),
-                       (F.least(F.col("a._sz") - F.col("a._pos"),
-                                F.col("b._sz") - F.col("b._pos"))
-                        + F.lit(1)).alias("_ub"),
-                       (F.col("a._sz") + F.col("b._sz")).alias("_szsum")))
-    cand = (matches.groupBy("id_a", "id_b")
-            .agg(F.max("_ub").alias("_ub"), F.first("_szsum").alias("_szsum"))
-            .filter(F.col("_ub")
-                    >= F.ceil(F.lit(threshold / (1.0 + threshold))
-                              * F.col("_szsum") - F.lit(1e-9)))
-            .select("id_a", "id_b"))
+    cand = _prefix_candidates(idx, threshold)
     sizes = idx.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ia = idx.select(F.col("_id").alias("id_a"), "h1", "h2")
     ib = idx.select(F.col("_id").alias("id_b"), "h1", "h2")

@@ -141,6 +141,49 @@ def test_prefix_jaccard_matches_plain_inverted_index(spark):
     assert pref == plain and plain
 
 
+def test_ppjoin_filters_prune_and_preserve(spark):
+    """The two PPJoin prunes in _prefix_candidates are active AND
+    lossless: a size-incompatible pair and an overlap-infeasible pair
+    sharing prefix shingles are dropped BEFORE verification, while a
+    true pair at J >= t always survives the candidate stage."""
+    from pyspark.sql import Row
+    from luma_etl_data_platform_spark.operators.dedup import (
+        _prefix_candidates)
+
+    def idx_of(doc_shingles):  # {_id: [shingle ints]}
+        rows = [Row(_id=d, h1=s, h2=s)
+                for d, ss in doc_shingles.items() for s in ss]
+        return spark.createDataFrame(rows)
+
+    def cands(doc_shingles, t=0.5):
+        return {(r["id_a"], r["id_b"]) for r in
+                _prefix_candidates(idx_of(doc_shingles), t).collect()}
+
+    # LENGTH filter: X (4 shingles) and Y (20) share their globally
+    # rarest shingle 1 inside both prefixes, but 4 < 0.5*20 — the
+    # pair must never reach verification (true J = 1/23 << 0.5)
+    case_a = {1: [1, 90, 91, 92], 2: [1] + list(range(10, 29))}
+    for f in (101, 102, 103, 104):
+        case_a[f] = [90, 91, 92]            # df(90..92)=5 > df(1)=2
+    for f in (111, 112, 113):
+        case_a[f] = list(range(10, 29))     # df(10..28)=4
+    assert (1, 2) not in cands(case_a)
+
+    # POSITIONAL filter: P and Q (10 shingles each — length passes)
+    # share only shingle 7, ranked LAST in both prefixes (position 6
+    # of 6): overlap bound = min(10-6, 10-6)+1 = 5 < required
+    # ceil(0.5*20/1.5) = 7 — pruned (true J = 5/15 < 0.5)
+    case_b = {1: [1, 2, 3, 4, 5, 7, 50, 51, 52, 53],
+              2: [21, 22, 23, 24, 25, 7, 50, 51, 52, 53]}
+    for f in range(201, 209):
+        case_b[f] = [50, 51, 52, 53]        # df(50..53)=10 >> df(7)=2
+    assert (1, 2) not in cands(case_b)
+
+    # losslessness: an exact-duplicate pair always survives
+    case_c = {1: [1, 2, 3, 4, 5, 6], 2: [1, 2, 3, 4, 5, 6]}
+    assert (1, 2) in cands(case_c)
+
+
 def test_incremental_minhash_equals_full_filtered(spark):
     # the defining property: incremental(new batch) == full-corpus
     # pairs restricted to pairs touching the batch
