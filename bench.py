@@ -69,6 +69,7 @@ EXTRA = [
     "stream_wap_ingest",
     "bpe_train_merges",
     "pca_top_component",
+    "lakehouse_multi_table_txn",
 ]
 
 
