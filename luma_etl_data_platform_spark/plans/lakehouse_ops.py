@@ -648,6 +648,70 @@ SELECT 'customer' AS tbl, CAST(2 AS BIGINT) AS version,
 """
 
 
+def lakehouse_zorder_box_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column data-skipping under the gate: build a log table
+    from orders, OPTIMIZE ZORDER BY (o_custkey, o_orderkey) into ~12
+    files, then answer a two-sided box query through
+    ``read_table_pruned_multi`` — the conjunctive per-file stats
+    prune that z-order clustering exists to serve. The box spans the
+    [25%, 50%] slice of each key's min/max range (exact integer
+    arithmetic, so the oracle states the identical bounds), i.e.
+    1/16 of the key plane: the pruned read MUST open strictly fewer
+    files than the table holds (``pruned_strictly``), and the rows it
+    returns must equal the plain relational box filter."""
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_zbox_")
+    path = f"{tmp}/orders_tbl"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    # 24 cadence-sized seed files: each holds < target_rows (n/12)
+    # rows, so OPTIMIZE selects all of them for the z-order rewrite
+    LH.create_table(spark, path, orders.repartition(24), ["o_orderkey"])
+    bounds = orders.agg(
+        F.min("o_custkey").alias("minc"), F.max("o_custkey").alias("maxc"),
+        F.min("o_orderkey").alias("mink"), F.max("o_orderkey").alias("maxk"),
+        F.count(F.lit(1)).alias("n")).collect()[0]
+    LH.compact(spark, path, target_rows=max(1, bounds["n"] // 12),
+               zorder_by=["o_custkey", "o_orderkey"])
+    box = {
+        "o_custkey": (
+            bounds["minc"] + (bounds["maxc"] - bounds["minc"]) // 4,
+            bounds["minc"] + (bounds["maxc"] - bounds["minc"]) // 2),
+        "o_orderkey": (
+            bounds["mink"] + (bounds["maxk"] - bounds["mink"]) // 4,
+            bounds["mink"] + (bounds["maxk"] - bounds["mink"]) // 2),
+    }
+    n_live = len(LH.snapshot_files(spark, path))
+    n_open = len(LH.pruned_candidate_files(spark, path, box))
+    out = (LH.read_table_pruned_multi(spark, path, box)
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("o_custkey").alias("n_custs"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                        .cast("decimal(38,6)"), 2)
+                .cast("double").alias("total_price"))
+           .withColumn("pruned_strictly", F.lit(n_open < n_live))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["lakehouse_zorder_box_read"] = """
+WITH b AS (SELECT min(o_custkey) AS minc, max(o_custkey) AS maxc,
+                  min(o_orderkey) AS mink, max(o_orderkey) AS maxk
+           FROM orders),
+box AS (SELECT o.o_custkey, o.o_totalprice FROM orders o CROSS JOIN b
+        WHERE o.o_custkey BETWEEN minc + (maxc - minc) // 4
+                              AND minc + (maxc - minc) // 2
+          AND o.o_orderkey BETWEEN mink + (maxk - mink) // 4
+                               AND mink + (maxk - mink) // 2)
+SELECT count(*) AS n_rows,
+       count(DISTINCT o_custkey) AS n_custs,
+       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_price,
+       TRUE AS pruned_strictly
+FROM box
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "lakehouse_time_travel": lakehouse_time_travel,
@@ -659,4 +723,5 @@ QUERIES = {
     "lakehouse_expiration_audit": lakehouse_expiration_audit,
     "lakehouse_wap_audit": lakehouse_wap_audit,
     "lakehouse_multi_table_txn": lakehouse_multi_table_txn,
+    "lakehouse_zorder_box_read": lakehouse_zorder_box_read,
 }

@@ -686,34 +686,79 @@ def read_table_pruned(spark: SparkSession, table_path: str, key_col: str,
     back to the legacy first-key ``min_key``/``max_key`` fields —
     only pass the table's first key column against such logs.
     """
-    adds = snapshot_adds(spark, table_path, version)
+    return read_table_pruned_multi(spark, table_path,
+                                   {key_col: (lo, hi)}, version)
+
+
+def read_table_pruned_multi(spark: SparkSession, table_path: str,
+                            preds: dict[str, tuple],
+                            version: int | None = None) -> DataFrame:
+    """Multi-column data-skipping read: ``preds`` maps column →
+    ``(lo, hi)``; a file is opened only when EVERY predicate column's
+    recorded stats can intersect its range (conjunctive pruning), and
+    survivors get the exact AND-of-ranges filter.
+
+    This is the payoff of ``compact(zorder_by=[c1, c2])``: z-order
+    clustering makes per-file min/max ranges narrow on BOTH interleave
+    dimensions, so a two-sided point/box query intersects the two
+    single-column prunes — at a 10^6-file table the candidate set is
+    the box's file neighborhood, not the union of two stripes. Files
+    missing stats for a predicate column are conservatively read
+    (legacy ``min_key``/``max_key`` fields back the first key column,
+    as in :func:`read_table_pruned`)."""
+    keep = pruned_candidate_files(spark, table_path, preds, version)
     root = table_path.rstrip("/")
-    keep = []
-    for a in adds:
-        st = (a.get("stats") or {}).get(key_col)
-        if st is None and "min_key" in a and "max_key" in a:
-            # legacy single-key stats (pre-per-column logs): they
-            # describe the FIRST key column only, so trust them only
-            # as a conservative fallback via coercion below
-            st = {"min": a["min_key"], "max": a["max_key"]}
-        if st is None:
-            keep.append(a["path"])
-            continue
-        fmin, fmax = _coerced(st.get("min"), lo), _coerced(st.get("max"), hi)
-        if fmin is None or fmax is None:
-            keep.append(a["path"])
-            continue
-        try:
-            disjoint = fmax < lo or fmin > hi
-        except TypeError:
-            disjoint = False
-        if not disjoint:
-            keep.append(a["path"])
     if not keep:
         return (read_table(spark, table_path, version)
                 .filter(F.lit(False)))
     df = spark.read.parquet(*[f"{root}/{p}" for p in keep])
-    return df.filter((F.col(key_col) >= lo) & (F.col(key_col) <= hi))
+    cond = F.lit(True)
+    for col, (lo, hi) in preds.items():
+        cond = cond & (F.col(col) >= lo) & (F.col(col) <= hi)
+    return df.filter(cond)
+
+
+def pruned_candidate_files(spark: SparkSession, table_path: str,
+                           preds: dict[str, tuple],
+                           version: int | None = None) -> list[str]:
+    """The file-skipping half of :func:`read_table_pruned_multi`:
+    the live data files whose recorded stats can intersect EVERY
+    ``(lo, hi)`` range in ``preds`` — i.e. the files a conjunctive
+    box read must open. Exposed so callers can audit pruning
+    leverage (files opened vs live) without reading any data."""
+    if not preds:
+        raise ValueError("pruned_candidate_files: preds must be "
+                         "non-empty {column: (lo, hi)}")
+    adds = snapshot_adds(spark, table_path, version)
+    keep = []
+    for a in adds:
+        open_file = True
+        for col, (lo, hi) in preds.items():
+            st = (a.get("stats") or {}).get(col)
+            if (st is None and not a.get("stats")
+                    and "min_key" in a and "max_key" in a):
+                # legacy single-key stats (pre-per-column logs): they
+                # describe the FIRST key column only, so use them only
+                # when the add-action has no per-column stats AT ALL
+                # (the caller contract from read_table_pruned: pass
+                # the first key column against such logs)
+                st = {"min": a["min_key"], "max": a["max_key"]}
+            if st is None:
+                continue  # no stats for this column: can't skip on it
+            fmin = _coerced(st.get("min"), lo)
+            fmax = _coerced(st.get("max"), hi)
+            if fmin is None or fmax is None:
+                continue
+            try:
+                disjoint = fmax < lo or fmin > hi
+            except TypeError:
+                disjoint = False
+            if disjoint:
+                open_file = False
+                break
+        if open_file:
+            keep.append(a["path"])
+    return keep
 
 
 def read_changes(spark: SparkSession, table_path: str,

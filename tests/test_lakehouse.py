@@ -400,6 +400,48 @@ def test_compact_zorder_clusters_both_dims(tmp_path, spark):
     assert sorted(spans)[len(spans) // 2] <= 512  # median cell ≤ half grid
 
 
+def test_multi_column_pruned_read_intersects_zorder_dims(tmp_path, spark):
+    """After OPTIMIZE ZORDER on (k, v), a box predicate on BOTH dims
+    opens no more files than either single-column prune — and strictly
+    fewer than at least one of them — while returning exactly the
+    plain filtered rows."""
+    import itertools
+    path = str(tmp_path / "zbox")
+    rows = [dict(k=k, v=v, tag="t") for k, v in
+            itertools.product(range(32), range(32))]
+    LH.create_table(spark, path, _mk(spark, rows).repartition(12), ["k"])
+    LH.compact(spark, path, target_rows=128, zorder_by=["k", "v"])
+
+    def n_files(preds):
+        adds = LH.snapshot_adds(spark, path)
+        keep = 0
+        for a in adds:
+            ok = True
+            for c, (lo, hi) in preds.items():
+                st = a["stats"][c]
+                if st["max"] < lo or st["min"] > hi:
+                    ok = False
+                    break
+            keep += ok
+        return keep
+
+    box = {"k": (4, 9), "v": (4, 9)}
+    nk, nv, nkv = (n_files({"k": box["k"]}), n_files({"v": box["v"]}),
+                   n_files(box))
+    total = len(LH.snapshot_files(spark, path))
+    # conjunctive prune never worse than either single-column prune,
+    # strictly better than the weaker one, and well below a full scan
+    assert nkv <= min(nk, nv)
+    assert nkv < max(nk, nv) < total
+    got = sorted((r["k"], r["v"]) for r in
+                 LH.read_table_pruned_multi(spark, path, box).collect())
+    want = sorted((k, v) for k in range(4, 10) for v in range(4, 10))
+    assert got == want
+    # delegation: single-column path unchanged
+    assert (LH.read_table_pruned(spark, path, "k", 4, 9).count()
+            == 6 * 32)
+
+
 def test_expire_snapshots_checkpoint_keeps_kept_versions_readable(
         table, spark):
     # build 3 more versions on the 3-file fixture
