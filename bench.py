@@ -70,6 +70,7 @@ EXTRA = [
     "bpe_train_merges",
     "pca_top_component",
     "lakehouse_multi_table_txn",
+    "lakehouse_bloom_point_lookup",
 ]
 
 

@@ -712,6 +712,114 @@ FROM box
 """
 
 
+def lakehouse_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom-filter point lookup under the gate: orders gets
+    an md5 fingerprint column (high-cardinality, UNSORTED — every
+    file's [min, max] spans the domain, so min/max stats cannot skip
+    a single file), the table declares ``bloom_cols=["u"]``, and a
+    find-by-fingerprint lookup runs through
+    ``read_table_point_lookup``. The probed value is the max
+    orderkey's fingerprint (deterministic at any SF; the oracle
+    states the same row relationally); ``bloom_pruned_strictly``
+    asserts the bloom skipped at least one of the 12 files — which
+    min/max provably cannot."""
+    import hashlib
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_bloom_")
+    path = f"{tmp}/orders_tbl"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    keyed = orders.withColumn(
+        "u", F.md5(F.col("o_orderkey").cast("string")))
+    LH.create_table(spark, path, keyed.repartition(12), ["o_orderkey"],
+                    bloom_cols=["u"])
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    probe = hashlib.md5(str(max_key).encode()).hexdigest()
+    n_live = len(LH.snapshot_files(spark, path))
+    n_open = len(LH.pruned_candidate_files(spark, path, None,
+                                           eq={"u": probe}))
+    out = (LH.read_table_point_lookup(spark, path, {"u": probe})
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.max("o_orderkey").alias("found_orderkey"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                        .cast("decimal(38,6)"), 2)
+                .cast("double").alias("total_price"))
+           .withColumn("bloom_pruned_strictly", F.lit(n_open < n_live))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["lakehouse_bloom_point_lookup"] = """
+SELECT count(*) AS n_rows,
+       max(o_orderkey) AS found_orderkey,
+       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_price,
+       TRUE AS bloom_pruned_strictly
+FROM orders
+WHERE md5(CAST(o_orderkey AS VARCHAR))
+      = (SELECT md5(CAST(max(o_orderkey) AS VARCHAR)) FROM orders)
+"""
+
+
+def lakehouse_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-table DML family under the gate: UPDATE WHERE
+    (urgent orders get +10.00), DELETE WHERE (filled orders on a
+    key cadence), then RESTORE to the pre-DML version. Both the
+    post-DML and post-restore states are aggregated; the oracle
+    replays the DML relationally and states the restore as the
+    untouched base table — proving the rollback is exact while the
+    DML history remains time-travelable."""
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_dml_")
+    path = f"{tmp}/orders_tbl"
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+    LH.create_table(spark, path, orders.repartition(6), ["o_orderkey"])
+
+    LH.update_where(spark, path, "o_orderpriority = '1-URGENT'",
+                    {"o_totalprice": "o_totalprice + 10.0"})
+    LH.delete_where(spark, path,
+                    "o_orderstatus = 'F' AND o_orderkey % 5 = 0")
+
+    def _agg(df: DataFrame, phase: str) -> DataFrame:
+        return (df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    .cast("decimal(38,6)"), 2)
+            .cast("double").alias("total_price"))
+            .withColumn("phase", F.lit(phase)))
+
+    after_dml = _agg(LH.read_table(spark, path), "after_dml")
+    LH.restore_table(spark, path, 1)
+    after_restore = _agg(LH.read_table(spark, path), "after_restore")
+    out = (after_dml.unionByName(after_restore)
+           .orderBy("phase").localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["lakehouse_dml_roundtrip"] = """
+WITH updated AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderpriority = '1-URGENT'
+              THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders),
+after_dml AS (
+  SELECT * FROM updated
+  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0))
+SELECT count(*) AS n_rows,
+       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_price,
+       'after_dml' AS phase
+FROM after_dml
+UNION ALL
+SELECT count(*) AS n_rows,
+       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_price,
+       'after_restore' AS phase
+FROM orders
+ORDER BY phase
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "lakehouse_time_travel": lakehouse_time_travel,
@@ -724,4 +832,6 @@ QUERIES = {
     "lakehouse_wap_audit": lakehouse_wap_audit,
     "lakehouse_multi_table_txn": lakehouse_multi_table_txn,
     "lakehouse_zorder_box_read": lakehouse_zorder_box_read,
+    "lakehouse_bloom_point_lookup": lakehouse_bloom_point_lookup,
+    "lakehouse_dml_roundtrip": lakehouse_dml_roundtrip,
 }

@@ -43,11 +43,22 @@ count; min/max of EVERY key column, plus sort/z-order dims after
 OPTIMIZE) ride in the log and drive Delta-style data skipping in
 both :func:`read_table_pruned` and the MERGE reconnaissance scan: a
 file whose recorded key ranges are disjoint from the source's key
-envelope is carried over without ever being opened.
+envelope is carried over without ever being opened. Equality
+lookups on unsorted high-cardinality columns — which min/max can
+never skip — get per-file Bloom filters (``create_table(...,
+bloom_cols=)`` → :func:`read_table_point_lookup`), probed entirely
+driver-side from the log.
+
+Single-table DML rides the same machinery: :func:`delete_where` /
+:func:`update_where` rewrite only the files reconnaissance proves
+contain a matching row, and :func:`restore_table` rolls back by
+committing the target version's file list as NEW history (Delta
+RESTORE semantics — auditable and itself reversible).
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import uuid
 
@@ -193,7 +204,14 @@ def snapshot_files(spark: SparkSession, table_path: str,
             live = []
         removed = set(doc.get("remove", []))
         live = [f for f in live if f not in removed]
-        live.extend(a["path"] for a in doc.get("add", []))
+        added = [a["path"] for a in doc.get("add", [])]
+        if added:
+            # add of an already-live path REPLACES it (Delta-protocol
+            # semantics) — e.g. a restore re-stating live files must
+            # not double-count them
+            aset = set(added)
+            live = [f for f in live if f not in aset]
+            live.extend(added)
     return [f"{table_path.rstrip('/')}/{f}" for f in live]
 
 
@@ -237,14 +255,28 @@ def _json_stat(v):
 def _write_data_files(spark: SparkSession, table_path: str,
                       df: DataFrame, keys: list[str],
                       stat_cols: list[str] | None = None,
-                      subdir: str | None = None) -> list[dict]:
+                      subdir: str | None = None,
+                      bloom_cols: list[str] | None = None,
+                      bloom_bits: int = 8192,
+                      bloom_hashes: int = 3) -> list[dict]:
     """Write ``df`` as new immutable parquet files under the table
     root (or ``subdir`` for WAP staging); returns add-actions with
     per-file stats: row count, min/max of EVERY key column (plus any
     ``stat_cols``, e.g. z-order dims) under ``stats``, and the legacy
     ``min_key``/``max_key`` fields for the first key. The stats are
     the data-skipping hook used by :func:`read_table_pruned` and the
-    MERGE reconnaissance pruner."""
+    MERGE reconnaissance pruner.
+
+    ``bloom_cols`` additionally records a small per-file Bloom filter
+    per listed column (``blooms`` in the add-action: md5-derived bit
+    positions packed into 64-bit lanes, the portable-hash scheme of
+    ``operators/sketches.bloom_lanes``). Min/max stats cannot skip
+    equality lookups on a high-cardinality UNSORTED column — every
+    file's [min, max] spans the whole domain — which is exactly the
+    point-lookup shape (find-by-uuid, GDPR subject scans) blooms
+    exist for; see :func:`read_table_point_lookup`. Columns should be
+    integer- or string-typed (the probe recomputes the same hash
+    driver-side from ``str(value)``)."""
     tmp_rel = f".stage-{uuid.uuid4().hex}"
     root = table_path.rstrip("/")
     tmp_dir = f"{root}/{tmp_rel}"
@@ -287,18 +319,94 @@ def _write_data_files(spark: SparkSession, table_path: str,
             if keys and keys[0] in col_stats:
                 a["min_key"] = str(r["_lo0"])
                 a["max_key"] = str(r["_hi0"])
+    bcols = [c for c in (bloom_cols or []) if c in df.columns]
+    if bcols and adds:
+        from ..functions.text import portable_hash32
+        paths = [f"{root}/{a['path']}" for a in adds]
+        by_path = {a["path"].rsplit("/", 1)[-1]: a for a in adds}
+        for c in bcols:
+            # one column-pruned scan of the new files; ≤ m/64 lane
+            # rows per file come back to the driver (bounded by file
+            # count, not row count)
+            seeds = F.explode(F.array(
+                *[F.lit(s) for s in range(bloom_hashes)])).alias("_s")
+            lanes = (spark.read.parquet(*paths)
+                     .select(F.col("_metadata.file_path").alias("_f"),
+                             F.col(c).alias("_v"))
+                     .filter(F.col("_v").isNotNull())
+                     .select("_f", seeds, "_v")
+                     .select("_f", (portable_hash32(F.col("_v"), F.col("_s"))
+                                    % bloom_bits).alias("_pos"))
+                     .select("_f",
+                             F.expr("CAST(floor(_pos / 64) AS BIGINT)")
+                             .alias("lane"),
+                             F.expr("shiftleft(CAST(1 AS BIGINT),"
+                                    " CAST(_pos % 64 AS INT))").alias("_bit"))
+                     .groupBy("_f", "lane")
+                     .agg(F.bit_or("_bit").alias("bits"))
+                     .collect())
+            for r in lanes:
+                a = by_path.get(r["_f"].rsplit("/", 1)[-1])
+                if a is None:
+                    continue
+                bl = a.setdefault("blooms", {}).setdefault(
+                    c, {"m": bloom_bits, "k": bloom_hashes, "lanes": {}})
+                bl["lanes"][str(r["lane"])] = int(r["bits"])
     return adds
 
 
+def _bloom_positions(value, m_bits: int, k_hashes: int) -> list[int]:
+    """Driver-side twin of ``portable_hash32(value, seed) % m``: the
+    k bit positions a value sets, computed from ``str(value)`` so a
+    probe needs no Spark job. Must stay bit-identical to the column
+    expression in :func:`_write_data_files`."""
+    return [int(hashlib.md5(f"{s}:{value}".encode("utf-8"))
+                .hexdigest()[:8], 16) % m_bits
+            for s in range(k_hashes)]
+
+
+def _bloom_excludes(add: dict, col: str, value) -> bool:
+    """True when the file's recorded Bloom filter PROVES ``col ==
+    value`` matches no row (some required bit unset). No filter for
+    the column → False (conservatively read)."""
+    bl = (add.get("blooms") or {}).get(col)
+    if not bl:
+        return False
+    lanes = bl.get("lanes") or {}
+    for pos in _bloom_positions(value, bl["m"], bl["k"]):
+        bits = int(lanes.get(str(pos // 64), 0))
+        if not (bits >> (pos % 64)) & 1:
+            return True
+    return False
+
+
 def create_table(spark: SparkSession, table_path: str, df: DataFrame,
-                 keys: list[str]) -> None:
-    """Initialize a log table from ``df`` (version 1)."""
+                 keys: list[str],
+                 bloom_cols: list[str] | None = None) -> None:
+    """Initialize a log table from ``df`` (version 1).
+
+    ``bloom_cols`` declares columns that get a per-file Bloom filter
+    in every add-action (point-lookup file skipping on unsorted
+    high-cardinality columns); the declaration rides the commit log,
+    so appends, OPTIMIZE rewrites, and MERGE rewrites maintain the
+    filters without restating it."""
     if current_version(spark, table_path) != 0:
         raise ValueError(f"{table_path} already has a commit log")
-    adds = _write_data_files(spark, table_path, df, keys)
+    adds = _write_data_files(spark, table_path, df, keys,
+                             bloom_cols=bloom_cols)
     _write_commit(spark, table_path, 1,
                   {"version": 1, "op": "create", "keys": keys,
+                   "bloom_cols": bloom_cols or [],
                    "add": adds, "remove": []})
+
+
+def _table_bloom_cols(spark: SparkSession, table_path: str) -> list[str]:
+    """The table's declared Bloom-filter columns (latest declaration
+    wins; the expire checkpoint carries it like ``keys``)."""
+    for d in reversed(_commits(spark, table_path)):
+        if "bloom_cols" in d:
+            return d["bloom_cols"]
+    return []
 
 
 def append_table(spark: SparkSession, table_path: str,
@@ -310,7 +418,8 @@ def append_table(spark: SparkSession, table_path: str,
     v = current_version(spark, table_path)
     if v == 0:
         raise FileNotFoundError(f"{table_path} has no commit log")
-    adds = _write_data_files(spark, table_path, df, keys or [])
+    adds = _write_data_files(spark, table_path, df, keys or [],
+                             bloom_cols=_table_bloom_cols(spark, table_path))
     _write_commit(spark, table_path, v + 1,
                   {"version": v + 1, "op": "append",
                    "add": adds, "remove": []})
@@ -352,6 +461,163 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
         except CommitConflictError:
             if attempt == max_retries:
                 raise
+    raise AssertionError("unreachable")
+
+
+def _table_keys(spark: SparkSession, table_path: str) -> list[str]:
+    """The table's key columns (latest declaration wins — create and
+    the expire checkpoint both record them)."""
+    return next((d.get("keys", []) for d in
+                 reversed(_commits(spark, table_path)) if d.get("keys")), [])
+
+
+def _dml_once(spark: SparkSession, table_path: str, condition,
+              update_set: dict[str, Column] | None, op: str) -> dict:
+    """Shared copy-on-write body of DELETE WHERE / UPDATE WHERE:
+    reconnaissance finds the files that contain a matching row (the
+    rest carry by reference), touched files are rewritten with the
+    row-level change, and the swap commits atomically."""
+    base_version = current_version(spark, table_path)
+    if base_version == 0:
+        raise FileNotFoundError(f"{table_path} has no commit log")
+    root = table_path.rstrip("/")
+    adds_live = snapshot_adds(spark, table_path)
+    files = [f"{root}/{a['path']}" for a in adds_live]
+    target = spark.read.option("mergeSchema", "true").parquet(*files)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+
+    touched_rows = (target
+                    .filter(cond)
+                    .select(F.col("_metadata.file_path").alias("_f"))
+                    .distinct().collect())
+    touched = sorted(r["_f"] for r in touched_rows)
+    touched_rel = [f.rsplit("/", 1)[-1] for f in touched]
+    if not touched:
+        return {"version": base_version, "n_files_rewritten": 0,
+                "n_files_carried": len(files), "n_rows_changed": 0}
+
+    tgt_touched = (spark.read.option("mergeSchema", "true")
+                   .schema(target.schema).parquet(*touched))
+    n_match = tgt_touched.filter(cond).count()
+    if update_set is None:
+        out = tgt_touched.filter(~cond)
+    else:
+        # every RHS evaluates against the PRE-update row (one select,
+        # no chained withColumn — standard UPDATE semantics even when
+        # a set column also appears in the condition or another RHS)
+        out_cols = []
+        for c in target.columns:
+            if c in update_set:
+                expr = update_set[c]
+                if isinstance(expr, str):
+                    expr = F.expr(expr)
+                out_cols.append(F.when(cond, expr)
+                                .otherwise(F.col(c)).alias(c))
+            else:
+                out_cols.append(F.col(c))
+        out = tgt_touched.select(*out_cols)
+
+    adds: list[dict] = []
+    if update_set is not None or out.limit(1).count() > 0:
+        adds = _write_data_files(spark, table_path, out,
+                                 _table_keys(spark, table_path),
+                                 bloom_cols=_table_bloom_cols(
+                                     spark, table_path))
+    doc = {"version": base_version + 1, "op": op,
+           "add": adds, "remove": touched_rel}
+    _write_commit(spark, table_path, base_version + 1, doc)
+    return {"version": base_version + 1,
+            "n_files_rewritten": len(touched_rel),
+            "n_files_carried": len(files) - len(touched_rel),
+            "n_rows_changed": n_match}
+
+
+def delete_where(spark: SparkSession, table_path: str,
+                 condition: Column | str,
+                 max_retries: int = 2) -> dict:
+    """``DELETE FROM table WHERE condition`` with copy-on-write file
+    rewrites (the single-table sibling of :func:`merge_into`'s delete
+    clause — no source frame needed). Files with no matching row are
+    never opened past the reconnaissance scan and carry by reference;
+    pre-delete versions stay time-travelable until :func:`vacuum`.
+    Retries against a fresh snapshot on a commit race."""
+    for attempt in range(max_retries + 1):
+        try:
+            return _dml_once(spark, table_path, condition, None, "delete")
+        except CommitConflictError:
+            if attempt == max_retries:
+                raise
+    raise AssertionError("unreachable")
+
+
+def update_where(spark: SparkSession, table_path: str,
+                 condition: Column | str,
+                 update_set: dict[str, Column | str],
+                 max_retries: int = 2) -> dict:
+    """``UPDATE table SET col = expr, ... WHERE condition`` with
+    copy-on-write file rewrites. All right-hand sides evaluate
+    against the pre-update row (one-pass select, standard UPDATE
+    semantics); untouched files carry by reference. Retries against
+    a fresh snapshot on a commit race."""
+    if not update_set:
+        raise ValueError("update_where: update_set must be non-empty")
+    for attempt in range(max_retries + 1):
+        try:
+            return _dml_once(spark, table_path, condition,
+                             dict(update_set), "update")
+        except CommitConflictError:
+            if attempt == max_retries:
+                raise
+    raise AssertionError("unreachable")
+
+
+def restore_table(spark: SparkSession, table_path: str,
+                  version: int, max_retries: int = 2) -> dict:
+    """``RESTORE TABLE ... TO VERSION`` — commit a NEW version whose
+    live file set is exactly ``version``'s (Delta RESTORE semantics:
+    the rollback is itself history, so it is audit-visible and
+    re-restorable; nothing is rewritten, the log just re-points).
+    Fails if the target version's files were already vacuumed, or if
+    ``version`` does not exist in the (possibly expired) log."""
+    for attempt in range(max_retries + 1):
+        commits = _commits(spark, table_path)
+        if not commits:
+            raise FileNotFoundError(f"{table_path} has no commit log")
+        known = {c["version"] for c in commits}
+        if version not in known:
+            raise ValueError(
+                f"restore_table: version {version} not in log "
+                f"(have {sorted(known)}; earlier history may be expired)")
+        base_version = commits[-1]["version"]
+        target_adds = snapshot_adds(spark, table_path, version)
+        fs, jvm = _fs(spark, table_path)
+        Path = jvm.org.apache.hadoop.fs.Path
+        root = table_path.rstrip("/")
+        missing = [a["path"] for a in target_adds
+                   if not fs.exists(Path(f"{root}/{a['path']}"))]
+        if missing:
+            raise FileNotFoundError(
+                f"restore_table: {len(missing)} data file(s) of "
+                f"version {version} were vacuumed: {missing[:3]}...")
+        cur = {a["path"] for a in snapshot_adds(spark, table_path)}
+        tgt = {a["path"] for a in target_adds}
+        doc = {"version": base_version + 1, "op": "restore",
+               "restored_version": version,
+               # only the files NOT currently live need re-adding
+               # (their original add-actions, stats and blooms
+               # included); files live in both snapshots carry
+               "add": [a for a in target_adds if a["path"] not in cur],
+               "remove": sorted(cur - tgt)}
+        try:
+            _write_commit(spark, table_path, base_version + 1, doc)
+        except CommitConflictError:
+            if attempt == max_retries:
+                raise
+            continue
+        return {"version": base_version + 1,
+                "restored_version": version,
+                "n_files_readded": len(tgt - cur),
+                "n_files_removed": len(cur - tgt)}
     raise AssertionError("unreachable")
 
 
@@ -487,7 +753,9 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
     if parts:
         from functools import reduce
         merged = reduce(DataFrame.unionByName, parts)
-        adds = _write_data_files(spark, table_path, merged, keys)
+        adds = _write_data_files(spark, table_path, merged, keys,
+                                 bloom_cols=_table_bloom_cols(
+                                     spark, table_path))
     doc = {"version": base_version + 1, "op": "merge",
            "add": adds, "remove": touched_rel}
     _write_commit(spark, table_path, base_version + 1, doc)
@@ -625,13 +893,13 @@ def compact(spark: SparkSession, table_path: str,
                       .sortWithinPartitions(sort_by))
         else:
             packed = df.repartition(n_out)
-        keys = next((d.get("keys", []) for d in
-                     reversed(_commits(spark, table_path))
-                     if d.get("keys")), [])
+        keys = _table_keys(spark, table_path)
         extra = (list(zorder_by) if zorder_by
                  else [sort_by] if sort_by else [])
         adds = _write_data_files(spark, table_path, packed, keys,
-                                 stat_cols=extra)
+                                 stat_cols=extra,
+                                 bloom_cols=_table_bloom_cols(
+                                     spark, table_path))
         doc = {"version": base_version + 1, "op": "compact",
                "add": adds, "remove": candidates}
         try:
@@ -719,21 +987,33 @@ def read_table_pruned_multi(spark: SparkSession, table_path: str,
 
 
 def pruned_candidate_files(spark: SparkSession, table_path: str,
-                           preds: dict[str, tuple],
-                           version: int | None = None) -> list[str]:
+                           preds: dict[str, tuple] | None,
+                           version: int | None = None,
+                           eq: dict | None = None) -> list[str]:
     """The file-skipping half of :func:`read_table_pruned_multi`:
     the live data files whose recorded stats can intersect EVERY
     ``(lo, hi)`` range in ``preds`` — i.e. the files a conjunctive
     box read must open. Exposed so callers can audit pruning
-    leverage (files opened vs live) without reading any data."""
-    if not preds:
-        raise ValueError("pruned_candidate_files: preds must be "
-                         "non-empty {column: (lo, hi)}")
+    leverage (files opened vs live) without reading any data.
+
+    ``eq`` maps column → value for equality predicates: each behaves
+    as the degenerate range ``(v, v)`` against min/max stats AND is
+    additionally tested against the file's recorded Bloom filter when
+    the table declares one for that column (``create_table(...,
+    bloom_cols=...)``) — the only stats that can skip files for a
+    point lookup on an unsorted high-cardinality column."""
+    preds = dict(preds or {})
+    eq = dict(eq or {})
+    if not preds and not eq:
+        raise ValueError("pruned_candidate_files: need at least one "
+                         "range ({column: (lo, hi)}) or equality "
+                         "({column: value}) predicate")
+    ranges = {**preds, **{c: (v, v) for c, v in eq.items()}}
     adds = snapshot_adds(spark, table_path, version)
     keep = []
     for a in adds:
         open_file = True
-        for col, (lo, hi) in preds.items():
+        for col, (lo, hi) in ranges.items():
             st = (a.get("stats") or {}).get(col)
             if (st is None and not a.get("stats")
                     and "min_key" in a and "max_key" in a):
@@ -757,8 +1037,40 @@ def pruned_candidate_files(spark: SparkSession, table_path: str,
                 open_file = False
                 break
         if open_file:
+            for col, v in eq.items():
+                if _bloom_excludes(a, col, v):
+                    open_file = False
+                    break
+        if open_file:
             keep.append(a["path"])
     return keep
+
+
+def read_table_point_lookup(spark: SparkSession, table_path: str,
+                            eq: dict,
+                            version: int | None = None) -> DataFrame:
+    """Point lookup through every file-skipping stat the log holds:
+    min/max ranges treat each ``col == value`` as ``(v, v)``, and
+    per-file Bloom filters (``create_table(..., bloom_cols=...)``)
+    skip files whose filter proves the value absent — survivors get
+    the exact equality filter.
+
+    This is the find-by-id shape min/max stats are useless for: on an
+    unsorted high-cardinality column every file's [min, max] spans
+    the domain, so a 10^6-file table would open every file; with a
+    1 KB bloom per file the expected open set is matches + (false-
+    positive rate × files). Probing is pure driver-side arithmetic
+    over the commit log — no Spark job until the survivors are read."""
+    keep = pruned_candidate_files(spark, table_path, None, version, eq=eq)
+    if not keep:
+        return (read_table(spark, table_path, version)
+                .filter(F.lit(False)))
+    root = table_path.rstrip("/")
+    df = spark.read.parquet(*[f"{root}/{p}" for p in keep])
+    cond = F.lit(True)
+    for col, v in eq.items():
+        cond = cond & (F.col(col) == F.lit(v))
+    return df.filter(cond)
 
 
 def read_changes(spark: SparkSession, table_path: str,
@@ -916,7 +1228,8 @@ def expire_snapshots(spark: SparkSession, table_path: str,
     keys = next((d.get("keys", []) for d in reversed(commits)
                  if d.get("keys")), [])
     doc = {"version": cutoff, "op": "checkpoint", "add": live_adds,
-           "remove": [], "keys": keys}
+           "remove": [], "keys": keys,
+           "bloom_cols": _table_bloom_cols(spark, table_path)}
     # durable install: write the checkpoint to a temp name, then
     # rename to the DISTINCT `<cutoff>.checkpoint.json` final name.
     # The plain `<cutoff>.json` commit is never touched until the

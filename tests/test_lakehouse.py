@@ -442,6 +442,148 @@ def test_multi_column_pruned_read_intersects_zorder_dims(tmp_path, spark):
             == 6 * 32)
 
 
+def test_delete_where_rewrites_only_matching_files(table, spark):
+    res = LH.delete_where(spark, table, F.col("k") == 11)
+    assert res["n_rows_changed"] == 1
+    assert res["n_files_rewritten"] == 1
+    assert res["n_files_carried"] == 2
+    assert _rows(LH.read_table(spark, table)) == [
+        (1, 10, "a"), (2, 20, "a"), (12, 120, "b"),
+        (21, 210, "c"), (22, 220, "c")]
+    # pre-delete snapshot stays time-travelable
+    assert len(_rows(LH.read_table(spark, table, version=3))) == 6
+    # no-match delete is a no-op commit-wise
+    v = LH.current_version(spark, table)
+    res2 = LH.delete_where(spark, table, F.col("k") == 999)
+    assert res2["n_files_rewritten"] == 0
+    assert LH.current_version(spark, table) == v
+
+
+def test_delete_where_drops_empty_rewrites(table, spark):
+    res = LH.delete_where(spark, table, F.col("tag") == "b")
+    assert res["n_rows_changed"] == 2
+    # the whole file matched: nothing re-added, no zero-row files
+    assert all((a.get("rows") or 1) > 0
+               for a in LH.snapshot_adds(spark, table))
+    assert _rows(LH.read_table(spark, table)) == [
+        (1, 10, "a"), (2, 20, "a"), (21, 210, "c"), (22, 220, "c")]
+
+
+def test_update_where_pre_image_semantics(table, spark):
+    # every RHS sees the PRE-update row: v appears both in the
+    # condition and in its own RHS, and tag's RHS reads the old v
+    res = LH.update_where(spark, table, "v >= 110",
+                          {"v": "v + k", "tag": F.expr("concat(tag, v)")})
+    assert res["n_rows_changed"] == 4
+    assert res["n_files_carried"] == 1
+    assert _rows(LH.read_table(spark, table)) == [
+        (1, 10, "a"), (2, 20, "a"),
+        (11, 121, "b110"), (12, 132, "b120"),
+        (21, 231, "c210"), (22, 242, "c220")]
+
+
+def test_read_changes_covers_dml_commits(table, spark):
+    """DML commits are ordinary file-diff commits, so the change feed
+    surfaces them with no extra machinery: an UPDATE WHERE produces
+    pre/post images (carried rows hash-filtered out), a DELETE WHERE
+    produces deletes."""
+    LH.update_where(spark, table, "k = 11", {"v": "v + 1"})   # v4
+    LH.delete_where(spark, table, F.col("k") == 21)           # v5
+    upd = LH.read_changes(spark, table, from_version=3, to_version=4)
+    assert sorted((r["k"], r["v"], r["_change_type"])
+                  for r in upd.collect()) == [
+        (11, 110, "update_preimage"), (11, 111, "update_postimage")]
+    dele = LH.read_changes(spark, table, from_version=4, to_version=5)
+    assert [(r["k"], r["_change_type"]) for r in dele.collect()] == [
+        (21, "delete")]
+
+
+def test_restore_table_rolls_back_and_is_itself_history(table, spark):
+    LH.delete_where(spark, table, F.col("k") < 20)        # v4: 2 rows left
+    assert len(_rows(LH.read_table(spark, table))) == 2
+    res = LH.restore_table(spark, table, 3)
+    assert res["version"] == 5 and res["restored_version"] == 3
+    assert (_rows(LH.read_table(spark, table))
+            == _rows(LH.read_table(spark, table, version=3)))
+    # the rollback is audit-visible history, not an erasure: v4 is
+    # still there, and ops record the restore
+    assert len(_rows(LH.read_table(spark, table, version=4))) == 2
+    assert [h["op"] for h in LH.history(spark, table)][-2:] == [
+        "delete", "restore"]
+    with pytest.raises(ValueError):
+        LH.restore_table(spark, table, 99)
+
+
+def test_restore_after_vacuum_raises(table, spark):
+    LH.delete_where(spark, table, F.col("k") == 1)
+    LH.vacuum(spark, table)                   # reaps v3's pre-image
+    with pytest.raises(FileNotFoundError):
+        LH.restore_table(spark, table, 3)
+
+
+def test_bloom_point_lookup_skips_files(tmp_path, spark):
+    """On an UNSORTED high-cardinality column every file's [min, max]
+    spans the domain — only the per-file Bloom filter can skip; a
+    point lookup must open a strict subset of files yet return the
+    exact row, and an absent key must return nothing."""
+    import hashlib
+    path = str(tmp_path / "bloomtbl")
+    rows = [dict(k=i, u=hashlib.md5(f"u{i}".encode()).hexdigest())
+            for i in range(2000)]
+    LH.create_table(spark, path, _mk(spark, rows).repartition(10),
+                    ["k"], bloom_cols=["u"])
+    total = len(LH.snapshot_files(spark, path))
+    assert total == 10
+
+    target = hashlib.md5(b"u1234").hexdigest()
+    n_open = len(LH.pruned_candidate_files(spark, path, None,
+                                           eq={"u": target}))
+    assert n_open < total  # bloom actually skipped files
+    got = LH.read_table_point_lookup(spark, path, {"u": target}).collect()
+    assert len(got) == 1 and got[0]["k"] == 1234
+
+    # min/max alone CANNOT skip here (sanity: the column is unsorted,
+    # so every file's range straddles any probe value)
+    minmax_only = len(LH.pruned_candidate_files(
+        spark, path, {"u": (target, target)}))
+    assert minmax_only == total
+
+    absent = hashlib.md5(b"nope").hexdigest()
+    assert LH.read_table_point_lookup(spark, path, {"u": absent}).count() == 0
+
+
+def test_blooms_survive_append_compact_and_merge(tmp_path, spark):
+    """The bloom_cols declaration rides the commit log: files written
+    by append, OPTIMIZE, and MERGE rewrites all carry filters, and
+    point lookups stay exact across the whole history. Also checks
+    integer-typed bloom columns (probe hashes str(value))."""
+    path = str(tmp_path / "bloomtbl2")
+    rows = [dict(k=i, u=i * 7919 % 4001, v=i) for i in range(400)]
+    LH.create_table(spark, path, _mk(spark, rows).repartition(4),
+                    ["k"], bloom_cols=["u"])
+    LH.append_table(spark, path,
+                    _mk(spark, [dict(k=400 + i, u=9000 + i, v=0)
+                                for i in range(100)]).repartition(2))
+    LH.compact(spark, path, target_rows=150)
+    LH.merge_into(spark, path,
+                  _mk(spark, [dict(k=3, u=7777, v=-3),
+                              dict(k=990, u=8888, v=-9)]), ["k"])
+    for a in LH.snapshot_adds(spark, path):
+        assert "u" in (a.get("blooms") or {}), a["path"]
+    # post-merge value findable; updated row's OLD u value is gone
+    got = LH.read_table_point_lookup(spark, path, {"u": 7777}).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(3, -3)]
+    assert (LH.read_table_point_lookup(spark, path, {"u": 3 * 7919 % 4001})
+            .count() == 0)
+    # equality + range predicates compose conjunctively: the combined
+    # candidate set can only shrink vs the bloom-only probe
+    n_eq = len(LH.pruned_candidate_files(spark, path, None,
+                                         eq={"u": 8888}))
+    n_both = len(LH.pruned_candidate_files(spark, path, {"k": (0, 10)},
+                                           eq={"u": 8888}))
+    assert 1 <= n_eq and n_both <= n_eq
+
+
 def test_expire_snapshots_checkpoint_keeps_kept_versions_readable(
         table, spark):
     # build 3 more versions on the 3-file fixture
