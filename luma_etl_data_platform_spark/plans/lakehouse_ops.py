@@ -820,6 +820,151 @@ ORDER BY phase
 """
 
 
+def lakehouse_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned lakehouse table under the gate: orders gains
+    ``o_year`` (7 distinct values at any SF) and the table is created
+    with ``partition_by=["o_year"]`` — every data file holds exactly
+    one year, lands under ``o_year=NNNN/``, and its add-action records
+    the value. A 2-year box read must open strictly fewer files than
+    live, pruned DRIVER-side from the log alone (Delta's
+    partitionValues semantics — the first-order pruning lever at
+    10^6-file scale); the oracle states the same read relationally."""
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_part_")
+    path = f"{tmp}/orders_tbl"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice")
+    keyed = orders.withColumn("o_year", F.year("o_orderdate"))
+    LH.create_table(spark, path, keyed.repartition(3), ["o_orderkey"],
+                    partition_by=["o_year"])
+    n_live = len(LH.snapshot_files(spark, path))
+    n_open = len(LH.pruned_candidate_files(spark, path,
+                                           {"o_year": (1994, 1995)}))
+    out = (LH.read_table_pruned_multi(spark, path,
+                                      {"o_year": (1994, 1995)})
+           .groupBy("o_year")
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                        .cast("decimal(38,6)"), 2)
+                .cast("double").alias("total_price"))
+           .withColumn("partition_pruned_strictly",
+                       F.lit(n_open < n_live))
+           .orderBy("o_year")
+           .localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["lakehouse_partition_pruned_read"] = """
+SELECT year(o_orderdate) AS o_year,
+       count(*) AS n_rows,
+       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_price,
+       TRUE AS partition_pruned_strictly
+FROM orders
+WHERE year(o_orderdate) BETWEEN 1994 AND 1995
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def lakehouse_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF under the gate: create an orders table,
+    capture the create-commit's wall clock from ``history()``, apply
+    an UPDATE WHERE, then read the table AS OF the captured instant —
+    which must yield the pre-update state — alongside the latest
+    snapshot. The oracle states the base table for the as-of phase
+    and replays the update for the latest phase."""
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_tstravel_")
+    path = f"{tmp}/orders_tbl"
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+    LH.create_table(spark, path, orders.repartition(4), ["o_orderkey"])
+    t_create = LH.history(spark, path)[-1]["ts"]
+    LH.update_where(spark, path, "o_orderpriority = '1-URGENT'",
+                    {"o_totalprice": "o_totalprice + 10.0"})
+
+    def _agg(df: DataFrame, phase: str) -> DataFrame:
+        return (df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    .cast("decimal(38,6)"), 2)
+            .cast("double").alias("total_price"))
+            .withColumn("phase", F.lit(phase)))
+
+    as_of = _agg(LH.read_table(spark, path, as_of_timestamp=t_create),
+                 "as_of_create")
+    latest = _agg(LH.read_table(spark, path), "latest")
+    out = (as_of.unionByName(latest)
+           .orderBy("phase").localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["lakehouse_timestamp_travel"] = """
+SELECT count(*) AS n_rows,
+       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_price,
+       'as_of_create' AS phase
+FROM orders
+UNION ALL
+SELECT count(*) AS n_rows,
+       CAST(round(CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                                     THEN o_totalprice + 10.0
+                                     ELSE o_totalprice END
+                            AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_price,
+       'latest' AS phase
+FROM orders
+ORDER BY phase
+"""
+
+
+def lakehouse_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints under the gate: the table declares
+    ``o_totalprice >= 0`` and a status whitelist at create; a batch
+    with negated prices must be REJECTED whole (nothing committed —
+    the Delta ALTER TABLE ADD CONSTRAINT contract), then the valid
+    form of the same batch lands. The final state is therefore
+    exactly the full orders table, which the oracle states
+    relationally; ``bad_batch_rejected`` carries the enforcement
+    proof."""
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_check_")
+    path = f"{tmp}/orders_tbl"
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    LH.create_table(
+        spark, path, base.repartition(4), ["o_orderkey"],
+        constraints={"price_nonneg": "o_totalprice >= 0",
+                     "status_known": "o_orderstatus IN ('F', 'O', 'P')"})
+    rest = orders.filter(F.col("o_orderkey") % 3 == 0)
+    bad = rest.withColumn("o_totalprice", -F.col("o_totalprice"))
+    rejected = False
+    v_before = LH.current_version(spark, path)
+    try:
+        LH.append_table(spark, path, bad)
+    except LH.ConstraintViolationError:
+        rejected = True
+    rejected = rejected and LH.current_version(spark, path) == v_before
+    LH.append_table(spark, path, rest)
+    out = (LH.read_table(spark, path)
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                        .cast("decimal(38,6)"), 2)
+                .cast("double").alias("total_price"))
+           .withColumn("bad_batch_rejected", F.lit(rejected))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["lakehouse_check_constraints"] = """
+SELECT count(*) AS n_rows,
+       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_price,
+       TRUE AS bad_batch_rejected
+FROM orders
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "lakehouse_time_travel": lakehouse_time_travel,
@@ -834,4 +979,7 @@ QUERIES = {
     "lakehouse_zorder_box_read": lakehouse_zorder_box_read,
     "lakehouse_bloom_point_lookup": lakehouse_bloom_point_lookup,
     "lakehouse_dml_roundtrip": lakehouse_dml_roundtrip,
+    "lakehouse_partition_pruned_read": lakehouse_partition_pruned_read,
+    "lakehouse_timestamp_travel": lakehouse_timestamp_travel,
+    "lakehouse_check_constraints": lakehouse_check_constraints,
 }

@@ -60,7 +60,9 @@ from __future__ import annotations
 
 import hashlib
 import json
+import time
 import uuid
+from urllib.parse import unquote
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -71,6 +73,11 @@ _VERSION_WIDTH = 20
 
 class CommitConflictError(RuntimeError):
     """Another writer committed the version this writer raced for."""
+
+
+class ConstraintViolationError(ValueError):
+    """A write contained rows violating a declared CHECK constraint;
+    nothing was committed."""
 
 
 def _fs(spark: SparkSession, path: str):
@@ -102,11 +109,28 @@ def _read_text(fs, jvm, path: str) -> str:
     return bytes(sink.toByteArray()).decode("utf-8")
 
 
+def _rel_path(p: str, root: str) -> str:
+    """``p`` (absolute, possibly scheme-qualified) relative to the
+    table root — partition-dir components preserved (``d=3/part-x``),
+    unlike a bare basename. Falls back to the basename when ``p``
+    does not sit under ``root`` (e.g. scheme-mangled paths)."""
+    p2 = p.split("://", 1)[-1]
+    r2 = root.rstrip("/").split("://", 1)[-1]
+    i = p2.find(r2 + "/")
+    if i >= 0:
+        return p2[i + len(r2):].lstrip("/")
+    return p2.rsplit("/", 1)[-1]
+
+
 def _write_commit(spark: SparkSession, table_path: str, version: int,
                   doc: dict) -> None:
     """Atomically publish ``doc`` as ``_log/<version>.json`` — write
     to a temp name, then rename; Hadoop rename fails if the
-    destination exists, so exactly one writer wins each version."""
+    destination exists, so exactly one writer wins each version.
+    Every commit is stamped with a wall-clock ``ts`` (epoch seconds)
+    for TIMESTAMP AS OF time travel — see
+    :func:`version_at_timestamp`."""
+    doc.setdefault("ts", time.time())
     fs, jvm = _fs(spark, table_path)
     Path = jvm.org.apache.hadoop.fs.Path
     log_dir = f"{table_path.rstrip('/')}/{_LOG_DIR}"
@@ -222,17 +246,43 @@ def history(spark: SparkSession, table_path: str) -> list[dict]:
     return [{"version": d["version"], "op": d["op"],
              "n_added": len(d.get("add", [])),
              "n_removed": len(d.get("remove", [])),
+             **({"ts": d["ts"]} if "ts" in d else {}),
              **({"txn_state": d["_txn"]} if "_txn" in d else {})}
             for d in _commits(spark, table_path)]
 
 
+def version_at_timestamp(spark: SparkSession, table_path: str,
+                         ts: float) -> int:
+    """TIMESTAMP AS OF resolution: the latest version whose commit
+    wall-clock ``ts`` (epoch seconds, stamped by every
+    :func:`_write_commit`) is at or before ``ts``. Raises if the
+    table has no commit at or before that time (including when the
+    history holding it was expired)."""
+    cands = [d["version"] for d in _commits(spark, table_path)
+             if d.get("ts") is not None and d["ts"] <= ts]
+    if not cands:
+        raise ValueError(
+            f"{table_path}: no commit at or before timestamp {ts} "
+            "(earlier history may be expired)")
+    return max(cands)
+
+
 def read_table(spark: SparkSession, table_path: str,
                version: int | None = None,
-               merge_schema: bool = False) -> DataFrame:
+               merge_schema: bool = False,
+               as_of_timestamp: float | None = None) -> DataFrame:
     """Snapshot read. ``merge_schema=True`` unions the file schemas
     (schema evolution: files written before a column existed yield
     NULL for it) at the cost of reading every file's footer up
-    front — leave it off for fixed-schema tables."""
+    front — leave it off for fixed-schema tables.
+    ``as_of_timestamp`` (epoch seconds) resolves to the snapshot
+    live at that wall-clock instant (TIMESTAMP AS OF); mutually
+    exclusive with ``version``."""
+    if as_of_timestamp is not None:
+        if version is not None:
+            raise ValueError("read_table: pass version OR "
+                             "as_of_timestamp, not both")
+        version = version_at_timestamp(spark, table_path, as_of_timestamp)
     files = snapshot_files(spark, table_path, version)
     if not files:
         raise FileNotFoundError(
@@ -258,7 +308,8 @@ def _write_data_files(spark: SparkSession, table_path: str,
                       subdir: str | None = None,
                       bloom_cols: list[str] | None = None,
                       bloom_bits: int = 8192,
-                      bloom_hashes: int = 3) -> list[dict]:
+                      bloom_hashes: int = 3,
+                      partition_cols: list[str] | None = None) -> list[dict]:
     """Write ``df`` as new immutable parquet files under the table
     root (or ``subdir`` for WAP staging); returns add-actions with
     per-file stats: row count, min/max of EVERY key column (plus any
@@ -276,25 +327,65 @@ def _write_data_files(spark: SparkSession, table_path: str,
     point-lookup shape (find-by-uuid, GDPR subject scans) blooms
     exist for; see :func:`read_table_point_lookup`. Columns should be
     integer- or string-typed (the probe recomputes the same hash
-    driver-side from ``str(value)``)."""
+    driver-side from ``str(value)``).
+
+    ``partition_cols`` lays the files out hive-style
+    (``col=value/part-*.parquet`` under the root) and records the
+    exact ``partition`` values in every add-action — the log-metadata
+    partition pruning of Delta's partitionValues. Unlike Spark's
+    writer ``partitionBy``, the partition columns STAY in the data
+    files (the write partitions on shadow ``_p_<col>`` copies), so
+    explicit-file-list reads need no partition-dir inference and all
+    existing read paths work unchanged."""
     tmp_rel = f".stage-{uuid.uuid4().hex}"
     root = table_path.rstrip("/")
     tmp_dir = f"{root}/{tmp_rel}"
-    df.write.mode("overwrite").parquet(tmp_dir)
+    pcols = [c for c in (partition_cols or []) if c in df.columns]
+    if partition_cols and len(pcols) != len(partition_cols):
+        missing = [c for c in partition_cols if c not in df.columns]
+        raise ValueError(f"partition columns not in dataframe: {missing}")
+    if pcols:
+        staged = df
+        for c in pcols:
+            staged = staged.withColumn(f"_p_{c}", F.col(c))
+        (staged.write.mode("overwrite")
+         .partitionBy(*[f"_p_{c}" for c in pcols]).parquet(tmp_dir))
+    else:
+        df.write.mode("overwrite").parquet(tmp_dir)
     fs, jvm = _fs(spark, table_path)
     Path = jvm.org.apache.hadoop.fs.Path
     dest_prefix = f"{subdir.rstrip('/')}/" if subdir else ""
     if subdir:
         fs.mkdirs(Path(f"{root}/{subdir.rstrip('/')}"))
     adds = []
-    for st in fs.listStatus(Path(tmp_dir)):
+    it = fs.listFiles(Path(tmp_dir), True)
+    while it.hasNext():
+        st = it.next()
         name = st.getPath().getName()
         if not name.endswith(".parquet"):
             continue
-        final = f"{dest_prefix}part-{uuid.uuid4().hex}.parquet"
+        rel_src = _rel_path(str(st.getPath()), tmp_dir)
+        pvals: dict = {}
+        dest_segs: list[str] = []
+        for seg in rel_src.split("/")[:-1]:
+            key, _, raw = seg.partition("=")
+            if not raw and "=" not in seg:
+                continue
+            col = key[3:] if key.startswith("_p_") else key
+            pvals[col] = (None if raw == "__HIVE_DEFAULT_PARTITION__"
+                          else unquote(raw))
+            dest_segs.append(f"{col}={raw}")  # keep hive-escaped form
+        prefix = dest_prefix + ("/".join(dest_segs) + "/"
+                                if dest_segs else "")
+        final = f"{prefix}part-{uuid.uuid4().hex}.parquet"
+        if "/" in final:
+            fs.mkdirs(Path(f"{root}/{final.rsplit('/', 1)[0]}"))
         if not fs.rename(st.getPath(), Path(f"{root}/{final}")):
             raise IOError(f"failed to place data file {final}")
-        adds.append({"path": final})
+        add: dict = {"path": final}
+        if pvals:
+            add["partition"] = pvals
+        adds.append(add)
     fs.delete(Path(tmp_dir), True)
     cols = list(dict.fromkeys((keys or []) + (stat_cols or [])))
     cols = [c for c in cols if c in df.columns]
@@ -382,21 +473,42 @@ def _bloom_excludes(add: dict, col: str, value) -> bool:
 
 def create_table(spark: SparkSession, table_path: str, df: DataFrame,
                  keys: list[str],
-                 bloom_cols: list[str] | None = None) -> None:
+                 bloom_cols: list[str] | None = None,
+                 partition_by: list[str] | None = None,
+                 constraints: dict[str, str] | None = None) -> None:
     """Initialize a log table from ``df`` (version 1).
 
     ``bloom_cols`` declares columns that get a per-file Bloom filter
     in every add-action (point-lookup file skipping on unsorted
     high-cardinality columns); the declaration rides the commit log,
     so appends, OPTIMIZE rewrites, and MERGE rewrites maintain the
-    filters without restating it."""
+    filters without restating it.
+
+    ``partition_by`` declares hive-style partition columns: every
+    data file holds exactly one value per partition column, lands
+    under ``col=value/`` directories, and its add-action records the
+    exact values — so partition predicates prune files driver-side
+    from the log alone (Delta's partitionValues semantics), the
+    first-order pruning lever at 10^6-file scale. The declaration
+    rides the commit log like ``keys``; appends, MERGE/DML rewrites,
+    and OPTIMIZE all preserve the layout. Prefer low-cardinality
+    int/string/date-string columns (a partition per distinct value).
+
+    ``constraints`` maps name → SQL boolean CHECK expression; every
+    write path enforces the set before committing (see
+    :func:`add_constraint`)."""
     if current_version(spark, table_path) != 0:
         raise ValueError(f"{table_path} already has a commit log")
+    _enforce_constraints(df, constraints or {},
+                         f"create_table on {table_path}")
     adds = _write_data_files(spark, table_path, df, keys,
-                             bloom_cols=bloom_cols)
+                             bloom_cols=bloom_cols,
+                             partition_cols=partition_by)
     _write_commit(spark, table_path, 1,
                   {"version": 1, "op": "create", "keys": keys,
                    "bloom_cols": bloom_cols or [],
+                   "partition_by": partition_by or [],
+                   "constraints": constraints or {},
                    "add": adds, "remove": []})
 
 
@@ -409,6 +521,86 @@ def _table_bloom_cols(spark: SparkSession, table_path: str) -> list[str]:
     return []
 
 
+def _table_partition_cols(spark: SparkSession, table_path: str) -> list[str]:
+    """The table's declared partition columns (latest declaration
+    wins; the expire checkpoint carries it like ``keys``)."""
+    for d in reversed(_commits(spark, table_path)):
+        if "partition_by" in d:
+            return d["partition_by"]
+    return []
+
+
+def table_constraints(spark: SparkSession, table_path: str) -> dict[str, str]:
+    """The table's declared CHECK constraints, name → SQL boolean
+    expression (latest declaration wins — create,
+    :func:`add_constraint` / :func:`drop_constraint`, and the expire
+    checkpoint all restate the full set)."""
+    for d in reversed(_commits(spark, table_path)):
+        if "constraints" in d:
+            return dict(d["constraints"])
+    return {}
+
+
+def _enforce_constraints(df: DataFrame, constraints: dict[str, str],
+                         context: str) -> None:
+    """One conditional-aggregate pass counting violations per CHECK
+    constraint over the rows about to be written; raises
+    :class:`ConstraintViolationError` (nothing committed) if any.
+    SQL CHECK semantics: a NULL predicate result passes — only an
+    explicit FALSE violates."""
+    if not constraints:
+        return
+    names = sorted(constraints)
+    aggs = [F.sum(F.when(~F.coalesce(F.expr(constraints[n]),
+                                     F.lit(True)), 1)
+                  .otherwise(0)).alias(n) for n in names]
+    row = df.agg(*aggs).collect()[0]
+    bad = {n: int(row[n]) for n in names if row[n]}
+    if bad:
+        raise ConstraintViolationError(
+            f"{context}: CHECK constraint violation(s) {bad} "
+            f"(expressions: { {n: constraints[n] for n in bad} })")
+
+
+def add_constraint(spark: SparkSession, table_path: str,
+                   name: str, expression: str) -> int:
+    """``ALTER TABLE ... ADD CONSTRAINT name CHECK (expression)``:
+    validates the EXISTING table against the expression first (the
+    Delta contract — a constraint can only be added when current data
+    satisfies it), then commits the updated constraint set as a
+    metadata-only version. Every subsequent write path (append,
+    MERGE, UPDATE WHERE, WAP publish) enforces it before committing.
+    Returns the committed version."""
+    cons = table_constraints(spark, table_path)
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists "
+                         f"({cons[name]!r})")
+    _enforce_constraints(read_table(spark, table_path),
+                         {name: expression},
+                         f"add_constraint({name!r}) on {table_path}")
+    cons[name] = expression
+    v = current_version(spark, table_path)
+    _write_commit(spark, table_path, v + 1,
+                  {"version": v + 1, "op": "set_constraint",
+                   "constraints": cons, "add": [], "remove": []})
+    return v + 1
+
+
+def drop_constraint(spark: SparkSession, table_path: str,
+                    name: str) -> int:
+    """``ALTER TABLE ... DROP CONSTRAINT name`` — metadata-only
+    commit restating the remaining set. Returns the version."""
+    cons = table_constraints(spark, table_path)
+    if name not in cons:
+        raise ValueError(f"constraint {name!r} does not exist")
+    del cons[name]
+    v = current_version(spark, table_path)
+    _write_commit(spark, table_path, v + 1,
+                  {"version": v + 1, "op": "set_constraint",
+                   "constraints": cons, "add": [], "remove": []})
+    return v + 1
+
+
 def append_table(spark: SparkSession, table_path: str,
                  df: DataFrame, keys: list[str] | None = None) -> None:
     """Blind append (no key reconciliation): new files, no removes.
@@ -418,8 +610,12 @@ def append_table(spark: SparkSession, table_path: str,
     v = current_version(spark, table_path)
     if v == 0:
         raise FileNotFoundError(f"{table_path} has no commit log")
+    _enforce_constraints(df, table_constraints(spark, table_path),
+                         f"append_table on {table_path}")
     adds = _write_data_files(spark, table_path, df, keys or [],
-                             bloom_cols=_table_bloom_cols(spark, table_path))
+                             bloom_cols=_table_bloom_cols(spark, table_path),
+                             partition_cols=_table_partition_cols(
+                                 spark, table_path))
     _write_commit(spark, table_path, v + 1,
                   {"version": v + 1, "op": "append",
                    "add": adds, "remove": []})
@@ -491,7 +687,7 @@ def _dml_once(spark: SparkSession, table_path: str, condition,
                     .select(F.col("_metadata.file_path").alias("_f"))
                     .distinct().collect())
     touched = sorted(r["_f"] for r in touched_rows)
-    touched_rel = [f.rsplit("/", 1)[-1] for f in touched]
+    touched_rel = [_rel_path(f, root) for f in touched]
     if not touched:
         return {"version": base_version, "n_files_rewritten": 0,
                 "n_files_carried": len(files), "n_rows_changed": 0}
@@ -519,9 +715,16 @@ def _dml_once(spark: SparkSession, table_path: str, condition,
 
     adds: list[dict] = []
     if update_set is not None or out.limit(1).count() > 0:
+        if update_set is not None:
+            # UPDATE can introduce violations; DELETE survivors are a
+            # subset of already-valid rows and need no re-check
+            _enforce_constraints(out, table_constraints(spark, table_path),
+                                 f"update_where on {table_path}")
         adds = _write_data_files(spark, table_path, out,
                                  _table_keys(spark, table_path),
                                  bloom_cols=_table_bloom_cols(
+                                     spark, table_path),
+                                 partition_cols=_table_partition_cols(
                                      spark, table_path))
     doc = {"version": base_version + 1, "op": op,
            "add": adds, "remove": touched_rel}
@@ -641,12 +844,17 @@ def _stats_may_match(add: dict, bounds: dict) -> bool:
     to lie inside every column's range simultaneously... no: a row
     matches when EACH of its key values equals the source row's — a
     file can be skipped as soon as ONE key column's range is fully
-    outside the source's [min, max] envelope for that column)."""
-    stats = add.get("stats")
-    if not stats:
+    outside the source's [min, max] envelope for that column).
+    Partition values recorded in the add-action act as exact
+    degenerate [v, v] ranges for their column."""
+    stats = add.get("stats") or {}
+    part = add.get("partition") or {}
+    if not stats and not part:
         return True
     for col, (slo, shi) in bounds.items():
         st = stats.get(col)
+        if not st and col in part and part[col] is not None:
+            st = {"min": part[col], "max": part[col]}
         if not st:
             continue
         flo = _coerced(st.get("min"), slo)
@@ -707,9 +915,9 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
                         .join(F.broadcast(src_keys), keys, "left_semi")
                         .select("_f").distinct().collect())
         touched = sorted(r["_f"] for r in touched_rows)
-    touched_rel = [f.rsplit("/", 1)[-1] for f in touched]
+    touched_rel = [_rel_path(f, root) for f in touched]
     carried = [f for f in files
-               if f.rsplit("/", 1)[-1] not in set(touched_rel)]
+               if _rel_path(f, root) not in set(touched_rel)]
 
     parts: list[DataFrame] = []
     if touched:
@@ -753,8 +961,12 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
     if parts:
         from functools import reduce
         merged = reduce(DataFrame.unionByName, parts)
+        _enforce_constraints(merged, table_constraints(spark, table_path),
+                             f"merge_into on {table_path}")
         adds = _write_data_files(spark, table_path, merged, keys,
                                  bloom_cols=_table_bloom_cols(
+                                     spark, table_path),
+                                 partition_cols=_table_partition_cols(
                                      spark, table_path))
     doc = {"version": base_version + 1, "op": "merge",
            "add": adds, "remove": touched_rel}
@@ -783,19 +995,40 @@ def vacuum(spark: SparkSession, table_path: str) -> list[str]:
     fs, jvm = _fs(spark, table_path)
     Path = jvm.org.apache.hadoop.fs.Path
     root = table_path.rstrip("/")
-    live = {f.rsplit("/", 1)[-1] for f in snapshot_files(spark, table_path)}
+    live = {_rel_path(f, root)
+            for f in snapshot_files(spark, table_path)}
     for doc in _commits(spark, table_path):
         if doc.get("_txn") == "pending":
-            live.update(a["path"].rsplit("/", 1)[-1]
-                        for a in doc.get("add", []))
+            live.update(a["path"] for a in doc.get("add", []))
     deleted = []
-    for st in fs.listStatus(Path(root)):
-        name = st.getPath().getName()
-        if (st.isFile() and name.endswith(".parquet")
-                and name not in live):
-            fs.delete(st.getPath(), False)
-            deleted.append(name)
+    for rel, p in _data_files_on_disk(fs, jvm, root):
+        if rel not in live:
+            fs.delete(p, False)
+            deleted.append(rel)
     return sorted(deleted)
+
+
+def _data_files_on_disk(fs, jvm, root: str):
+    """Yield ``(rel_path, hadoop_path)`` for every COMMITTED-layout
+    data file under the table root: root-level ``*.parquet`` plus
+    files under hive-style ``col=value/`` partition directories.
+    ``_log/``, dot-directories (``.staged-*`` WAP batches,
+    ``.stage-*`` in-flight writes), and dot-files are never
+    yielded — maintenance must not reap an uncommitted batch."""
+    Path = jvm.org.apache.hadoop.fs.Path
+    it = fs.listFiles(Path(root), True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        rel = _rel_path(str(p), root)
+        if not rel.endswith(".parquet"):
+            continue
+        segs = rel.split("/")
+        if any(s.startswith(".") or s.startswith("_") for s in segs):
+            continue
+        if any("=" not in s for s in segs[:-1]):
+            continue  # not a partition-layout subdir — leave alone
+        yield rel, p
 
 
 def _file_rows(spark: SparkSession, table_path: str) -> dict[str, int | None]:
@@ -806,7 +1039,9 @@ def _file_rows(spark: SparkSession, table_path: str) -> dict[str, int | None]:
     for doc in _commits(spark, table_path):
         for a in doc.get("add", []):
             rows[a["path"]] = a.get("rows")
-    live = {f.rsplit("/", 1)[-1] for f in snapshot_files(spark, table_path)}
+    root = table_path.rstrip("/")
+    live = {_rel_path(f, root)
+            for f in snapshot_files(spark, table_path)}
     return {p: n for p, n in rows.items() if p in live}
 
 
@@ -892,13 +1127,22 @@ def compact(spark: SparkSession, table_path: str,
             packed = (df.repartitionByRange(n_out, F.col(sort_by))
                       .sortWithinPartitions(sort_by))
         else:
-            packed = df.repartition(n_out)
+            pcols = _table_partition_cols(spark, table_path)
+            if pcols:
+                # hash-colocate by partition value so the partitioned
+                # write emits ~one packed file per partition instead
+                # of n_out × n_partitions shards
+                packed = df.repartition(n_out, *[F.col(c) for c in pcols])
+            else:
+                packed = df.repartition(n_out)
         keys = _table_keys(spark, table_path)
         extra = (list(zorder_by) if zorder_by
                  else [sort_by] if sort_by else [])
         adds = _write_data_files(spark, table_path, packed, keys,
                                  stat_cols=extra,
                                  bloom_cols=_table_bloom_cols(
+                                     spark, table_path),
+                                 partition_cols=_table_partition_cols(
                                      spark, table_path))
         doc = {"version": base_version + 1, "op": "compact",
                "add": adds, "remove": candidates}
@@ -1013,8 +1257,13 @@ def pruned_candidate_files(spark: SparkSession, table_path: str,
     keep = []
     for a in adds:
         open_file = True
+        part = a.get("partition") or {}
         for col, (lo, hi) in ranges.items():
             st = (a.get("stats") or {}).get(col)
+            if st is None and col in part and part[col] is not None:
+                # partition value: exact, single-valued — the
+                # strongest possible per-file stat for this column
+                st = {"min": part[col], "max": part[col]}
             if (st is None and not a.get("stats")
                     and "min_key" in a and "max_key" in a):
                 # legacy single-key stats (pre-per-column logs): they
@@ -1100,11 +1349,11 @@ def read_changes(spark: SparkSession, table_path: str,
                 break
     if not keys:
         raise ValueError(f"{table_path}: no key columns recorded or given")
-    old_names = set(f.rsplit("/", 1)[-1] for f in
-                    snapshot_files(spark, table_path, from_version))
-    new_names = set(f.rsplit("/", 1)[-1] for f in
-                    snapshot_files(spark, table_path, to_version))
     root = table_path.rstrip("/")
+    old_names = set(_rel_path(f, root) for f in
+                    snapshot_files(spark, table_path, from_version))
+    new_names = set(_rel_path(f, root) for f in
+                    snapshot_files(spark, table_path, to_version))
     removed = [f"{root}/{n}" for n in sorted(old_names - new_names)]
     added = [f"{root}/{n}" for n in sorted(new_names - old_names)]
 
@@ -1229,7 +1478,15 @@ def expire_snapshots(spark: SparkSession, table_path: str,
                  if d.get("keys")), [])
     doc = {"version": cutoff, "op": "checkpoint", "add": live_adds,
            "remove": [], "keys": keys,
-           "bloom_cols": _table_bloom_cols(spark, table_path)}
+           "bloom_cols": _table_bloom_cols(spark, table_path),
+           "partition_by": _table_partition_cols(spark, table_path),
+           "constraints": table_constraints(spark, table_path)}
+    orig_ts = next((c.get("ts") for c in commits
+                    if c["version"] == cutoff), None)
+    if orig_ts is not None:
+        # the checkpoint REPLACES the cutoff commit in replay — keep
+        # its original wall-clock so TIMESTAMP AS OF stays stable
+        doc["ts"] = orig_ts
     # durable install: write the checkpoint to a temp name, then
     # rename to the DISTINCT `<cutoff>.checkpoint.json` final name.
     # The plain `<cutoff>.json` commit is never touched until the
@@ -1264,22 +1521,19 @@ def expire_snapshots(spark: SparkSession, table_path: str,
     # 3. delete data files no kept version references (files added by
     # a still-PENDING multi-table txn are in no snapshot yet but may
     # become live when its decision lands — always retained)
+    root = table_path.rstrip("/")
     retained: set[str] = set()
     for v in kept:
-        retained.update(f.rsplit("/", 1)[-1]
+        retained.update(_rel_path(f, root)
                         for f in snapshot_files(spark, table_path, v))
     for doc in _commits(spark, table_path):
         if doc.get("_txn") == "pending":
-            retained.update(a["path"].rsplit("/", 1)[-1]
-                            for a in doc.get("add", []))
-    root = table_path.rstrip("/")
+            retained.update(a["path"] for a in doc.get("add", []))
     removed = []
-    for st in fs.listStatus(Path(root)):
-        name = st.getPath().getName()
-        if (st.isFile() and name.endswith(".parquet")
-                and name not in retained):
-            fs.delete(st.getPath(), False)
-            removed.append(name)
+    for rel, p in _data_files_on_disk(fs, jvm, root):
+        if rel not in retained:
+            fs.delete(p, False)
+            removed.append(rel)
     return {"expired_versions": expired, "kept_versions": kept,
             "files_removed": sorted(removed)}
 
@@ -1316,7 +1570,9 @@ def stage_append(spark: SparkSession, table_path: str, df: DataFrame,
         raise FileNotFoundError(f"{table_path} has no commit log")
     staged_dir = f".staged-{uuid.uuid4().hex}"
     adds = _write_data_files(spark, table_path, df, keys or [],
-                             subdir=staged_dir)
+                             subdir=staged_dir,
+                             partition_cols=_table_partition_cols(
+                                 spark, table_path))
     return {"op": "append", "add": adds, "remove": [],
             "base_version": v, "staged_dir": staged_dir}
 
@@ -1341,6 +1597,12 @@ def publish_staged(spark: SparkSession, table_path: str,
     fs, jvm = _fs(spark, table_path)
     Path = jvm.org.apache.hadoop.fs.Path
     root = table_path.rstrip("/")
+    cons = table_constraints(spark, table_path)
+    if cons:
+        # the audit gate's last line of defense: a staged batch that
+        # violates a CHECK constraint never becomes table history
+        _enforce_constraints(read_staged(spark, table_path, pending),
+                             cons, f"publish_staged on {table_path}")
     final_adds = []
     for a in pending["add"]:
         src = Path(f"{root}/{a['path']}")
@@ -1349,7 +1611,18 @@ def publish_staged(spark: SparkSession, table_path: str,
                 f"publish_staged: staged file {a['path']} is missing "
                 f"from {table_path} — was the stage aborted or the "
                 "staging directory removed?")
-        final = f"part-{uuid.uuid4().hex}.parquet"
+        # preserve the partition-dir tail (everything after the
+        # .staged-*/ prefix) so partitioned stages publish into their
+        # hive-style directories
+        staged_dir = pending.get("staged_dir") or ""
+        tail = a["path"]
+        if staged_dir and tail.startswith(staged_dir + "/"):
+            tail = tail[len(staged_dir) + 1:]
+        part_dir = tail.rsplit("/", 1)[0] if "/" in tail else ""
+        prefix = f"{part_dir}/" if part_dir else ""
+        final = f"{prefix}part-{uuid.uuid4().hex}.parquet"
+        if part_dir:
+            fs.mkdirs(Path(f"{root}/{part_dir}"))
         if not fs.rename(src, Path(f"{root}/{final}")):
             raise IOError(f"publish_staged: failed to move staged "
                           f"file {a['path']} into the table root")

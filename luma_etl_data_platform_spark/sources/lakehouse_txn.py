@@ -168,7 +168,17 @@ class MultiTableTransaction:
                 raise FileNotFoundError(
                     f"txn prepare: staged file {a['path']} is missing "
                     f"from {table_path}")
-            final = f"part-{uuid.uuid4().hex}.parquet"
+            # preserve a partitioned stage's hive-dir tail, as in
+            # publish_staged
+            staged_dir = pending.get("staged_dir") or ""
+            tail = a["path"]
+            if staged_dir and tail.startswith(staged_dir + "/"):
+                tail = tail[len(staged_dir) + 1:]
+            part_dir = tail.rsplit("/", 1)[0] if "/" in tail else ""
+            prefix = f"{part_dir}/" if part_dir else ""
+            final = f"{prefix}part-{uuid.uuid4().hex}.parquet"
+            if part_dir:
+                fs.mkdirs(Path(f"{root}/{part_dir}"))
             if not fs.rename(src, Path(f"{root}/{final}")):
                 raise IOError(f"txn prepare: failed to move staged "
                               f"file {a['path']} into {table_path}")

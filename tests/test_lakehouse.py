@@ -810,3 +810,231 @@ def test_concurrent_writers_serialize(tmp_path, spark):
     # no lost files: every live file is on disk
     for f in LH.snapshot_files(spark, path):
         assert os.path.exists(f.replace("file:", ""))
+
+
+# ---------------------------------------------------------------------------
+# Partitioned tables (hive-style layout + log-metadata partition pruning)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def ptable(tmp_path, spark):
+    """A table partitioned by ``d`` (values 0..3, 6 rows each)."""
+    path = str(tmp_path / "ptbl")
+    rows = [dict(k=i, d=i % 4, v=i * 10, tag=f"t{i % 3}")
+            for i in range(24)]
+    LH.create_table(spark, path, _mk(spark, rows).repartition(2),
+                    ["k"], partition_by=["d"])
+    return path
+
+
+def test_partitioned_layout_and_metadata(ptable, spark):
+    adds = LH.snapshot_adds(spark, ptable)
+    assert adds, "no files written"
+    for a in adds:
+        assert a["path"].startswith("d="), a["path"]
+        assert set(a["partition"]) == {"d"}
+        # exactly one partition value per file, dir and log agree
+        assert a["path"].split("/")[0] == f"d={a['partition']['d']}"
+    # partition columns stay in the data: full reads see them
+    df = LH.read_table(spark, ptable)
+    assert df.count() == 24
+    assert set(df.columns) == {"k", "d", "v", "tag"}
+    got = {(r["k"], r["d"]) for r in df.collect()}
+    assert got == {(i, i % 4) for i in range(24)}
+
+
+def test_partition_pruning_from_log_only(ptable, spark):
+    live = len(LH.snapshot_files(spark, ptable))
+    opened = LH.pruned_candidate_files(spark, ptable, {"d": (2, 3)})
+    assert 0 < len(opened) < live
+    assert all(p.split("/")[0] in ("d=2", "d=3") for p in opened)
+    df = LH.read_table_pruned_multi(spark, ptable, {"d": (2, 3)})
+    assert sorted(r["k"] for r in df.collect()) == sorted(
+        i for i in range(24) if i % 4 in (2, 3))
+    # equality probe composes with the partition stat too
+    only2 = LH.pruned_candidate_files(spark, ptable, None, eq={"d": 2})
+    assert all(p.startswith("d=2/") for p in only2)
+
+
+def test_partitioned_merge_dml_restore_vacuum(ptable, spark):
+    # MERGE rewrites only files in touched partitions, new files land
+    # back under their partition dirs with metadata intact
+    src = _mk(spark, [dict(k=2, d=2, v=-2, tag="upd"),
+                      dict(k=100, d=0, v=-100, tag="new")])
+    LH.merge_into(spark, ptable, src, ["k"])
+    for a in LH.snapshot_adds(spark, ptable):
+        assert a["path"].split("/")[0] == f"d={a['partition']['d']}"
+    got = {r["k"]: (r["v"], r["d"]) for r in
+           LH.read_table(spark, ptable).collect()}
+    assert got[2] == (-2, 2) and got[100] == (-100, 0)
+
+    # DELETE WHERE on a partition predicate; change feed still works
+    v_before = LH.current_version(spark, ptable)
+    res = LH.delete_where(spark, ptable, "d = 1")
+    assert res["n_rows_changed"] == 6
+    assert LH.read_table(spark, ptable).filter("d = 1").count() == 0
+    feed = LH.read_changes(spark, ptable, v_before, v_before + 1)
+    assert feed.filter("_change_type = 'delete'").count() == 6
+
+    # RESTORE brings the partition back; vacuum then reaps the
+    # post-delete rewrite files (restore re-points, nothing copied)
+    LH.restore_table(spark, ptable, v_before)
+    assert LH.read_table(spark, ptable).filter("d = 1").count() == 6
+    deleted = LH.vacuum(spark, ptable)
+    assert all("/" not in f or f.split("/")[0].startswith("d=")
+               for f in deleted)
+    # table still fully readable after vacuum
+    assert LH.read_table(spark, ptable).count() == 25
+
+
+def test_partitioned_compact_preserves_layout(ptable, spark):
+    LH.append_table(spark, ptable, _mk(
+        spark, [dict(k=24 + i, d=i % 4, v=0, tag="x")
+                for i in range(8)]).repartition(2))
+    n_before = len(LH.snapshot_files(spark, ptable))
+    LH.compact(spark, ptable, target_rows=100)
+    adds = LH.snapshot_adds(spark, ptable)
+    assert len(adds) < n_before
+    for a in adds:
+        assert a["path"].split("/")[0] == f"d={a['partition']['d']}"
+    assert LH.read_table(spark, ptable).count() == 32
+    # pruning still effective after OPTIMIZE
+    assert (len(LH.pruned_candidate_files(spark, ptable, None,
+                                          eq={"d": 3}))
+            < len(adds) or len(adds) == 1)
+
+
+def test_partitioned_string_and_null_values(tmp_path, spark):
+    path = str(tmp_path / "pstr")
+    rows = [dict(k=1, cat="a b", v=1), dict(k=2, cat="x:y", v=2),
+            dict(k=3, cat=None, v=3), dict(k=4, cat="a b", v=4)]
+    LH.create_table(spark, path, _mk(spark, rows).coalesce(1),
+                    ["k"], partition_by=["cat"])
+    adds = LH.snapshot_adds(spark, path)
+    vals = {a["partition"]["cat"] for a in adds}
+    assert vals == {"a b", "x:y", None}  # hive-unescaped + null
+    df = LH.read_table(spark, path)
+    assert {(r["k"], r["cat"]) for r in df.collect()} == {
+        (1, "a b"), (2, "x:y"), (3, None), (4, "a b")}
+    opened = LH.pruned_candidate_files(spark, path, None,
+                                       eq={"cat": "a b"})
+    # the null-partition file is conservatively kept; the x:y file
+    # is provably excluded
+    assert not any(p.startswith("cat=x%3Ay") for p in opened)
+    assert len(opened) < len(adds)
+    got = LH.read_table_point_lookup(spark, path, {"cat": "a b"})
+    assert sorted(r["k"] for r in got.collect()) == [1, 4]
+
+
+def test_partitioned_wap_stage_publish(ptable, spark):
+    pending = LH.stage_append(spark, ptable, _mk(
+        spark, [dict(k=50, d=1, v=500, tag="w"),
+                dict(k=51, d=3, v=510, tag="w")]).coalesce(1),
+        keys=["k"])
+    # staged files sit under .staged-*/d=*/ — invisible to vacuum
+    assert all(a["path"].startswith(".staged-") and "/d=" in a["path"]
+               for a in pending["add"])
+    assert LH.vacuum(spark, ptable) == []
+    assert LH.read_table(spark, ptable).count() == 24
+    before = {a["path"] for a in LH.snapshot_adds(spark, ptable)}
+    LH.publish_staged(spark, ptable, pending)
+    pub = [a for a in LH.snapshot_adds(spark, ptable)
+           if a["path"] not in before]
+    assert len(pub) == 2
+    for a in pub:
+        assert a["path"].split("/")[0] == f"d={a['partition']['d']}"
+        assert a["rows"] == 1
+    assert LH.read_table(spark, ptable).count() == 26
+
+
+def test_timestamp_as_of_time_travel(table, spark):
+    hist = LH.history(spark, table)
+    assert all("ts" in h for h in hist)
+    t1 = hist[0]["ts"]  # after create (version 1)
+    t3 = hist[-1]["ts"]
+    assert LH.version_at_timestamp(spark, table, t1) == 1
+    assert LH.version_at_timestamp(spark, table, t3 + 1.0) == 3
+    assert LH.read_table(spark, table, as_of_timestamp=t1).count() == 2
+    assert LH.read_table(spark, table,
+                         as_of_timestamp=t3 + 1.0).count() == 6
+    with pytest.raises(ValueError):
+        LH.version_at_timestamp(spark, table, t1 - 1000.0)
+    with pytest.raises(ValueError):
+        LH.read_table(spark, table, version=1, as_of_timestamp=t1)
+
+
+def test_timestamp_travel_survives_expiration(table, spark):
+    hist = LH.history(spark, table)
+    ts_v2 = hist[1]["ts"]
+    LH.expire_snapshots(spark, table, keep_last=2)  # drops v1
+    # v2 is now the checkpoint; its original wall-clock must survive
+    assert LH.version_at_timestamp(spark, table, ts_v2) == 2
+    assert LH.read_table(spark, table, as_of_timestamp=ts_v2).count() == 4
+    with pytest.raises(ValueError):
+        LH.version_at_timestamp(spark, table, ts_v2 - 1000.0)
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints (declared in the log, enforced on every write path)
+# ---------------------------------------------------------------------------
+
+
+def test_constraints_enforced_on_every_write_path(tmp_path, spark):
+    path = str(tmp_path / "ctbl")
+    rows = [dict(k=1, v=10, tag="a"), dict(k=2, v=20, tag="b")]
+    with pytest.raises(LH.ConstraintViolationError):
+        LH.create_table(spark, path, _mk(spark, [dict(k=1, v=-5, tag="a")]),
+                        ["k"], constraints={"v_nonneg": "v >= 0"})
+    LH.create_table(spark, path, _mk(spark, rows).coalesce(1), ["k"],
+                    constraints={"v_nonneg": "v >= 0"})
+    assert LH.table_constraints(spark, path) == {"v_nonneg": "v >= 0"}
+
+    with pytest.raises(LH.ConstraintViolationError):
+        LH.append_table(spark, path, _mk(spark, [dict(k=3, v=-1, tag="x")]))
+    with pytest.raises(LH.ConstraintViolationError):
+        LH.merge_into(spark, path, _mk(spark, [dict(k=1, v=-9, tag="a")]),
+                      ["k"])
+    with pytest.raises(LH.ConstraintViolationError):
+        LH.update_where(spark, path, "k = 1", {"v": "v - 100"})
+    # nothing committed by any failed write
+    assert LH.current_version(spark, path) == 1
+    assert _rows(LH.read_table(spark, path)) == [(1, 10, "a"), (2, 20, "b")]
+
+    # valid writes pass; NULL check results pass (SQL CHECK semantics)
+    LH.append_table(spark, path, _mk(spark, [dict(k=3, v=None, tag="n"),
+                                             dict(k=30, v=1, tag="n")]))
+    LH.merge_into(spark, path, _mk(spark, [dict(k=4, v=40, tag="c")]), ["k"])
+    assert LH.read_table(spark, path).count() == 5
+
+
+def test_add_constraint_validates_existing_then_gates(table, spark):
+    with pytest.raises(LH.ConstraintViolationError):
+        LH.add_constraint(spark, table, "v_small", "v < 100")  # 110.. exist
+    v = LH.add_constraint(spark, table, "v_bounded", "v <= 220")
+    assert LH.history(spark, table)[-1]["op"] == "set_constraint"
+    assert LH.current_version(spark, table) == v
+    with pytest.raises(ValueError):
+        LH.add_constraint(spark, table, "v_bounded", "v <= 10")  # dup name
+    with pytest.raises(LH.ConstraintViolationError):
+        LH.append_table(spark, table, _mk(spark, [dict(k=9, v=900, tag="x")]))
+    LH.drop_constraint(spark, table, "v_bounded")
+    LH.append_table(spark, table, _mk(spark, [dict(k=9, v=900, tag="x")]))
+    assert LH.read_table(spark, table).count() == 7
+    with pytest.raises(ValueError):
+        LH.drop_constraint(spark, table, "nope")
+
+
+def test_constraints_gate_wap_publish_and_survive_expiration(table, spark):
+    LH.add_constraint(spark, table, "v_nonneg", "v >= 0")
+    pending = LH.stage_append(spark, table,
+                              _mk(spark, [dict(k=50, v=-1, tag="bad")])
+                              .coalesce(1), ["k"])
+    with pytest.raises(LH.ConstraintViolationError):
+        LH.publish_staged(spark, table, pending)
+    LH.abort_staged(spark, table, pending)
+    LH.expire_snapshots(spark, table, keep_last=1)
+    # declaration survives the checkpoint reset
+    assert LH.table_constraints(spark, table) == {"v_nonneg": "v >= 0"}
+    with pytest.raises(LH.ConstraintViolationError):
+        LH.append_table(spark, table, _mk(spark, [dict(k=51, v=-2, tag="y")]))
