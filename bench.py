@@ -71,6 +71,7 @@ EXTRA = [
     "pca_top_component",
     "lakehouse_multi_table_txn",
     "lakehouse_bloom_point_lookup",
+    "lakehouse_partition_pruned_read",
 ]
 
 

@@ -965,6 +965,57 @@ FROM orders
 """
 
 
+def lakehouse_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT-in-place under the gate: orders is first written as a
+    PLAIN parquet directory (6 range-clustered files, no commit log —
+    the pre-lakehouse state every migration starts from), then
+    ``convert_to_table`` onboards it with zero data movement
+    (``zero_copy`` proves every file kept its mtime). The convert's
+    one stats scan makes key-range data skipping live immediately:
+    a bottom-5% key read must open strictly fewer files than live.
+    The oracle states the same range read relationally."""
+    import os as _os
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_convert_")
+    pdir = f"{tmp}/orders_plain"
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+    (orders.repartitionByRange(6, "o_orderkey")
+     .write.parquet(pdir))
+    before = {f: _os.path.getmtime(_os.path.join(pdir, f))
+              for f in _os.listdir(pdir) if f.endswith(".parquet")}
+    res = LH.convert_to_table(spark, pdir, ["o_orderkey"])
+    after = {f: _os.path.getmtime(_os.path.join(pdir, f))
+             for f in _os.listdir(pdir) if f.endswith(".parquet")}
+    zero_copy = (after == before and res["n_files"] == len(before))
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    lo, hi = 1, max_key // 20
+    n_live = len(LH.snapshot_files(spark, pdir))
+    n_open = len(LH.pruned_candidate_files(spark, pdir,
+                                           {"o_orderkey": (lo, hi)}))
+    out = (LH.read_table_pruned_multi(spark, pdir,
+                                      {"o_orderkey": (lo, hi)})
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                        .cast("decimal(38,6)"), 2)
+                .cast("double").alias("total_price"))
+           .withColumn("zero_copy", F.lit(zero_copy))
+           .withColumn("stat_pruned_strictly", F.lit(n_open < n_live))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["lakehouse_convert_in_place"] = """
+SELECT count(*) AS n_rows,
+       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_price,
+       TRUE AS zero_copy,
+       TRUE AS stat_pruned_strictly
+FROM orders
+WHERE o_orderkey BETWEEN 1
+      AND (SELECT max(o_orderkey) // 20 FROM orders)
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "lakehouse_time_travel": lakehouse_time_travel,
@@ -982,4 +1033,5 @@ QUERIES = {
     "lakehouse_partition_pruned_read": lakehouse_partition_pruned_read,
     "lakehouse_timestamp_travel": lakehouse_timestamp_travel,
     "lakehouse_check_constraints": lakehouse_check_constraints,
+    "lakehouse_convert_in_place": lakehouse_convert_in_place,
 }

@@ -251,6 +251,40 @@ def history(spark: SparkSession, table_path: str) -> list[dict]:
             for d in _commits(spark, table_path)]
 
 
+def describe_table(spark: SparkSession, table_path: str) -> dict:
+    """DESCRIBE DETAIL: the table's operational profile from the
+    commit log alone (one filesystem size probe per live file, no
+    data read) — version, live file/row counts, total bytes, declared
+    keys / partition columns / bloom columns / constraints, and the
+    live partition values per partition column."""
+    commits = _commits(spark, table_path)
+    if not commits:
+        raise FileNotFoundError(f"{table_path} has no commit log")
+    adds = snapshot_adds(spark, table_path)
+    fs, jvm = _fs(spark, table_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = table_path.rstrip("/")
+    size = 0
+    for a in adds:
+        p = Path(f"{root}/{a['path']}")
+        if fs.exists(p):
+            size += fs.getFileStatus(p).getLen()
+    pcols = _table_partition_cols(spark, table_path)
+    parts = {c: sorted({str(a.get("partition", {}).get(c))
+                        for a in adds if a.get("partition")})
+             for c in pcols}
+    return {"version": commits[-1]["version"],
+            "n_files": len(adds),
+            "n_rows": sum(a.get("rows") or 0 for a in adds),
+            "size_bytes": int(size),
+            "keys": _table_keys(spark, table_path),
+            "partition_by": pcols,
+            "partitions": parts,
+            "bloom_cols": _table_bloom_cols(spark, table_path),
+            "constraints": table_constraints(spark, table_path),
+            "n_commits": len(commits)}
+
+
 def version_at_timestamp(spark: SparkSession, table_path: str,
                          ts: float) -> int:
     """TIMESTAMP AS OF resolution: the latest version whose commit
@@ -307,7 +341,7 @@ def _write_data_files(spark: SparkSession, table_path: str,
                       stat_cols: list[str] | None = None,
                       subdir: str | None = None,
                       bloom_cols: list[str] | None = None,
-                      bloom_bits: int = 8192,
+                      bloom_bits: int | None = None,
                       bloom_hashes: int = 3,
                       partition_cols: list[str] | None = None) -> list[dict]:
     """Write ``df`` as new immutable parquet files under the table
@@ -387,8 +421,36 @@ def _write_data_files(spark: SparkSession, table_path: str,
             add["partition"] = pvals
         adds.append(add)
     fs.delete(Path(tmp_dir), True)
+    _annotate_adds(spark, root, adds, df.columns, keys,
+                   stat_cols=stat_cols, bloom_cols=bloom_cols,
+                   bloom_bits=bloom_bits, bloom_hashes=bloom_hashes)
+    return adds
+
+
+def _annotate_adds(spark: SparkSession, root: str, adds: list[dict],
+                   data_columns: list[str], keys: list[str],
+                   stat_cols: list[str] | None = None,
+                   bloom_cols: list[str] | None = None,
+                   bloom_bits: int | None = None,
+                   bloom_hashes: int = 3) -> None:
+    """Annotate add-actions in place with per-file stats (row count,
+    min/max of every key + stat column, legacy first-key fields) and
+    optional per-file Bloom filters — ONE column-pruned scan per
+    concern over exactly the listed files. Shared by
+    :func:`_write_data_files` (fresh writes) and
+    :func:`convert_to_table` (in-place onboarding of pre-existing
+    files).
+
+    ``bloom_bits=None`` (the default) sizes the filter from the
+    batch's LARGEST file: ~10 bits per row, power of two, floor 8192,
+    cap 2^22 (≈0.5 MB of lanes per file per column in the log). A
+    fixed size would silently saturate as files grow — at 12.5k rows
+    a 8192-bit/3-hash filter is ~99% full and excludes nothing —
+    whereas 10 bits/row holds the false-positive rate near 1%
+    regardless of file size. Each add-action records its own ``m``,
+    so mixed-size histories probe correctly."""
     cols = list(dict.fromkeys((keys or []) + (stat_cols or [])))
-    cols = [c for c in cols if c in df.columns]
+    cols = [c for c in cols if c in data_columns]
     if cols and adds:
         aggs = [F.count(F.lit(1)).alias("_n")]
         for i, c in enumerate(cols):
@@ -410,11 +472,23 @@ def _write_data_files(spark: SparkSession, table_path: str,
             if keys and keys[0] in col_stats:
                 a["min_key"] = str(r["_lo0"])
                 a["max_key"] = str(r["_hi0"])
-    bcols = [c for c in (bloom_cols or []) if c in df.columns]
+    bcols = [c for c in (bloom_cols or []) if c in data_columns]
     if bcols and adds:
         from ..functions.text import portable_hash32
         paths = [f"{root}/{a['path']}" for a in adds]
         by_path = {a["path"].rsplit("/", 1)[-1]: a for a in adds}
+        if bloom_bits is None:
+            rows_known = [a.get("rows") for a in adds]
+            if any(r is None for r in rows_known):
+                counts = (spark.read.parquet(*paths)
+                          .groupBy(F.col("_metadata.file_path"))
+                          .count().collect())
+                max_rows = max((r["count"] for r in counts), default=0)
+            else:
+                max_rows = max(rows_known, default=0)
+            bloom_bits = 8192
+            while bloom_bits < min(max_rows * 10, 1 << 22):
+                bloom_bits *= 2
         for c in bcols:
             # one column-pruned scan of the new files; ≤ m/64 lane
             # rows per file come back to the driver (bounded by file
@@ -443,7 +517,6 @@ def _write_data_files(spark: SparkSession, table_path: str,
                 bl = a.setdefault("blooms", {}).setdefault(
                     c, {"m": bloom_bits, "k": bloom_hashes, "lanes": {}})
                 bl["lanes"][str(r["lane"])] = int(r["bits"])
-    return adds
 
 
 def _bloom_positions(value, m_bits: int, k_hashes: int) -> list[int]:
@@ -510,6 +583,76 @@ def create_table(spark: SparkSession, table_path: str, df: DataFrame,
                    "partition_by": partition_by or [],
                    "constraints": constraints or {},
                    "add": adds, "remove": []})
+
+
+def convert_to_table(spark: SparkSession, table_path: str,
+                     keys: list[str],
+                     partition_by: list[str] | None = None,
+                     bloom_cols: list[str] | None = None,
+                     constraints: dict[str, str] | None = None) -> dict:
+    """``CONVERT TO DELTA`` equivalent: turn an EXISTING parquet
+    directory into a log table IN PLACE — zero data movement, the
+    only affordable onboarding path at 100 TB (a CTAS rewrite of a
+    100 TB directory is a multi-hour job; this is one stats scan).
+
+    Mechanics: discover the directory's data files (root-level
+    ``*.parquet`` plus hive-style ``col=value/`` subdirectories, the
+    same layout rule maintenance uses), parse partition values from
+    the directory names, run ONE column-pruned scan to record
+    per-file min/max stats (+ optional Bloom filters), validate
+    ``constraints`` if given, and commit everything as version 1
+    with op ``convert``. The files themselves are never opened for
+    rewrite, moved, or renamed — time travel starts at the convert.
+
+    Contract: every ``partition_by`` column must be PRESENT in the
+    data files. Spark's writer ``partitionBy`` drops partition
+    columns from the data (this engine's own partitioned writes keep
+    them — see :func:`_write_data_files`); converting such a layout
+    would silently lose the column on read, so it raises instead —
+    onboard those with a one-time :func:`create_table` rewrite.
+
+    Returns ``{"version": 1, "n_files": N, "n_rows": total}``."""
+    if current_version(spark, table_path) != 0:
+        raise ValueError(f"{table_path} already has a commit log")
+    fs, jvm = _fs(spark, table_path)
+    root = table_path.rstrip("/")
+    adds: list[dict] = []
+    for rel, _p in _data_files_on_disk(fs, jvm, root):
+        pvals: dict = {}
+        for seg in rel.split("/")[:-1]:
+            col, _, raw = seg.partition("=")
+            pvals[col] = (None if raw == "__HIVE_DEFAULT_PARTITION__"
+                          else unquote(raw))
+        add: dict = {"path": rel}
+        if pvals:
+            add["partition"] = pvals
+        adds.append(add)
+    if not adds:
+        raise FileNotFoundError(
+            f"convert_to_table: no data files under {table_path}")
+    data_columns = spark.read.parquet(
+        f"{root}/{adds[0]['path']}").columns
+    missing = [c for c in (partition_by or []) if c not in data_columns]
+    if missing:
+        raise ValueError(
+            f"convert_to_table: partition column(s) {missing} are not "
+            "present in the data files (Spark's writer partitionBy "
+            "drops them); onboard this layout with a one-time "
+            "create_table rewrite instead")
+    if constraints:
+        _enforce_constraints(
+            spark.read.parquet(*[f"{root}/{a['path']}" for a in adds]),
+            constraints, f"convert_to_table on {table_path}")
+    _annotate_adds(spark, root, adds, data_columns, keys,
+                   stat_cols=partition_by, bloom_cols=bloom_cols)
+    _write_commit(spark, table_path, 1,
+                  {"version": 1, "op": "convert", "keys": keys,
+                   "bloom_cols": bloom_cols or [],
+                   "partition_by": partition_by or [],
+                   "constraints": constraints or {},
+                   "add": adds, "remove": []})
+    return {"version": 1, "n_files": len(adds),
+            "n_rows": sum(a.get("rows") or 0 for a in adds)}
 
 
 def _table_bloom_cols(spark: SparkSession, table_path: str) -> list[str]:

@@ -1038,3 +1038,116 @@ def test_constraints_gate_wap_publish_and_survive_expiration(table, spark):
     assert LH.table_constraints(spark, table) == {"v_nonneg": "v >= 0"}
     with pytest.raises(LH.ConstraintViolationError):
         LH.append_table(spark, table, _mk(spark, [dict(k=51, v=-2, tag="y")]))
+
+
+# ---------------------------------------------------------------------------
+# CONVERT TO TABLE (zero-copy onboarding of existing parquet directories)
+# ---------------------------------------------------------------------------
+
+
+def test_convert_flat_directory_zero_copy(tmp_path, spark):
+    path = str(tmp_path / "flat")
+    rows = [dict(k=i, v=i * 10, tag=f"t{i % 3}") for i in range(30)]
+    _mk(spark, rows).repartition(4).write.parquet(path)
+    before = {f: os.path.getmtime(os.path.join(path, f))
+              for f in os.listdir(path) if f.endswith(".parquet")}
+    res = LH.convert_to_table(spark, path, ["k"])
+    assert res == {"version": 1, "n_files": 4, "n_rows": 30}
+    # zero copy: same files, same mtimes
+    after = {f: os.path.getmtime(os.path.join(path, f))
+             for f in os.listdir(path) if f.endswith(".parquet")}
+    assert after == before
+    assert LH.history(spark, path)[0]["op"] == "convert"
+    assert sorted((r["k"], r["v"]) for r in
+                  LH.read_table(spark, path).collect()) == [
+        (i, i * 10) for i in range(30)]
+    # stats were recorded: key-range pruning is live immediately
+    adds = LH.snapshot_adds(spark, path)
+    assert all("stats" in a and "k" in a["stats"] for a in adds)
+    # and the table is immediately writable through every path
+    LH.merge_into(spark, path, _mk(spark, [dict(k=0, v=-1, tag="u")]), ["k"])
+    LH.append_table(spark, path, _mk(spark, [dict(k=99, v=1, tag="n")]))
+    assert LH.read_table(spark, path).count() == 31
+    with pytest.raises(ValueError):
+        LH.convert_to_table(spark, path, ["k"])  # already a table
+
+
+def test_convert_hive_layout_with_values_in_data(tmp_path, spark):
+    # build a partitioned layout via the engine, then discard the log
+    # and re-convert it — partition dirs parse back, pruning works
+    import shutil as _sh
+    path = str(tmp_path / "ht")
+    rows = [dict(k=i, d=i % 3, v=i) for i in range(18)]
+    LH.create_table(spark, path, _mk(spark, rows).repartition(2),
+                    ["k"], partition_by=["d"])
+    _sh.rmtree(os.path.join(path, "_log"))
+    res = LH.convert_to_table(spark, path, ["k"], partition_by=["d"])
+    assert res["n_rows"] == 18
+    adds = LH.snapshot_adds(spark, path)
+    assert all(a["partition"]["d"] == a["path"].split("=")[1].split("/")[0]
+               for a in adds)
+    opened = LH.pruned_candidate_files(spark, path, None, eq={"d": 1})
+    assert 0 < len(opened) < len(adds)
+    assert (LH.read_table_pruned_multi(spark, path, {"d": (1, 1)})
+            .count() == 6)
+
+
+def test_convert_rejects_partitionby_written_layout(tmp_path, spark):
+    path = str(tmp_path / "pb")
+    rows = [dict(k=i, d=i % 2, v=i) for i in range(8)]
+    _mk(spark, rows).write.partitionBy("d").parquet(path)  # drops d
+    with pytest.raises(ValueError, match="not.*present in the data"):
+        LH.convert_to_table(spark, path, ["k"], partition_by=["d"])
+    assert LH.current_version(spark, path) == 0  # nothing committed
+
+
+def test_convert_with_blooms_and_constraints(tmp_path, spark):
+    path = str(tmp_path / "bc")
+    rows = [dict(k=i, u=f"id-{i * 37}", v=i) for i in range(200)]
+    _mk(spark, rows).repartition(5).write.parquet(path)
+    with pytest.raises(LH.ConstraintViolationError):
+        LH.convert_to_table(spark, str(tmp_path / "bc"), ["k"],
+                            constraints={"v_big": "v >= 100"})
+    assert LH.current_version(spark, path) == 0
+    LH.convert_to_table(spark, path, ["k"], bloom_cols=["u"],
+                        constraints={"v_nonneg": "v >= 0"})
+    got = LH.read_table_point_lookup(spark, path, {"u": "id-3700"})
+    assert [r["k"] for r in got.collect()] == [100]
+    n_open = len(LH.pruned_candidate_files(spark, path, None,
+                                           eq={"u": "id-3700"}))
+    assert n_open < 5  # blooms computed at convert actually skip
+    with pytest.raises(LH.ConstraintViolationError):
+        LH.append_table(spark, path, _mk(spark, [dict(k=900, u="x", v=-1)]))
+
+
+def test_describe_table_profile(ptable, spark):
+    d = LH.describe_table(spark, ptable)
+    assert d["version"] == 1 and d["n_rows"] == 24
+    assert d["n_files"] == len(LH.snapshot_files(spark, ptable))
+    assert d["size_bytes"] > 0
+    assert d["keys"] == ["k"] and d["partition_by"] == ["d"]
+    assert d["partitions"] == {"d": ["0", "1", "2", "3"]}
+    LH.add_constraint(spark, ptable, "v_nonneg", "v >= 0")
+    d2 = LH.describe_table(spark, ptable)
+    assert d2["constraints"] == {"v_nonneg": "v >= 0"}
+    assert d2["n_commits"] == 2
+    with pytest.raises(FileNotFoundError):
+        LH.describe_table(spark, str(ptable) + "_nope")
+
+
+def test_bloom_sizes_scale_with_file_rows(tmp_path, spark):
+    """A fixed-size bloom saturates as files grow (at 12.5k rows an
+    8192-bit filter excludes nothing); sizing must track the largest
+    file at ~10 bits/row so the FP rate stays ~1% at any file size."""
+    path = str(tmp_path / "bigbloom")
+    n = 30_000
+    rows = [dict(k=i, u=f"u{i}") for i in range(n)]
+    LH.create_table(spark, path, _mk(spark, rows).repartition(6),
+                    ["k"], bloom_cols=["u"])
+    adds = LH.snapshot_adds(spark, path)
+    m = adds[0]["blooms"]["u"]["m"]
+    assert m >= (n // 6) * 10 / 2  # power-of-two ≥ 10 bits/row regime
+    # and the filter actually skips at this scale
+    opened = LH.pruned_candidate_files(spark, path, None,
+                                       eq={"u": "u29999"})
+    assert len(opened) < 6
