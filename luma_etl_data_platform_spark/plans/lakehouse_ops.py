@@ -1016,6 +1016,64 @@ WHERE o_orderkey BETWEEN 1
 """
 
 
+def lakehouse_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME COLUMN without rewrite under the gate: create from 2/3
+    of orders, rename ``o_totalprice`` → ``price`` (metadata-only —
+    zero files rewritten, asserted via the snapshot file set), then
+    MERGE an update+insert batch THROUGH the new name: matched rows
+    update (all columns), unmatched insert, and the touched files
+    migrate to the new physical name while untouched pre-rename files
+    are read through the coalescing mapping. The oracle replays the
+    upsert relationally with the renamed output column."""
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_rename_")
+    path = f"{tmp}/orders_tbl"
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    LH.create_table(spark, path, base.repartition(6), ["o_orderkey"])
+    files_before = set(LH.snapshot_files(spark, path))
+    LH.rename_column(spark, path, "o_totalprice", "price")
+    rename_was_metadata_only = (
+        set(LH.snapshot_files(spark, path)) == files_before)
+    batch = (orders.filter(F.col("o_orderkey") % 10 == 3)
+             .withColumnRenamed("o_totalprice", "price")
+             .withColumn("price", F.col("price") + 100.0))
+    LH.merge_into(spark, path, batch, ["o_orderkey"], update_set="all")
+    out = (LH.read_table(spark, path)
+           .groupBy("o_orderstatus")
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum(F.col("price").cast("decimal(18,2)"))
+                        .cast("decimal(38,6)"), 2)
+                .cast("double").alias("sum_price"))
+           .withColumn("rename_was_metadata_only",
+                       F.lit(rename_was_metadata_only))
+           .orderBy("o_orderstatus")
+           .localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["lakehouse_rename_column"] = """
+WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice AS price,
+                     o_orderpriority
+              FROM orders WHERE o_orderkey % 3 <> 0),
+b AS (SELECT o_orderkey, o_orderstatus, o_totalprice + 100.0 AS price,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 3),
+final AS (SELECT * FROM base
+          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b)
+          UNION ALL
+          SELECT * FROM b)
+SELECT o_orderstatus,
+       count(*) AS n_rows,
+       CAST(round(CAST(sum(CAST(price AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6)), 2) AS DOUBLE) AS sum_price,
+       TRUE AS rename_was_metadata_only
+FROM final
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "lakehouse_time_travel": lakehouse_time_travel,
@@ -1034,4 +1092,5 @@ QUERIES = {
     "lakehouse_timestamp_travel": lakehouse_timestamp_travel,
     "lakehouse_check_constraints": lakehouse_check_constraints,
     "lakehouse_convert_in_place": lakehouse_convert_in_place,
+    "lakehouse_rename_column": lakehouse_rename_column,
 }

@@ -301,6 +301,131 @@ def version_at_timestamp(spark: SparkSession, table_path: str,
     return max(cands)
 
 
+def _schema_events(spark: SparkSession, table_path: str,
+                   version: int | None = None) -> list[dict]:
+    """Ordered RENAME/DROP COLUMN events committed at or before
+    ``version`` (checkpoints carry the cumulative list, so replay
+    survives :func:`expire_snapshots`)."""
+    evs: list[dict] = []
+    for d in _commits(spark, table_path):
+        if version is not None and d["version"] > version:
+            break
+        if _invisible(d):
+            continue
+        if d.get("op") == "checkpoint":
+            evs = list(d.get("schema_events", []))
+            continue
+        if d.get("op") in ("rename_column", "drop_column"):
+            evs.append({k: d[k] for k in ("op", "from", "to", "column")
+                        if k in d})
+    return evs
+
+
+def _apply_schema_events(df: DataFrame, events: list[dict]) -> DataFrame:
+    """Replay column renames/drops onto a raw-file read. A rename
+    where BOTH names exist (mixed vintages under ``mergeSchema``)
+    coalesces old into new — pre-rename files carry the value under
+    the old physical name, post-rename files under the new one."""
+    for ev in events:
+        if ev["op"] == "rename_column":
+            o, n = ev["from"], ev["to"]
+            if o in df.columns and n in df.columns:
+                df = df.withColumn(n, F.coalesce(F.col(n), F.col(o))).drop(o)
+            elif o in df.columns:
+                df = df.withColumnRenamed(o, n)
+        else:
+            if ev["column"] in df.columns:
+                df = df.drop(ev["column"])
+    return df
+
+
+def _align_logical(df: DataFrame, schema) -> DataFrame:
+    """Project ``df`` onto the table's logical schema: columns a file
+    subset lacks (schema-evolved or pre-rename vintages) come back as
+    typed NULLs, and column order matches — the events-aware
+    replacement for reading a subset with an imposed ``.schema()``
+    (which would silently null out renamed physical columns)."""
+    for fld in schema.fields:
+        if fld.name not in df.columns:
+            df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+    return df.select(*[f.name for f in schema.fields])
+
+
+def rename_column(spark: SparkSession, table_path: str,
+                  old: str, new: str) -> int:
+    """``ALTER TABLE ... RENAME COLUMN old TO new`` WITHOUT rewriting
+    a single data file (Delta column-mapping semantics): the rename
+    is a metadata-only commit; readers coalesce the old physical name
+    into the new logical one across file vintages, and every
+    copy-on-write rewrite (MERGE, UPDATE/DELETE WHERE, OPTIMIZE)
+    migrates the files it touches to the new name as a side effect.
+    Time travel to pre-rename versions shows the old name.
+
+    Restrictions (fail loudly, nothing committed): key and partition
+    columns cannot be renamed (they are the table's physical
+    identity in the log and directory layout); the new name must not
+    collide with an existing column; CHECK constraints referencing
+    the old name must be dropped first. Per-file stats/Bloom filters
+    recorded under the old name stop pruning for pre-rename files
+    (they are conservatively read); OPTIMIZE re-records them under
+    the new name."""
+    cols = read_table(spark, table_path).columns
+    if old not in cols:
+        raise ValueError(f"rename_column: no column {old!r} "
+                         f"(have {cols})")
+    if new in cols:
+        raise ValueError(f"rename_column: column {new!r} already exists")
+    if old in _table_keys(spark, table_path):
+        raise ValueError(f"rename_column: {old!r} is a key column")
+    if old in _table_partition_cols(spark, table_path):
+        raise ValueError(f"rename_column: {old!r} is a partition column")
+    import re
+    for cname, expr in table_constraints(spark, table_path).items():
+        if re.search(rf"\b{re.escape(old)}\b", expr):
+            raise ValueError(
+                f"rename_column: constraint {cname!r} ({expr!r}) "
+                f"references {old!r}; drop it first and re-add it "
+                "against the new name")
+    blooms = _table_bloom_cols(spark, table_path)
+    v = current_version(spark, table_path)
+    _write_commit(spark, table_path, v + 1,
+                  {"version": v + 1, "op": "rename_column",
+                   "from": old, "to": new,
+                   "bloom_cols": [new if c == old else c for c in blooms],
+                   "add": [], "remove": []})
+    return v + 1
+
+
+def drop_column(spark: SparkSession, table_path: str, column: str) -> int:
+    """``ALTER TABLE ... DROP COLUMN`` without rewriting data files:
+    metadata-only commit; readers drop the column, rewrites migrate
+    touched files. Same restrictions as :func:`rename_column` (no
+    key/partition columns, no constraint references). The bytes
+    remain in pre-drop files until OPTIMIZE/vacuum cycles them out —
+    same contract as Delta's mapping-mode DROP COLUMN."""
+    cols = read_table(spark, table_path).columns
+    if column not in cols:
+        raise ValueError(f"drop_column: no column {column!r}")
+    if column in _table_keys(spark, table_path):
+        raise ValueError(f"drop_column: {column!r} is a key column")
+    if column in _table_partition_cols(spark, table_path):
+        raise ValueError(f"drop_column: {column!r} is a partition column")
+    import re
+    for cname, expr in table_constraints(spark, table_path).items():
+        if re.search(rf"\b{re.escape(column)}\b", expr):
+            raise ValueError(
+                f"drop_column: constraint {cname!r} ({expr!r}) "
+                f"references {column!r}; drop it first")
+    blooms = _table_bloom_cols(spark, table_path)
+    v = current_version(spark, table_path)
+    _write_commit(spark, table_path, v + 1,
+                  {"version": v + 1, "op": "drop_column",
+                   "column": column,
+                   "bloom_cols": [c for c in blooms if c != column],
+                   "add": [], "remove": []})
+    return v + 1
+
+
 def read_table(spark: SparkSession, table_path: str,
                version: int | None = None,
                merge_schema: bool = False,
@@ -311,7 +436,9 @@ def read_table(spark: SparkSession, table_path: str,
     front — leave it off for fixed-schema tables.
     ``as_of_timestamp`` (epoch seconds) resolves to the snapshot
     live at that wall-clock instant (TIMESTAMP AS OF); mutually
-    exclusive with ``version``."""
+    exclusive with ``version``. RENAME/DROP COLUMN events committed
+    at or before the read version are applied to the raw files
+    (mixed vintages read under ``mergeSchema`` automatically)."""
     if as_of_timestamp is not None:
         if version is not None:
             raise ValueError("read_table: pass version OR "
@@ -321,10 +448,11 @@ def read_table(spark: SparkSession, table_path: str,
     if not files:
         raise FileNotFoundError(
             f"no snapshot for {table_path} at version {version}")
+    events = _schema_events(spark, table_path, version)
     reader = spark.read
-    if merge_schema:
+    if merge_schema or events:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*files)
+    return _apply_schema_events(reader.parquet(*files), events)
 
 
 def _json_stat(v):
@@ -822,12 +950,18 @@ def _dml_once(spark: SparkSession, table_path: str, condition,
     root = table_path.rstrip("/")
     adds_live = snapshot_adds(spark, table_path)
     files = [f"{root}/{a['path']}" for a in adds_live]
-    target = spark.read.option("mergeSchema", "true").parquet(*files)
+    events = _schema_events(spark, table_path)
+    raw = spark.read.option("mergeSchema", "true").parquet(*files)
+    target = _apply_schema_events(raw, events)
     cond = F.expr(condition) if isinstance(condition, str) else condition
 
-    touched_rows = (target
+    # _metadata must be captured from the raw scan BEFORE schema
+    # events rewrite the projection
+    probe = _apply_schema_events(
+        raw.select(F.col("_metadata.file_path").alias("_f"), "*"), events)
+    touched_rows = (probe
                     .filter(cond)
-                    .select(F.col("_metadata.file_path").alias("_f"))
+                    .select("_f")
                     .distinct().collect())
     touched = sorted(r["_f"] for r in touched_rows)
     touched_rel = [_rel_path(f, root) for f in touched]
@@ -835,8 +969,11 @@ def _dml_once(spark: SparkSession, table_path: str, condition,
         return {"version": base_version, "n_files_rewritten": 0,
                 "n_files_carried": len(files), "n_rows_changed": 0}
 
-    tgt_touched = (spark.read.option("mergeSchema", "true")
-                   .schema(target.schema).parquet(*touched))
+    tgt_touched = _align_logical(
+        _apply_schema_events(
+            spark.read.option("mergeSchema", "true").parquet(*touched),
+            events),
+        target.schema)
     n_match = tgt_touched.filter(cond).count()
     if update_set is None:
         out = tgt_touched.filter(~cond)
@@ -1024,8 +1161,11 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
     adds_live = snapshot_adds(spark, table_path)
     files = [f"{root}/{a['path']}" for a in adds_live]
     # union schema so merges work on schema-evolved tables (files
-    # written before a column existed read as NULL)
-    target = spark.read.option("mergeSchema", "true").parquet(*files)
+    # written before a column existed read as NULL); RENAME/DROP
+    # COLUMN events map the raw vintages onto the logical schema
+    events = _schema_events(spark, table_path)
+    target = _apply_schema_events(
+        spark.read.option("mergeSchema", "true").parquet(*files), events)
     tgt_cols = target.columns
     src = source.select(*tgt_cols)
     src_keys = src.select(*keys).distinct().localCheckpoint(eager=True)
@@ -1064,8 +1204,11 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
 
     parts: list[DataFrame] = []
     if touched:
-        tgt_touched = (spark.read.option("mergeSchema", "true")
-                       .schema(target.schema).parquet(*touched))
+        tgt_touched = _align_logical(
+            _apply_schema_events(
+                spark.read.option("mergeSchema", "true").parquet(*touched),
+                events),
+            target.schema)
         # matched marker: a non-null sentinel column, NOT "any source
         # column non-null" — which would misclassify under nullable
         # source data
@@ -1231,7 +1374,12 @@ def compact(spark: SparkSession, table_path: str,
                     "n_files_added": 0}
         candidates_of[attempt] = candidates
         root = table_path.rstrip("/")
-        df = spark.read.parquet(*[f"{root}/{p}" for p in candidates])
+        events = _schema_events(spark, table_path)
+        reader = spark.read
+        if events:
+            reader = reader.option("mergeSchema", "true")
+        df = _apply_schema_events(
+            reader.parquet(*[f"{root}/{p}" for p in candidates]), events)
         known = [stats[p] for p in candidates if stats[p] is not None]
         total = (sum(known) if len(known) == len(candidates)
                  else df.count())
@@ -1366,11 +1514,25 @@ def read_table_pruned_multi(spark: SparkSession, table_path: str,
     if not keep:
         return (read_table(spark, table_path, version)
                 .filter(F.lit(False)))
-    df = spark.read.parquet(*[f"{root}/{p}" for p in keep])
+    df = _read_pruned_files(spark, table_path, keep, version)
     cond = F.lit(True)
     for col, (lo, hi) in preds.items():
         cond = cond & (F.col(col) >= lo) & (F.col(col) <= hi)
     return df.filter(cond)
+
+
+def _read_pruned_files(spark: SparkSession, table_path: str,
+                       keep: list[str],
+                       version: int | None) -> DataFrame:
+    """Open a pruned file subset with RENAME/DROP COLUMN events
+    applied, so residual predicates bind to logical column names."""
+    root = table_path.rstrip("/")
+    events = _schema_events(spark, table_path, version)
+    reader = spark.read
+    if events:
+        reader = reader.option("mergeSchema", "true")
+    return _apply_schema_events(
+        reader.parquet(*[f"{root}/{p}" for p in keep]), events)
 
 
 def pruned_candidate_files(spark: SparkSession, table_path: str,
@@ -1457,8 +1619,7 @@ def read_table_point_lookup(spark: SparkSession, table_path: str,
     if not keep:
         return (read_table(spark, table_path, version)
                 .filter(F.lit(False)))
-    root = table_path.rstrip("/")
-    df = spark.read.parquet(*[f"{root}/{p}" for p in keep])
+    df = _read_pruned_files(spark, table_path, keep, version)
     cond = F.lit(True)
     for col, v in eq.items():
         cond = cond & (F.col(col) == F.lit(v))
@@ -1506,8 +1667,12 @@ def read_changes(spark: SparkSession, table_path: str,
     if not removed and not added:
         return empty
 
+    events = _schema_events(spark, table_path, to_version)
+
     def _aligned(paths: list[str], payload: list[str]) -> DataFrame:
-        d = spark.read.option("mergeSchema", "true").parquet(*paths)
+        d = _apply_schema_events(
+            spark.read.option("mergeSchema", "true").parquet(*paths),
+            events)
         for c in payload:
             if c not in d.columns:
                 d = d.withColumn(c, F.lit(None))
@@ -1623,7 +1788,9 @@ def expire_snapshots(spark: SparkSession, table_path: str,
            "remove": [], "keys": keys,
            "bloom_cols": _table_bloom_cols(spark, table_path),
            "partition_by": _table_partition_cols(spark, table_path),
-           "constraints": table_constraints(spark, table_path)}
+           "constraints": table_constraints(spark, table_path),
+           "schema_events": _schema_events(spark, table_path,
+                                           version=cutoff)}
     orig_ts = next((c.get("ts") for c in commits
                     if c["version"] == cutoff), None)
     if orig_ts is not None:

@@ -1151,3 +1151,106 @@ def test_bloom_sizes_scale_with_file_rows(tmp_path, spark):
     opened = LH.pruned_candidate_files(spark, path, None,
                                        eq={"u": "u29999"})
     assert len(opened) < 6
+
+
+# ---------------------------------------------------------------------------
+# RENAME / DROP COLUMN without rewrite (column-mapping semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_rename_column_no_rewrite_mixed_vintages(table, spark):
+    before_files = set(LH.snapshot_files(spark, table))
+    v_pre = LH.current_version(spark, table)
+    LH.rename_column(spark, table, "v", "amount")
+    # metadata-only: same files, no data movement
+    assert set(LH.snapshot_files(spark, table)) == before_files
+    df = LH.read_table(spark, table)
+    assert "amount" in df.columns and "v" not in df.columns
+    assert sorted((r["k"], r["amount"]) for r in df.collect()) == [
+        (1, 10), (2, 20), (11, 110), (12, 120), (21, 210), (22, 220)]
+    # post-rename writes use the new name; reads mix vintages
+    LH.append_table(spark, table, spark.createDataFrame(
+        [Row(k=30, amount=300, tag="d")]))
+    got = dict((r["k"], r["amount"])
+               for r in LH.read_table(spark, table).collect())
+    assert got[30] == 300 and got[1] == 10 and len(got) == 7
+    # time travel to a pre-rename version shows the old name
+    old = LH.read_table(spark, table, version=v_pre)
+    assert "v" in old.columns and "amount" not in old.columns
+
+
+def test_rename_column_migrates_touched_files_on_merge(table, spark):
+    LH.rename_column(spark, table, "v", "amount")
+    src = spark.createDataFrame([Row(k=1, amount=999, tag="u")])
+    LH.merge_into(spark, table, src, ["k"])
+    got = dict((r["k"], r["amount"])
+               for r in LH.read_table(spark, table).collect())
+    assert got[1] == 999 and got[2] == 20          # same-file survivor
+    assert got[11] == 110                          # untouched vintage
+    # DML through the logical name on a pre-rename file
+    res = LH.update_where(spark, table, "amount = 110",
+                          {"amount": "amount + 1"})
+    assert res["n_rows_changed"] == 1
+    assert dict((r["k"], r["amount"]) for r in
+                LH.read_table(spark, table).collect())[11] == 111
+    # compaction migrates every remaining old-vintage file
+    LH.compact(spark, table, target_rows=100)
+    assert LH.read_table(spark, table).count() == 6
+
+
+def test_rename_column_restrictions(ptable, spark):
+    with pytest.raises(ValueError, match="key column"):
+        LH.rename_column(spark, ptable, "k", "kk")
+    with pytest.raises(ValueError, match="partition column"):
+        LH.rename_column(spark, ptable, "d", "dd")
+    with pytest.raises(ValueError, match="already exists"):
+        LH.rename_column(spark, ptable, "v", "tag")
+    with pytest.raises(ValueError, match="no column"):
+        LH.rename_column(spark, ptable, "zzz", "yyy")
+    LH.add_constraint(spark, ptable, "v_nonneg", "v >= 0")
+    with pytest.raises(ValueError, match="references"):
+        LH.rename_column(spark, ptable, "v", "val")
+    with pytest.raises(ValueError, match="references"):
+        LH.drop_column(spark, ptable, "v")
+    LH.drop_constraint(spark, ptable, "v_nonneg")
+    LH.rename_column(spark, ptable, "v", "val")
+    assert "val" in LH.read_table(spark, ptable).columns
+
+
+def test_drop_column_and_change_feed_across_rename(table, spark):
+    v0 = LH.current_version(spark, table)
+    LH.rename_column(spark, table, "v", "amount")
+    LH.update_where(spark, table, "k = 1", {"amount": "amount + 5"})
+    feed = LH.read_changes(spark, table, v0 + 1, v0 + 2)
+    assert sorted((r["k"], r["amount"], r["_change_type"])
+                  for r in feed.collect()) == [
+        (1, 10, "update_preimage"), (1, 15, "update_postimage")]
+    LH.drop_column(spark, table, "tag")
+    df = LH.read_table(spark, table)
+    assert sorted(df.columns) == ["amount", "k"]
+    assert df.count() == 6
+    # events survive snapshot expiration via the checkpoint
+    LH.expire_snapshots(spark, table, keep_last=1)
+    df2 = LH.read_table(spark, table)
+    assert sorted(df2.columns) == ["amount", "k"]
+    assert dict((r["k"], r["amount"]) for r in df2.collect())[1] == 15
+
+
+def test_rename_keeps_point_lookup_and_pruning_conservative(tmp_path, spark):
+    path = str(tmp_path / "rn")
+    rows = [dict(k=i, u=f"id{i}", v=i) for i in range(100)]
+    LH.create_table(spark, path, _mk(spark, rows).repartition(4),
+                    ["k"], bloom_cols=["u"])
+    LH.rename_column(spark, path, "u", "uid")
+    assert LH._table_bloom_cols(spark, path) == ["uid"]
+    # old files' blooms are recorded under the old name → probing the
+    # logical name is conservative (all files read) but CORRECT
+    got = LH.read_table_point_lookup(spark, path, {"uid": "id42"})
+    assert [r["k"] for r in got.collect()] == [42]
+    # new writes record blooms under the new name and skip again
+    LH.append_table(spark, path, _mk(
+        spark, [dict(k=200 + i, uid=f"nid{i}", v=0) for i in range(50)])
+        .coalesce(1))
+    new_adds = [a for a in LH.snapshot_adds(spark, path)
+                if "uid" in (a.get("blooms") or {})]
+    assert len(new_adds) == 1
