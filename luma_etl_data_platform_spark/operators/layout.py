@@ -33,20 +33,37 @@ def read_pruned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def morton_key(c1, c2, bits: int = 16):
-    """Z-order (Morton) interleaving of two bucketed integer columns:
-    bit i of each input lands at position 2i / 2i+1 of the key, so
-    sorting by the key clusters rows that are close in BOTH
-    dimensions — range-layout by morton_key gives file-level min/max
-    pruning for predicates on either column (the multi-dimension
-    upgrade of write_range_layout's single column)."""
+def morton_key_n(cols: list, bits: int = 16):
+    """Z-order (Morton) interleaving of N bucketed integer columns:
+    bit i of column j lands at key position ``i*N + j``, so sorting
+    by the key clusters rows that are close in EVERY dimension —
+    range-layout by the key gives file-level min/max pruning for
+    predicates on ANY of the columns. ``bits × N`` must fit a signed
+    64-bit key (≤ 63); at the default 16 bits that is up to 3
+    dimensions — pass a smaller ``bits`` for more (Delta's OPTIMIZE
+    ZORDER makes the same resolution-per-dimension trade)."""
+    k = len(cols)
+    if k < 1:
+        raise ValueError("morton_key_n: need at least one column")
+    if bits * k > 63:
+        raise ValueError(
+            f"morton_key_n: {bits} bits x {k} columns exceeds a 64-bit "
+            f"key; use bits <= {63 // k}")
     key = F.lit(0).cast("long")
     for i in range(bits):
-        b1 = F.shiftright(c1.cast("long"), i).bitwiseAND(F.lit(1))
-        b2 = F.shiftright(c2.cast("long"), i).bitwiseAND(F.lit(1))
-        key = key + (b1.cast("long") * F.lit(2 ** (2 * i)).cast("long")) \
-                  + (b2.cast("long") * F.lit(2 ** (2 * i + 1)).cast("long"))
+        for j, c in enumerate(cols):
+            b = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            key = key + (b.cast("long")
+                         * F.lit(2 ** (i * k + j)).cast("long"))
     return key
+
+
+def morton_key(c1, c2, bits: int = 16):
+    """Two-column Z-order interleave — bit i of each input lands at
+    position 2i / 2i+1 of the key (the N=2 case of
+    :func:`morton_key_n`, kept for the existing call sites and the
+    hash-gated zorder_locality_stats oracle)."""
+    return morton_key_n([c1, c2], bits)
 
 
 def write_zorder_layout(df: DataFrame, path: str, col1: str, col2: str,

@@ -1055,13 +1055,21 @@ def update_where(spark: SparkSession, table_path: str,
 
 
 def restore_table(spark: SparkSession, table_path: str,
-                  version: int, max_retries: int = 2) -> dict:
-    """``RESTORE TABLE ... TO VERSION`` — commit a NEW version whose
-    live file set is exactly ``version``'s (Delta RESTORE semantics:
-    the rollback is itself history, so it is audit-visible and
-    re-restorable; nothing is rewritten, the log just re-points).
+                  version: int | None = None, max_retries: int = 2,
+                  as_of_timestamp: float | None = None) -> dict:
+    """``RESTORE TABLE ... TO VERSION | TIMESTAMP`` — commit a NEW
+    version whose live file set is exactly the target's (Delta
+    RESTORE semantics: the rollback is itself history, so it is
+    audit-visible and re-restorable; nothing is rewritten, the log
+    just re-points). ``as_of_timestamp`` resolves like
+    :func:`version_at_timestamp`; pass exactly one of the two.
     Fails if the target version's files were already vacuumed, or if
     ``version`` does not exist in the (possibly expired) log."""
+    if (version is None) == (as_of_timestamp is None):
+        raise ValueError("restore_table: pass version OR "
+                         "as_of_timestamp, exactly one")
+    if as_of_timestamp is not None:
+        version = version_at_timestamp(spark, table_path, as_of_timestamp)
     for attempt in range(max_retries + 1):
         commits = _commits(spark, table_path)
         if not commits:
@@ -1264,11 +1272,15 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
             "n_files_stat_pruned": n_stat_pruned}
 
 
-def vacuum(spark: SparkSession, table_path: str) -> list[str]:
+def vacuum(spark: SparkSession, table_path: str,
+           dry_run: bool = False) -> list[str]:
     """Delete data files referenced by NO commit's current-or-prior
     snapshot retention (here: files removed by some commit and not
     present in the latest snapshot). Breaks time travel to versions
     that referenced them — run only past the read-retention window.
+    ``dry_run=True`` returns the exact reap list without deleting
+    anything (the Delta ``VACUUM ... DRY RUN`` audit step — at 100 TB
+    an operator wants the blast radius before the irreversible part).
 
     Only root-level ``*.parquet`` files are reaped: a WAP writer's
     uncommitted batch lives under ``.staged-*/`` subdirectories and
@@ -1289,7 +1301,8 @@ def vacuum(spark: SparkSession, table_path: str) -> list[str]:
     deleted = []
     for rel, p in _data_files_on_disk(fs, jvm, root):
         if rel not in live:
-            fs.delete(p, False)
+            if not dry_run:
+                fs.delete(p, False)
             deleted.append(rel)
     return sorted(deleted)
 
@@ -1385,14 +1398,19 @@ def compact(spark: SparkSession, table_path: str,
                  else df.count())
         n_out = max(1, -(-total // target_rows))
         if zorder_by is not None:
-            from ..operators.layout import morton_key
-            c1, c2 = zorder_by
+            from ..operators.layout import morton_key_n
+            zcols = list(zorder_by)
+            # resolution-per-dimension trade: 16 bits up to 3 dims,
+            # narrower beyond (the key must fit 63 bits)
+            zbits = min(16, 63 // len(zcols))
 
             # width-safe grid coordinate: ratio in double (no BIGINT
             # overflow for wide spans, works for double/decimal/date
-            # cluster columns too), floor to a 16-bit cell, clamp.
+            # cluster columns too), floor to a zbits-wide cell, clamp.
             # The zero-span guard also keeps ANSI mode from throwing
             # on /0 for a constant column.
+            cells = (1 << zbits)
+
             def _grid(c: str, n: str, x: str) -> Column:
                 span = F.col(x).cast("double") - F.col(n).cast("double")
                 ratio = F.when(
@@ -1400,18 +1418,21 @@ def compact(spark: SparkSession, table_path: str,
                     (F.col(c).cast("double") - F.col(n).cast("double"))
                     / span).otherwise(F.lit(0.0))
                 return F.least(
-                    F.lit(65535),
+                    F.lit(cells - 1),
                     F.greatest(F.lit(0),
-                               F.floor(ratio * 65536.0).cast("int"))
+                               F.floor(ratio * float(cells)).cast("int"))
                 ).cast("long")
 
-            b = df.agg(F.min(c1).alias("_n1"), F.max(c1).alias("_x1"),
-                       F.min(c2).alias("_n2"), F.max(c2).alias("_x2"))
+            b = df.agg(*[a for i, c in enumerate(zcols)
+                         for a in (F.min(c).alias(f"_n{i}"),
+                                   F.max(c).alias(f"_x{i}"))])
+            bcols = [f"_n{i}" for i in range(len(zcols))] + \
+                    [f"_x{i}" for i in range(len(zcols))]
             keyed = (df.crossJoin(F.broadcast(b))
-                     .withColumn("_z", morton_key(_grid(c1, "_n1", "_x1"),
-                                                  _grid(c2, "_n2", "_x2"),
-                                                  bits=16))
-                     .drop("_n1", "_x1", "_n2", "_x2"))
+                     .withColumn("_z", morton_key_n(
+                         [_grid(c, f"_n{i}", f"_x{i}")
+                          for i, c in enumerate(zcols)], bits=zbits))
+                     .drop(*bcols))
             packed = (keyed.repartitionByRange(n_out, F.col("_z"))
                       .sortWithinPartitions("_z").drop("_z"))
         elif sort_by is not None:

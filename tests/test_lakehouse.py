@@ -1254,3 +1254,42 @@ def test_rename_keeps_point_lookup_and_pruning_conservative(tmp_path, spark):
     new_adds = [a for a in LH.snapshot_adds(spark, path)
                 if "uid" in (a.get("blooms") or {})]
     assert len(new_adds) == 1
+
+
+def test_vacuum_dry_run_and_restore_by_timestamp(table, spark):
+    t1 = LH.history(spark, table)[0]["ts"]
+    LH.delete_where(spark, table, F.col("k") < 20)
+    plan = LH.vacuum(spark, table, dry_run=True)
+    assert plan  # pre-images reap-eligible
+    # dry run deleted nothing: time travel still works
+    assert LH.read_table(spark, table, version=3).count() == 6
+    res = LH.restore_table(spark, table, as_of_timestamp=t1)
+    assert res["restored_version"] == 1
+    assert LH.read_table(spark, table).count() == 2
+    with pytest.raises(ValueError):
+        LH.restore_table(spark, table)            # neither target
+    with pytest.raises(ValueError):
+        LH.restore_table(spark, table, 1, as_of_timestamp=t1)  # both
+
+
+def test_compact_zorder_three_columns(tmp_path, spark):
+    """OPTIMIZE ZORDER on 3 dims: per-file min/max become narrow on
+    every interleave dimension, so a selective range read on ANY of
+    the three opens strictly fewer files than live."""
+    path = str(tmp_path / "z3")
+    rows = [dict(k=i, a=i % 97, b=(i * 31) % 89, c=(i * 57) % 83)
+            for i in range(6000)]
+    LH.create_table(spark, path, _mk(spark, rows).repartition(12), ["k"])
+    LH.compact(spark, path, target_rows=750, zorder_by=["a", "b", "c"])
+    adds = LH.snapshot_adds(spark, path)
+    assert len(adds) >= 8
+    for dim in ("a", "b", "c"):
+        opened = LH.pruned_candidate_files(spark, path, {dim: (0, 10)})
+        assert len(opened) < len(adds), dim
+    got = LH.read_table_pruned_multi(
+        spark, path, {"a": (0, 10), "b": (0, 20)})
+    exact = [r for r in rows if 0 <= r["a"] <= 10 and 0 <= r["b"] <= 20]
+    assert got.count() == len(exact)
+    with pytest.raises(ValueError):
+        from luma_etl_data_platform_spark.operators.layout import morton_key_n
+        morton_key_n([F.col("a")] * 5, bits=16)  # 80 bits > 63
