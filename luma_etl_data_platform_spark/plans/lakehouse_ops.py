@@ -1074,6 +1074,67 @@ ORDER BY o_orderstatus
 """
 
 
+def lakehouse_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (deletion vectors) under the gate: a
+    cadence delete lands as a position sidecar with ZERO data files
+    rewritten (``mor_was_metadata_only`` checks the live file set AND
+    every mtime), reads overlay the vectors, and OPTIMIZE purges them
+    by materializing the deletes — both the post-delete and
+    post-purge states are aggregated and must equal the same
+    relational answer."""
+    import os as _os
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_mor_")
+    path = f"{tmp}/orders_tbl"
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+    LH.create_table(spark, path, orders.repartition(6), ["o_orderkey"])
+    files = [f.replace("file:", "") for f in LH.snapshot_files(spark, path)]
+    mtimes = {f: _os.path.getmtime(f) for f in files}
+    res = LH.delete_where(spark, path, "o_orderkey % 7 = 0", mode="mor")
+    files2 = [f.replace("file:", "")
+              for f in LH.snapshot_files(spark, path)]
+    untouched = (sorted(files2) == sorted(files)
+                 and all(_os.path.getmtime(f) == m
+                         for f, m in mtimes.items())
+                 and res["n_rows_deleted"] > 0)
+
+    def _agg(phase: str) -> DataFrame:
+        return (LH.read_table(spark, path)
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.round(F.sum(F.col("o_totalprice")
+                                   .cast("decimal(18,2)"))
+                             .cast("decimal(38,6)"), 2)
+                     .cast("double").alias("total_price"))
+                .withColumn("phase", F.lit(phase)))
+
+    after_mor = _agg("after_mor")
+    LH.compact(spark, path, target_rows=10_000_000)  # purge
+    after_purge = _agg("after_purge")
+    out = (after_mor.unionByName(after_purge)
+           .withColumn("mor_was_metadata_only", F.lit(untouched))
+           .orderBy("phase").localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["lakehouse_mor_delete"] = """
+WITH kept AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0)
+SELECT count(*) AS n_rows,
+       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_price,
+       'after_mor' AS phase,
+       TRUE AS mor_was_metadata_only
+FROM kept
+UNION ALL
+SELECT count(*) AS n_rows,
+       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_price,
+       'after_purge' AS phase,
+       TRUE AS mor_was_metadata_only
+FROM kept
+ORDER BY phase
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "lakehouse_time_travel": lakehouse_time_travel,
@@ -1093,4 +1154,5 @@ QUERIES = {
     "lakehouse_check_constraints": lakehouse_check_constraints,
     "lakehouse_convert_in_place": lakehouse_convert_in_place,
     "lakehouse_rename_column": lakehouse_rename_column,
+    "lakehouse_mor_delete": lakehouse_mor_delete,
 }

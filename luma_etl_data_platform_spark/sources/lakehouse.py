@@ -282,7 +282,11 @@ def describe_table(spark: SparkSession, table_path: str) -> dict:
             "partitions": parts,
             "bloom_cols": _table_bloom_cols(spark, table_path),
             "constraints": table_constraints(spark, table_path),
-            "n_commits": len(commits)}
+            "n_commits": len(commits),
+            "n_dv_files": len(_dv_rels(spark, table_path)),
+            "n_dv_deleted_rows": sum(d.get("dv_rows", 0)
+                                     for d in commits
+                                     if not _invisible(d))}
 
 
 def version_at_timestamp(spark: SparkSession, table_path: str,
@@ -349,6 +353,66 @@ def _align_logical(df: DataFrame, schema) -> DataFrame:
         if fld.name not in df.columns:
             df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
     return df.select(*[f.name for f in schema.fields])
+
+
+_DV_DIR = "_dv"
+
+
+def _dv_rels(spark: SparkSession, table_path: str,
+             version: int | None = None) -> list[str]:
+    """Relative paths of the deletion-vector sidecar files committed
+    at or before ``version`` (checkpoints carry the cumulative list,
+    so replay survives :func:`expire_snapshots`)."""
+    rels: list[str] = []
+    for d in _commits(spark, table_path):
+        if version is not None and d["version"] > version:
+            break
+        if _invisible(d):
+            continue
+        if d.get("op") == "checkpoint":
+            rels = list(d.get("dv_files", []))
+            continue
+        if "dv_add" in d:
+            rels.append(d["dv_add"])
+    return rels
+
+
+def _dv_overlay(spark: SparkSession, table_path: str,
+                version: int | None = None) -> DataFrame | None:
+    """The cumulative deletion-vector overlay at ``version`` as a
+    ``(__dv_f basename, __dv_i row_index)`` DataFrame, or None when
+    the table has no merge-on-read deletes (the overwhelmingly common
+    case — every read path then keeps its exact pre-DV plan)."""
+    rels = _dv_rels(spark, table_path, version)
+    if not rels:
+        return None
+    root = table_path.rstrip("/")
+    return (spark.read.parquet(*[f"{root}/{r}" for r in rels])
+            .select(F.col("f").alias("__dv_f"),
+                    F.col("pos").alias("__dv_i")))
+
+
+def _dv_tag(df: DataFrame) -> DataFrame:
+    """Prefix a raw file scan with its (basename, row_index) identity
+    — the join key a deletion vector marks rows by. Must be selected
+    straight off the scan, before any projection rewrites."""
+    return df.select(
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        .alias("__f"),
+        F.col("_metadata.row_index").alias("__i"),
+        "*")
+
+
+def _apply_dv(df_raw: DataFrame, dv: DataFrame | None) -> DataFrame:
+    """Filter a raw file scan through the deletion-vector overlay
+    (anti-join on file basename + row position). ``dv=None`` returns
+    the scan untouched — zero plan change for DV-free tables."""
+    if dv is None:
+        return df_raw
+    tagged = _dv_tag(df_raw)
+    out = tagged.join(dv, (tagged["__f"] == dv["__dv_f"])
+                      & (tagged["__i"] == dv["__dv_i"]), "left_anti")
+    return out.drop("__f", "__i")
 
 
 def rename_column(spark: SparkSession, table_path: str,
@@ -452,7 +516,10 @@ def read_table(spark: SparkSession, table_path: str,
     reader = spark.read
     if merge_schema or events:
         reader = reader.option("mergeSchema", "true")
-    return _apply_schema_events(reader.parquet(*files), events)
+    return _apply_schema_events(
+        _apply_dv(reader.parquet(*files),
+                  _dv_overlay(spark, table_path, version)),
+        events)
 
 
 def _json_stat(v):
@@ -951,14 +1018,25 @@ def _dml_once(spark: SparkSession, table_path: str, condition,
     adds_live = snapshot_adds(spark, table_path)
     files = [f"{root}/{a['path']}" for a in adds_live]
     events = _schema_events(spark, table_path)
+    dv = _dv_overlay(spark, table_path)
     raw = spark.read.option("mergeSchema", "true").parquet(*files)
-    target = _apply_schema_events(raw, events)
+    target = _apply_schema_events(_apply_dv(raw, dv), events)
     cond = F.expr(condition) if isinstance(condition, str) else condition
 
     # _metadata must be captured from the raw scan BEFORE schema
-    # events rewrite the projection
-    probe = _apply_schema_events(
-        raw.select(F.col("_metadata.file_path").alias("_f"), "*"), events)
+    # events (or the DV anti-join's projection) rewrite the plan;
+    # DV-deleted rows must neither mark files touched nor survive a
+    # rewrite
+    tagged = raw.select(
+        F.col("_metadata.file_path").alias("_f"),
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        .alias("__f"),
+        F.col("_metadata.row_index").alias("__i"), "*")
+    if dv is not None:
+        tagged = tagged.join(
+            dv, (tagged["__f"] == dv["__dv_f"])
+            & (tagged["__i"] == dv["__dv_i"]), "left_anti")
+    probe = _apply_schema_events(tagged.drop("__f", "__i"), events)
     touched_rows = (probe
                     .filter(cond)
                     .select("_f")
@@ -971,7 +1049,8 @@ def _dml_once(spark: SparkSession, table_path: str, condition,
 
     tgt_touched = _align_logical(
         _apply_schema_events(
-            spark.read.option("mergeSchema", "true").parquet(*touched),
+            _apply_dv(spark.read.option("mergeSchema", "true")
+                      .parquet(*touched), dv),
             events),
         target.schema)
     n_match = tgt_touched.filter(cond).count()
@@ -1017,20 +1096,87 @@ def _dml_once(spark: SparkSession, table_path: str, condition,
 
 def delete_where(spark: SparkSession, table_path: str,
                  condition: Column | str,
-                 max_retries: int = 2) -> dict:
-    """``DELETE FROM table WHERE condition`` with copy-on-write file
-    rewrites (the single-table sibling of :func:`merge_into`'s delete
-    clause — no source frame needed). Files with no matching row are
-    never opened past the reconnaissance scan and carry by reference;
-    pre-delete versions stay time-travelable until :func:`vacuum`.
-    Retries against a fresh snapshot on a commit race."""
+                 max_retries: int = 2,
+                 mode: str = "cow") -> dict:
+    """``DELETE FROM table WHERE condition`` (the single-table sibling
+    of :func:`merge_into`'s delete clause — no source frame needed).
+    Retries against a fresh snapshot on a commit race.
+
+    ``mode="cow"`` (default) rewrites the touched files copy-on-write:
+    files with no matching row are never opened past the
+    reconnaissance scan and carry by reference; pre-delete versions
+    stay time-travelable until :func:`vacuum`.
+
+    ``mode="mor"`` is the merge-on-read path (Delta deletion vectors
+    / Iceberg v2 position deletes): matched rows are recorded as
+    (file, row_position) pairs in a sidecar under ``_dv/`` and the
+    commit is metadata + sidecar only — NO data file is rewritten.
+    Every read path overlays the vectors (anti-join on file basename
+    + ``_metadata.row_index``); OPTIMIZE purges them by materializing
+    the deletes into the packed rewrite. This is the right shape for
+    sparse deletes on huge files — a 10-row GDPR erasure against a
+    1 GB file costs a few KB of sidecar instead of a 1 GB rewrite —
+    at the price of one anti-join per read until the next OPTIMIZE."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"delete_where: unknown mode {mode!r}")
     for attempt in range(max_retries + 1):
         try:
+            if mode == "mor":
+                return _delete_mor_once(spark, table_path, condition)
             return _dml_once(spark, table_path, condition, None, "delete")
         except CommitConflictError:
             if attempt == max_retries:
                 raise
     raise AssertionError("unreachable")
+
+
+def _delete_mor_once(spark: SparkSession, table_path: str,
+                     condition) -> dict:
+    base_version = current_version(spark, table_path)
+    if base_version == 0:
+        raise FileNotFoundError(f"{table_path} has no commit log")
+    root = table_path.rstrip("/")
+    files = snapshot_files(spark, table_path)
+    events = _schema_events(spark, table_path)
+    dv = _dv_overlay(spark, table_path)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    tagged = _dv_tag(spark.read.option("mergeSchema", "true")
+                     .parquet(*files))
+    if dv is not None:
+        # already-deleted rows must not be re-recorded
+        tagged = tagged.join(
+            dv, (tagged["__f"] == dv["__dv_f"])
+            & (tagged["__i"] == dv["__dv_i"]), "left_anti")
+    hits = (_apply_schema_events(tagged, events)
+            .filter(cond)
+            .select(F.col("__f").alias("f"), F.col("__i").alias("pos"))
+            .localCheckpoint(eager=True))
+    n = hits.count()
+    if n == 0:
+        return {"version": base_version, "n_rows_deleted": 0,
+                "dv_file": None}
+    fs, jvm = _fs(spark, table_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    tmp_dir = f"{root}/.stage-{uuid.uuid4().hex}"
+    hits.coalesce(1).write.parquet(tmp_dir)
+    rel = f"{_DV_DIR}/dv-{uuid.uuid4().hex}.parquet"
+    fs.mkdirs(Path(f"{root}/{_DV_DIR}"))
+    placed = False
+    for st in fs.listStatus(Path(tmp_dir)):
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            if not fs.rename(st.getPath(), Path(f"{root}/{rel}")):
+                raise IOError(f"failed to place deletion vector {rel}")
+            placed = True
+            break
+    fs.delete(Path(tmp_dir), True)
+    if not placed:
+        raise IOError("deletion-vector write produced no parquet file")
+    _write_commit(spark, table_path, base_version + 1,
+                  {"version": base_version + 1, "op": "delete_mor",
+                   "add": [], "remove": [], "dv_add": rel, "dv_rows": n})
+    return {"version": base_version + 1, "n_rows_deleted": n,
+            "dv_file": rel}
 
 
 def update_where(spark: SparkSession, table_path: str,
@@ -1170,10 +1316,13 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
     files = [f"{root}/{a['path']}" for a in adds_live]
     # union schema so merges work on schema-evolved tables (files
     # written before a column existed read as NULL); RENAME/DROP
-    # COLUMN events map the raw vintages onto the logical schema
+    # COLUMN events map the raw vintages onto the logical schema and
+    # the deletion-vector overlay hides merge-on-read-deleted rows
     events = _schema_events(spark, table_path)
+    dv = _dv_overlay(spark, table_path)
     target = _apply_schema_events(
-        spark.read.option("mergeSchema", "true").parquet(*files), events)
+        _apply_dv(spark.read.option("mergeSchema", "true")
+                  .parquet(*files), dv), events)
     tgt_cols = target.columns
     src = source.select(*tgt_cols)
     src_keys = src.select(*keys).distinct().localCheckpoint(eager=True)
@@ -1214,7 +1363,8 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
     if touched:
         tgt_touched = _align_logical(
             _apply_schema_events(
-                spark.read.option("mergeSchema", "true").parquet(*touched),
+                _apply_dv(spark.read.option("mergeSchema", "true")
+                          .parquet(*touched), dv),
                 events),
             target.schema)
         # matched marker: a non-null sentinel column, NOT "any source
@@ -1391,8 +1541,12 @@ def compact(spark: SparkSession, table_path: str,
         reader = spark.read
         if events:
             reader = reader.option("mergeSchema", "true")
+        # OPTIMIZE is also the deletion-vector PURGE: the rewrite
+        # materializes MOR deletes, so the packed files carry none
         df = _apply_schema_events(
-            reader.parquet(*[f"{root}/{p}" for p in candidates]), events)
+            _apply_dv(reader.parquet(*[f"{root}/{p}" for p in candidates]),
+                      _dv_overlay(spark, table_path)),
+            events)
         known = [stats[p] for p in candidates if stats[p] is not None]
         total = (sum(known) if len(known) == len(candidates)
                  else df.count())
@@ -1545,15 +1699,18 @@ def read_table_pruned_multi(spark: SparkSession, table_path: str,
 def _read_pruned_files(spark: SparkSession, table_path: str,
                        keep: list[str],
                        version: int | None) -> DataFrame:
-    """Open a pruned file subset with RENAME/DROP COLUMN events
-    applied, so residual predicates bind to logical column names."""
+    """Open a pruned file subset with the deletion-vector overlay and
+    RENAME/DROP COLUMN events applied, so residual predicates bind to
+    logical column names over logically-live rows."""
     root = table_path.rstrip("/")
     events = _schema_events(spark, table_path, version)
     reader = spark.read
     if events:
         reader = reader.option("mergeSchema", "true")
     return _apply_schema_events(
-        reader.parquet(*[f"{root}/{p}" for p in keep]), events)
+        _apply_dv(reader.parquet(*[f"{root}/{p}" for p in keep]),
+                  _dv_overlay(spark, table_path, version)),
+        events)
 
 
 def pruned_candidate_files(spark: SparkSession, table_path: str,
@@ -1685,15 +1842,29 @@ def read_changes(spark: SparkSession, table_path: str,
     base = read_table(spark, table_path, version=to_version or None)
     empty = (base.limit(0)
              .withColumn("_change_type", F.lit("").cast("string")))
-    if not removed and not added:
+    # merge-on-read deletes committed in the range change NO files —
+    # their sidecars are the delta
+    dv_from_rels = set(_dv_rels(spark, table_path, from_version))
+    dv_new_rels = [r for r in _dv_rels(spark, table_path, to_version)
+                   if r not in dv_from_rels]
+    if not removed and not added and not dv_new_rels:
         return empty
 
     events = _schema_events(spark, table_path, to_version)
+    dv_from = _dv_overlay(spark, table_path, from_version)
+    dv_to = _dv_overlay(spark, table_path, to_version)
 
-    def _aligned(paths: list[str], payload: list[str]) -> DataFrame:
-        d = _apply_schema_events(
-            spark.read.option("mergeSchema", "true").parquet(*paths),
-            events)
+    def _overlayed(paths: list[str], dvx) -> DataFrame:
+        raw = spark.read.option("mergeSchema", "true").parquet(*paths)
+        if dvx is not None:
+            t = _dv_tag(raw)
+            raw = t.join(dvx, (t["__f"] == dvx["__dv_f"])
+                         & (t["__i"] == dvx["__dv_i"]),
+                         "left_anti").drop("__f", "__i")
+        return _apply_schema_events(raw, events)
+
+    def _aligned(paths: list[str], payload: list[str], dvx) -> DataFrame:
+        d = _overlayed(paths, dvx)
         for c in payload:
             if c not in d.columns:
                 d = d.withColumn(c, F.lit(None))
@@ -1706,10 +1877,37 @@ def read_changes(spark: SparkSession, table_path: str,
         return df.select(*out_cols).withColumn(
             "_change_type", F.lit(change))
 
+    mor: DataFrame | None = None
+    carried = sorted(old_names & new_names)
+    if dv_new_rels and carried:
+        # rows DV-deleted in range, in files BOTH snapshots share —
+        # a file rewritten in range already reports its deletes via
+        # the copy-on-write diff below
+        dvn = (spark.read.parquet(
+            *[f"{root}/{r}" for r in dv_new_rels])
+            .select(F.col("f").alias("__dv_f"),
+                    F.col("pos").alias("__dv_i")))
+        raw = _dv_tag(spark.read.option("mergeSchema", "true")
+                      .parquet(*[f"{root}/{n}" for n in carried]))
+        hit = raw.join(dvn, (raw["__f"] == dvn["__dv_f"])
+                       & (raw["__i"] == dvn["__dv_i"]),
+                       "left_semi").drop("__f", "__i")
+        d = _apply_schema_events(hit, events)
+        for c in payload:
+            if c not in d.columns:
+                d = d.withColumn(c, F.lit(None))
+        mor = _typed(d, "delete")
+
+    def _finish(df: DataFrame) -> DataFrame:
+        return df.unionByName(mor) if mor is not None else df
+
+    if not removed and not added:
+        return _finish(empty)
     if not removed:
-        return _typed(_aligned(added, payload), "insert")
+        return _finish(_typed(_aligned(added, payload, dv_to), "insert"))
     if not added:
-        return _typed(_aligned(removed, payload), "delete")
+        return _finish(_typed(_aligned(removed, payload, dv_from),
+                              "delete"))
 
     def _sig(prefix: str) -> Column:
         # NUL-sentinel per column so (NULL, 'x') never collides with
@@ -1718,10 +1916,10 @@ def read_changes(spark: SparkSession, table_path: str,
                             F.lit(chr(0))) for c in payload]
         return F.md5(F.concat_ws(chr(1), *parts))
 
-    o = _aligned(removed, payload).select(
+    o = _aligned(removed, payload, dv_from).select(
         *keys, F.lit(1).alias("_o"),
         *[F.col(c).alias(f"_old_{c}") for c in payload])
-    n = _aligned(added, payload).select(
+    n = _aligned(added, payload, dv_to).select(
         *keys, F.lit(1).alias("_n"),
         *[F.col(c).alias(f"_new_{c}") for c in payload])
     j = o.join(n, keys, "full_outer").localCheckpoint(eager=True)
@@ -1738,7 +1936,8 @@ def read_changes(spark: SparkSession, table_path: str,
            .withColumn("_change_type", F.lit("update_preimage")))
     post = (diff.select(*keys, *[F.col(f"_new_{c}").alias(c) for c in payload])
             .withColumn("_change_type", F.lit("update_postimage")))
-    return ins.unionByName(del_).unionByName(pre).unionByName(post)
+    return _finish(ins.unionByName(del_).unionByName(pre)
+                   .unionByName(post))
 
 
 def expire_snapshots(spark: SparkSession, table_path: str,
@@ -1811,7 +2010,8 @@ def expire_snapshots(spark: SparkSession, table_path: str,
            "partition_by": _table_partition_cols(spark, table_path),
            "constraints": table_constraints(spark, table_path),
            "schema_events": _schema_events(spark, table_path,
-                                           version=cutoff)}
+                                           version=cutoff),
+           "dv_files": _dv_rels(spark, table_path, version=cutoff)}
     orig_ts = next((c.get("ts") for c in commits
                     if c["version"] == cutoff), None)
     if orig_ts is not None:

@@ -1293,3 +1293,89 @@ def test_compact_zorder_three_columns(tmp_path, spark):
     with pytest.raises(ValueError):
         from luma_etl_data_platform_spark.operators.layout import morton_key_n
         morton_key_n([F.col("a")] * 5, bits=16)  # 80 bits > 63
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read DELETE (deletion vectors)
+# ---------------------------------------------------------------------------
+
+
+def test_mor_delete_is_metadata_plus_sidecar_only(table, spark):
+    files_before = set(LH.snapshot_files(spark, table))
+    mtimes = {f: os.path.getmtime(f.replace("file:", ""))
+              for f in files_before}
+    res = LH.delete_where(spark, table, F.col("k") % 2 == 1, mode="mor")
+    assert res["n_rows_deleted"] == 3 and res["dv_file"].startswith("_dv/")
+    # zero data files rewritten or removed
+    assert set(LH.snapshot_files(spark, table)) == files_before
+    for f, m in mtimes.items():
+        assert os.path.getmtime(f.replace("file:", "")) == m
+    assert _rows(LH.read_table(spark, table)) == [
+        (2, 20, "a"), (12, 120, "b"), (22, 220, "c")]
+    # time travel BEFORE the delete still sees all rows
+    assert LH.read_table(spark, table, version=3).count() == 6
+    # second MOR delete does not re-record already-deleted rows
+    res2 = LH.delete_where(spark, table, F.col("k") < 100, mode="mor")
+    assert res2["n_rows_deleted"] == 3
+    assert LH.read_table(spark, table).count() == 0
+    # no-op MOR delete commits nothing
+    v = LH.current_version(spark, table)
+    res3 = LH.delete_where(spark, table, F.col("k") == 999, mode="mor")
+    assert res3["n_rows_deleted"] == 0
+    assert LH.current_version(spark, table) == v
+    d = LH.describe_table(spark, table)
+    assert d["n_dv_files"] == 2 and d["n_dv_deleted_rows"] == 6
+
+
+def test_mor_deleted_rows_never_resurrect_through_rewrites(table, spark):
+    LH.delete_where(spark, table, F.col("k") == 11, mode="mor")
+    # a COW merge touching the SAME file must not bring k=11 back
+    LH.merge_into(spark, table,
+                  _mk(spark, [dict(k=12, v=-12, tag="u")]), ["k"])
+    got = _rows(LH.read_table(spark, table))
+    assert (12, -12, "u") in got and not any(k == 11 for k, _, _ in got)
+    # UPDATE WHERE across the whole table skips the deleted row
+    res = LH.update_where(spark, table, "v >= 0", {"v": "v + 1"})
+    assert res["n_rows_changed"] == 4  # 1,2,21,22 (12 is negative now)
+    assert not any(k == 11 for k, _, _ in
+                   _rows(LH.read_table(spark, table)))
+    # point lookups / pruned reads overlay the vectors too
+    assert (LH.read_table_pruned_multi(spark, table, {"k": (11, 11)})
+            .count() == 0)
+
+
+def test_mor_purged_by_compaction(table, spark):
+    LH.delete_where(spark, table, F.col("tag") == "b", mode="mor")
+    stats = LH.compact(spark, table, target_rows=100)
+    assert stats["n_files_compacted"] == 3
+    # the packed file materialized the deletes
+    assert _rows(LH.read_table(spark, table)) == [
+        (1, 10, "a"), (2, 20, "a"), (21, 210, "c"), (22, 220, "c")]
+    adds = LH.snapshot_adds(spark, table)
+    assert sum(a["rows"] for a in adds) == 4
+
+
+def test_mor_change_feed_and_expiration(table, spark):
+    v0 = LH.current_version(spark, table)
+    LH.delete_where(spark, table, F.col("k") == 21, mode="mor")  # v4
+    feed = LH.read_changes(spark, table, v0, v0 + 1)
+    assert [(r["k"], r["_change_type"]) for r in feed.collect()] == [
+        (21, "delete")]
+    # mixed range: MOR delete + COW update in one window
+    LH.update_where(spark, table, "k = 1", {"v": "v + 1"})  # v5
+    feed2 = LH.read_changes(spark, table, v0, v0 + 2)
+    assert sorted((r["k"], r["_change_type"]) for r in feed2.collect()) == [
+        (1, "update_postimage"), (1, "update_preimage"), (21, "delete")]
+    # expiration checkpoints carry the DV list
+    LH.expire_snapshots(spark, table, keep_last=1)
+    assert _rows(LH.read_table(spark, table)) == [
+        (1, 11, "a"), (2, 20, "a"), (11, 110, "b"), (12, 120, "b"),
+        (22, 220, "c")]
+
+
+def test_mor_on_partitioned_table(ptable, spark):
+    res = LH.delete_where(spark, ptable, "d = 2 AND k < 10", mode="mor")
+    assert res["n_rows_deleted"] == 2  # k=2, k=6
+    assert LH.read_table(spark, ptable).count() == 22
+    opened = LH.read_table_pruned_multi(spark, ptable, {"d": (2, 2)})
+    assert sorted(r["k"] for r in opened.collect()) == [10, 14, 18, 22]
