@@ -1135,6 +1135,72 @@ ORDER BY phase
 """
 
 
+def lakehouse_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE under the gate: urgent orders get +10.00
+    via ``update_where(mode="mor")`` — the matched rows land as a
+    deletion vector plus one small add-file in the SAME commit, and
+    every original data file survives byte-untouched
+    (``mor_was_sparse`` checks mtimes and that the original file set
+    is a strict subset of the new snapshot). Both the post-update
+    overlay read and the post-OPTIMIZE purge must equal the same
+    relational UPDATE replay."""
+    import os as _os
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_morupd_")
+    path = f"{tmp}/orders_tbl"
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+    LH.create_table(spark, path, orders.repartition(6), ["o_orderkey"])
+    files = [f.replace("file:", "") for f in LH.snapshot_files(spark, path)]
+    mtimes = {f: _os.path.getmtime(f) for f in files}
+    res = LH.update_where(spark, path, "o_orderpriority = '1-URGENT'",
+                          {"o_totalprice": "o_totalprice + 10.0"},
+                          mode="mor")
+    after = {f.replace("file:", "")
+             for f in LH.snapshot_files(spark, path)}
+    sparse = (set(files) < after
+              and all(_os.path.getmtime(f) == m for f, m in mtimes.items())
+              and res["n_rows_updated"] > 0)
+
+    def _agg(phase: str) -> DataFrame:
+        return (LH.read_table(spark, path)
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.round(F.sum(F.col("o_totalprice")
+                                   .cast("decimal(18,2)"))
+                             .cast("decimal(38,6)"), 2)
+                     .cast("double").alias("total_price"))
+                .withColumn("phase", F.lit(phase)))
+
+    after_mor = _agg("after_mor")
+    LH.compact(spark, path, target_rows=10_000_000)
+    after_purge = _agg("after_purge")
+    out = (after_mor.unionByName(after_purge)
+           .withColumn("mor_was_sparse", F.lit(sparse))
+           .orderBy("phase").localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["lakehouse_mor_update"] = """
+WITH updated AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT'
+              THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders)
+SELECT count(*) AS n_rows,
+       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_price,
+       'after_mor' AS phase,
+       TRUE AS mor_was_sparse
+FROM updated
+UNION ALL
+SELECT count(*) AS n_rows,
+       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_price,
+       'after_purge' AS phase,
+       TRUE AS mor_was_sparse
+FROM updated
+ORDER BY phase
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "lakehouse_time_travel": lakehouse_time_travel,
@@ -1155,4 +1221,5 @@ QUERIES = {
     "lakehouse_convert_in_place": lakehouse_convert_in_place,
     "lakehouse_rename_column": lakehouse_rename_column,
     "lakehouse_mor_delete": lakehouse_mor_delete,
+    "lakehouse_mor_update": lakehouse_mor_update,
 }

@@ -1155,6 +1155,21 @@ def _delete_mor_once(spark: SparkSession, table_path: str,
     if n == 0:
         return {"version": base_version, "n_rows_deleted": 0,
                 "dv_file": None}
+    rel = _write_dv_sidecar(spark, table_path, hits)
+    _write_commit(spark, table_path, base_version + 1,
+                  {"version": base_version + 1, "op": "delete_mor",
+                   "add": [], "remove": [], "dv_add": rel, "dv_rows": n})
+    return {"version": base_version + 1, "n_rows_deleted": n,
+            "dv_file": rel}
+
+
+def _write_dv_sidecar(spark: SparkSession, table_path: str,
+                      hits: DataFrame) -> str:
+    """Persist a ``(f basename, pos row_index)`` frame as a single
+    deletion-vector sidecar under ``_dv/`` and return its relative
+    path (the underscore prefix keeps every maintenance listing away
+    from it)."""
+    root = table_path.rstrip("/")
     fs, jvm = _fs(spark, table_path)
     Path = jvm.org.apache.hadoop.fs.Path
     tmp_dir = f"{root}/.stage-{uuid.uuid4().hex}"
@@ -1172,26 +1187,90 @@ def _delete_mor_once(spark: SparkSession, table_path: str,
     fs.delete(Path(tmp_dir), True)
     if not placed:
         raise IOError("deletion-vector write produced no parquet file")
+    return rel
+
+
+def _update_mor_once(spark: SparkSession, table_path: str,
+                     condition, update_set: dict) -> dict:
+    base_version = current_version(spark, table_path)
+    if base_version == 0:
+        raise FileNotFoundError(f"{table_path} has no commit log")
+    files = snapshot_files(spark, table_path)
+    events = _schema_events(spark, table_path)
+    dv = _dv_overlay(spark, table_path)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    tagged = _dv_tag(spark.read.option("mergeSchema", "true")
+                     .parquet(*files))
+    if dv is not None:
+        tagged = tagged.join(
+            dv, (tagged["__f"] == dv["__dv_f"])
+            & (tagged["__i"] == dv["__dv_i"]), "left_anti")
+    matched = (_apply_schema_events(tagged, events)
+               .filter(cond).localCheckpoint(eager=True))
+    n = matched.count()
+    if n == 0:
+        return {"version": base_version, "n_rows_updated": 0,
+                "dv_file": None}
+    logical_cols = [c for c in matched.columns if c not in ("__f", "__i")]
+    out_cols = []
+    for c in logical_cols:
+        if c in update_set:
+            expr = update_set[c]
+            if isinstance(expr, str):
+                expr = F.expr(expr)
+            out_cols.append(expr.alias(c))
+        else:
+            out_cols.append(F.col(c))
+    updated = matched.select(*out_cols)
+    _enforce_constraints(updated, table_constraints(spark, table_path),
+                         f"update_where(mor) on {table_path}")
+    adds = _write_data_files(spark, table_path, updated,
+                             _table_keys(spark, table_path),
+                             bloom_cols=_table_bloom_cols(
+                                 spark, table_path),
+                             partition_cols=_table_partition_cols(
+                                 spark, table_path))
+    rel = _write_dv_sidecar(
+        spark, table_path,
+        matched.select(F.col("__f").alias("f"),
+                       F.col("__i").alias("pos")))
     _write_commit(spark, table_path, base_version + 1,
-                  {"version": base_version + 1, "op": "delete_mor",
-                   "add": [], "remove": [], "dv_add": rel, "dv_rows": n})
-    return {"version": base_version + 1, "n_rows_deleted": n,
-            "dv_file": rel}
+                  {"version": base_version + 1, "op": "update_mor",
+                   "add": adds, "remove": [],
+                   "dv_add": rel, "dv_rows": n})
+    return {"version": base_version + 1, "n_rows_updated": n,
+            "dv_file": rel, "n_files_added": len(adds)}
 
 
 def update_where(spark: SparkSession, table_path: str,
                  condition: Column | str,
                  update_set: dict[str, Column | str],
-                 max_retries: int = 2) -> dict:
-    """``UPDATE table SET col = expr, ... WHERE condition`` with
-    copy-on-write file rewrites. All right-hand sides evaluate
-    against the pre-update row (one-pass select, standard UPDATE
-    semantics); untouched files carry by reference. Retries against
-    a fresh snapshot on a commit race."""
+                 max_retries: int = 2,
+                 mode: str = "cow") -> dict:
+    """``UPDATE table SET col = expr, ... WHERE condition``. All
+    right-hand sides evaluate against the pre-update row (one-pass
+    select, standard UPDATE semantics). Retries against a fresh
+    snapshot on a commit race.
+
+    ``mode="cow"`` (default) rewrites the touched files; untouched
+    files carry by reference.
+
+    ``mode="mor"`` records the matched rows' positions as a deletion
+    vector AND lands the updated rows as a new small file in the SAME
+    commit — sparse updates against huge files cost O(matched rows)
+    writes instead of rewriting every touched file. The change feed
+    reports a MOR update as a delete + insert pair per key (the two
+    sides of the same commit), not update_pre/postimage; OPTIMIZE
+    purges the vectors as usual."""
     if not update_set:
         raise ValueError("update_where: update_set must be non-empty")
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"update_where: unknown mode {mode!r}")
     for attempt in range(max_retries + 1):
         try:
+            if mode == "mor":
+                return _update_mor_once(spark, table_path, condition,
+                                        dict(update_set))
             return _dml_once(spark, table_path, condition,
                              dict(update_set), "update")
         except CommitConflictError:

@@ -1379,3 +1379,53 @@ def test_mor_on_partitioned_table(ptable, spark):
     assert LH.read_table(spark, ptable).count() == 22
     opened = LH.read_table_pruned_multi(spark, ptable, {"d": (2, 2)})
     assert sorted(r["k"] for r in opened.collect()) == [10, 14, 18, 22]
+
+
+def test_mor_update_writes_dv_plus_small_file(table, spark):
+    files_before = set(LH.snapshot_files(spark, table))
+    mtimes = {f: os.path.getmtime(f.replace("file:", ""))
+              for f in files_before}
+    # RHS sees the pre-update row; v appears in both condition and RHS
+    res = LH.update_where(spark, table, "v >= 110",
+                          {"v": "v + k", "tag": F.expr("concat(tag, v)")},
+                          mode="mor")
+    assert res["n_rows_updated"] == 4 and res["n_files_added"] >= 1
+    # originals all still present and untouched; only ADDED files new
+    after = set(LH.snapshot_files(spark, table))
+    assert files_before < after
+    for f, m in mtimes.items():
+        assert os.path.getmtime(f.replace("file:", "")) == m
+    assert _rows(LH.read_table(spark, table)) == [
+        (1, 10, "a"), (2, 20, "a"),
+        (11, 121, "b110"), (12, 132, "b120"),
+        (21, 231, "c210"), (22, 242, "c220")]
+    # time travel to the pre-update version
+    assert _rows(LH.read_table(spark, table, version=3)) == [
+        (1, 10, "a"), (2, 20, "a"), (11, 110, "b"),
+        (12, 120, "b"), (21, 210, "c"), (22, 220, "c")]
+    # purge: compaction materializes, content identical
+    LH.compact(spark, table, target_rows=100)
+    assert _rows(LH.read_table(spark, table)) == [
+        (1, 10, "a"), (2, 20, "a"),
+        (11, 121, "b110"), (12, 132, "b120"),
+        (21, 231, "c210"), (22, 242, "c220")]
+
+
+def test_mor_update_cdf_and_constraints(table, spark):
+    v0 = LH.current_version(spark, table)
+    LH.update_where(spark, table, "k = 12", {"v": "v + 1"}, mode="mor")
+    feed = LH.read_changes(spark, table, v0, v0 + 1)
+    assert sorted((r["k"], r["v"], r["_change_type"])
+                  for r in feed.collect()) == [
+        (12, 120, "delete"), (12, 121, "insert")]
+    LH.add_constraint(spark, table, "v_cap", "v <= 1000")
+    with pytest.raises(LH.ConstraintViolationError):
+        LH.update_where(spark, table, "k = 1", {"v": "v + 100000"},
+                        mode="mor")
+    # nothing committed by the failed write; no stray rows
+    assert LH.read_table(spark, table).count() == 6
+    # no-op MOR update commits nothing
+    v = LH.current_version(spark, table)
+    res = LH.update_where(spark, table, "k = 999", {"v": "0"}, mode="mor")
+    assert res["n_rows_updated"] == 0
+    assert LH.current_version(spark, table) == v
