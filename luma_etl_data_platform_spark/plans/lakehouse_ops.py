@@ -1201,6 +1201,72 @@ ORDER BY phase
 """
 
 
+def lakehouse_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE under the gate: a mixed
+    update/delete/insert batch lands as deletion vectors + small
+    add-files with ZERO existing files rewritten
+    (``mor_was_sparse`` checks every original file survives
+    byte-untouched) — matched URGENT rows delete, other matched rows
+    update (all columns, price+100), unmatched insert. The oracle
+    replays the clauses relationally over the grouped final state."""
+    import os as _os
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_mormerge_")
+    path = f"{tmp}/orders_tbl"
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+    base = orders.filter(F.col("o_orderkey") % 4 != 0)
+    LH.create_table(spark, path, base.repartition(6), ["o_orderkey"])
+    files = [f.replace("file:", "") for f in LH.snapshot_files(spark, path)]
+    mtimes = {f: _os.path.getmtime(f) for f in files}
+    batch = (orders.filter(F.col("o_orderkey") % 10 == 3)
+             .withColumn("o_totalprice", F.col("o_totalprice") + 100.0))
+    res = LH.merge_into(
+        spark, path, batch, ["o_orderkey"], update_set="all",
+        delete_condition=F.col("src.o_orderpriority") == "1-URGENT",
+        mode="mor")
+    after = {f.replace("file:", "")
+             for f in LH.snapshot_files(spark, path)}
+    sparse = (set(files) <= after
+              and all(_os.path.getmtime(f) == m for f, m in mtimes.items())
+              and res["n_rows_modified"] > 0)
+    out = (LH.read_table(spark, path)
+           .groupBy("o_orderstatus")
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                        .cast("decimal(38,6)"), 2)
+                .cast("double").alias("sum_price"))
+           .withColumn("mor_was_sparse", F.lit(sparse))
+           .orderBy("o_orderstatus")
+           .localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["lakehouse_mor_merge"] = """
+WITH i AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+           FROM orders WHERE o_orderkey % 4 <> 0),
+b AS (SELECT o_orderkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 3),
+final AS (SELECT * FROM i
+          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b)
+          UNION ALL
+          SELECT b.* FROM b
+          WHERE o_orderkey IN (SELECT o_orderkey FROM i)
+            AND o_orderpriority <> '1-URGENT'
+          UNION ALL
+          SELECT b.* FROM b
+          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM i))
+SELECT o_orderstatus,
+       count(*) AS n_rows,
+       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6)), 2) AS DOUBLE) AS sum_price,
+       TRUE AS mor_was_sparse
+FROM final
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "lakehouse_time_travel": lakehouse_time_travel,
@@ -1222,4 +1288,5 @@ QUERIES = {
     "lakehouse_rename_column": lakehouse_rename_column,
     "lakehouse_mor_delete": lakehouse_mor_delete,
     "lakehouse_mor_update": lakehouse_mor_update,
+    "lakehouse_mor_merge": lakehouse_mor_merge,
 }

@@ -964,7 +964,8 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
                update_set: dict[str, Column] | str | None = "all",
                delete_condition: Column | str | None = None,
                insert_when_not_matched: bool = True,
-               max_retries: int = 2) -> dict:
+               max_retries: int = 2,
+               mode: str = "cow") -> dict:
     """Row-level ``MERGE INTO`` with copy-on-write file rewrites.
 
     Clause semantics (mirroring ANSI/Delta MERGE):
@@ -986,9 +987,22 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
     Returns merge stats: files touched/rewritten/carried and the
     committed version. Retries the whole merge against a fresh
     snapshot on a commit race (the merge is a deterministic function
-    of snapshot + source, so the rerun is safe)."""
+    of snapshot + source, so the rerun is safe).
+
+    ``mode="mor"`` runs the merge-on-read variant: clause-modified
+    rows become deletion-vector positions, post-images and inserts
+    land as new small files, and NO existing file is rewritten —
+    O(changed rows) writes for a sparse upsert into huge files. The
+    change feed reports MOR updates as delete+insert pairs; OPTIMIZE
+    purges the vectors."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"merge_into: unknown mode {mode!r}")
     for attempt in range(max_retries + 1):
         try:
+            if mode == "mor":
+                return _merge_mor_once(spark, table_path, source, keys,
+                                       update_set, delete_condition,
+                                       insert_when_not_matched)
             return _merge_once(spark, table_path, source, keys,
                                update_set, delete_condition,
                                insert_when_not_matched)
@@ -1161,6 +1175,94 @@ def _delete_mor_once(spark: SparkSession, table_path: str,
                    "add": [], "remove": [], "dv_add": rel, "dv_rows": n})
     return {"version": base_version + 1, "n_rows_deleted": n,
             "dv_file": rel}
+
+
+def _merge_mor_once(spark: SparkSession, table_path: str,
+                    source: DataFrame, keys: list[str],
+                    update_set, delete_condition,
+                    insert_when_not_matched: bool) -> dict:
+    """Merge-on-read MERGE body: matched rows that a clause modifies
+    become deletion-vector positions, their post-images (plus
+    not-matched inserts) land as new small files, and NO existing
+    file is rewritten — O(changed rows) writes regardless of how many
+    gigabytes the touched files hold."""
+    base_version = current_version(spark, table_path)
+    if base_version == 0:
+        raise FileNotFoundError(f"{table_path} has no commit log")
+    files = snapshot_files(spark, table_path)
+    events = _schema_events(spark, table_path)
+    dv = _dv_overlay(spark, table_path)
+    tagged = _dv_tag(spark.read.option("mergeSchema", "true")
+                     .parquet(*files))
+    if dv is not None:
+        tagged = tagged.join(
+            dv, (tagged["__f"] == dv["__dv_f"])
+            & (tagged["__i"] == dv["__dv_i"]), "left_anti")
+    tgt = _apply_schema_events(tagged, events)
+    tgt_cols = [c for c in tgt.columns if c not in ("__f", "__i")]
+    src = source.select(*tgt_cols)
+
+    joined = tgt.alias("tgt").join(
+        F.broadcast(src.withColumn("__hit", F.lit(1)).alias("src")),
+        keys, "left")
+    is_matched = F.col("src.__hit").isNotNull()
+    if isinstance(delete_condition, str):
+        delete_condition = F.expr(delete_condition)
+    drop = (is_matched & delete_condition) if delete_condition is not None \
+        else F.lit(False)
+    # rows a clause MODIFIES: every matched row when updating,
+    # only delete-clause hits otherwise — unmodified rows keep their
+    # physical position and need no vector entry
+    modified = joined.filter(
+        is_matched if update_set is not None else drop
+    ).localCheckpoint(eager=True)
+    n_mod = modified.count()
+
+    parts: list[DataFrame] = []
+    if update_set is not None and n_mod:
+        out_cols = []
+        for c in tgt_cols:
+            if c in keys:
+                out_cols.append(F.col(f"tgt.{c}").alias(c))
+            elif update_set == "all":
+                out_cols.append(F.col(f"src.{c}").alias(c))
+            elif isinstance(update_set, dict) and c in update_set:
+                expr = update_set[c]
+                if isinstance(expr, str):
+                    expr = F.expr(expr)
+                out_cols.append(expr.alias(c))
+            else:
+                out_cols.append(F.col(f"tgt.{c}").alias(c))
+        parts.append(modified.filter(~drop).select(*out_cols))
+    if insert_when_not_matched:
+        all_keys = tgt.select(*keys).distinct()
+        parts.append(src.join(all_keys, keys, "left_anti"))
+
+    adds: list[dict] = []
+    if parts:
+        from functools import reduce
+        merged = reduce(DataFrame.unionByName, parts)
+        _enforce_constraints(merged, table_constraints(spark, table_path),
+                             f"merge_into(mor) on {table_path}")
+        adds = _write_data_files(spark, table_path, merged, keys,
+                                 bloom_cols=_table_bloom_cols(
+                                     spark, table_path),
+                                 partition_cols=_table_partition_cols(
+                                     spark, table_path))
+    doc: dict = {"version": base_version + 1, "op": "merge_mor",
+                 "add": adds, "remove": []}
+    if n_mod:
+        doc["dv_add"] = _write_dv_sidecar(
+            spark, table_path,
+            modified.select(F.col("tgt.__f").alias("f"),
+                            F.col("tgt.__i").alias("pos")))
+        doc["dv_rows"] = n_mod
+    if not adds and not n_mod:
+        return {"version": base_version, "n_rows_modified": 0,
+                "n_files_added": 0, "dv_file": None}
+    _write_commit(spark, table_path, base_version + 1, doc)
+    return {"version": base_version + 1, "n_rows_modified": n_mod,
+            "n_files_added": len(adds), "dv_file": doc.get("dv_add")}
 
 
 def _write_dv_sidecar(spark: SparkSession, table_path: str,

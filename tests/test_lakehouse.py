@@ -1429,3 +1429,48 @@ def test_mor_update_cdf_and_constraints(table, spark):
     res = LH.update_where(spark, table, "k = 999", {"v": "0"}, mode="mor")
     assert res["n_rows_updated"] == 0
     assert LH.current_version(spark, table) == v
+
+
+def test_mor_merge_upsert_without_rewrites(table, spark):
+    files_before = set(LH.snapshot_files(spark, table))
+    mtimes = {f: os.path.getmtime(f.replace("file:", ""))
+              for f in files_before}
+    src = _mk(spark, [dict(k=1, v=1000, tag="upd"),
+                      dict(k=11, v=0, tag="del"),
+                      dict(k=99, v=990, tag="new")])
+    res = LH.merge_into(spark, table, src, ["k"],
+                        update_set="all",
+                        delete_condition=F.col("src.tag") == "del",
+                        mode="mor")
+    assert res["n_rows_modified"] == 2       # k=1 updated, k=11 deleted
+    assert res["n_files_added"] >= 1         # post-image + insert
+    # zero rewrites: every original file still live and untouched
+    assert files_before < set(LH.snapshot_files(spark, table))
+    for f, m in mtimes.items():
+        assert os.path.getmtime(f.replace("file:", "")) == m
+    assert _rows(LH.read_table(spark, table)) == sorted([
+        (1, 1000, "upd"), (2, 20, "a"), (12, 120, "b"),
+        (21, 210, "c"), (22, 220, "c"), (99, 990, "new")])
+    # purge keeps content identical
+    LH.compact(spark, table, target_rows=100)
+    assert _rows(LH.read_table(spark, table)) == sorted([
+        (1, 1000, "upd"), (2, 20, "a"), (12, 120, "b"),
+        (21, 210, "c"), (22, 220, "c"), (99, 990, "new")])
+
+
+def test_mor_merge_insert_only_and_noop(table, spark):
+    # insert-only merge: no matched rows modified → no DV at all
+    src = _mk(spark, [dict(k=100, v=1, tag="n")])
+    res = LH.merge_into(spark, table, src, ["k"],
+                        update_set=None, mode="mor")
+    assert res["n_rows_modified"] == 0 and res["dv_file"] is None
+    assert LH.read_table(spark, table).count() == 7
+    assert LH.describe_table(spark, table)["n_dv_files"] == 0
+    # full no-op: nothing matched, inserts disabled
+    v = LH.current_version(spark, table)
+    res2 = LH.merge_into(spark, table,
+                         _mk(spark, [dict(k=500, v=0, tag="x")]), ["k"],
+                         update_set=None, insert_when_not_matched=False,
+                         mode="mor")
+    assert res2["n_rows_modified"] == 0
+    assert LH.current_version(spark, table) == v
