@@ -536,34 +536,50 @@ FROM v GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
-# approximate aggregates — engine-specific sketches (HLL / KLL), so no
-# DuckDB oracle: the driver records the weaker rows-only check. The
-# point at 100 TB: approx_count_distinct is one pass + constant state
-# vs countDistinct's expand+double-shuffle.
+# approximate aggregates — engine-specific sketches (HLL / KLL). The
+# raw estimates are engine-specific, so the hashed output carries the
+# EXACT values plus deterministic tolerance verdicts (|approx − exact|
+# within the sketch's published error bound): the oracle asserts the
+# same columns with literal TRUE, making the accuracy claim itself the
+# gate instead of falling back to a rows-only check. The point at
+# 100 TB: approx_count_distinct is one pass + constant state vs
+# countDistinct's expand+double-shuffle.
 # ---------------------------------------------------------------------------
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("_approx"),
              F.countDistinct("user_id").alias("exact_users"))
+        # rsd=1% HLL: accept 4σ (+1 for tiny groups) — deterministic
+        # for fixed data, so the verdict is hashable
+        .select("event_type", "exact_users",
+                (F.abs(F.col("_approx") - F.col("exact_users"))
+                 <= F.col("exact_users") * 0.04 + F.lit(1))
+                .alias("approx_within_tol"))
         .orderBy("event_type")
     )
 
 
 def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KLL-style bound: percentile_approx(accuracy=10000) guarantees
+    # rank error ≤ n/10000, so each estimate must lie between the
+    # EXACT quantiles at q ± 0.005 (50× the guarantee — slack for
+    # interpolation differences, still a real accuracy gate).
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("q"),
-             F.count(F.lit(1)).alias("n"))
-        .select("event_type",
-                F.round(F.col("q")[0], 4).alias("p50_approx"),
-                F.round(F.col("q")[1], 4).alias("p95_approx"),
-                F.round(F.col("q")[2], 4).alias("p99_approx"),
-                "n")
-        .orderBy("event_type")
-    )
+    qs = [0.5, 0.95, 0.99]
+    lo = ", ".join(str(q - 0.005) for q in qs)
+    hi = ", ".join(str(q + 0.005) for q in qs)
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", qs, 10000).alias("_q"),
+        F.expr(f"percentile(value, array({lo}))").alias("_ql"),
+        F.expr(f"percentile(value, array({hi}))").alias("_qh"),
+        F.count(F.lit(1)).alias("n"))
+    checks = [((F.col("_q")[i] >= F.col("_ql")[i])
+               & (F.col("_q")[i] <= F.col("_qh")[i]))
+              .alias(f"p{int(q * 100)}_within_tol")
+              for i, q in enumerate(qs)]
+    return agg.select("event_type", "n", *checks).orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -707,6 +723,22 @@ SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
 FROM a2 ORDER BY doc_id
 """
 
+
+ORACLE["approx_distinct_users"] = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_within_tol
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLE["approx_value_quantiles"] = """
+SELECT event_type,
+       COUNT(*) AS n,
+       TRUE AS p50_within_tol,
+       TRUE AS p95_within_tol,
+       TRUE AS p99_within_tol
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
 QUERIES = {
     "revenue_cube": revenue_cube,

@@ -1267,6 +1267,172 @@ ORDER BY o_orderstatus
 """
 
 
+def lakehouse_parquet_checkpoint(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Distributed metadata plane under the gate: a range-clustered
+    multi-file table is expired with a PARQUET checkpoint (add-action
+    table on disk, ``add: []`` in the JSON doc), and both the
+    key-range read and the Bloom point lookup prune through the
+    Spark-side filter job (``_adds_df_at`` is non-None → stats and
+    Bloom lanes never materialize on the driver). Flags assert the
+    plane's shape; the aggregates assert the pruned reads return
+    exactly the relational answer."""
+    import json as _json
+    import os as _os
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_pckpt_")
+    path = f"{tmp}/orders_tbl"
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+    LH.create_table(
+        spark, path,
+        orders.repartitionByRange(24, "o_orderkey")
+        .sortWithinPartitions("o_orderkey"),
+        ["o_orderkey"], bloom_cols=["o_orderkey"])
+    LH.delete_where(spark, path, "o_orderkey % 97 = 0")  # v2
+    LH.expire_snapshots(spark, path, keep_last=1,
+                        checkpoint_format="parquet")
+    log = f"{path}/_log"
+    ckpt = next(f for f in _os.listdir(log)
+                if f.endswith(".checkpoint.json"))
+    doc = _json.loads(open(f"{log}/{ckpt}").read())
+    ckpt_parquet = (doc.get("add") == [] and "adds_parquet" in doc)
+    spark_plane = LH._adds_df_at(spark, path) is not None
+    n_live = len(LH.snapshot_files(spark, path))
+    keep_band = LH.pruned_candidate_files(spark, path,
+                                          {"o_orderkey": (1000, 2000)})
+    keep_pt = LH.pruned_candidate_files(spark, path, None,
+                                        eq={"o_orderkey": 1})
+    band = LH.read_table_pruned(spark, path, "o_orderkey", 1000, 2000)
+    point_found = (LH.read_table_point_lookup(
+        spark, path, {"o_orderkey": 1}).count() == 1)
+    out = (band.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(38,6)"), 2)
+        .cast("double").alias("total_price"))
+        .withColumn("ckpt_parquet", F.lit(bool(ckpt_parquet)))
+        .withColumn("spark_plane", F.lit(bool(spark_plane)))
+        .withColumn("band_pruned",
+                    F.lit(len(keep_band) < n_live / 2))
+        .withColumn("point_pruned",
+                    F.lit(len(keep_pt) < n_live / 2))
+        .withColumn("point_found", F.lit(bool(point_found)))
+        .localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["lakehouse_parquet_checkpoint"] = """
+SELECT count(*) AS n_rows,
+       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_price,
+       TRUE AS ckpt_parquet, TRUE AS spark_plane,
+       TRUE AS band_pruned, TRUE AS point_pruned, TRUE AS point_found
+FROM orders
+WHERE o_orderkey BETWEEN 1000 AND 2000 AND o_orderkey % 97 <> 0
+"""
+
+
+def lakehouse_restore_across_mor(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """RESTORE across a merge-on-read delete: the restore commit
+    restates the TARGET version's deletion-vector state, so every
+    MOR-deleted row resurrects (the round-4 review's data-loss repro,
+    inverted into a gate query); the orphaned sidecar leaves the log
+    (live DV debt 0) and vacuum reaps it from disk."""
+    import os as _os
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_restmor_")
+    path = f"{tmp}/orders_tbl"
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+    LH.create_table(spark, path, orders.repartition(6), ["o_orderkey"])
+
+    def _agg(phase: str) -> DataFrame:
+        return (LH.read_table(spark, path)
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.round(F.sum(F.col("o_totalprice")
+                                   .cast("decimal(18,2)"))
+                             .cast("decimal(38,6)"), 2)
+                     .cast("double").alias("total_price"))
+                .withColumn("phase", F.lit(phase)))
+
+    LH.delete_where(spark, path, "o_orderkey % 3 = 0", mode="mor")  # v2
+    mid = _agg("after_mor_delete").localCheckpoint(eager=True)
+    LH.restore_table(spark, path, 1)                                # v3
+    debt_zero = LH.dv_debt(spark, path)["dv_rows"] == 0
+    LH.vacuum(spark, path)
+    dv_dir = f"{path}/_dv"
+    reaped = (not _os.path.isdir(dv_dir)
+              or not [f for f in _os.listdir(dv_dir)
+                      if f.endswith(".parquet")])
+    out = (mid.unionByName(_agg("after_restore"))
+           .withColumn("dv_state_repointed", F.lit(bool(debt_zero)))
+           .withColumn("sidecar_reaped", F.lit(bool(reaped)))
+           .orderBy("phase").localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["lakehouse_restore_across_mor"] = """
+WITH agg AS (
+  SELECT count(*) AS n_rows,
+         CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_price,
+         'after_mor_delete' AS phase
+  FROM orders WHERE o_orderkey % 3 <> 0
+  UNION ALL
+  SELECT count(*) AS n_rows,
+         CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_price,
+         'after_restore' AS phase
+  FROM orders)
+SELECT n_rows, total_price, phase,
+       TRUE AS dv_state_repointed, TRUE AS sidecar_reaped
+FROM agg ORDER BY phase
+"""
+
+
+def lakehouse_dv_auto_maintenance(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The MOR maintenance trigger under the gate:
+    ``compact(if_dv_fraction_over=...)`` is a no-op below the DV-debt
+    threshold (version unchanged) and fires above it — the vectors
+    materialize away (debt returns to zero) and the read equals the
+    relational DELETE replay both before and after."""
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_dvmaint_")
+    path = f"{tmp}/orders_tbl"
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+    LH.create_table(spark, path, orders.repartition(4), ["o_orderkey"])
+    LH.delete_where(spark, path, "o_orderkey % 5 = 0", mode="mor")
+    v = LH.current_version(spark, path)
+    r_below = LH.compact(spark, path, target_rows=10_000_000,
+                         if_dv_fraction_over=0.5)   # ~20% debt: no-op
+    below_noop = (r_below["triggered"] is False
+                  and LH.current_version(spark, path) == v)
+    r_above = LH.compact(spark, path, target_rows=10_000_000,
+                         if_dv_fraction_over=0.1)   # fires
+    cleared = (r_above["n_files_compacted"] > 0
+               and LH.dv_debt(spark, path)["dv_rows"] == 0)
+    out = (LH.read_table(spark, path)
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum(F.col("o_totalprice")
+                              .cast("decimal(18,2)"))
+                        .cast("decimal(38,6)"), 2)
+                .cast("double").alias("total_price"))
+           .withColumn("below_threshold_noop", F.lit(bool(below_noop)))
+           .withColumn("above_threshold_cleared", F.lit(bool(cleared)))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["lakehouse_dv_auto_maintenance"] = """
+SELECT count(*) AS n_rows,
+       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_price,
+       TRUE AS below_threshold_noop, TRUE AS above_threshold_cleared
+FROM orders WHERE o_orderkey % 5 <> 0
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "lakehouse_time_travel": lakehouse_time_travel,
@@ -1289,4 +1455,7 @@ QUERIES = {
     "lakehouse_mor_delete": lakehouse_mor_delete,
     "lakehouse_mor_update": lakehouse_mor_update,
     "lakehouse_mor_merge": lakehouse_mor_merge,
+    "lakehouse_parquet_checkpoint": lakehouse_parquet_checkpoint,
+    "lakehouse_restore_across_mor": lakehouse_restore_across_mor,
+    "lakehouse_dv_auto_maintenance": lakehouse_dv_auto_maintenance,
 }

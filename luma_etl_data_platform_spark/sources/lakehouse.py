@@ -46,8 +46,12 @@ file whose recorded key ranges are disjoint from the source's key
 envelope is carried over without ever being opened. Equality
 lookups on unsorted high-cardinality columns — which min/max can
 never skip — get per-file Bloom filters (``create_table(...,
-bloom_cols=)`` → :func:`read_table_point_lookup`), probed entirely
-driver-side from the log.
+bloom_cols=)`` → :func:`read_table_point_lookup`): probed entirely
+driver-side from the JSON log on small tables (no Spark job for a
+point lookup), and as ONE Spark filter job over the parquet
+checkpoint's add-action table on big ones (see
+:mod:`lakehouse_meta` — at 10^5-10^6 files the stats/Bloom payload
+never crosses to the driver).
 
 Single-table DML rides the same machinery: :func:`delete_where` /
 :func:`update_where` rewrite only the files reconnaissance proves
@@ -211,6 +215,66 @@ def current_version(spark: SparkSession, table_path: str) -> int:
     return commits[-1]["version"] if commits else 0
 
 
+def _ckpt_data_rel(version: int) -> str:
+    """Table-relative path of a PARQUET checkpoint's add-action table
+    (the distributed metadata plane — see :mod:`lakehouse_meta`). The
+    JSON checkpoint doc points at it via ``adds_parquet`` and carries
+    ``add: []``; the name is deterministic so expiration can address
+    stale/orphaned data dirs without a listing."""
+    return f"{_LOG_DIR}/{version:0{_VERSION_WIDTH}d}.checkpoint-data.parquet"
+
+
+def _ckpt_adds_df(spark: SparkSession, table_path: str,
+                  doc: dict) -> DataFrame:
+    """A parquet checkpoint's add-action table as a DataFrame."""
+    from . import lakehouse_meta as meta
+    return (spark.read.schema(meta.CKPT_SCHEMA)
+            .parquet(f"{table_path.rstrip('/')}/{doc['adds_parquet']}"))
+
+
+def _ckpt_doc_and_tail(spark: SparkSession, table_path: str,
+                       version: int | None = None):
+    """(latest parquet-checkpoint doc at-or-before ``version`` or
+    None, the commit docs after it up to ``version``)."""
+    docs = [d for d in _commits(spark, table_path)
+            if version is None or d["version"] <= version]
+    for i in range(len(docs) - 1, -1, -1):
+        if docs[i].get("adds_parquet"):
+            return docs[i], docs[i + 1:]
+    return None, docs
+
+
+def _adds_df_at(spark: SparkSession, table_path: str,
+                version: int | None = None) -> DataFrame | None:
+    """The live add-action set at ``version`` as a DataFrame —
+    "parquet checkpoint + JSON tail" replay, the scale path that
+    keeps per-file stats and Bloom lanes OFF the driver. None when
+    the snapshot is not backed by a parquet checkpoint (small tables:
+    the driver-side JSON replay is faster there)."""
+    from . import lakehouse_meta as meta
+    ckpt, tail = _ckpt_doc_and_tail(spark, table_path, version)
+    if ckpt is None:
+        return None
+    df = _ckpt_adds_df(spark, table_path, ckpt)
+    for d in tail:
+        if _invisible(d):
+            continue
+        if d.get("op") == "checkpoint":
+            # a LATER checkpoint in the tail is JSON-format (had it
+            # been parquet it would be the anchor): replay resets
+            df = meta.adds_to_df(spark, d.get("add", []))
+            continue
+        removed = d.get("remove", [])
+        if removed:
+            df = df.filter(~F.col("path").isin(removed))
+        adds = d.get("add", [])
+        if adds:
+            paths = [a["path"] for a in adds]
+            df = (df.filter(~F.col("path").isin(paths))
+                  .unionByName(meta.adds_to_df(spark, adds)))
+    return df
+
+
 def snapshot_files(spark: SparkSession, table_path: str,
                    version: int | None = None) -> list[str]:
     """Live data-file paths at ``version`` (default: latest) —
@@ -224,8 +288,14 @@ def snapshot_files(spark: SparkSession, table_path: str,
         if doc.get("op") == "checkpoint":
             # a checkpoint carries the FULL live list at its version:
             # replay RESETS here, so a surviving pre-checkpoint prefix
-            # (crash mid-expire) can never double-count its adds
-            live = []
+            # (crash mid-expire) can never double-count its adds.
+            # Parquet-format checkpoints hold the list in an add-action
+            # TABLE: only the path column crosses to the driver (the
+            # stats/Bloom payload stays executor-side)
+            live = ([r["path"] for r in
+                     _ckpt_adds_df(spark, table_path, doc)
+                     .select("path").collect()]
+                    if doc.get("adds_parquet") else [])
         removed = set(doc.get("remove", []))
         live = [f for f in live if f not in removed]
         added = [a["path"] for a in doc.get("add", [])]
@@ -273,6 +343,7 @@ def describe_table(spark: SparkSession, table_path: str) -> dict:
     parts = {c: sorted({str(a.get("partition", {}).get(c))
                         for a in adds if a.get("partition")})
              for c in pcols}
+    debt = dv_debt(spark, table_path)
     return {"version": commits[-1]["version"],
             "n_files": len(adds),
             "n_rows": sum(a.get("rows") or 0 for a in adds),
@@ -284,9 +355,11 @@ def describe_table(spark: SparkSession, table_path: str) -> dict:
             "constraints": table_constraints(spark, table_path),
             "n_commits": len(commits),
             "n_dv_files": len(_dv_rels(spark, table_path)),
-            "n_dv_deleted_rows": sum(d.get("dv_rows", 0)
-                                     for d in commits
-                                     if not _invisible(d))}
+            # LIVE debt only: vectors purged by OPTIMIZE or re-pointed
+            # away by RESTORE no longer count (dv_debt replays the
+            # live sidecar set, not the raw commit history)
+            "n_dv_deleted_rows": debt["dv_rows"],
+            "dv_debt_fraction": debt["fraction"]}
 
 
 def version_at_timestamp(spark: SparkSession, table_path: str,
@@ -343,6 +416,35 @@ def _apply_schema_events(df: DataFrame, events: list[dict]) -> DataFrame:
     return df
 
 
+def _retired_column_names(spark: SparkSession, table_path: str) -> set[str]:
+    """Column names a writer must NOT reintroduce: names referenced as
+    a rename's ``from`` or a drop's ``column`` by the table's schema
+    events — event replay is by PHYSICAL NAME, so a new independent
+    column reusing such a name would be silently coalesced into the
+    rename target (or dropped) on every read. Retirement is permanent
+    for the table's lifetime (physical-id column mapping, Delta's
+    answer, would lift this; names are this format's physical ids)."""
+    retired: set[str] = set()
+    for ev in _schema_events(spark, table_path):
+        retired.add(ev["from"] if ev["op"] == "rename_column"
+                    else ev["column"])
+    return retired
+
+
+def _guard_retired_names(spark: SparkSession, table_path: str,
+                         new_cols, context: str) -> None:
+    """Reject a write whose columns collide with retired names (see
+    :func:`_retired_column_names`) — the write-side half of safe
+    metadata-only RENAME/DROP COLUMN. Raises before anything lands."""
+    bad = sorted(set(new_cols) & _retired_column_names(spark, table_path))
+    if bad:
+        raise ValueError(
+            f"{context}: column name(s) {bad} were retired by a prior "
+            "RENAME/DROP COLUMN event; event replay would silently "
+            "coalesce/drop a reintroduced column of the same physical "
+            "name — use a fresh name")
+
+
 def _align_logical(df: DataFrame, schema) -> DataFrame:
     """Project ``df`` onto the table's logical schema: columns a file
     subset lacks (schema-evolved or pre-rename vintages) come back as
@@ -372,6 +474,13 @@ def _dv_rels(spark: SparkSession, table_path: str,
         if d.get("op") == "checkpoint":
             rels = list(d.get("dv_files", []))
             continue
+        if "dv_files" in d:
+            # full restatement: RESTORE re-points DV state at the
+            # target version's set (restoring past a MOR delete must
+            # resurrect the rows — Delta RESTORE semantics), and
+            # OPTIMIZE materializes the vectors away and restates the
+            # survivors (usually [])
+            rels = list(d["dv_files"])
         if "dv_add" in d:
             rels.append(d["dv_add"])
     return rels
@@ -439,6 +548,12 @@ def rename_column(spark: SparkSession, table_path: str,
                          f"(have {cols})")
     if new in cols:
         raise ValueError(f"rename_column: column {new!r} already exists")
+    if new in _retired_column_names(spark, table_path):
+        raise ValueError(
+            f"rename_column: {new!r} was retired by a prior RENAME/DROP "
+            "COLUMN event; an EARLIER event replaying by that physical "
+            "name would capture the renamed column on read — use a "
+            "fresh name")
     if old in _table_keys(spark, table_path):
         raise ValueError(f"rename_column: {old!r} is a key column")
     if old in _table_partition_cols(spark, table_path):
@@ -944,12 +1059,19 @@ def append_table(spark: SparkSession, table_path: str,
     """Blind append (no key reconciliation): new files, no removes.
     An append MAY carry columns earlier commits lack (add-column
     schema evolution) — read the table with ``merge_schema=True`` to
-    surface them (NULL for pre-evolution files)."""
+    surface them (NULL for pre-evolution files). ``keys`` defaults to
+    the table's DECLARED keys, so appended files always carry the
+    per-file stats the data-skipping paths prune on (blooms and
+    partition layout already inherit the declaration)."""
     v = current_version(spark, table_path)
     if v == 0:
         raise FileNotFoundError(f"{table_path} has no commit log")
+    _guard_retired_names(spark, table_path, df.columns,
+                         f"append_table on {table_path}")
     _enforce_constraints(df, table_constraints(spark, table_path),
                          f"append_table on {table_path}")
+    if keys is None:
+        keys = _table_keys(spark, table_path)
     adds = _write_data_files(spark, table_path, df, keys or [],
                              bloom_cols=_table_bloom_cols(spark, table_path),
                              partition_cols=_table_partition_cols(
@@ -1029,8 +1151,7 @@ def _dml_once(spark: SparkSession, table_path: str, condition,
     if base_version == 0:
         raise FileNotFoundError(f"{table_path} has no commit log")
     root = table_path.rstrip("/")
-    adds_live = snapshot_adds(spark, table_path)
-    files = [f"{root}/{a['path']}" for a in adds_live]
+    files = snapshot_files(spark, table_path)
     events = _schema_events(spark, table_path)
     dv = _dv_overlay(spark, table_path)
     raw = spark.read.option("mergeSchema", "true").parquet(*files)
@@ -1170,9 +1291,14 @@ def _delete_mor_once(spark: SparkSession, table_path: str,
         return {"version": base_version, "n_rows_deleted": 0,
                 "dv_file": None}
     rel = _write_dv_sidecar(spark, table_path, hits)
-    _write_commit(spark, table_path, base_version + 1,
-                  {"version": base_version + 1, "op": "delete_mor",
-                   "add": [], "remove": [], "dv_add": rel, "dv_rows": n})
+    try:
+        _write_commit(spark, table_path, base_version + 1,
+                      {"version": base_version + 1, "op": "delete_mor",
+                       "add": [], "remove": [], "dv_add": rel,
+                       "dv_rows": n})
+    except CommitConflictError:
+        _delete_rel(spark, table_path, rel)  # don't leak the sidecar
+        raise
     return {"version": base_version + 1, "n_rows_deleted": n,
             "dv_file": rel}
 
@@ -1260,9 +1386,23 @@ def _merge_mor_once(spark: SparkSession, table_path: str,
     if not adds and not n_mod:
         return {"version": base_version, "n_rows_modified": 0,
                 "n_files_added": 0, "dv_file": None}
-    _write_commit(spark, table_path, base_version + 1, doc)
+    try:
+        _write_commit(spark, table_path, base_version + 1, doc)
+    except CommitConflictError:
+        if doc.get("dv_add"):
+            _delete_rel(spark, table_path, doc["dv_add"])
+        raise
     return {"version": base_version + 1, "n_rows_modified": n_mod,
             "n_files_added": len(adds), "dv_file": doc.get("dv_add")}
+
+
+def _delete_rel(spark: SparkSession, table_path: str, rel: str) -> None:
+    """Best-effort delete of a table-relative file (losing-writer
+    cleanup: a sidecar written ahead of a commit that lost the race
+    must not linger as an orphan)."""
+    fs, jvm = _fs(spark, table_path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(
+        f"{table_path.rstrip('/')}/{rel}"), False)
 
 
 def _write_dv_sidecar(spark: SparkSession, table_path: str,
@@ -1336,10 +1476,14 @@ def _update_mor_once(spark: SparkSession, table_path: str,
         spark, table_path,
         matched.select(F.col("__f").alias("f"),
                        F.col("__i").alias("pos")))
-    _write_commit(spark, table_path, base_version + 1,
-                  {"version": base_version + 1, "op": "update_mor",
-                   "add": adds, "remove": [],
-                   "dv_add": rel, "dv_rows": n})
+    try:
+        _write_commit(spark, table_path, base_version + 1,
+                      {"version": base_version + 1, "op": "update_mor",
+                       "add": adds, "remove": [],
+                       "dv_add": rel, "dv_rows": n})
+    except CommitConflictError:
+        _delete_rel(spark, table_path, rel)  # don't leak the sidecar
+        raise
     return {"version": base_version + 1, "n_rows_updated": n,
             "dv_file": rel, "n_files_added": len(adds)}
 
@@ -1413,10 +1557,13 @@ def restore_table(spark: SparkSession, table_path: str,
         root = table_path.rstrip("/")
         missing = [a["path"] for a in target_adds
                    if not fs.exists(Path(f"{root}/{a['path']}"))]
+        missing += [r for r in _dv_rels(spark, table_path, version=version)
+                    if not fs.exists(Path(f"{root}/{r}"))]
         if missing:
             raise FileNotFoundError(
-                f"restore_table: {len(missing)} data file(s) of "
-                f"version {version} were vacuumed: {missing[:3]}...")
+                f"restore_table: {len(missing)} data/deletion-vector "
+                f"file(s) of version {version} were vacuumed: "
+                f"{missing[:3]}...")
         cur = {a["path"] for a in snapshot_adds(spark, table_path)}
         tgt = {a["path"] for a in target_adds}
         doc = {"version": base_version + 1, "op": "restore",
@@ -1425,7 +1572,12 @@ def restore_table(spark: SparkSession, table_path: str,
                # (their original add-actions, stats and blooms
                # included); files live in both snapshots carry
                "add": [a for a in target_adds if a["path"] not in cur],
-               "remove": sorted(cur - tgt)}
+               "remove": sorted(cur - tgt),
+               # restate the TARGET version's deletion-vector state:
+               # without this, DV sidecars committed AFTER the target
+               # would keep hiding rows the restore re-surfaced
+               # (silent data loss on restore across a MOR delete)
+               "dv_files": _dv_rels(spark, table_path, version=version)}
         try:
             _write_commit(spark, table_path, base_version + 1, doc)
         except CommitConflictError:
@@ -1452,38 +1604,6 @@ def _coerced(stat, probe):
         return None
 
 
-def _stats_may_match(add: dict, bounds: dict) -> bool:
-    """Can this file's recorded per-column [min, max] ranges intersect
-    the source's key bounds?  Missing/uncoercible stats → True (read
-    it); disjoint on ANY key column → False (a matched key would have
-    to lie inside every column's range simultaneously... no: a row
-    matches when EACH of its key values equals the source row's — a
-    file can be skipped as soon as ONE key column's range is fully
-    outside the source's [min, max] envelope for that column).
-    Partition values recorded in the add-action act as exact
-    degenerate [v, v] ranges for their column."""
-    stats = add.get("stats") or {}
-    part = add.get("partition") or {}
-    if not stats and not part:
-        return True
-    for col, (slo, shi) in bounds.items():
-        st = stats.get(col)
-        if not st and col in part and part[col] is not None:
-            st = {"min": part[col], "max": part[col]}
-        if not st:
-            continue
-        flo = _coerced(st.get("min"), slo)
-        fhi = _coerced(st.get("max"), shi)
-        if flo is None or fhi is None:
-            continue
-        try:
-            if fhi < slo or flo > shi:
-                return False
-        except TypeError:
-            continue
-    return True
-
-
 def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
                 keys: list[str],
                 update_set: dict[str, Column] | str | None,
@@ -1493,8 +1613,7 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
     if base_version == 0:
         raise FileNotFoundError(f"{table_path} has no commit log")
     root = table_path.rstrip("/")
-    adds_live = snapshot_adds(spark, table_path)
-    files = [f"{root}/{a['path']}" for a in adds_live]
+    files = snapshot_files(spark, table_path)
     # union schema so merges work on schema-evolved tables (files
     # written before a column existed read as NULL); RENAME/DROP
     # COLUMN events map the raw vintages onto the logical schema and
@@ -1519,16 +1638,19 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
     bounds = {k: (bnd[f"_n_{i}"], bnd[f"_x_{i}"])
               for i, k in enumerate(keys)
               if bnd[f"_n_{i}"] is not None}
-    candidates = ([a for a in adds_live if _stats_may_match(a, bounds)]
+    # pruned_candidate_files dispatches: driver-side JSON loop for
+    # small tables, one Spark filter job over the parquet checkpoint's
+    # add-action table for big ones (stats never cross to the driver)
+    candidates = (pruned_candidate_files(spark, table_path, bounds)
                   if bounds else [])
-    n_stat_pruned = len(adds_live) - len(candidates)
+    n_stat_pruned = len(files) - len(candidates)
 
     # reconnaissance: which candidate files contain a matched key?
     # The scan is pruned to (keys, _metadata) — exact file-level
     # pruning over the stat-surviving files only.
     touched: list[str] = []
     if candidates:
-        cand_paths = [f"{root}/{a['path']}" for a in candidates]
+        cand_paths = [f"{root}/{p}" for p in candidates]
         touched_rows = (spark.read.option("mergeSchema", "true")
                         .schema(target.schema).parquet(*cand_paths)
                         .select(*keys,
@@ -1626,16 +1748,43 @@ def vacuum(spark: SparkSession, table_path: str,
     root = table_path.rstrip("/")
     live = {_rel_path(f, root)
             for f in snapshot_files(spark, table_path)}
+    dv_live = set(_dv_rels(spark, table_path))
     for doc in _commits(spark, table_path):
         if doc.get("_txn") == "pending":
             live.update(a["path"] for a in doc.get("add", []))
+            if "dv_add" in doc:
+                dv_live.add(doc["dv_add"])
     deleted = []
     for rel, p in _data_files_on_disk(fs, jvm, root):
         if rel not in live:
             if not dry_run:
                 fs.delete(p, False)
             deleted.append(rel)
+    deleted.extend(_reap_dv_files(fs, jvm, root, dv_live, dry_run))
     return sorted(deleted)
+
+
+def _reap_dv_files(fs, jvm, root: str, retained_rels: set[str],
+                   dry_run: bool = False) -> list[str]:
+    """Delete deletion-vector sidecars under ``_dv/`` referenced by no
+    retained snapshot (``_data_files_on_disk`` skips underscore dirs
+    by design, so maintenance reaps them through this dedicated pass).
+    Returns the reaped relative paths."""
+    Path = jvm.org.apache.hadoop.fs.Path
+    dv_dir = Path(f"{root}/{_DV_DIR}")
+    removed: list[str] = []
+    if not fs.exists(dv_dir):
+        return removed
+    for st in fs.listStatus(dv_dir):
+        name = st.getPath().getName()
+        if not name.endswith(".parquet") or name.startswith("."):
+            continue
+        rel = f"{_DV_DIR}/{name}"
+        if rel not in retained_rels:
+            if not dry_run:
+                fs.delete(st.getPath(), False)
+            removed.append(rel)
+    return removed
 
 
 def _data_files_on_disk(fs, jvm, root: str):
@@ -1665,21 +1814,31 @@ def _file_rows(spark: SparkSession, table_path: str) -> dict[str, int | None]:
     """Per-file row counts for the LATEST snapshot, from the commit
     log's add-action stats (None when a file was added without
     stats)."""
-    rows: dict[str, int | None] = {}
-    for doc in _commits(spark, table_path):
-        for a in doc.get("add", []):
-            rows[a["path"]] = a.get("rows")
-    root = table_path.rstrip("/")
-    live = {_rel_path(f, root)
-            for f in snapshot_files(spark, table_path)}
-    return {p: n for p, n in rows.items() if p in live}
+    return {a["path"]: a.get("rows")
+            for a in snapshot_adds(spark, table_path)}
+
+
+def dv_debt(spark: SparkSession, table_path: str) -> dict:
+    """The table's merge-on-read debt: live deletion-vector rows vs
+    live physical rows (every read pays one anti-join while debt > 0).
+    Computed from the commit log alone — ``dv_rows`` is recorded next
+    to every ``dv_add``, so no sidecar is opened."""
+    commits = _commits(spark, table_path)
+    rows_by_rel = {d["dv_add"]: d.get("dv_rows", 0) for d in commits
+                   if not _invisible(d) and "dv_add" in d}
+    dv_rows = sum(rows_by_rel.get(r, 0)
+                  for r in _dv_rels(spark, table_path))
+    phys = sum(a.get("rows") or 0 for a in snapshot_adds(spark, table_path))
+    return {"dv_rows": dv_rows, "physical_rows": phys,
+            "fraction": (dv_rows / phys) if phys else 0.0}
 
 
 def compact(spark: SparkSession, table_path: str,
             target_rows: int = 1_000_000,
             sort_by: str | None = None,
             zorder_by: list[str] | None = None,
-            max_retries: int = 2) -> dict:
+            max_retries: int = 2,
+            if_dv_fraction_over: float | None = None) -> dict:
     """OPTIMIZE: bin-pack the snapshot's small files into
     ~``target_rows``-row files, committed as one atomic ``compact``
     action (adds the packed files, removes the smalls). Data content
@@ -1704,20 +1863,63 @@ def compact(spark: SparkSession, table_path: str,
     proportional to bytes rewritten, and the file-level commit makes
     it safe to run concurrently with MERGE (a racing commit triggers
     a retry against the fresh snapshot).
+
+    Deletion-vector purge: candidates additionally include every live
+    file a live DV references (regardless of size — a MOR delete
+    against a big packed file must still be materializable), the
+    rewrite applies the overlay, and the commit RESTATES
+    ``dv_files: []`` so the sidecars leave the log (and become
+    reapable by :func:`vacuum` / :func:`expire_snapshots`).
+
+    ``if_dv_fraction_over`` turns the call into the MOR maintenance
+    trigger: compaction runs only when live DV rows exceed that
+    fraction of live physical rows (see :func:`dv_debt`); below the
+    threshold the table is untouched and the no-op stats carry the
+    measured fraction.
     """
     candidates_of: dict = {}
     for attempt in range(max_retries + 1):
         base_version = current_version(spark, table_path)
         if base_version == 0:
             raise FileNotFoundError(f"{table_path} has no commit log")
+        if if_dv_fraction_over is not None:
+            debt = dv_debt(spark, table_path)
+            if debt["fraction"] <= if_dv_fraction_over:
+                return {"version": base_version, "n_files_compacted": 0,
+                        "n_files_added": 0,
+                        "dv_fraction": debt["fraction"],
+                        "triggered": False}
+        root = table_path.rstrip("/")
         stats = _file_rows(spark, table_path)
-        candidates = sorted(p for p, n in stats.items()
-                            if n is None or n < target_rows)
-        if len(candidates) < 2:
+        cand_set = {p for p, n in stats.items()
+                    if n is None or n < target_rows}
+        dv_live = _dv_rels(spark, table_path)
+        if dv_live:
+            dv_base = {r["f"] for r in
+                       spark.read.parquet(*[f"{root}/{r}" for r in dv_live])
+                       .select("f").distinct().collect()}
+            by_base = {p.rsplit("/", 1)[-1]: p for p in stats}
+            cand_set |= {by_base[b] for b in dv_base if b in by_base}
+        candidates = sorted(cand_set)
+        if not candidates or (len(candidates) < 2 and not dv_live):
+            if dv_live and not candidates:
+                # only dead DV entries remain (their files already left
+                # the snapshot): drop the sidecars from the log with a
+                # metadata-only commit so maintenance can reap them
+                try:
+                    _write_commit(spark, table_path, base_version + 1,
+                                  {"version": base_version + 1,
+                                   "op": "compact", "add": [],
+                                   "remove": [], "dv_files": []})
+                except CommitConflictError:
+                    if attempt == max_retries:
+                        raise
+                    continue
+                return {"version": base_version + 1,
+                        "n_files_compacted": 0, "n_files_added": 0}
             return {"version": base_version, "n_files_compacted": 0,
                     "n_files_added": 0}
         candidates_of[attempt] = candidates
-        root = table_path.rstrip("/")
         events = _schema_events(spark, table_path)
         reader = spark.read
         if events:
@@ -1793,6 +1995,11 @@ def compact(spark: SparkSession, table_path: str,
                                      spark, table_path))
         doc = {"version": base_version + 1, "op": "compact",
                "add": adds, "remove": candidates}
+        if dv_live:
+            # every DV-referenced live file was rewritten with the
+            # overlay applied: the vectors are materialized, restate
+            # the (now empty) sidecar set
+            doc["dv_files"] = []
         try:
             _write_commit(spark, table_path, base_version + 1, doc)
         except CommitConflictError:
@@ -1808,7 +2015,15 @@ def compact(spark: SparkSession, table_path: str,
 def snapshot_adds(spark: SparkSession, table_path: str,
                   version: int | None = None) -> list[dict]:
     """Live add-actions (with their recorded stats) at ``version`` —
-    same replay as :func:`snapshot_files` but stats-preserving."""
+    same replay as :func:`snapshot_files` but stats-preserving.
+
+    NOTE: on a parquet-checkpointed table this MATERIALIZES the full
+    add list (stats and Bloom lanes included) on the driver — it is
+    the compatibility path for operations that genuinely need every
+    action (DESCRIBE, RESTORE's inline re-add). The pruning hot paths
+    go through :func:`_adds_df_at` / :func:`pruned_candidate_files`
+    and never pay this."""
+    from . import lakehouse_meta as meta
     live: dict[str, dict] = {}
     for doc in _commits(spark, table_path):
         if version is not None and doc["version"] > version:
@@ -1816,7 +2031,10 @@ def snapshot_adds(spark: SparkSession, table_path: str,
         if _invisible(doc):
             continue  # undecided/aborted multi-table txn: no-op slot
         if doc.get("op") == "checkpoint":
-            live = {}  # full-state reset — see snapshot_files
+            live = ({a["path"]: a for a in meta.rows_to_adds(
+                        _ckpt_adds_df(spark, table_path, doc).collect())}
+                    if doc.get("adds_parquet")
+                    else {})  # full-state reset — see snapshot_files
         for r in doc.get("remove", []):
             live.pop(r, None)
         for a in doc.get("add", []):
@@ -1917,6 +2135,20 @@ def pruned_candidate_files(spark: SparkSession, table_path: str,
                          "range ({column: (lo, hi)}) or equality "
                          "({column: value}) predicate")
     ranges = {**preds, **{c: (v, v) for c, v in eq.items()}}
+    # legacy min_key/max_key fields describe the FIRST key column —
+    # recover its name from the log so the fallback can never apply
+    # another column's probe to the wrong range (which would prune
+    # files that DO contain matches)
+    tkeys = _table_keys(spark, table_path)
+    legacy_col = tkeys[0] if tkeys else None
+    adds_df = _adds_df_at(spark, table_path, version)
+    if adds_df is not None:
+        # parquet-checkpointed table: stat + Bloom pruning runs as ONE
+        # Spark filter job over the add-action table — only surviving
+        # paths return to the driver (at 10^5-10^6 files the stats and
+        # Bloom lanes never leave the executors)
+        from . import lakehouse_meta as meta
+        return meta.spark_prune(adds_df, ranges, eq, legacy_col)
     adds = snapshot_adds(spark, table_path, version)
     keep = []
     for a in adds:
@@ -1928,13 +2160,13 @@ def pruned_candidate_files(spark: SparkSession, table_path: str,
                 # partition value: exact, single-valued — the
                 # strongest possible per-file stat for this column
                 st = {"min": part[col], "max": part[col]}
-            if (st is None and not a.get("stats")
+            if (st is None and not a.get("stats") and col == legacy_col
                     and "min_key" in a and "max_key" in a):
                 # legacy single-key stats (pre-per-column logs): they
-                # describe the FIRST key column only, so use them only
-                # when the add-action has no per-column stats AT ALL
-                # (the caller contract from read_table_pruned: pass
-                # the first key column against such logs)
+                # describe the FIRST key column only, so they apply
+                # only when the probed column IS that key (verified
+                # against the log's declared keys, not a docstring
+                # contract) and the add-action has no per-column stats
                 st = {"min": a["min_key"], "max": a["max_key"]}
             if st is None:
                 continue  # no stats for this column: can't skip on it
@@ -2122,7 +2354,8 @@ def read_changes(spark: SparkSession, table_path: str,
 
 
 def expire_snapshots(spark: SparkSession, table_path: str,
-                     keep_last: int = 1) -> dict:
+                     keep_last: int = 1,
+                     checkpoint_format: str = "auto") -> dict:
     """Iceberg-style snapshot expiration — the retention half of the
     maintenance pair (compact = layout, expire = history): at 100 TB
     the pre-image files of every MERGE/OPTIMIZE accumulate forever
@@ -2153,9 +2386,23 @@ def expire_snapshots(spark: SparkSession, table_path: str,
     the cutoff, and a WAP writer's staged files live under
     ``.staged-*/`` subdirectories this function never scans — but a
     second concurrent expire is not.
+
+    ``checkpoint_format``: ``"json"`` inlines the live add-list in the
+    checkpoint doc (fastest at 10²-10³ files); ``"parquet"`` writes it
+    as an add-action TABLE (``<cutoff>.checkpoint-data.parquet``, see
+    :mod:`lakehouse_meta`) so replay and stat/Bloom pruning run as
+    Spark jobs — the 10⁵-10⁶-file shape where a driver-parsed JSON
+    checkpoint is the bottleneck. ``"auto"`` (default) picks parquet
+    at ``lakehouse_meta.PARQUET_CHECKPOINT_MIN_FILES`` live files.
+    When the PRIOR checkpoint was parquet, the new one is built
+    "checkpoint-as-DataFrame + JSON tail" — the full add list never
+    materializes on the driver.
     """
     if keep_last < 1:
         raise ValueError("expire_snapshots: keep_last must be >= 1")
+    if checkpoint_format not in ("auto", "json", "parquet"):
+        raise ValueError("expire_snapshots: checkpoint_format must be "
+                         "auto | json | parquet")
     fs, jvm = _fs(spark, table_path)
     Path = jvm.org.apache.hadoop.fs.Path
     commits = _commits(spark, table_path)
@@ -2182,53 +2429,87 @@ def expire_snapshots(spark: SparkSession, table_path: str,
                 "files_removed": []}
 
     # 1. checkpoint the cutoff version (full live add-list + keys)
-    live_adds = snapshot_adds(spark, table_path, version=cutoff)
-    keys = next((d.get("keys", []) for d in reversed(commits)
-                 if d.get("keys")), [])
-    doc = {"version": cutoff, "op": "checkpoint", "add": live_adds,
-           "remove": [], "keys": keys,
-           "bloom_cols": _table_bloom_cols(spark, table_path),
-           "partition_by": _table_partition_cols(spark, table_path),
-           "constraints": table_constraints(spark, table_path),
-           "schema_events": _schema_events(spark, table_path,
-                                           version=cutoff),
-           "dv_files": _dv_rels(spark, table_path, version=cutoff)}
-    orig_ts = next((c.get("ts") for c in commits
-                    if c["version"] == cutoff), None)
-    if orig_ts is not None:
-        # the checkpoint REPLACES the cutoff commit in replay — keep
-        # its original wall-clock so TIMESTAMP AS OF stays stable
-        doc["ts"] = orig_ts
-    # durable install: write the checkpoint to a temp name, then
-    # rename to the DISTINCT `<cutoff>.checkpoint.json` final name.
-    # The plain `<cutoff>.json` commit is never touched until the
-    # checkpoint is durably in place (readers prefer the checkpoint
-    # and reset replay at it), so a crash at any point leaves a log
-    # that replays to the correct snapshot — never a hole.
-    log_dir = f"{table_path.rstrip('/')}/{_LOG_DIR}"
-    tmp_ckpt = Path(f"{log_dir}/.ckpt-{uuid.uuid4().hex}")
-    stream = fs.create(tmp_ckpt, False)
-    try:
-        stream.write(bytearray(json.dumps(doc, sort_keys=True)
-                               .encode("utf-8")))
-    finally:
-        stream.close()
+    from . import lakehouse_meta as meta
+    root = table_path.rstrip("/")
+    log_dir = f"{root}/{_LOG_DIR}"
     dest = Path(_ckpt_path(table_path, cutoff))
-    if fs.exists(dest):
-        # a prior crashed run already installed this checkpoint; its
-        # content is the same deterministic replay-to-cutoff, so
-        # reuse it rather than opening a delete-then-rename window
-        fs.delete(tmp_ckpt, False)
-    elif not fs.rename(tmp_ckpt, dest):
-        fs.delete(tmp_ckpt, False)
-        raise IOError(f"expire_snapshots: failed to install checkpoint "
-                      f"for version {cutoff}")
+    if not fs.exists(dest):
+        # (when dest exists a prior crashed run already installed this
+        # checkpoint; its content is the same deterministic
+        # replay-to-cutoff, so reuse it rather than opening a
+        # delete-then-rename window)
+        adds_df = _adds_df_at(spark, table_path, version=cutoff)
+        live_adds = (None if adds_df is not None
+                     else snapshot_adds(spark, table_path, version=cutoff))
+        n_live = (adds_df.count() if adds_df is not None
+                  else len(live_adds))
+        use_parquet = (checkpoint_format == "parquet"
+                       or (checkpoint_format == "auto"
+                           and n_live >= meta.PARQUET_CHECKPOINT_MIN_FILES))
+        keys = next((d.get("keys", []) for d in reversed(commits)
+                     if d.get("keys")), [])
+        doc = {"version": cutoff, "op": "checkpoint",
+               "remove": [], "keys": keys,
+               "bloom_cols": _table_bloom_cols(spark, table_path),
+               "partition_by": _table_partition_cols(spark, table_path),
+               "constraints": table_constraints(spark, table_path),
+               "schema_events": _schema_events(spark, table_path,
+                                               version=cutoff),
+               "dv_files": _dv_rels(spark, table_path, version=cutoff)}
+        orig_ts = next((c.get("ts") for c in commits
+                        if c["version"] == cutoff), None)
+        if orig_ts is not None:
+            # the checkpoint REPLACES the cutoff commit in replay — keep
+            # its original wall-clock so TIMESTAMP AS OF stays stable
+            doc["ts"] = orig_ts
+        if use_parquet:
+            # the add-action TABLE: built DataFrame-native when the
+            # prior checkpoint was already parquet, else projected from
+            # the driver-held list. Written to a temp dir + renamed;
+            # the JSON doc (the actual commit point) lands only after
+            # the data dir is durably in place.
+            df = (adds_df if adds_df is not None
+                  else meta.adds_to_df(spark, live_adds))
+            data_rel = _ckpt_data_rel(cutoff)
+            data_dest = Path(f"{root}/{data_rel}")
+            tmp_data = f"{log_dir}/.ckptdata-{uuid.uuid4().hex}"
+            df.write.mode("overwrite").parquet(tmp_data)
+            if fs.exists(data_dest):
+                fs.delete(data_dest, True)  # stale dir of a crashed run
+            if not fs.rename(Path(tmp_data), data_dest):
+                fs.delete(Path(tmp_data), True)
+                raise IOError("expire_snapshots: failed to install "
+                              f"checkpoint data for version {cutoff}")
+            doc["add"] = []
+            doc["adds_parquet"] = data_rel
+        else:
+            doc["add"] = (live_adds if live_adds is not None
+                          else meta.rows_to_adds(adds_df.collect()))
+        # durable install: write the checkpoint to a temp name, then
+        # rename to the DISTINCT `<cutoff>.checkpoint.json` final name.
+        # The plain `<cutoff>.json` commit is never touched until the
+        # checkpoint is durably in place (readers prefer the checkpoint
+        # and reset replay at it), so a crash at any point leaves a log
+        # that replays to the correct snapshot — never a hole.
+        tmp_ckpt = Path(f"{log_dir}/.ckpt-{uuid.uuid4().hex}")
+        stream = fs.create(tmp_ckpt, False)
+        try:
+            stream.write(bytearray(json.dumps(doc, sort_keys=True)
+                                   .encode("utf-8")))
+        finally:
+            stream.close()
+        if not fs.rename(tmp_ckpt, dest):
+            fs.delete(tmp_ckpt, False)
+            raise IOError(f"expire_snapshots: failed to install "
+                          f"checkpoint for version {cutoff}")
 
     # 2. drop the now-shadowed plain commit and the expired prefix
+    # (including any expired version's checkpoint doc + parquet data)
     fs.delete(Path(_log_path(table_path, cutoff)), False)
     for v in expired:
         fs.delete(Path(_log_path(table_path, v)), False)
         fs.delete(Path(_ckpt_path(table_path, v)), False)
+        fs.delete(Path(f"{root}/{_ckpt_data_rel(v)}"), True)
 
     # 3. delete data files no kept version references (files added by
     # a still-PENDING multi-table txn are in no snapshot yet but may
@@ -2246,6 +2527,14 @@ def expire_snapshots(spark: SparkSession, table_path: str,
         if rel not in retained:
             fs.delete(p, False)
             removed.append(rel)
+    # deletion-vector sidecars referenced by no kept version go too
+    retained_dv: set[str] = set()
+    for v in kept:
+        retained_dv.update(_dv_rels(spark, table_path, version=v))
+    for doc in _commits(spark, table_path):
+        if doc.get("_txn") == "pending" and "dv_add" in doc:
+            retained_dv.add(doc["dv_add"])
+    removed.extend(_reap_dv_files(fs, jvm, root, retained_dv))
     return {"expired_versions": expired, "kept_versions": kept,
             "files_removed": sorted(removed)}
 
@@ -2280,7 +2569,11 @@ def stage_append(spark: SparkSession, table_path: str, df: DataFrame,
     v = current_version(spark, table_path)
     if v == 0:
         raise FileNotFoundError(f"{table_path} has no commit log")
+    _guard_retired_names(spark, table_path, df.columns,
+                         f"stage_append on {table_path}")
     staged_dir = f".staged-{uuid.uuid4().hex}"
+    if keys is None:
+        keys = _table_keys(spark, table_path)
     adds = _write_data_files(spark, table_path, df, keys or [],
                              subdir=staged_dir,
                              partition_cols=_table_partition_cols(

@@ -1474,3 +1474,209 @@ def test_mor_merge_insert_only_and_noop(table, spark):
                          mode="mor")
     assert res2["n_rows_modified"] == 0
     assert LH.current_version(spark, table) == v
+
+
+# ---------------------------------------------------------------------------
+# Round-5 hardening: restore×DV, retired column names, DV sidecar GC,
+# legacy-stat fallback column guard, MOR maintenance trigger
+# ---------------------------------------------------------------------------
+
+
+def _dv_on_disk(path):
+    dv_dir = os.path.join(path, "_dv")
+    if not os.path.isdir(dv_dir):
+        return []
+    return sorted(n for n in os.listdir(dv_dir) if n.endswith(".parquet"))
+
+
+def test_restore_across_mor_delete_resurrects_rows(table, spark):
+    """ADVICE r4 (high): restoring to a pre-MOR version must restate
+    that version's (empty) DV state — the rows come back."""
+    v1 = LH.current_version(spark, table)                     # 3
+    LH.delete_where(spark, table, F.col("k") % 2 == 1, mode="mor")
+    assert LH.read_table(spark, table).count() == 3
+    res = LH.restore_table(spark, table, v1)
+    assert res["restored_version"] == v1
+    # every MOR-deleted row is back with its original value
+    assert _rows(LH.read_table(spark, table)) == [
+        (1, 10, "a"), (2, 20, "a"), (11, 110, "b"),
+        (12, 120, "b"), (21, 210, "c"), (22, 220, "c")]
+    # live DV state is empty again; debt is zero
+    assert LH.describe_table(spark, table)["n_dv_deleted_rows"] == 0
+    # and the restore is itself restorable: back to the deleted state
+    LH.restore_table(spark, table, v1 + 1)
+    assert _rows(LH.read_table(spark, table)) == [
+        (2, 20, "a"), (12, 120, "b"), (22, 220, "c")]
+
+
+def test_restore_across_mor_update_keeps_preimages(table, spark):
+    """The exact ADVICE repro shape: MOR update, then restore to the
+    pre-update version — originals visible, post-images gone."""
+    v1 = LH.current_version(spark, table)
+    LH.update_where(spark, table, "v >= 110", {"v": "v + 1"}, mode="mor")
+    assert sorted(r["v"] for r in
+                  LH.read_table(spark, table).collect()) == [
+        10, 20, 111, 121, 211, 221]
+    LH.restore_table(spark, table, v1)
+    assert _rows(LH.read_table(spark, table)) == [
+        (1, 10, "a"), (2, 20, "a"), (11, 110, "b"),
+        (12, 120, "b"), (21, 210, "c"), (22, 220, "c")]
+
+
+def test_retired_column_names_are_rejected_on_write(table, spark):
+    """ADVICE r4 (medium): event replay is by physical name, so a
+    write reintroducing a renamed-from/dropped name must be refused —
+    otherwise the new column is silently coalesced/dropped on read."""
+    LH.rename_column(spark, table, "v", "val")
+    LH.drop_column(spark, table, "tag")
+    # reintroducing either name via append is refused, nothing commits
+    v = LH.current_version(spark, table)
+    with pytest.raises(ValueError, match="retired"):
+        LH.append_table(spark, table,
+                        _mk(spark, [dict(k=90, val=9, v=1)]))
+    with pytest.raises(ValueError, match="retired"):
+        LH.append_table(spark, table,
+                        _mk(spark, [dict(k=90, val=9, tag="x")]))
+    assert LH.current_version(spark, table) == v
+    # ... via WAP staging too
+    with pytest.raises(ValueError, match="retired"):
+        LH.stage_append(spark, table,
+                        _mk(spark, [dict(k=91, val=9, v=2)]))
+    # renaming TO a retired name is refused (an EARLIER event would
+    # capture the new physical name on replay)
+    with pytest.raises(ValueError, match="retired"):
+        LH.rename_column(spark, table, "val", "tag")
+    # the current logical columns still append fine
+    LH.append_table(spark, table, _mk(spark, [dict(k=90, val=9)]))
+    got = LH.read_table(spark, table, merge_schema=True)
+    assert got.filter("k = 90").collect()[0]["val"] == 9
+
+
+def test_dv_sidecars_reaped_after_purge(table, spark):
+    """ADVICE r4 (low): OPTIMIZE materializes the vectors away AND
+    drops them from the log, so vacuum can reap the sidecar files."""
+    LH.delete_where(spark, table, F.col("k") == 11, mode="mor")
+    LH.delete_where(spark, table, F.col("k") == 21, mode="mor")
+    assert len(_dv_on_disk(table)) == 2
+    LH.compact(spark, table, target_rows=100)
+    # the log no longer references any sidecar...
+    assert LH.describe_table(spark, table)["n_dv_files"] == 0
+    assert LH.describe_table(spark, table)["n_dv_deleted_rows"] == 0
+    # ...but the files stay on disk until maintenance (time travel to
+    # pre-compaction versions still overlays them)
+    assert len(_dv_on_disk(table)) == 2
+    assert LH.read_table(
+        spark, table,
+        version=LH.current_version(spark, table) - 1).count() == 4
+    reaped = LH.vacuum(spark, table)
+    assert [r for r in reaped if r.startswith("_dv/")]
+    assert _dv_on_disk(table) == []
+    assert _rows(LH.read_table(spark, table)) == [
+        (1, 10, "a"), (2, 20, "a"), (12, 120, "b"), (22, 220, "c")]
+
+
+def test_compact_purges_dv_on_big_files_too(tmp_path, spark):
+    """A live DV referencing a file LARGER than target_rows is still
+    materialized: the file joins the rewrite set regardless of size."""
+    path = str(tmp_path / "big")
+    rows = [dict(k=i, v=i * 10, tag="x") for i in range(50)]
+    LH.create_table(spark, path, _mk(spark, rows).coalesce(1), ["k"])
+    LH.delete_where(spark, path, "k < 5", mode="mor")
+    # target_rows=10 → the 50-row file is NOT a size candidate
+    stats = LH.compact(spark, path, target_rows=10)
+    assert stats["n_files_compacted"] == 1
+    assert LH.describe_table(spark, path)["n_dv_files"] == 0
+    assert LH.read_table(spark, path).count() == 45
+    assert sorted(r["k"] for r in
+                  LH.read_table(spark, path).collect())[0] == 5
+
+
+def test_expire_reaps_dv_of_expired_versions(table, spark):
+    LH.delete_where(spark, table, F.col("k") == 11, mode="mor")
+    v1 = LH.current_version(spark, table)
+    LH.restore_table(spark, table, v1 - 1)   # DV state re-pointed empty
+    assert len(_dv_on_disk(table)) == 1
+    res = LH.expire_snapshots(spark, table, keep_last=1)
+    # the only kept version references no DV → sidecar reaped
+    assert [r for r in res["files_removed"] if r.startswith("_dv/")]
+    assert _dv_on_disk(table) == []
+    assert LH.read_table(spark, table).count() == 6
+
+
+def test_mor_conflict_does_not_leak_sidecar(table, spark, monkeypatch):
+    """ADVICE r4 (low): a MOR writer that loses the commit race must
+    delete the sidecar it wrote ahead of the commit."""
+    real = LH._write_commit
+    calls = {"n": 0}
+
+    def flaky(spark_, table_path, version, doc):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise LH.CommitConflictError("simulated race")
+        return real(spark_, table_path, version, doc)
+
+    monkeypatch.setattr(LH, "_write_commit", flaky)
+    res = LH.delete_where(spark, table, F.col("k") == 1, mode="mor")
+    assert res["n_rows_deleted"] == 1
+    # exactly ONE sidecar on disk: the loser's was cleaned up
+    assert len(_dv_on_disk(table)) == 1
+    assert LH.read_table(spark, table).count() == 5
+
+
+def test_legacy_stat_fallback_only_for_first_key(tmp_path, spark):
+    """ADVICE r4 (low): on a pre-per-column log (min_key/max_key only),
+    probing a NON-key column must not prune with the key's range."""
+    import glob
+    import json as _json
+    path = str(tmp_path / "legacy")
+    # two files: k 0-9 (v 1000-1009) and k 100-109 (v 0-9)
+    LH.create_table(spark, path, _mk(
+        spark, [dict(k=i, v=1000 + i) for i in range(10)]).coalesce(1),
+        ["k"])
+    LH.append_table(spark, path, _mk(
+        spark, [dict(k=100 + i, v=i) for i in range(10)]).coalesce(1))
+    # doctor the log into the legacy shape: strip per-column stats
+    # (and drop Hadoop's local-FS .crc sidecars, stale after the edit)
+    for log in glob.glob(os.path.join(path, "_log", "*.json")):
+        doc = _json.loads(open(log).read())
+        for a in doc.get("add", []):
+            a.pop("stats", None)
+        open(log, "w").write(_json.dumps(doc))
+    for crc in glob.glob(os.path.join(path, "_log", ".*.crc")):
+        os.remove(crc)
+    # probing v with a range that matches ONLY file 2 (v 0-9, k 100+):
+    # the wrong-column fallback would compare v's probe against k's
+    # range [100, 109] and prune the matching file
+    keep = LH.pruned_candidate_files(spark, path, {"v": (0, 9)})
+    assert len(keep) == 2            # conservative: no stats for v
+    got = LH.read_table_pruned(spark, path, "v", 0, 9)
+    assert got.count() == 10
+    # the first key column still prunes through the legacy fields
+    keep_k = LH.pruned_candidate_files(spark, path, {"k": (0, 9)})
+    assert len(keep_k) == 1
+
+
+def test_compact_if_dv_fraction_trigger(table, spark):
+    """Verdict r4 #2: auto-compaction fires only past the DV-debt
+    threshold; below it the table is untouched (mtime-proven)."""
+    LH.delete_where(spark, table, F.col("k") == 11, mode="mor")  # 1/6
+    files = set(LH.snapshot_files(spark, table))
+    mtimes = {f: os.path.getmtime(f.replace("file:", "")) for f in files}
+    d = LH.dv_debt(spark, table)
+    assert d["dv_rows"] == 1 and d["physical_rows"] == 6
+    # below threshold: nothing happens
+    res = LH.compact(spark, table, target_rows=100,
+                     if_dv_fraction_over=0.5)
+    assert res["triggered"] is False and res["n_files_compacted"] == 0
+    assert set(LH.snapshot_files(spark, table)) == files
+    for f, m in mtimes.items():
+        assert os.path.getmtime(f.replace("file:", "")) == m
+    # push debt over the threshold → maintenance fires and clears it
+    LH.delete_where(spark, table, F.col("k").isin(1, 21, 22), mode="mor")
+    assert LH.dv_debt(spark, table)["fraction"] > 0.5
+    res2 = LH.compact(spark, table, target_rows=100,
+                      if_dv_fraction_over=0.5)
+    assert res2["n_files_compacted"] == 3
+    assert LH.dv_debt(spark, table)["dv_rows"] == 0
+    assert _rows(LH.read_table(spark, table)) == [
+        (2, 20, "a"), (12, 120, "b")]

@@ -1,0 +1,180 @@
+"""Distributed metadata plane (parquet checkpoints + Spark-side
+stat/Bloom pruning): replay correctness, agreement with the
+driver-side JSON pruner, and the no-driver-materialization guarantee
+— point lookups and MERGE reconnaissance on a several-hundred-file
+table must never pull the full add-action list (stats + Bloom lanes)
+through ``snapshot_adds``."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from luma_etl_data_platform_spark.sources import lakehouse as LH
+from luma_etl_data_platform_spark.sources import lakehouse_meta as meta
+
+N_FILES = 300
+ROWS_PER_FILE = 4
+
+
+@pytest.fixture(scope="module")
+def big_table(tmp_path_factory, spark):
+    """A ~300-file table (per-file k/v stats, Bloom on u) whose
+    checkpoint is parquet-format."""
+    path = str(tmp_path_factory.mktemp("meta") / "big")
+    n = N_FILES * ROWS_PER_FILE
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        F.concat(F.lit("u-"), F.col("id")).alias("u"))
+    LH.create_table(
+        spark, path,
+        df.repartitionByRange(N_FILES, "k").sortWithinPartitions("k"),
+        ["k"], bloom_cols=["u"])
+    LH.append_table(spark, path, spark.range(n, n + 4).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.concat(F.lit("u-"), F.col("id")).alias("u")).coalesce(1))
+    LH.expire_snapshots(spark, path, keep_last=1,
+                        checkpoint_format="parquet")
+    return path
+
+
+def _no_materialize(monkeypatch):
+    def boom(*a, **k):
+        raise AssertionError(
+            "snapshot_adds materialized the full add list on the "
+            "driver — the parquet-checkpoint path must not")
+    monkeypatch.setattr(LH, "snapshot_adds", boom)
+
+
+def test_parquet_checkpoint_layout_and_replay(big_table, spark):
+    ckpts = [f for f in os.listdir(os.path.join(big_table, "_log"))
+             if f.endswith(".checkpoint.json")]
+    assert len(ckpts) == 1
+    doc = json.loads(open(os.path.join(big_table, "_log", ckpts[0])).read())
+    # the doc carries NO inline add list — just the table pointer
+    assert doc["add"] == [] and doc["adds_parquet"].endswith(
+        ".checkpoint-data.parquet")
+    assert os.path.isdir(os.path.join(big_table, doc["adds_parquet"]))
+    files = LH.snapshot_files(spark, big_table)
+    assert len(files) >= N_FILES
+    total = N_FILES * ROWS_PER_FILE + 4
+    assert LH.read_table(spark, big_table).count() == total
+    # stats survive the parquet round-trip losslessly (an empty
+    # range partition legitimately has no stats row — exclude those)
+    adds = LH.snapshot_adds(spark, big_table)
+    assert all("stats" in a and "blooms" in a
+               for a in adds if a.get("rows"))
+    assert sum(a.get("rows") or 0 for a in adds) == total
+
+
+def test_point_lookup_is_spark_pruned_no_driver_list(
+        big_table, spark, monkeypatch):
+    _no_materialize(monkeypatch)
+    # range pruning: one k lives in exactly one range-clustered file
+    keep = LH.pruned_candidate_files(spark, big_table, {"k": (42, 42)})
+    assert 1 <= len(keep) <= 2
+    got = LH.read_table_pruned(spark, big_table, "k", 42, 42).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(42, 420)]
+    # Bloom pruning: min/max can't skip an unsorted high-card string,
+    # the per-file filters can — expected opens = 1 + FP rate × files
+    keep_b = LH.pruned_candidate_files(spark, big_table, None,
+                                       eq={"u": "u-777"})
+    assert len(keep_b) < N_FILES / 5
+    got_b = LH.read_table_point_lookup(spark, big_table,
+                                       {"u": "u-777"}).collect()
+    assert [(r["k"], r["u"]) for r in got_b] == [(777, "u-777")]
+    # a value that is nowhere gets excluded by every filter
+    assert LH.read_table_point_lookup(
+        spark, big_table, {"u": "nope-123"}).count() == 0
+
+
+def test_spark_prune_agrees_with_driver_prune(big_table, spark,
+                                              monkeypatch):
+    probes = [({"k": (0, 40)}, None), ({"k": (500, 600)}, None),
+              ({"v": (1000, 1200)}, None), (None, {"u": "u-5"}),
+              ({"k": (0, 100)}, {"u": "u-50"})]
+    spark_res = [LH.pruned_candidate_files(spark, big_table, p, eq=e)
+                 for p, e in probes]
+    # force the driver-side JSON loop on the SAME snapshot
+    monkeypatch.setattr(LH, "_adds_df_at", lambda *a, **k: None)
+    driver_res = [LH.pruned_candidate_files(spark, big_table, p, eq=e)
+                  for p, e in probes]
+    assert spark_res == driver_res
+
+
+def test_merge_reconnaissance_spark_pruned(big_table, spark,
+                                           monkeypatch):
+    _no_materialize(monkeypatch)
+    # narrow source key envelope → stat pruning skips ~299 of 301
+    # files before the reconnaissance scan ever opens one
+    src = spark.createDataFrame(
+        [(7, -70, "u-7"), (9, -90, "u-9")], ["k", "v", "u"])
+    stats = LH.merge_into(spark, big_table, src, ["k"])
+    assert stats["n_files_stat_pruned"] >= N_FILES - 3
+    assert stats["n_files_rewritten"] <= 3
+    t = LH.read_table(spark, big_table)
+    assert t.filter("k = 7").collect()[0]["v"] == -70
+    assert t.filter("k = 9").collect()[0]["v"] == -90
+    # insert-only merge: envelope beyond every file's range → ALL
+    # files pruned, nothing opened, the insert still lands
+    src2 = spark.createDataFrame([(99999, -1, "u-new")],
+                                 ["k", "v", "u"])
+    stats2 = LH.merge_into(spark, big_table, src2, ["k"])
+    assert stats2["n_files_stat_pruned"] >= N_FILES
+    assert stats2["n_files_rewritten"] == 0
+    assert LH.read_table(spark, big_table).filter(
+        "k = 99999").count() == 1
+
+
+def test_chained_parquet_checkpoint_no_materialization(
+        big_table, spark, monkeypatch):
+    """A second expire on a parquet-checkpointed table builds the new
+    checkpoint DataFrame-native (prior parquet + JSON tail)."""
+    LH.append_table(spark, big_table, spark.createDataFrame(
+        [(200000, 1, "u-x")], ["k", "v", "u"]))
+    _no_materialize(monkeypatch)
+    before = LH.read_table(spark, big_table).count()
+    res = LH.expire_snapshots(spark, big_table, keep_last=1,
+                              checkpoint_format="parquet")
+    assert res["expired_versions"]
+    assert LH.read_table(spark, big_table).count() == before
+    assert LH.read_table(spark, big_table).filter(
+        "k = 200000").count() == 1
+    # pruning still runs Spark-side on the new checkpoint (a few
+    # files: the original range file plus the earlier merge test's
+    # rewrite output, whose k-span straddles the probe)
+    keep = LH.pruned_candidate_files(spark, big_table, {"k": (10, 11)})
+    assert 1 <= len(keep) <= 4
+    got = LH.read_table_pruned(spark, big_table, "k", 10, 11)
+    assert sorted(r["k"] for r in got.collect()) == [10, 11]
+
+
+def test_auto_format_keeps_json_for_small_tables(tmp_path, spark):
+    path = str(tmp_path / "small")
+    df = spark.createDataFrame([(i, i) for i in range(8)], ["k", "v"])
+    LH.create_table(spark, path, df.coalesce(1), ["k"])
+    LH.append_table(spark, path, df.coalesce(1))
+    LH.expire_snapshots(spark, path, keep_last=1)  # auto → json
+    ckpts = [f for f in os.listdir(os.path.join(path, "_log"))
+             if f.endswith(".checkpoint.json")]
+    doc = json.loads(open(os.path.join(path, "_log", ckpts[0])).read())
+    assert "adds_parquet" not in doc and len(doc["add"]) == 2
+    assert LH.read_table(spark, path).count() == 16
+
+
+def test_numeric_projection_is_sound_for_wide_int64(spark):
+    """float projection of int64 stats is ULP-widened: a boundary
+    probe can never be pruned away by rounding."""
+    big = (1 << 60) + 1  # not exactly representable as double
+    add = {"path": "p1", "rows": 1,
+           "stats": {"k": {"min": big, "max": big}}}
+    row = meta.add_to_row(add)
+    assert row["stats_min_num"]["k"] <= big <= row["stats_max_num"]["k"]
+    df = meta.adds_to_df(spark, [add])
+    assert meta.spark_prune(df, {"k": (big, big)}, {}, None) == ["p1"]
+    # and a far-away probe still prunes
+    assert meta.spark_prune(df, {"k": (0, 10)}, {}, None) == []
