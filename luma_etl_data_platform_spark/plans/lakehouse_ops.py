@@ -1433,6 +1433,86 @@ FROM orders WHERE o_orderkey % 5 <> 0
 """
 
 
+def lakehouse_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE under the gate: fork an orders table carrying a
+    merge-on-read delete into a zero-copy clone (ONE metadata commit —
+    ``clone_was_zero_copy`` asserts no data file lands under the clone
+    root and every source file keeps its mtime), then diverge both
+    sides: a copy-on-write UPDATE on the CLONE and a DELETE on the
+    SOURCE. Three phases are aggregated — the clone at fork time
+    (inherited files + inherited deletion vectors), the clone after
+    its own UPDATE (source rows untouched), and the source after its
+    own DELETE (clone rows untouched) — and must equal the relational
+    replay."""
+    import os as _os
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_clone_")
+    src, dst = f"{tmp}/orders_src", f"{tmp}/orders_clone"
+    orders = load_table(spark, sf_dir, "orders").select(*_COLS)
+    LH.create_table(spark, src, orders.repartition(6), ["o_orderkey"])
+    LH.delete_where(spark, src, "o_orderkey % 7 = 0", mode="mor")
+    src_files = [f.replace("file:", "")
+                 for f in LH.snapshot_files(spark, src)]
+    mtimes = {f: _os.path.getmtime(f) for f in src_files}
+    LH.clone_table(spark, src, dst)
+
+    def _agg(path: str, phase: str) -> DataFrame:
+        return (LH.read_table(spark, path)
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.round(F.sum(F.col("o_totalprice")
+                                   .cast("decimal(18,2)"))
+                             .cast("decimal(38,6)"), 2)
+                     .cast("double").alias("total_price"))
+                .withColumn("phase", F.lit(phase)))
+
+    at_fork = _agg(dst, "clone_at_fork")
+    # diverge: UPDATE on the clone, DELETE on the source
+    LH.update_where(spark, dst, "o_orderpriority = '1-URGENT'",
+                    {"o_totalprice": "o_totalprice + 5.0"})
+    LH.delete_where(spark, src, "o_orderkey % 5 = 0")
+    clone_after = _agg(dst, "clone_after_update")
+    src_after = _agg(src, "source_after_delete")
+    clone_data = [rel for rel, _p in LH._data_files_on_disk(
+        *LH._fs(spark, dst), dst)]
+    # the clone's own UPDATE wrote files under its root; zero-copy
+    # means the FORK itself wrote none — every inherited source file
+    # is byte-untouched and all pre-update clone reads used them
+    zero_copy = (all(_os.path.getmtime(f) == m for f, m in mtimes.items())
+                 and all("part-" in r for r in clone_data))
+    out = (at_fork.unionByName(clone_after).unionByName(src_after)
+           .withColumn("clone_was_zero_copy", F.lit(bool(zero_copy)))
+           .orderBy("phase").localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["lakehouse_shallow_clone"] = """
+WITH live AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+agg AS (
+  SELECT count(*) AS n_rows,
+         CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_price,
+         'clone_at_fork' AS phase
+  FROM live
+  UNION ALL
+  SELECT count(*),
+         CAST(round(CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                                       THEN o_totalprice + 5.0
+                                       ELSE o_totalprice END
+                              AS DECIMAL(18,2)))
+                         AS DECIMAL(38,6)), 2) AS DOUBLE),
+         'clone_after_update'
+  FROM live
+  UNION ALL
+  SELECT count(*),
+         CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(38,6)), 2) AS DOUBLE),
+         'source_after_delete'
+  FROM live WHERE o_orderkey % 5 <> 0)
+SELECT n_rows, total_price, phase, TRUE AS clone_was_zero_copy
+FROM agg ORDER BY phase
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "lakehouse_time_travel": lakehouse_time_travel,
@@ -1458,4 +1538,5 @@ QUERIES = {
     "lakehouse_parquet_checkpoint": lakehouse_parquet_checkpoint,
     "lakehouse_restore_across_mor": lakehouse_restore_across_mor,
     "lakehouse_dv_auto_maintenance": lakehouse_dv_auto_maintenance,
+    "lakehouse_shallow_clone": lakehouse_shallow_clone,
 }

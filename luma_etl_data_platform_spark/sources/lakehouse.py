@@ -126,6 +126,32 @@ def _rel_path(p: str, root: str) -> str:
     return p2.rsplit("/", 1)[-1]
 
 
+def _log_ref(p: str, root: str) -> str:
+    """The commit-log reference string for a scanned/snapshot file
+    path: root-relative when the file sits under the table root,
+    ABSOLUTE otherwise (a shallow clone's inherited source files are
+    logged by absolute path — see :func:`clone_table`). Remove lists
+    must be built with this, not :func:`_rel_path`, or a cross-root
+    reference would basename-mangle and never match its add-action."""
+    p2 = p.split("://", 1)[-1]
+    if p2.startswith("file:"):
+        p2 = p2[len("file:"):]
+    r2 = root.rstrip("/").split("://", 1)[-1]
+    i = p2.find(r2 + "/")
+    if i >= 0:
+        return p2[i + len(r2):].lstrip("/")
+    return p2 if p2.startswith("/") else p2.rsplit("/", 1)[-1]
+
+
+def _abs(root: str, rel: str) -> str:
+    """Resolve a commit-log file reference against the table root.
+    References are normally root-relative; a SHALLOW CLONE's inherited
+    add-actions (see :func:`clone_table`) carry ABSOLUTE paths into the
+    source table, which pass through untouched — Delta CLONE records
+    cross-table references the same way."""
+    return rel if rel.startswith("/") or "://" in rel else f"{root}/{rel}"
+
+
 def _write_commit(spark: SparkSession, table_path: str, version: int,
                   doc: dict) -> None:
     """Atomically publish ``doc`` as ``_log/<version>.json`` — write
@@ -306,7 +332,7 @@ def snapshot_files(spark: SparkSession, table_path: str,
             aset = set(added)
             live = [f for f in live if f not in aset]
             live.extend(added)
-    return [f"{table_path.rstrip('/')}/{f}" for f in live]
+    return [_abs(table_path.rstrip("/"), f) for f in live]
 
 
 def history(spark: SparkSession, table_path: str) -> list[dict]:
@@ -336,7 +362,7 @@ def describe_table(spark: SparkSession, table_path: str) -> dict:
     root = table_path.rstrip("/")
     size = 0
     for a in adds:
-        p = Path(f"{root}/{a['path']}")
+        p = Path(_abs(root, a["path"]))
         if fs.exists(p):
             size += fs.getFileStatus(p).getLen()
     pcols = _table_partition_cols(spark, table_path)
@@ -389,7 +415,10 @@ def _schema_events(spark: SparkSession, table_path: str,
             break
         if _invisible(d):
             continue
-        if d.get("op") == "checkpoint":
+        if d.get("op") == "checkpoint" or "schema_events" in d:
+            # full restatement: expire checkpoints carry the cumulative
+            # list; a shallow clone's v1 commit restates the SOURCE's
+            # events so inherited files replay identically
             evs = list(d.get("schema_events", []))
             continue
         if d.get("op") in ("rename_column", "drop_column"):
@@ -496,7 +525,7 @@ def _dv_overlay(spark: SparkSession, table_path: str,
     if not rels:
         return None
     root = table_path.rstrip("/")
-    return (spark.read.parquet(*[f"{root}/{r}" for r in rels])
+    return (spark.read.parquet(*[_abs(root, r) for r in rels])
             .select(F.col("f").alias("__dv_f"),
                     F.col("pos").alias("__dv_i")))
 
@@ -965,6 +994,98 @@ def convert_to_table(spark: SparkSession, table_path: str,
             "n_rows": sum(a.get("rows") or 0 for a in adds)}
 
 
+def _decl_at(spark: SparkSession, table_path: str, field: str,
+             default, version: int | None):
+    """The latest value of a declaration field (``keys``,
+    ``partition_by``, ``bloom_cols``, ``constraints``) committed at or
+    before ``version`` — the version-pinned variant of the
+    latest-declaration-wins helpers."""
+    val = default
+    for d in _commits(spark, table_path):
+        if version is not None and d["version"] > version:
+            break
+        if _invisible(d):
+            continue
+        if field in d:
+            val = d[field]
+    return val
+
+
+def clone_table(spark: SparkSession, src_path: str, dst_path: str,
+                version: int | None = None,
+                as_of_timestamp: float | None = None) -> dict:
+    """SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE``
+    semantics): initialize ``dst_path`` as a NEW table whose v1 commit
+    references the source's live data files by ABSOLUTE path — zero
+    bytes of data copied, one metadata commit. At 100 TB this is the
+    only affordable way to fork a table for dev/test/experiment
+    branches: the clone is instantly readable, independently writable
+    (appends/DML/OPTIMIZE land under the clone's own root and never
+    touch source files), and independently time-travelable from its
+    own v1.
+
+    Everything the source's snapshot carries comes along: per-file
+    stats and Bloom lanes (pruned reads work immediately), partition
+    values, deletion-vector state (MOR deletes stay applied; the
+    sidecars are referenced in place), cumulative RENAME/DROP COLUMN
+    events, and the declarations (keys / partition_by / bloom_cols /
+    constraints) as of the cloned version. ``version`` /
+    ``as_of_timestamp`` pin the source snapshot (CLONE ... VERSION AS
+    OF).
+
+    Divergence contract (same as Delta): the clone references source
+    files WITHOUT owning them — ``vacuum``/``expire_snapshots`` on the
+    SOURCE do not know about clones, so reaping source history a clone
+    still references breaks the clone (the clone's own maintenance
+    never deletes cross-root files: it only ever walks its own root).
+    Run ``compact`` on the clone to materialize it into its own files
+    when the source's retention can't be pinned.
+
+    Returns ``{"version": 1, "n_files": N, "n_rows": total}``.
+
+    Reference scope: beyond-reference (the reference has no table
+    format); Spark-first completion of its copy-into staging pattern
+    (``lambda_function.py:201-243``) for environment forks."""
+    if current_version(spark, dst_path) != 0:
+        raise ValueError(f"{dst_path} already has a commit log")
+    if as_of_timestamp is not None:
+        if version is not None:
+            raise ValueError("clone_table: pass version OR "
+                             "as_of_timestamp, not both")
+        version = version_at_timestamp(spark, src_path, as_of_timestamp)
+    src_root = src_path.rstrip("/")
+    adds = snapshot_adds(spark, src_path, version)
+    if not adds:
+        raise FileNotFoundError(
+            f"clone_table: {src_path} has no snapshot at "
+            f"version {version}")
+    cloned = []
+    for a in adds:
+        a2 = dict(a)
+        a2["path"] = _abs(src_root, a["path"])
+        cloned.append(a2)
+    dvs = [_abs(src_root, r) for r in _dv_rels(spark, src_path, version)]
+    resolved = (version if version is not None
+                else current_version(spark, src_path))
+    _write_commit(spark, dst_path, 1, {
+        "version": 1, "op": "clone",
+        "source": src_root, "source_version": resolved,
+        "keys": _decl_at(spark, src_path, "keys", [], version),
+        "bloom_cols": _decl_at(spark, src_path, "bloom_cols", [], version),
+        "partition_by": _decl_at(spark, src_path, "partition_by", [],
+                                 version),
+        "constraints": _decl_at(spark, src_path, "constraints", {},
+                                version),
+        "schema_events": _schema_events(spark, src_path, version),
+        "dv_files": dvs,
+        "dv_rows_map": {_abs(src_root, r): n for r, n in
+                        _dv_rows_by_rel(_commits(spark, src_path),
+                                        version).items()},
+        "add": cloned, "remove": []})
+    return {"version": 1, "n_files": len(cloned),
+            "n_rows": sum(a.get("rows") or 0 for a in cloned)}
+
+
 def _table_bloom_cols(spark: SparkSession, table_path: str) -> list[str]:
     """The table's declared Bloom-filter columns (latest declaration
     wins; the expire checkpoint carries it like ``keys``)."""
@@ -1177,7 +1298,7 @@ def _dml_once(spark: SparkSession, table_path: str, condition,
                     .select("_f")
                     .distinct().collect())
     touched = sorted(r["_f"] for r in touched_rows)
-    touched_rel = [_rel_path(f, root) for f in touched]
+    touched_rel = [_log_ref(f, root) for f in touched]
     if not touched:
         return {"version": base_version, "n_files_rewritten": 0,
                 "n_files_carried": len(files), "n_rows_changed": 0}
@@ -1556,9 +1677,9 @@ def restore_table(spark: SparkSession, table_path: str,
         Path = jvm.org.apache.hadoop.fs.Path
         root = table_path.rstrip("/")
         missing = [a["path"] for a in target_adds
-                   if not fs.exists(Path(f"{root}/{a['path']}"))]
+                   if not fs.exists(Path(_abs(root, a["path"])))]
         missing += [r for r in _dv_rels(spark, table_path, version=version)
-                    if not fs.exists(Path(f"{root}/{r}"))]
+                    if not fs.exists(Path(_abs(root, r)))]
         if missing:
             raise FileNotFoundError(
                 f"restore_table: {len(missing)} data/deletion-vector "
@@ -1650,7 +1771,7 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
     # pruning over the stat-surviving files only.
     touched: list[str] = []
     if candidates:
-        cand_paths = [f"{root}/{p}" for p in candidates]
+        cand_paths = [_abs(root, p) for p in candidates]
         touched_rows = (spark.read.option("mergeSchema", "true")
                         .schema(target.schema).parquet(*cand_paths)
                         .select(*keys,
@@ -1658,9 +1779,9 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
                         .join(F.broadcast(src_keys), keys, "left_semi")
                         .select("_f").distinct().collect())
         touched = sorted(r["_f"] for r in touched_rows)
-    touched_rel = [_rel_path(f, root) for f in touched]
+    touched_rel = [_log_ref(f, root) for f in touched]
     carried = [f for f in files
-               if _rel_path(f, root) not in set(touched_rel)]
+               if _log_ref(f, root) not in set(touched_rel)]
 
     parts: list[DataFrame] = []
     if touched:
@@ -1746,7 +1867,7 @@ def vacuum(spark: SparkSession, table_path: str,
     fs, jvm = _fs(spark, table_path)
     Path = jvm.org.apache.hadoop.fs.Path
     root = table_path.rstrip("/")
-    live = {_rel_path(f, root)
+    live = {_log_ref(f, root)
             for f in snapshot_files(spark, table_path)}
     dv_live = set(_dv_rels(spark, table_path))
     for doc in _commits(spark, table_path):
@@ -1818,14 +1939,33 @@ def _file_rows(spark: SparkSession, table_path: str) -> dict[str, int | None]:
             for a in snapshot_adds(spark, table_path)}
 
 
+def _dv_rows_by_rel(commits: list[dict],
+                    version: int | None = None) -> dict[str, int]:
+    """Deletion-vector row counts keyed by sidecar reference, replayed
+    from the commit docs: every ``dv_add`` records its ``dv_rows``,
+    and a ``dv_rows_map`` restatement (shallow clone v1, expire
+    checkpoint) seeds counts for sidecars whose originating commits
+    live in another table's log or were expired."""
+    rows: dict[str, int] = {}
+    for d in commits:
+        if version is not None and d["version"] > version:
+            break
+        if _invisible(d):
+            continue
+        if "dv_rows_map" in d:
+            rows.update(d["dv_rows_map"])
+        if "dv_add" in d:
+            rows[d["dv_add"]] = d.get("dv_rows", 0)
+    return rows
+
+
 def dv_debt(spark: SparkSession, table_path: str) -> dict:
     """The table's merge-on-read debt: live deletion-vector rows vs
     live physical rows (every read pays one anti-join while debt > 0).
     Computed from the commit log alone — ``dv_rows`` is recorded next
     to every ``dv_add``, so no sidecar is opened."""
     commits = _commits(spark, table_path)
-    rows_by_rel = {d["dv_add"]: d.get("dv_rows", 0) for d in commits
-                   if not _invisible(d) and "dv_add" in d}
+    rows_by_rel = _dv_rows_by_rel(commits)
     dv_rows = sum(rows_by_rel.get(r, 0)
                   for r in _dv_rels(spark, table_path))
     phys = sum(a.get("rows") or 0 for a in snapshot_adds(spark, table_path))
@@ -1896,7 +2036,7 @@ def compact(spark: SparkSession, table_path: str,
         dv_live = _dv_rels(spark, table_path)
         if dv_live:
             dv_base = {r["f"] for r in
-                       spark.read.parquet(*[f"{root}/{r}" for r in dv_live])
+                       spark.read.parquet(*[_abs(root, r) for r in dv_live])
                        .select("f").distinct().collect()}
             by_base = {p.rsplit("/", 1)[-1]: p for p in stats}
             cand_set |= {by_base[b] for b in dv_base if b in by_base}
@@ -1927,7 +2067,7 @@ def compact(spark: SparkSession, table_path: str,
         # OPTIMIZE is also the deletion-vector PURGE: the rewrite
         # materializes MOR deletes, so the packed files carry none
         df = _apply_schema_events(
-            _apply_dv(reader.parquet(*[f"{root}/{p}" for p in candidates]),
+            _apply_dv(reader.parquet(*[_abs(root, p) for p in candidates]),
                       _dv_overlay(spark, table_path)),
             events)
         known = [stats[p] for p in candidates if stats[p] is not None]
@@ -2107,7 +2247,7 @@ def _read_pruned_files(spark: SparkSession, table_path: str,
     if events:
         reader = reader.option("mergeSchema", "true")
     return _apply_schema_events(
-        _apply_dv(reader.parquet(*[f"{root}/{p}" for p in keep]),
+        _apply_dv(reader.parquet(*[_abs(root, p) for p in keep]),
                   _dv_overlay(spark, table_path, version)),
         events)
 
@@ -2245,12 +2385,13 @@ def read_changes(spark: SparkSession, table_path: str,
     if not keys:
         raise ValueError(f"{table_path}: no key columns recorded or given")
     root = table_path.rstrip("/")
-    old_names = set(_rel_path(f, root) for f in
-                    snapshot_files(spark, table_path, from_version))
-    new_names = set(_rel_path(f, root) for f in
-                    snapshot_files(spark, table_path, to_version))
-    removed = [f"{root}/{n}" for n in sorted(old_names - new_names)]
-    added = [f"{root}/{n}" for n in sorted(new_names - old_names)]
+    # full resolved paths (snapshot_files already applied _abs) — a
+    # shallow clone's inherited files live under ANOTHER table's root,
+    # so a rel-path round-trip would mis-resolve them here
+    old_names = set(snapshot_files(spark, table_path, from_version))
+    new_names = set(snapshot_files(spark, table_path, to_version))
+    removed = sorted(old_names - new_names)
+    added = sorted(new_names - old_names)
 
     base = read_table(spark, table_path, version=to_version or None)
     empty = (base.limit(0)
@@ -2297,11 +2438,11 @@ def read_changes(spark: SparkSession, table_path: str,
         # a file rewritten in range already reports its deletes via
         # the copy-on-write diff below
         dvn = (spark.read.parquet(
-            *[f"{root}/{r}" for r in dv_new_rels])
+            *[_abs(root, r) for r in dv_new_rels])
             .select(F.col("f").alias("__dv_f"),
                     F.col("pos").alias("__dv_i")))
         raw = _dv_tag(spark.read.option("mergeSchema", "true")
-                      .parquet(*[f"{root}/{n}" for n in carried]))
+                      .parquet(*carried))
         hit = raw.join(dvn, (raw["__f"] == dvn["__dv_f"])
                        & (raw["__i"] == dvn["__dv_i"]),
                        "left_semi").drop("__f", "__i")
@@ -2455,7 +2596,10 @@ def expire_snapshots(spark: SparkSession, table_path: str,
                "constraints": table_constraints(spark, table_path),
                "schema_events": _schema_events(spark, table_path,
                                                version=cutoff),
-               "dv_files": _dv_rels(spark, table_path, version=cutoff)}
+               "dv_files": _dv_rels(spark, table_path, version=cutoff),
+               # dv_rows ride the expired dv_add commits — restate the
+               # counts so dv_debt stays exact past the checkpoint
+               "dv_rows_map": _dv_rows_by_rel(commits, cutoff)}
         orig_ts = next((c.get("ts") for c in commits
                         if c["version"] == cutoff), None)
         if orig_ts is not None:
@@ -2517,7 +2661,7 @@ def expire_snapshots(spark: SparkSession, table_path: str,
     root = table_path.rstrip("/")
     retained: set[str] = set()
     for v in kept:
-        retained.update(_rel_path(f, root)
+        retained.update(_log_ref(f, root)
                         for f in snapshot_files(spark, table_path, v))
     for doc in _commits(spark, table_path):
         if doc.get("_txn") == "pending":

@@ -1680,3 +1680,129 @@ def test_compact_if_dv_fraction_trigger(table, spark):
     assert LH.dv_debt(spark, table)["dv_rows"] == 0
     assert _rows(LH.read_table(spark, table)) == [
         (2, 20, "a"), (12, 120, "b")]
+
+
+# ---------------------------------------------------------------- clone
+
+
+def test_shallow_clone_is_zero_copy_and_reads_identically(table, spark,
+                                                          tmp_path):
+    dst = str(tmp_path / "clone")
+    src_files = [f.replace("file:", "")
+                 for f in LH.snapshot_files(spark, table)]
+    mtimes = {f: os.path.getmtime(f) for f in src_files}
+    info = LH.clone_table(spark, table, dst)
+    assert info == {"version": 1, "n_files": 3, "n_rows": 6}
+    # zero data files under the clone root; every source file untouched
+    fs, jvm = LH._fs(spark, dst)
+    assert list(LH._data_files_on_disk(fs, jvm, dst)) == []
+    assert all(os.path.getmtime(f) == m for f, m in mtimes.items())
+    assert _rows(LH.read_table(spark, dst)) == _rows(
+        LH.read_table(spark, table))
+    # inherited declarations
+    assert LH._table_keys(spark, dst) == ["k"]
+
+
+def test_clone_divergence_is_two_way_isolated(table, spark, tmp_path):
+    dst = str(tmp_path / "clone")
+    LH.clone_table(spark, table, dst)
+    src_files = [f.replace("file:", "")
+                 for f in LH.snapshot_files(spark, table)]
+    mtimes = {f: os.path.getmtime(f) for f in src_files}
+    # clone-side COW delete: source files never touched, source state
+    # never changes
+    LH.delete_where(spark, dst, "k >= 20")
+    assert all(os.path.getmtime(f) == m for f, m in mtimes.items())
+    assert _rows(LH.read_table(spark, dst)) == [
+        (1, 10, "a"), (2, 20, "a"), (11, 110, "b"), (12, 120, "b")]
+    assert LH.read_table(spark, table).count() == 6
+    # source-side append: clone state never changes
+    LH.append_table(spark, table,
+                    _mk(spark, [dict(k=31, v=310, tag="d")]), ["k"])
+    assert LH.read_table(spark, table).count() == 7
+    assert LH.read_table(spark, dst).count() == 4
+    # clone's own time travel: v1 is the fork state
+    assert LH.read_table(spark, dst, version=1).count() == 6
+
+
+def test_clone_carries_dv_state_and_version_pin(table, spark, tmp_path):
+    LH.delete_where(spark, table, "k = 11", mode="mor")
+    pre_mor_version = 3  # create + 2 appends
+    dst_now = str(tmp_path / "clone_now")
+    dst_old = str(tmp_path / "clone_old")
+    LH.clone_table(spark, table, dst_now)
+    # inherited deletion vector applies (and is counted in dv_debt)
+    assert _rows(LH.read_table(spark, dst_now)) == [
+        (1, 10, "a"), (2, 20, "a"), (12, 120, "b"),
+        (21, 210, "c"), (22, 220, "c")]
+    assert LH.dv_debt(spark, dst_now)["dv_rows"] == 1
+    # VERSION AS OF clone: pre-MOR snapshot has no vector
+    LH.clone_table(spark, table, dst_old, version=pre_mor_version)
+    assert LH.read_table(spark, dst_old).count() == 6
+    assert LH.dv_debt(spark, dst_old)["dv_rows"] == 0
+
+
+def test_clone_mor_delete_on_inherited_files(table, spark, tmp_path):
+    dst = str(tmp_path / "clone")
+    LH.clone_table(spark, table, dst)
+    src_files = [f.replace("file:", "")
+                 for f in LH.snapshot_files(spark, table)]
+    mtimes = {f: os.path.getmtime(f) for f in src_files}
+    # MOR delete on the clone: sidecar lands under the CLONE root,
+    # inherited files byte-untouched, source unaffected
+    LH.delete_where(spark, dst, "k = 1", mode="mor")
+    assert all(os.path.getmtime(f) == m for f, m in mtimes.items())
+    assert LH.read_table(spark, dst).count() == 5
+    assert LH.read_table(spark, table).count() == 6
+    assert all(r.startswith(LH._DV_DIR)
+               for r in LH._dv_rels(spark, dst))
+
+
+def test_clone_compact_materializes_into_own_root(table, spark, tmp_path):
+    dst = str(tmp_path / "clone")
+    LH.clone_table(spark, table, dst)
+    LH.compact(spark, dst, target_rows=100)
+    files = LH.snapshot_files(spark, dst)
+    assert files and all(
+        f.replace("file:", "").startswith(dst) for f in files)
+    assert _rows(LH.read_table(spark, dst)) == _rows(
+        LH.read_table(spark, table))
+    # post-materialization the clone no longer references the source:
+    # its own vacuum reaps nothing and source files survive
+    assert LH.vacuum(spark, dst, dry_run=True) == []
+
+
+def test_clone_inherits_stats_events_and_constraints(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    LH.create_table(
+        spark, src,
+        _mk(spark, [dict(k=i, v=i * 10, tag="a") for i in range(1, 9)])
+        .repartition(4), ["k"],
+        constraints={"v_nonneg": "v >= 0"})
+    LH.rename_column(spark, src, "tag", "label")
+    LH.clone_table(spark, src, dst)
+    # rename event replays on inherited (pre-rename) files
+    assert "label" in LH.read_table(spark, dst).columns
+    assert "tag" not in LH.read_table(spark, dst).columns
+    # constraint enforced on clone writes
+    with pytest.raises(LH.ConstraintViolationError):
+        LH.append_table(spark, dst,
+                        _mk(spark, [dict(k=99, v=-1, tag="x")])
+                        .withColumnRenamed("tag", "label"), ["k"])
+    # retired name rejected on the clone too
+    with pytest.raises(ValueError, match="retired"):
+        LH.append_table(spark, dst,
+                        _mk(spark, [dict(k=99, v=1, tag="x")]), ["k"])
+    # inherited per-file stats prune reads (4 files, disjoint ranges
+    # after repartition is not guaranteed — assert candidates <= live
+    # and the pruned read is exact)
+    pruned = LH.read_table_pruned(spark, dst, "k", 2, 3)
+    assert sorted(r["k"] for r in pruned.collect()) == [2, 3]
+
+
+def test_clone_refuses_existing_destination(table, spark, tmp_path):
+    dst = str(tmp_path / "clone")
+    LH.clone_table(spark, table, dst)
+    with pytest.raises(ValueError, match="already has a commit log"):
+        LH.clone_table(spark, table, dst)
