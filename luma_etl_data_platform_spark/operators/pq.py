@@ -1,0 +1,134 @@
+"""Product quantization (PQ) for approximate nearest neighbor serving.
+
+The missing compression tier of the ANN family (brute/batched/IVF/
+sign-LSH/k-means-IVF live in ``operators/similarity.py`` /
+``operators/kmeans.py``): split each d-dim vector into M contiguous
+subspaces, quantize every subspace to one of k codebook entries, and
+serve queries with an asymmetric-distance computation (ADC) — the
+query keeps full precision, each corpus vector is reduced to M small
+code ids, and the approximate distance is a sum of M table lookups
+(Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011).
+
+Why this matters at 100 TB: a float32 corpus at d=64 is 256 B/vector;
+PQ at M=4, k=16 is 4 code ids — a ~64x smaller serving index that
+fits executor memory when raw vectors cannot, and the serving scan
+reads ONLY the code columns (columnar projection does the rest).
+Encoding is one pass; re-ranking survivors against raw vectors is a
+bounded second read.
+
+Determinism doctrine (same as ``operators/kmeans.py``): vectors snap
+to integer micro-units; codebook entries are the sub-vectors of the k
+corpus rows with the smallest portable md5 of their id (no RNG — the
+SemDeDup/k-means seeding rule; swap in trained ``kmeans_model``
+centroids per subspace in production); all distances are exact
+integer squared-L2, ties break to the smaller code id; the ADC total
+is an exact BIGINT — bit-identical at any partitioning and replayable
+in any engine.
+
+Plan shape: the codebook is a BROADCAST side (M*k rows — never a
+literal: inlining M*k fold expressions made Catalyst analysis, not
+execution, the dominant cost). Encoding explodes each vector into its
+M sub-vectors, broadcast-joins the codebook, and takes the per-
+(vector, subspace) argmin as ``min(struct(d2, code, qd2))`` — the
+query-side ADC entry rides the same codebook rows, so ONE groupBy
+per vector finishes both the code assignment and the ADC sum. No
+row-wise UDF anywhere; top-k is TakeOrderedAndProject.
+
+Reference scope: beyond-reference (no ANN in the reference); task
+brief's similarity-search scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import portable_hash32
+from ..functions.vectors import micro_units
+
+
+def _d2(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 between two micro-unit sub-vectors
+    (longs: |x| <= ~2e6 per component, so a 16-dim sum is bounded by
+    16 * 1.6e13 << 2^63)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _subspaces(vec: Column, dim: int, m_sub: int) -> Column:
+    """array<struct<m int, sub array<long>>> — the vector split into
+    its M contiguous subspaces (one small expression, exploded once)."""
+    sub_d = dim // m_sub
+    return F.array(*[
+        F.struct(F.lit(m).alias("m"),
+                 F.slice(vec, m * sub_d + 1, sub_d).alias("sub"))
+        for m in range(m_sub)])
+
+
+def pq_codebook_df(spark: SparkSession, df: DataFrame,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   dim: int = 64, m_sub: int = 4,
+                   k_codes: int = 16) -> DataFrame:
+    """Seeded codebook as an (m, code, sub) frame of M*k rows: entry
+    ``code`` of every subspace is the sub-vector of the corpus row
+    with rank ``code`` under (portable md5 of id, id) — deterministic
+    and engine-portable. The ONE bounded driver collect is k rows
+    (the kmeans-seed pattern); production swaps in per-subspace
+    ``kmeans_model`` centroids under the same schema."""
+    sub_d = dim // m_sub
+    qv = micro_units(F.col(vec_col), dim)
+    seeds = (df.select(F.col(id_col).alias("_id"), qv.alias("_q"))
+             .withColumn("_h", portable_hash32(F.col("_id")))
+             .orderBy("_h", "_id").limit(k_codes).collect())
+    rows = [(m, code, list(r["_q"][m * sub_d:(m + 1) * sub_d]))
+            for code, r in enumerate(seeds) for m in range(m_sub)]
+    return spark.createDataFrame(
+        rows, "m int, code int, sub array<long>")
+
+
+def pq_topk(df: DataFrame, query: DataFrame, k: int = 10,
+            dim: int = 64, m_sub: int = 4, k_codes: int = 16,
+            id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """ADC top-k: encode the corpus against seeded codebooks and rank
+    by the summed per-subspace distance to ``query`` (1-row frame).
+    Returns (id, codes 'c0-c1-..', adc_dist) — smallest distance
+    first, id-tiebroken; every value exact, so the result (including
+    quantization error) hash-matches a relational replay."""
+    spark = df.sparkSession
+    book = pq_codebook_df(spark, df, id_col, vec_col, dim, m_sub,
+                          k_codes)
+    qv = micro_units(F.col(vec_col), dim)
+    # query-to-codebook ADC table rides the codebook rows (M*k total)
+    qsub = (query.select(F.explode(_subspaces(qv, dim, m_sub))
+                         .alias("s"))
+            .select(F.col("s.m").alias("m"), F.col("s.sub").alias("qsub")))
+    book_q = (book.join(qsub, "m")
+              .select("m", "code", "sub",
+                      _d2(F.col("sub"), F.col("qsub")).alias("qd2"))
+              .localCheckpoint(eager=True))  # M*k rows, 2 consumers below
+
+    enc = (df.select(F.col(id_col).alias("id"),
+                     F.explode(_subspaces(qv, dim, m_sub)).alias("s"))
+           .select("id", F.col("s.m").alias("m"),
+                   F.col("s.sub").alias("vsub"))
+           .join(F.broadcast(book_q), "m")
+           .select("id", "m", "code", "qd2",
+                   _d2(F.col("vsub"), F.col("sub")).alias("d2")))
+    # per-(vector, subspace) argmin; min(struct) orders (d2, code)
+    # lexicographically, so ties break to the smaller code id and the
+    # winning code's ADC entry comes along for free
+    assigned = (enc.groupBy("id", "m")
+                .agg(F.min(F.struct("d2", "code", "qd2")).alias("w")))
+    out = (assigned.groupBy("id")
+           .agg(F.sum(F.col("w.qd2")).alias("adc_dist"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("m", F.col("w.code").alias("code")))),
+                        lambda s: s.getField("code").cast("string")),
+                    "-").alias("codes")))
+    return (out.select(F.col("id").alias(id_col), "codes", "adc_dist")
+            .orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k))

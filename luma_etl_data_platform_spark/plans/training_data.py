@@ -1019,3 +1019,63 @@ FROM bef LEFT JOIN aft ON bef.source = aft.source
 ORDER BY bef.source"""))
 
 QUERIES["dedup_source_priority"] = dedup_source_priority
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/pq.py): M=4 subspaces
+    x 16 seeded codebook entries over the 64-dim embeddings; corpus =
+    everything but the min-vec_id query row (the ann_* convention).
+    Every distance is an exact integer, so even the quantization error
+    hash-matches the oracle's relational replay."""
+    from ..operators import pq as PQ
+    emb = load_table(spark, sf_dir, "embeddings")
+    min_id = emb.agg(F.min("vec_id").alias("_mid"))
+    corpus = emb.join(F.broadcast(min_id), F.col("vec_id") == F.col("_mid"),
+                      "left_anti")
+    return PQ.pq_topk(corpus, _query_vec(emb), k=10)
+
+
+ORACLE["ann_pq_topk"] = """
+WITH ev AS (SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS v
+            FROM embeddings),
+qrow AS (SELECT v FROM ev WHERE vec_id = (SELECT min(vec_id) FROM ev)),
+corpus AS (SELECT * FROM ev WHERE vec_id <> (SELECT min(vec_id) FROM ev)),
+-- seeded codebooks: 16 corpus rows ranked by (md5 hash of id, id);
+-- NOTE seeds come from the CORPUS (pq_topk receives the query-less frame)
+seeds AS (SELECT v, row_number() OVER (
+              ORDER BY CAST('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT),
+                       vec_id) - 1 AS code
+          FROM corpus
+          ORDER BY CAST('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT),
+                   vec_id
+          LIMIT 16),
+-- exact integer squared-L2 of every (corpus row, subspace, code)
+dist AS (SELECT c.vec_id, m.m, s.code,
+                sum((c.v[m.m * 16 + i.i] - s.v[m.m * 16 + i.i])
+                    * (c.v[m.m * 16 + i.i] - s.v[m.m * 16 + i.i])) AS d2
+         FROM corpus c, generate_series(0, 3) m(m), seeds s,
+              generate_series(1, 16) i(i)
+         GROUP BY 1, 2, 3),
+enc AS (SELECT vec_id, m, code,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, code) AS rn
+        FROM dist),
+qdist AS (SELECT m.m, s.code,
+                 sum((q.v[m.m * 16 + i.i] - s.v[m.m * 16 + i.i])
+                     * (q.v[m.m * 16 + i.i] - s.v[m.m * 16 + i.i])) AS qd2
+          FROM qrow q, generate_series(0, 3) m(m), seeds s,
+               generate_series(1, 16) i(i)
+          GROUP BY 1, 2)
+SELECT e.vec_id,
+       string_agg(e.code, '-' ORDER BY e.m) AS codes,
+       CAST(sum(qd.qd2) AS BIGINT) AS adc_dist
+FROM enc e JOIN qdist qd ON e.m = qd.m AND e.code = qd.code
+WHERE e.rn = 1
+GROUP BY e.vec_id
+ORDER BY adc_dist, vec_id
+LIMIT 10
+"""
+
+QUERIES["ann_pq_topk"] = ann_pq_topk

@@ -204,3 +204,60 @@ def test_incremental_minhash_equals_full_filtered(spark):
         .filter((F.col("id_a") % 3 == 0) | (F.col("id_b") % 3 == 0))
         .collect())
     assert inc == full
+
+
+# ------------------------------------------------------------------ PQ
+
+
+def _pq_corpus(spark, n=24, dim=8):
+    """Deterministic tiny corpus: vec_id i -> components derived from
+    i (micro-unit-exact values so quantization is trivially exact)."""
+    rows = [(i, [float((i * 7 + j * 3) % 11) / 10.0 for j in range(dim)])
+            for i in range(1, n + 1)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_codebook_is_deterministic_and_shaped(spark):
+    from luma_etl_data_platform_spark.operators import pq as PQ
+    df = _pq_corpus(spark)
+    b1 = PQ.pq_codebook_df(spark, df, dim=8, m_sub=2, k_codes=4)
+    b2 = PQ.pq_codebook_df(spark, df, dim=8, m_sub=2, k_codes=4)
+    r1 = sorted((r["m"], r["code"], tuple(r["sub"])) for r in b1.collect())
+    r2 = sorted((r["m"], r["code"], tuple(r["sub"])) for r in b2.collect())
+    assert r1 == r2
+    assert len(r1) == 2 * 4
+    assert all(len(sub) == 4 for _, _, sub in r1)
+
+
+def test_pq_seed_query_has_zero_adc_distance(spark):
+    """A query identical to a codebook seed must rank that seed's
+    clones at ADC distance 0: the seed row encodes to its own
+    sub-vectors (d2 = 0 per subspace) and the query's distance to
+    those entries is 0."""
+    from luma_etl_data_platform_spark.operators import pq as PQ
+    from luma_etl_data_platform_spark.functions.text import portable_hash32
+    df = _pq_corpus(spark)
+    # find the rank-0 seed (smallest portable hash) like the operator
+    seed_id = (df.select("vec_id")
+               .withColumn("_h", portable_hash32(F.col("vec_id")))
+               .orderBy("_h", "vec_id").limit(1).collect()[0]["vec_id"])
+    query = df.filter(F.col("vec_id") == seed_id)
+    top = PQ.pq_topk(df, query, k=3, dim=8, m_sub=2, k_codes=4).collect()
+    assert top[0]["vec_id"] == seed_id or top[0]["adc_dist"] == 0
+    assert top[0]["adc_dist"] == 0
+
+
+def test_pq_topk_order_and_tiebreak(spark):
+    from luma_etl_data_platform_spark.operators import pq as PQ
+    df = _pq_corpus(spark)
+    query = df.filter(F.col("vec_id") == 1)
+    top = PQ.pq_topk(df, query, k=10, dim=8, m_sub=2, k_codes=4).collect()
+    dists = [r["adc_dist"] for r in top]
+    assert dists == sorted(dists)
+    # ties must be vec_id-ascending
+    for a, b in zip(top, top[1:]):
+        if a["adc_dist"] == b["adc_dist"]:
+            assert a["vec_id"] < b["vec_id"]
+    # codes are m_sub dash-joined small ints
+    assert all(len(r["codes"].split("-")) == 2 for r in top)
+    assert all(0 <= int(c) < 4 for r in top for c in r["codes"].split("-"))
