@@ -480,3 +480,70 @@ def nearest_centroid_confusion(df: DataFrame, vec_col: str = "embedding",
             .filter(F.col("_rn") == 1))
     return (pred.groupBy(label_col, "predicted")
             .agg(F.count(F.lit(1)).alias("n_vecs")))
+
+
+def mmr_topk(df: DataFrame, query, k: int = 5, pool: int = 20,
+             lam: float = 0.7, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — the diversified-retrieval stage RAG pipelines run on
+    top of ANN: greedily pick the candidate maximizing
+    ``lam * sim(q, d) - (1 - lam) * max_{s in S} sim(d, s)`` so the
+    result set trades pure relevance against redundancy (a corpus full
+    of near-duplicates otherwise returns k copies of one document).
+
+    Plan shape: stage 1 is the usual one-scan exact top-``pool``
+    (TakeOrderedAndProject — corpus-sized work happens HERE and only
+    here); stage 2 joins vectors back for the pool's pairwise cosines
+    (pool x pool broadcast self-join) and runs the inherently
+    sequential greedy on the driver over a BOUNDED collect (pool +
+    pool^2/2 rows, independent of corpus size — the kmeans-seed
+    pattern). At 100 TB pool stays what it is: retrieval depth, not
+    data scale.
+
+    Determinism: candidate and pairwise cosines are 6dp-rounded
+    doubles (the ann_* convention — engine-identical); the greedy
+    argmax compares the raw IEEE doubles ``lam*qs - (1-lam)*red`` and
+    breaks ties on the smaller id, so the selection order (and the
+    emitted scores) replay exactly in a relational engine.
+
+    Returns (rnk 1..k, id, mmr_score) in selection order.
+
+    Reference scope: beyond-reference; task brief's similarity-search
+    / curation family."""
+    spark = df.sparkSession
+    # pool rows, two consumers (pairwise join + the bounded collect):
+    # checkpoint so the corpus-sized top-k scan runs exactly once
+    cand = (cosine_topk(df, query, k=pool, vec_col=vec_col,
+                        id_col=id_col)
+            .localCheckpoint(eager=True))
+    cv = (_as_double(_spread(df), vec_col)
+          .join(F.broadcast(cand), id_col)
+          .select(id_col, "score", vec_col))
+    a = cv.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("va"))
+    b = cv.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("vb"))
+    pairs = (a.crossJoin(F.broadcast(b))
+             .filter(F.col("ia") < F.col("ib"))
+             .select("ia", "ib",
+                     F.round(cosine(F.col("va"), F.col("vb")), 6)
+                     .alias("sim")))
+    qs = {r[id_col]: r["score"] for r in cand.collect()}
+    sim: dict[tuple, float] = {}
+    for r in pairs.collect():
+        sim[(r["ia"], r["ib"])] = r["sim"]
+        sim[(r["ib"], r["ia"])] = r["sim"]
+    selected: list = []
+    remaining = sorted(qs)
+    out_rows = []
+    for rank in range(1, min(k, len(qs)) + 1):
+        best = None
+        for cid in remaining:
+            red = max((sim[(cid, s)] for s in selected), default=0.0)
+            m = lam * qs[cid] - (1.0 - lam) * red
+            if best is None or m > best[0]:
+                best = (m, cid)
+        out_rows.append((rank, best[1], float(best[0])))
+        selected.append(best[1])
+        remaining.remove(best[1])
+    return spark.createDataFrame(
+        out_rows, f"rnk int, {id_col} long, mmr_score double")

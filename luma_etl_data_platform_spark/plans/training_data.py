@@ -1079,3 +1079,59 @@ LIMIT 10
 """
 
 QUERIES["ann_pq_topk"] = ann_pq_topk
+
+
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval (operators/similarity.mmr_topk):
+    exact top-20 pool by cosine, then 5 greedy maximal-marginal-
+    relevance picks at lambda=0.7. The oracle unrolls the identical
+    greedy rounds (same 6dp-rounded cosines, same raw-double argmax,
+    same id tiebreak), so the selection ORDER hash-matches."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    min_id = emb.agg(F.min("vec_id").alias("_mid"))
+    corpus = emb.join(F.broadcast(min_id), F.col("vec_id") == F.col("_mid"),
+                      "left_anti")
+    return S.mmr_topk(corpus, _query_vec(emb), k=5, pool=20, lam=0.7)
+
+
+def _mmr_oracle(k: int = 5, pool: int = 20) -> str:
+    """Unrolled greedy-MMR oracle: round i picks the argmax of
+    ``0.7*qs - (1.0-0.7)*max(sim to selected)`` over the unselected
+    pool ((1.0 - 0.7) spelled exactly as the operator computes it —
+    the literal 0.3 is a DIFFERENT double). Round 1's redundancy term
+    is 0.0 (empty selection)."""
+    head = f"""
+WITH {_EMB_CTE},
+cand AS (SELECT vec_id,
+                round(list_dot_product(v, qv)
+                      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS qs,
+                v
+         FROM e, q
+         WHERE vec_id <> (SELECT min(vec_id) FROM embeddings)
+         ORDER BY qs DESC, vec_id
+         LIMIT {pool}),
+p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+      FROM cand a JOIN cand b ON a.vec_id < b.vec_id),
+s AS (SELECT ia, ib, sim FROM p UNION ALL SELECT ib AS ia, ia AS ib, sim FROM p),
+r1 AS (SELECT vec_id, 0.7 * qs - (1.0 - 0.7) * 0.0 AS m
+       FROM cand ORDER BY m DESC, vec_id LIMIT 1),
+sel1 AS (SELECT vec_id FROM r1)"""
+    rounds, unions = [], ["SELECT 1 AS rnk, vec_id, m AS mmr_score FROM r1"]
+    for i in range(2, k + 1):
+        rounds.append(f""",
+r{i} AS (SELECT c.vec_id,
+               0.7 * c.qs - (1.0 - 0.7) * (SELECT max(s.sim) FROM s
+                                           WHERE s.ia = c.vec_id
+                                             AND s.ib IN (SELECT vec_id FROM sel{i-1})) AS m
+        FROM cand c
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i-1})
+        ORDER BY m DESC, c.vec_id LIMIT 1),
+sel{i} AS (SELECT vec_id FROM sel{i-1} UNION ALL SELECT vec_id FROM r{i})""")
+        unions.append(f"SELECT {i} AS rnk, vec_id, m AS mmr_score FROM r{i}")
+    return head + "".join(rounds) + "\n" + "\nUNION ALL\n".join(unions)
+
+
+ORACLE["ann_mmr_rerank"] = _mmr_oracle()
+QUERIES["ann_mmr_rerank"] = ann_mmr_rerank

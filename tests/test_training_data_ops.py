@@ -261,3 +261,42 @@ def test_pq_topk_order_and_tiebreak(spark):
     # codes are m_sub dash-joined small ints
     assert all(len(r["codes"].split("-")) == 2 for r in top)
     assert all(0 <= int(c) < 4 for r in top for c in r["codes"].split("-"))
+
+
+# ----------------------------------------------------------------- MMR
+
+
+def test_mmr_demotes_near_duplicates(spark):
+    """Corpus: q's best match twice (exact duplicate) + an orthogonal-
+    ish doc. Pure top-2 returns the duplicate pair; MMR's second pick
+    must be the diverse doc."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),   # best match
+        (2, [1.0, 0.0, 0.0, 0.0]),   # its exact duplicate
+        (3, [0.5, 0.8, 0.0, 0.0]),   # relevant but diverse
+        (4, [0.0, 0.0, 1.0, 0.0]),   # irrelevant
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = spark.createDataFrame([(0, [1.0, 0.1, 0.0, 0.0])],
+                                  "vec_id long, embedding array<double>")
+    top2 = [r["vec_id"] for r in
+            S.cosine_topk(df, query.select("embedding"), k=2).collect()]
+    assert top2 == [1, 2]
+    mmr = S.mmr_topk(df, query.select("embedding"), k=2, pool=4,
+                     lam=0.5).collect()
+    assert [r["vec_id"] for r in mmr] == [1, 3]
+    assert [r["rnk"] for r in mmr] == [1, 2]
+    # scores strictly ordered by selection round here
+    assert mmr[0]["mmr_score"] > mmr[1]["mmr_score"]
+
+
+def test_mmr_rank1_is_pure_relevance_argmax(spark):
+    """Round 1 has an empty selected set: the first pick must equal
+    the plain cosine argmax, id-tiebroken."""
+    rows = [(i, [float(i % 3 + 1), float(i % 5), 1.0]) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = spark.createDataFrame([([1.0, 0.0, 1.0],)],
+                                  "embedding array<double>")
+    best = S.cosine_topk(df, query, k=1).collect()[0]
+    mmr = S.mmr_topk(df, query, k=3, pool=8).collect()
+    assert mmr[0]["vec_id"] == best["vec_id"]
