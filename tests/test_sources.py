@@ -287,3 +287,30 @@ def test_pushdown_end_to_end_through_spark(spark):
         assert n_pushed == n_plain
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+
+
+def test_orc_roundtrip_with_partitions_and_pushdown(spark, tmp_path):
+    """ORC sink/scan: typed roundtrip, hive partition layout, and the
+    scan must push predicates into the ORC reader (plan shows
+    PushedFilters on the batch scan)."""
+    from luma_etl_data_platform_spark.sources.sinks import (read_orc,
+                                                            write_orc)
+    df = spark.createDataFrame(
+        [(i, f"u{i % 3}", float(i)) for i in range(30)],
+        "id long, grp string, val double")
+    path = str(tmp_path / "orc_tbl")
+    write_orc(df, path, mode="overwrite", partition_by=["grp"])
+    back = read_orc(spark, path)
+    assert back.count() == 30
+    assert sorted(r["grp"] for r in back.select("grp").distinct().collect()) \
+        == ["u0", "u1", "u2"]
+    got = read_orc(spark, path).filter("id = 7").collect()
+    assert len(got) == 1 and got[0]["val"] == 7.0
+    plan = (read_orc(spark, path).filter("id = 7")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,7)]" in plan \
+        or "PushedFilters: [IsNotNull(id), EqualTo(id," in plan
+    # partition pruning: a grp predicate reads one directory
+    pplan = (read_orc(spark, path).filter("grp = 'u1'")
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "grp=u1" in pplan or "PartitionFilters" in pplan
