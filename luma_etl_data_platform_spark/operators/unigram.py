@@ -1,0 +1,123 @@
+"""Unigram-LM subword segmentation (Viterbi) — the second tokenizer
+family beside BPE (Kudo 2018, "Subword Regularization"; the model
+SentencePiece trains). BPE builds words bottom-up by merging; a
+unigram LM scores every candidate token and segments each word with
+the MINIMUM total cost path (Viterbi over word positions), which is
+the decode half of SentencePiece training (the full trainer iterates
+E[Viterbi counts] -> M[re-score]; one scoring pass is exposed here
+and re-running over re-counted segmentations is the EM loop).
+
+Scale design (same doctrine as ``operators/bpe.py``): the corpus
+(100 TB) collapses to its distinct-word frequency table in one
+groupBy; everything downstream — substring counting, token scoring,
+the DP itself — runs over that vocabulary-bounded table. The Viterbi
+DP is ONE narrow pass: each word's candidate edges are assembled into
+a single row (grouped collect of <= max_word_len * max_sub structs)
+and the dp vector folds inside the row via nested higher-order
+functions — no per-position join round, no driver loop, no UDF.
+
+Determinism: token costs are integer micro-nats
+(``round(-ln(count/total) * 1e6)`` — the repo's LM carriage, engine-
+identical doubles in, exact BIGINT out); DP totals are exact integer
+sums; path ties break lexicographically on (cost, n_tokens), so every
+emitted value replays in a relational engine round by round.
+
+Reference scope: beyond-reference (no tokenizer layer in the ERP
+reference); task brief's token-counting family, scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: words longer than this are excluded from the segmentation study
+#: (the DP and its unrolled oracle cover positions 1..MAX_WORD_LEN;
+#: the tail above 12 chars is <1% of occurrences in every sf)
+MAX_WORD_LEN = 12
+#: longest candidate token (SentencePiece defaults are similar;
+#: bounds the per-word edge count at MAX_WORD_LEN * MAX_SUB)
+MAX_SUB = 4
+
+
+def _sub_grid(words: DataFrame) -> DataFrame:
+    """(word, n_word, j 1-based start, l length, token) for every
+    substring of length <= MAX_SUB — the shared generator for both
+    token counting and DP edge building."""
+    return (words
+            .select("word", "n_word", "ln",
+                    F.explode(F.sequence(F.lit(1), F.col("ln")))
+                    .alias("j"))
+            .select("word", "n_word", "j",
+                    F.explode(F.sequence(
+                        F.lit(1),
+                        F.least(F.lit(MAX_SUB),
+                                F.col("ln") - F.col("j") + 1)))
+                    .alias("l"))
+            .select("word", "n_word", "j", "l",
+                    F.col("word").substr(F.col("j"), F.col("l"))
+                    .alias("token")))
+
+
+def token_cost_table(words: DataFrame, min_count: int = 2) -> DataFrame:
+    """(token, cnt, cost): candidate tokens are all substrings of the
+    (length-capped) distinct words, occurrence-counted weighted by
+    word frequency; cost = round(-ln(cnt/total) * 1e6) micro-nats.
+    Tokens under ``min_count`` are dropped EXCEPT single characters —
+    the coverage guarantee that makes every word segmentable."""
+    cnt = (_sub_grid(words).groupBy("token")
+           .agg(F.sum("n_word").alias("cnt")))
+    tot = cnt.agg(F.sum("cnt").alias("_tot"))
+    return (cnt.filter((F.col("cnt") >= min_count)
+                       | (F.length("token") == 1))
+            .crossJoin(F.broadcast(tot))
+            .select("token", "cnt",
+                    F.round(-F.log(F.col("cnt").cast("double")
+                                   / F.col("_tot").cast("double"))
+                            * 1_000_000.0, 0)
+                    .cast("long").alias("cost")))
+
+
+def viterbi_segment(df: DataFrame, text_col: str = "text",
+                    min_count: int = 2) -> DataFrame:
+    """Per distinct word: (word, n_word, ln, cost micro-nats, ntoks)
+    of its minimum-cost unigram segmentation. One corpus scan (the
+    word groupBy), one vocabulary-scale substring count, one edges
+    join, one grouped DP row-fold."""
+    from .bpe import word_frequencies
+    words = (word_frequencies(df, text_col)
+             .withColumn("ln", F.length("word"))
+             .filter(F.col("ln") <= MAX_WORD_LEN)
+             .localCheckpoint(eager=True))  # 2 consumers: costs + edges
+    vocab = token_cost_table(words, min_count)
+    edges = (_sub_grid(words)
+             .join(vocab.select("token", "cost"), "token")
+             .select("word",
+                     (F.col("j") - 1).alias("j"),
+                     (F.col("j") - 1 + F.col("l")).alias("i"),
+                     "cost"))
+    arr = (edges.groupBy("word")
+           .agg(F.collect_list(F.struct("j", "i", "cost")).alias("es"))
+           .join(words, "word"))
+    # dp[i] = min over edges (j -> i) of dp[j] + cost; ties -> fewer
+    # tokens (array_min on (cost, ntoks) structs is lexicographic).
+    # Single-char tokens are always in the vocab, so every position
+    # has at least one incoming edge and the fold never sees an
+    # empty candidate set.
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.col("ln")),
+        F.array(F.struct(F.lit(0).cast("long").alias("cost"),
+                         F.lit(0).alias("ntoks"))),
+        lambda acc, i: F.concat(acc, F.array(F.array_min(
+            F.transform(
+                F.filter(F.col("es"), lambda e: e.getField("i") == i),
+                lambda e: F.struct(
+                    (F.element_at(acc, e.getField("j") + 1)
+                     .getField("cost") + e.getField("cost"))
+                    .alias("cost"),
+                    (F.element_at(acc, e.getField("j") + 1)
+                     .getField("ntoks") + F.lit(1)).alias("ntoks")))))))
+    best = F.element_at(dp, F.col("ln") + 1)
+    return arr.select("word", "n_word", "ln",
+                      best.getField("cost").alias("cost"),
+                      best.getField("ntoks").alias("ntoks"))

@@ -884,3 +884,89 @@ sc AS (SELECT a.vec_id, a.cluster,
 SELECT vec_id, cluster, score FROM sc
 ORDER BY score DESC, vec_id LIMIT 10""".replace("{iters}",
                                                 str(_KM_ITERS)))
+
+
+# ---------------------------------------------------------------------------
+# unigram_viterbi_stats: the SECOND tokenizer family (operators/
+# unigram.py) — unigram-LM Viterbi segmentation of the length-capped
+# word vocabulary against corpus-derived substring costs. The oracle
+# unrolls the identical DP: 12 position rounds, each taking the
+# (cost, ntoks)-lexicographic argmin over the incoming edges, on the
+# same integer micro-nat cost table.
+# ---------------------------------------------------------------------------
+
+@_q("unigram_viterbi_stats")
+def unigram_viterbi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram import viterbi_segment
+    docs = load_table(spark, sf_dir, "documents")
+    seg = viterbi_segment(docs, "text", min_count=2)
+    return (seg.groupBy(F.col("ln").alias("word_len"))
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_word").alias("n_occurrences"),
+                 F.round(F.sum(F.col("ntoks").cast("long")
+                               * F.col("n_word")).cast("double")
+                         / F.sum("n_word").cast("double"), 6)
+                 .alias("fertility"),
+                 F.round(F.sum(F.col("cost") * F.col("n_word"))
+                         .cast("double")
+                         / F.sum("n_word").cast("double")
+                         / 1_000_000.0, 6).alias("avg_cost_nats"))
+            .orderBy("word_len"))
+
+
+def _unigram_oracle(max_word_len: int = 12, max_sub: int = 4,
+                    min_count: int = 2) -> str:
+    sql = f"""WITH wf AS MATERIALIZED (
+  SELECT tk AS word, count(*) AS n_word
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS tk
+        FROM documents) GROUP BY tk),
+w12 AS MATERIALIZED (
+  SELECT word, CAST(n_word AS BIGINT) AS n_word, length(word) AS ln
+  FROM wf WHERE length(word) <= {max_word_len}),
+grid AS MATERIALIZED (
+  SELECT w.word, w.n_word, j.j, l.l,
+         substr(w.word, CAST(j.j AS INT), CAST(l.l AS INT)) AS token
+  FROM w12 w,
+       unnest(generate_series(1, w.ln)) j(j),
+       unnest(generate_series(1, least({max_sub}, w.ln - j.j + 1))) l(l)),
+cnt AS MATERIALIZED (
+  SELECT token, CAST(sum(n_word) AS BIGINT) AS cnt FROM grid GROUP BY token),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM cnt),
+vocab AS MATERIALIZED (
+  SELECT token,
+         CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+                    * 1000000.0, 0) AS BIGINT) AS cost
+  FROM cnt, tot
+  WHERE cnt >= {min_count} OR length(token) = 1),
+edges AS MATERIALIZED (
+  SELECT g.word, CAST(g.j - 1 AS INT) AS j, CAST(g.j - 1 + g.l AS INT) AS i,
+         v.cost
+  FROM grid g JOIN vocab v USING (token)),
+a0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS ntoks
+       FROM w12)"""
+    for k in range(1, max_word_len + 1):
+        sql += f""",
+d{k} AS MATERIALIZED (
+  SELECT word, {k} AS pos, cost, ntoks FROM (
+    SELECT e.word, d.cost + e.cost AS cost, d.ntoks + 1 AS ntoks,
+           row_number() OVER (PARTITION BY e.word
+                              ORDER BY d.cost + e.cost, d.ntoks + 1) AS rn
+    FROM edges e JOIN a{k-1} d ON d.word = e.word AND d.pos = e.j
+    WHERE e.i = {k}) WHERE rn = 1),
+a{k} AS MATERIALIZED (SELECT * FROM a{k-1} UNION ALL SELECT * FROM d{k})"""
+    sql += f""",
+best AS (SELECT w.ln, w.n_word, d.cost, d.ntoks
+         FROM w12 w JOIN a{max_word_len} d
+           ON d.word = w.word AND d.pos = w.ln)
+SELECT ln AS word_len,
+       count(*) AS n_words,
+       CAST(sum(n_word) AS BIGINT) AS n_occurrences,
+       round(CAST(sum(CAST(ntoks AS BIGINT) * n_word) AS DOUBLE)
+             / CAST(sum(n_word) AS DOUBLE), 6) AS fertility,
+       round(CAST(sum(cost * n_word) AS DOUBLE)
+             / CAST(sum(n_word) AS DOUBLE) / 1000000.0, 6) AS avg_cost_nats
+FROM best GROUP BY ln ORDER BY ln"""
+    return sql
+
+
+ORACLE["unigram_viterbi_stats"] = _unigram_oracle()

@@ -59,3 +59,65 @@ def test_token_count_and_stopword_ratio(spark):
     r = _one(spark, "the a of and xyz", X.stopword_ratio)
     assert abs(r - 0.8) < 1e-9
     assert _one(spark, "", X.stopword_ratio) == 0.0
+
+
+# ------------------------------------------------------------- unigram
+
+
+def test_unigram_viterbi_prefers_frequent_long_tokens(spark):
+    """Corpus where 'abab' dominates: the substring 'abab' (and 'ab')
+    are cheap, so 'abab' segments as ONE token; a rare word of the
+    same letters pays single-char costs. Hand-checkable DP."""
+    from luma_etl_data_platform_spark.operators.unigram import (
+        viterbi_segment)
+    rows = [("abab abab abab abab abab abab abab abab",),
+            ("zq",)]
+    df = spark.createDataFrame(rows, "text string")
+    seg = {r["word"]: r for r in
+           viterbi_segment(df, "text", min_count=2).collect()}
+    # 'abab' must segment as a single 4-char token (cheapest path:
+    # its own count is 8, far above any 2-step split's summed cost)
+    assert seg["abab"]["ntoks"] == 1
+    assert seg["abab"]["ln"] == 4
+    # 'zq' occurs once: 'zq' as a token has cnt 1 < min_count, so the
+    # only path is two single chars
+    assert seg["zq"]["ntoks"] == 2
+
+
+def test_unigram_dp_matches_bruteforce(spark):
+    """Exhaustive check: the relational Viterbi equals a driver-side
+    brute-force minimum over all segmentations for every word."""
+    import itertools
+    import math
+    from luma_etl_data_platform_spark.operators.unigram import (
+        MAX_SUB, token_cost_table, viterbi_segment)
+    from luma_etl_data_platform_spark.operators.bpe import word_frequencies
+    rows = [("the cat the hat theca",), ("cat hat the the",)]
+    df = spark.createDataFrame(rows, "text string")
+    words = (word_frequencies(df, "text")
+             .withColumn("ln", F.length("word")))
+    costs = {r["token"]: r["cost"]
+             for r in token_cost_table(words, min_count=2).collect()}
+    got = {r["word"]: (r["cost"], r["ntoks"])
+           for r in viterbi_segment(df, "text", min_count=2).collect()}
+
+    def brute(word):
+        n = len(word)
+        best = None
+        # all compositions of n into parts <= MAX_SUB
+        def rec(pos, cost, toks):
+            nonlocal best
+            if pos == n:
+                cand = (cost, toks)
+                if best is None or cand < best:
+                    best = cand
+                return
+            for l in range(1, min(MAX_SUB, n - pos) + 1):
+                t = word[pos:pos + l]
+                if t in costs:
+                    rec(pos + l, cost + costs[t], toks + 1)
+        rec(0, 0, 0)
+        return best
+
+    for w, v in got.items():
+        assert v == brute(w), w
