@@ -75,6 +75,11 @@ EXTRA = [
     # replace the round-4 bloom/partition singles they generalize
     "lakehouse_parquet_checkpoint",
     "lakehouse_dv_auto_maintenance",
+    # round-5 session-2 additions: zero-copy fork, PQ serving tier,
+    # and the second tokenizer family
+    "lakehouse_shallow_clone",
+    "ann_pq_topk",
+    "unigram_viterbi_stats",
 ]
 
 

@@ -970,3 +970,70 @@ FROM best GROUP BY ln ORDER BY ln"""
 
 
 ORACLE["unigram_viterbi_stats"] = _unigram_oracle()
+
+
+@_q("unigram_encode_stats")
+def unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-tokenizer ENCODE audit, the per-source twin of
+    bpe_encode_stats: the corpus word stream joins the Viterbi
+    segmentation table (vocabulary-bounded broadcast) and each source
+    reports its coverage and fertility — the numbers a tokenizer
+    owner watches per data source before a training run."""
+    from ..functions.text import tokens
+    from ..operators.unigram import MAX_WORD_LEN, viterbi_segment
+    docs = load_table(spark, sf_dir, "documents")
+    seg = viterbi_segment(docs, "text", min_count=2)
+    stream = docs.select("source",
+                         F.explode(tokens(F.col("text"))).alias("word"))
+    joined = stream.join(F.broadcast(seg.select("word", "ntoks", "cost")),
+                         "word", "left")
+    return (joined.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum(F.when(F.col("ntoks").isNull(), 1).otherwise(0))
+                 .alias("n_oversize"),
+                 F.sum(F.coalesce(F.col("ntoks").cast("long"), F.lit(0)))
+                 .alias("n_tokens"),
+                 F.round(F.sum(F.coalesce(F.col("ntoks").cast("long"),
+                                          F.lit(0))).cast("double")
+                         / F.sum(F.when(F.col("ntoks").isNull(), 0)
+                                 .otherwise(1)).cast("double"), 6)
+                 .alias("fertility"),
+                 F.round(F.sum(F.coalesce(F.col("cost"), F.lit(0)))
+                         .cast("double")
+                         / F.sum(F.coalesce(F.col("ntoks").cast("long"),
+                                            F.lit(0))).cast("double")
+                         / 1_000_000.0, 6).alias("avg_token_cost_nats"))
+            .orderBy("source"))
+
+
+ORACLE["unigram_encode_stats"] = _unigram_oracle() \
+    .replace("""best AS (SELECT w.ln, w.n_word, d.cost, d.ntoks
+         FROM w12 w JOIN a12 d
+           ON d.word = w.word AND d.pos = w.ln)
+SELECT ln AS word_len,
+       count(*) AS n_words,
+       CAST(sum(n_word) AS BIGINT) AS n_occurrences,
+       round(CAST(sum(CAST(ntoks AS BIGINT) * n_word) AS DOUBLE)
+             / CAST(sum(n_word) AS DOUBLE), 6) AS fertility,
+       round(CAST(sum(cost * n_word) AS DOUBLE)
+             / CAST(sum(n_word) AS DOUBLE) / 1000000.0, 6) AS avg_cost_nats
+FROM best GROUP BY ln ORDER BY ln""",
+             """seg AS (SELECT w.word, d.cost, d.ntoks
+         FROM w12 w JOIN a12 d
+           ON d.word = w.word AND d.pos = w.ln),
+stream AS (SELECT source, unnest(regexp_extract_all(lower(text), '\\w+')) AS word
+           FROM documents),
+joined AS (SELECT s.source, g.cost, g.ntoks
+           FROM stream s LEFT JOIN seg g USING (word))
+SELECT source,
+       count(*) AS n_words,
+       CAST(sum(CASE WHEN ntoks IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oversize,
+       CAST(sum(coalesce(CAST(ntoks AS BIGINT), 0)) AS BIGINT) AS n_tokens,
+       round(CAST(sum(coalesce(CAST(ntoks AS BIGINT), 0)) AS DOUBLE)
+             / CAST(sum(CASE WHEN ntoks IS NULL THEN 0 ELSE 1 END) AS DOUBLE), 6)
+         AS fertility,
+       round(CAST(sum(coalesce(cost, 0)) AS DOUBLE)
+             / CAST(sum(coalesce(CAST(ntoks AS BIGINT), 0)) AS DOUBLE)
+             / 1000000.0, 6) AS avg_token_cost_nats
+FROM joined GROUP BY source ORDER BY source""")

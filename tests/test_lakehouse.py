@@ -1806,3 +1806,34 @@ def test_clone_refuses_existing_destination(table, spark, tmp_path):
     LH.clone_table(spark, table, dst)
     with pytest.raises(ValueError, match="already has a commit log"):
         LH.clone_table(spark, table, dst)
+
+
+def test_clone_expire_checkpoint_preserves_inherited_refs(table, spark,
+                                                          tmp_path):
+    """expire_snapshots on a CLONE: the checkpoint restates the
+    inherited absolute references, the inherited deletion-vector
+    state (incl. its dv_rows accounting via dv_rows_map), and the
+    clone's own maintenance still never touches source files."""
+    LH.delete_where(spark, table, "k = 11", mode="mor")
+    dst = str(tmp_path / "clone")
+    LH.clone_table(spark, table, dst)
+    for i in range(3):
+        LH.append_table(spark, dst,
+                        _mk(spark, [dict(k=100 + i, v=i, tag="x")]),
+                        ["k"])
+    assert LH.read_table(spark, dst).count() == 8  # 6 - 1 dv + 3
+    res = LH.expire_snapshots(spark, dst, keep_last=2)
+    assert res["expired_versions"]
+    assert LH.read_table(spark, dst).count() == 8
+    # inherited DV (in the SOURCE's _dv/) survived the checkpoint and
+    # its row accounting restated through dv_rows_map
+    assert LH.dv_debt(spark, dst)["dv_rows"] == 1
+    src_files = [f.replace("file:", "")
+                 for f in LH.snapshot_files(spark, table)]
+    mtimes = {f: os.path.getmtime(f) for f in src_files}
+    assert LH.vacuum(spark, dst) == []
+    assert all(os.path.getmtime(f) == m for f, m in mtimes.items())
+    # stat-pruned reads still work through the checkpointed clone
+    assert sorted(r["k"] for r in
+                  LH.read_table_pruned(spark, dst, "k", 100, 102)
+                  .collect()) == [100, 101, 102]
