@@ -1035,11 +1035,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.pq_topk(corpus, _query_vec(emb), k=10)
 
 
-ORACLE["ann_pq_topk"] = """
-WITH ev AS (SELECT vec_id,
-                   list_transform(embedding::DOUBLE[],
-                                  x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS v
-            FROM embeddings),
+# the PQ oracle chain (shared by ann_pq_topk and the re-rank stage):
+# micro-unit corpus, seeded codebooks, exact integer encode + ADC
+_PQ_CHAIN = """
+ev AS (SELECT vec_id,
+              list_transform(embedding::DOUBLE[],
+                             x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS v
+       FROM embeddings),
 qrow AS (SELECT v FROM ev WHERE vec_id = (SELECT min(vec_id) FROM ev)),
 corpus AS (SELECT * FROM ev WHERE vec_id <> (SELECT min(vec_id) FROM ev)),
 -- seeded codebooks: 16 corpus rows ranked by (md5 hash of id, id);
@@ -1067,17 +1069,21 @@ qdist AS (SELECT m.m, s.code,
                      * (q.v[m.m * 16 + i.i] - s.v[m.m * 16 + i.i])) AS qd2
           FROM qrow q, generate_series(0, 3) m(m), seeds s,
                generate_series(1, 16) i(i)
-          GROUP BY 1, 2)
-SELECT e.vec_id,
-       string_agg(e.code, '-' ORDER BY e.m) AS codes,
-       CAST(sum(qd.qd2) AS BIGINT) AS adc_dist
-FROM enc e JOIN qdist qd ON e.m = qd.m AND e.code = qd.code
-WHERE e.rn = 1
-GROUP BY e.vec_id
+          GROUP BY 1, 2),
+adc AS (SELECT e2.vec_id,
+               string_agg(e2.code, '-' ORDER BY e2.m) AS codes,
+               CAST(sum(qd.qd2) AS BIGINT) AS adc_dist
+        FROM enc e2 JOIN qdist qd ON e2.m = qd.m AND e2.code = qd.code
+        WHERE e2.rn = 1
+        GROUP BY e2.vec_id)
+"""
+
+ORACLE["ann_pq_topk"] = f"""
+WITH {_PQ_CHAIN}
+SELECT vec_id, codes, adc_dist FROM adc
 ORDER BY adc_dist, vec_id
 LIMIT 10
 """
-
 QUERIES["ann_pq_topk"] = ann_pq_topk
 
 
@@ -1216,3 +1222,60 @@ LIMIT 10
 """
 
 QUERIES["ann_ivfpq_topk"] = ann_ivfpq_topk
+
+
+def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full PQ serving loop: ADC shortlists 50 candidates from
+    the compressed codes, the raw vectors of ONLY those 50 are read
+    back for an exact cosine re-rank, and the result self-audits with
+    recall@10 against the brute-force answer. This is how PQ is
+    actually served at 100 TB — the approximate pass touches 4-byte
+    codes, the exact pass touches 50 raw vectors, never the corpus."""
+    from ..operators import pq as PQ
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = _query_vec(emb)
+    min_id = emb.agg(F.min("vec_id").alias("_mid"))
+    corpus = emb.join(F.broadcast(min_id), F.col("vec_id") == F.col("_mid"),
+                      "left_anti")
+    cand = PQ.pq_topk(corpus, query, k=50).select("vec_id")
+    rerank = (S.cosine_topk(corpus.join(F.broadcast(cand), "vec_id"),
+                            query, k=10)
+              .localCheckpoint(eager=True))  # 2 consumers: out + recall
+    exact = S.cosine_topk(corpus, query, k=10).select("vec_id")
+    hits = rerank.join(exact, "vec_id", "left_semi") \
+                 .agg(F.count(F.lit(1)).alias("_h"))
+    recall = hits.select(
+        F.round(F.col("_h").cast("double") / 10.0, 2).alias("recall_at_10"))
+    return (rerank.crossJoin(F.broadcast(recall))
+            .orderBy(F.desc("score"), F.asc("vec_id")))
+
+
+ORACLE["ann_pq_rerank_topk"] = f"""
+WITH {_PQ_CHAIN},
+cand AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 50),
+ed AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       WHERE vec_id <> (SELECT min(vec_id) FROM embeddings)),
+qd AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+       WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+rr AS (SELECT e3.vec_id,
+              round(list_dot_product(e3.v, qd.qv)
+                    / (sqrt(list_dot_product(e3.v, e3.v))
+                       * sqrt(list_dot_product(qd.qv, qd.qv))), 6) AS score
+       FROM ed e3 JOIN cand USING (vec_id), qd
+       ORDER BY score DESC, vec_id
+       LIMIT 10),
+exact AS (SELECT e3.vec_id
+          FROM ed e3, qd
+          ORDER BY round(list_dot_product(e3.v, qd.qv)
+                         / (sqrt(list_dot_product(e3.v, e3.v))
+                            * sqrt(list_dot_product(qd.qv, qd.qv))), 6)
+                   DESC, vec_id
+          LIMIT 10),
+rec AS (SELECT round(CAST((SELECT count(*) FROM rr JOIN exact USING (vec_id))
+                          AS DOUBLE) / 10.0, 2) AS recall_at_10)
+SELECT rr.vec_id, rr.score, rec.recall_at_10
+FROM rr, rec
+ORDER BY score DESC, vec_id
+"""
+
+QUERIES["ann_pq_rerank_topk"] = ann_pq_rerank_topk
