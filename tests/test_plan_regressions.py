@@ -331,3 +331,51 @@ def test_hll_sketch_one_exchange(spark):
     df = spark.createDataFrame([("g", 1)], "g string, v long")
     plan = _formatted_plan(hll_sketch(df, "g", "v"))
     assert plan.count("Exchange (") == 1
+
+
+def test_pq_codebook_is_broadcast_and_encode_single_scan(spark):
+    """PQ encode must join the codebook by BROADCAST (it is M*k rows;
+    a shuffle join would re-partition the exploded corpus), and the
+    serving plan must end in TakeOrderedAndProject, never a full
+    sort."""
+    from luma_etl_data_platform_spark.operators import pq as PQ
+    from luma_etl_data_platform_spark.sources.tables import load_table
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.orderBy("vec_id").limit(1)
+    plan = _formatted_plan(PQ.pq_topk(emb, q, k=5))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mmr_pool_stage_is_take_ordered(spark):
+    """MMR's corpus-sized stage is the top-pool retrieval: it must be
+    a TakeOrderedAndProject (no corpus-wide sort); everything after
+    operates on the bounded pool."""
+    from luma_etl_data_platform_spark.operators.similarity import cosine_topk
+    from luma_etl_data_platform_spark.sources.tables import load_table
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.orderBy("vec_id").limit(1).select("embedding")
+    plan = _formatted_plan(cosine_topk(emb, q, k=20))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_unigram_dp_is_vocabulary_bounded_single_fold(spark):
+    """The Viterbi DP must fold inside the row (higher-order
+    functions over the grouped edge list) — no per-position join
+    round: the plan has the edges join + the grouped collect and
+    nothing position-iterative (verified by shuffle count: edges
+    join, collect groupBy, words re-join)."""
+    from luma_etl_data_platform_spark.operators.unigram import (
+        viterbi_segment)
+    from luma_etl_data_platform_spark.sources.tables import load_table
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _formatted_plan(viterbi_segment(docs, "text"))
+    # a per-position implementation would add ~12 Exchange rounds on
+    # top of the fixed set (token count, normalizer, vocab broadcast,
+    # edges join, grouped collect, words re-join); the in-row fold
+    # keeps the DISTINCT exchange count at that bounded handful
+    import re
+    n_exchanges = len(re.findall(r"^\(\d+\) (?:Broadcast)?Exchange",
+                                 plan, re.M))
+    assert n_exchanges <= 8, plan
