@@ -78,18 +78,23 @@ def token_cost_table(words: DataFrame, min_count: int = 2) -> DataFrame:
                     .cast("long").alias("cost")))
 
 
-def viterbi_segment(df: DataFrame, text_col: str = "text",
-                    min_count: int = 2) -> DataFrame:
-    """Per distinct word: (word, n_word, ln, cost micro-nats, ntoks)
-    of its minimum-cost unigram segmentation. One corpus scan (the
-    word groupBy), one vocabulary-scale substring count, one edges
-    join, one grouped DP row-fold."""
+def corpus_words(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The length-capped distinct-word frequency table every unigram
+    stage reads — checkpointed once (costs + edges + rejoins all
+    consume it)."""
     from .bpe import word_frequencies
-    words = (word_frequencies(df, text_col)
-             .withColumn("ln", F.length("word"))
-             .filter(F.col("ln") <= MAX_WORD_LEN)
-             .localCheckpoint(eager=True))  # 2 consumers: costs + edges
-    vocab = token_cost_table(words, min_count)
+    return (word_frequencies(df, text_col)
+            .withColumn("ln", F.length("word"))
+            .filter(F.col("ln") <= MAX_WORD_LEN)
+            .localCheckpoint(eager=True))
+
+
+def _viterbi_core(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Viterbi over ``words`` against a (token, cost) table:
+    (word, n_word, ln, cost, ntoks, toks). The DP folds IN-ROW (see
+    module docstring); the path is reconstructed by a second in-row
+    fold over the backpointers, so the E-step's token usage needs no
+    extra shuffle beyond the final explode."""
     edges = (_sub_grid(words)
              .join(vocab.select("token", "cost"), "token")
              .select("word",
@@ -100,15 +105,25 @@ def viterbi_segment(df: DataFrame, text_col: str = "text",
            .agg(F.collect_list(F.struct("j", "i", "cost")).alias("es"))
            .join(words, "word"))
     # dp[i] = min over edges (j -> i) of dp[j] + cost; ties -> fewer
-    # tokens (array_min on (cost, ntoks) structs is lexicographic).
-    # Single-char tokens are always in the vocab, so every position
-    # has at least one incoming edge and the fold never sees an
-    # empty candidate set.
+    # tokens, then the smaller backpointer (array_min on
+    # (cost, ntoks, bj) structs is lexicographic — the SQL replay
+    # orders rn by the same triple). Round 1's vocabulary keeps every
+    # single character, so each position has an incoming edge; under
+    # an EM-pruned vocabulary a MID-word position can be unreachable
+    # (no candidate) — it gets the UNREACHABLE sentinel, whose huge
+    # cost can never win a later min against a real path (the word's
+    # own previous-round path tokens are always in the vocab, so the
+    # FINAL position is always reachable). The SQL replay represents
+    # the same state by row absence.
+    unreachable = F.struct(F.lit(1 << 60).cast("long").alias("cost"),
+                           F.lit(1 << 20).alias("ntoks"),
+                           F.lit(0).alias("bj"))
     dp = F.aggregate(
         F.sequence(F.lit(1), F.col("ln")),
         F.array(F.struct(F.lit(0).cast("long").alias("cost"),
-                         F.lit(0).alias("ntoks"))),
-        lambda acc, i: F.concat(acc, F.array(F.array_min(
+                         F.lit(0).alias("ntoks"),
+                         F.lit(-1).alias("bj"))),
+        lambda acc, i: F.concat(acc, F.array(F.coalesce(F.array_min(
             F.transform(
                 F.filter(F.col("es"), lambda e: e.getField("i") == i),
                 lambda e: F.struct(
@@ -116,8 +131,71 @@ def viterbi_segment(df: DataFrame, text_col: str = "text",
                      .getField("cost") + e.getField("cost"))
                     .alias("cost"),
                     (F.element_at(acc, e.getField("j") + 1)
-                     .getField("ntoks") + F.lit(1)).alias("ntoks")))))))
-    best = F.element_at(dp, F.col("ln") + 1)
-    return arr.select("word", "n_word", "ln",
-                      best.getField("cost").alias("cost"),
-                      best.getField("ntoks").alias("ntoks"))
+                     .getField("ntoks") + F.lit(1)).alias("ntoks"),
+                    e.getField("j").alias("bj")))), unreachable))))
+    staged = arr.select("word", "n_word", "ln", dp.alias("dp"))
+    best = F.element_at(F.col("dp"), F.col("ln") + 1)
+    # backward walk: start at pos=ln, hop bj -> bj until 0, PREPENDING
+    # the consumed substring — tokens come out left-to-right
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.lit(MAX_WORD_LEN)),
+        F.struct(F.col("ln").alias("pos"),
+                 F.array().cast("array<string>").alias("toks")),
+        lambda acc, _: F.when(acc.getField("pos") <= 0, acc).otherwise(
+            F.struct(
+                F.element_at(F.col("dp"), acc.getField("pos") + 1)
+                .getField("bj").alias("pos"),
+                F.concat(
+                    F.array(F.col("word").substr(
+                        F.element_at(F.col("dp"),
+                                     acc.getField("pos") + 1)
+                        .getField("bj") + 1,
+                        acc.getField("pos")
+                        - F.element_at(F.col("dp"),
+                                       acc.getField("pos") + 1)
+                        .getField("bj"))),
+                    acc.getField("toks")).alias("toks"))))
+    return staged.select("word", "n_word", "ln",
+                         best.getField("cost").alias("cost"),
+                         best.getField("ntoks").alias("ntoks"),
+                         walk.getField("toks").alias("toks"))
+
+
+def segmentation_cost_table(seg: DataFrame) -> DataFrame:
+    """M-step: re-score tokens from their USAGE in the current
+    segmentations (occurrences weighted by word frequency) — same
+    micro-nat formula as :func:`token_cost_table`. Every word's own
+    round-N path tokens are in the table by construction, so round
+    N+1 stays fully segmentable without a coverage clause."""
+    usage = (seg.select("n_word", F.explode("toks").alias("token"))
+             .groupBy("token").agg(F.sum("n_word").alias("cnt")))
+    tot = usage.agg(F.sum("cnt").alias("_tot"))
+    return (usage.crossJoin(F.broadcast(tot))
+            .select("token", "cnt",
+                    F.round(-F.log(F.col("cnt").cast("double")
+                                   / F.col("_tot").cast("double"))
+                            * 1_000_000.0, 0)
+                    .cast("long").alias("cost")))
+
+
+def viterbi_segment(df: DataFrame, text_col: str = "text",
+                    min_count: int = 2,
+                    em_rounds: int = 0) -> DataFrame:
+    """Per distinct word: (word, n_word, ln, cost micro-nats, ntoks,
+    toks) of its minimum-cost unigram segmentation. One corpus scan
+    (the word groupBy), one vocabulary-scale substring count, one
+    edges join, one grouped DP row-fold.
+
+    ``em_rounds > 0`` runs that many EM iterations: E-step = the
+    Viterbi paths above, M-step = re-score tokens from path usage
+    (:func:`segmentation_cost_table`) — unused candidates fall out of
+    the vocabulary (the unigram trainer's pruning) and costs sharpen
+    toward the tokens the corpus actually segments with."""
+    words = corpus_words(df, text_col)
+    vocab = token_cost_table(words, min_count)
+    seg = _viterbi_core(words, vocab)
+    for _ in range(em_rounds):
+        vocab = segmentation_cost_table(
+            seg.localCheckpoint(eager=True))
+        seg = _viterbi_core(words, vocab)
+    return seg

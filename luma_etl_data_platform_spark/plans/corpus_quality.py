@@ -1037,3 +1037,158 @@ SELECT source,
              / CAST(sum(coalesce(CAST(ntoks AS BIGINT), 0)) AS DOUBLE)
              / 1000000.0, 6) AS avg_token_cost_nats
 FROM joined GROUP BY source ORDER BY source""")
+
+
+# ---------------------------------------------------------------------------
+# unigram_em_round_stats: one full EM iteration of the unigram
+# trainer under the gate — E-step Viterbi paths (backpointer walk),
+# M-step usage re-scoring, round-2 re-segmentation. The oracle
+# unrolls ALL of it: 12 DP rounds with backpointers, a 12-step
+# backward path walk, the usage re-count, and 12 more DP rounds on
+# the re-scored vocabulary.
+# ---------------------------------------------------------------------------
+
+@_q("unigram_em_round_stats")
+def unigram_em_round_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram import (_viterbi_core, corpus_words,
+                                     segmentation_cost_table,
+                                     token_cost_table)
+    docs = load_table(spark, sf_dir, "documents")
+    words = corpus_words(docs, "text")
+    seg0 = (_viterbi_core(words, token_cost_table(words, min_count=2))
+            .localCheckpoint(eager=True))  # feeds M-step AND the join
+    seg1 = _viterbi_core(words, segmentation_cost_table(seg0))
+    j = (seg0.select("word", "ln", "n_word",
+                     F.col("ntoks").alias("ntoks0"))
+         .join(seg1.select("word", F.col("ntoks").alias("ntoks1"),
+                           "cost"), "word"))
+    return (j.groupBy(F.col("ln").alias("word_len"))
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_word").alias("n_occurrences"),
+                 F.round(F.sum(F.col("ntoks0").cast("long")
+                               * F.col("n_word")).cast("double")
+                         / F.sum("n_word").cast("double"), 6)
+                 .alias("fertility_r1"),
+                 F.round(F.sum(F.col("ntoks1").cast("long")
+                               * F.col("n_word")).cast("double")
+                         / F.sum("n_word").cast("double"), 6)
+                 .alias("fertility_r2"),
+                 F.round(F.sum(F.col("cost") * F.col("n_word"))
+                         .cast("double")
+                         / F.sum("n_word").cast("double")
+                         / 1_000_000.0, 6).alias("avg_cost_nats_r2"))
+            .orderBy("word_len"))
+
+
+def _unigram_em_oracle(max_word_len: int = 12, max_sub: int = 4,
+                       min_count: int = 2) -> str:
+    sql = f"""WITH wf AS MATERIALIZED (
+  SELECT tk AS word, count(*) AS n_word
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS tk
+        FROM documents) GROUP BY tk),
+w12 AS MATERIALIZED (
+  SELECT word, CAST(n_word AS BIGINT) AS n_word, length(word) AS ln
+  FROM wf WHERE length(word) <= {max_word_len}),
+grid AS MATERIALIZED (
+  SELECT w.word, w.n_word, j.j, l.l,
+         substr(w.word, CAST(j.j AS INT), CAST(l.l AS INT)) AS token
+  FROM w12 w,
+       unnest(generate_series(1, w.ln)) j(j),
+       unnest(generate_series(1, least({max_sub}, w.ln - j.j + 1))) l(l)),
+cnt AS MATERIALIZED (
+  SELECT token, CAST(sum(n_word) AS BIGINT) AS cnt FROM grid GROUP BY token),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM cnt),
+vocab AS MATERIALIZED (
+  SELECT token,
+         CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+                    * 1000000.0, 0) AS BIGINT) AS cost
+  FROM cnt, tot
+  WHERE cnt >= {min_count} OR length(token) = 1),
+edges AS MATERIALIZED (
+  SELECT g.word, CAST(g.j - 1 AS INT) AS j, CAST(g.j - 1 + g.l AS INT) AS i,
+         v.cost
+  FROM grid g JOIN vocab v USING (token)),
+a0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS ntoks,
+              -1 AS bj
+       FROM w12)"""
+    # round-1 DP with backpointers
+    for k in range(1, max_word_len + 1):
+        sql += f""",
+d{k} AS MATERIALIZED (
+  SELECT word, {k} AS pos, cost, ntoks, bj FROM (
+    SELECT e.word, d.cost + e.cost AS cost, d.ntoks + 1 AS ntoks,
+           e.j AS bj,
+           row_number() OVER (PARTITION BY e.word
+                              ORDER BY d.cost + e.cost, d.ntoks + 1, e.j)
+             AS rn
+    FROM edges e JOIN a{k-1} d ON d.word = e.word AND d.pos = e.j
+    WHERE e.i = {k}) WHERE rn = 1),
+a{k} AS MATERIALIZED (SELECT * FROM a{k-1} UNION ALL SELECT * FROM d{k})"""
+    # backward path walk: 12 hops, each consuming >= 1 character
+    sql += f""",
+p0 AS (SELECT word, ln AS pos FROM w12)"""
+    for t in range(1, max_word_len + 1):
+        sql += f""",
+p{t} AS MATERIALIZED (
+  SELECT p.word, d.bj AS pos,
+         substr(p.word, CAST(d.bj + 1 AS INT), CAST(p.pos - d.bj AS INT))
+           AS token
+  FROM p{t-1} p JOIN a{max_word_len} d
+    ON d.word = p.word AND d.pos = p.pos
+  WHERE p.pos > 0)"""
+    toks_union = " UNION ALL ".join(
+        f"SELECT word, token FROM p{t}" for t in range(1, max_word_len + 1))
+    # M-step re-scoring from path usage (no min_count, no singles
+    # clause: every used token qualifies by construction)
+    sql += f""",
+toks AS MATERIALIZED ({toks_union}),
+usage AS MATERIALIZED (
+  SELECT t.token, CAST(sum(w.n_word) AS BIGINT) AS cnt
+  FROM toks t JOIN w12 w ON w.word = t.word GROUP BY t.token),
+tot2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM usage),
+vocab2 AS MATERIALIZED (
+  SELECT token,
+         CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+                    * 1000000.0, 0) AS BIGINT) AS cost
+  FROM usage, tot2),
+edges2 AS MATERIALIZED (
+  SELECT g.word, CAST(g.j - 1 AS INT) AS j, CAST(g.j - 1 + g.l AS INT) AS i,
+         v2.cost
+  FROM grid g JOIN vocab2 v2 USING (token)),
+b0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS ntoks
+       FROM w12)"""
+    # round-2 DP on the re-scored vocabulary
+    for k in range(1, max_word_len + 1):
+        sql += f""",
+e{k} AS MATERIALIZED (
+  SELECT word, {k} AS pos, cost, ntoks FROM (
+    SELECT g.word, d.cost + g.cost AS cost, d.ntoks + 1 AS ntoks,
+           row_number() OVER (PARTITION BY g.word
+                              ORDER BY d.cost + g.cost, d.ntoks + 1, g.j)
+             AS rn
+    FROM edges2 g JOIN b{k-1} d ON d.word = g.word AND d.pos = g.j
+    WHERE g.i = {k}) WHERE rn = 1),
+b{k} AS MATERIALIZED (SELECT * FROM b{k-1} UNION ALL SELECT * FROM e{k})"""
+    sql += f""",
+best1 AS (SELECT w.word, w.ln, w.n_word, d.ntoks AS ntoks0
+          FROM w12 w JOIN a{max_word_len} d
+            ON d.word = w.word AND d.pos = w.ln),
+best2 AS (SELECT w.word, d.cost, d.ntoks AS ntoks1
+          FROM w12 w JOIN b{max_word_len} d
+            ON d.word = w.word AND d.pos = w.ln)
+SELECT b1.ln AS word_len,
+       count(*) AS n_words,
+       CAST(sum(b1.n_word) AS BIGINT) AS n_occurrences,
+       round(CAST(sum(CAST(b1.ntoks0 AS BIGINT) * b1.n_word) AS DOUBLE)
+             / CAST(sum(b1.n_word) AS DOUBLE), 6) AS fertility_r1,
+       round(CAST(sum(CAST(b2.ntoks1 AS BIGINT) * b1.n_word) AS DOUBLE)
+             / CAST(sum(b1.n_word) AS DOUBLE), 6) AS fertility_r2,
+       round(CAST(sum(b2.cost * b1.n_word) AS DOUBLE)
+             / CAST(sum(b1.n_word) AS DOUBLE) / 1000000.0, 6)
+         AS avg_cost_nats_r2
+FROM best1 b1 JOIN best2 b2 USING (word)
+GROUP BY b1.ln ORDER BY word_len"""
+    return sql
+
+
+ORACLE["unigram_em_round_stats"] = _unigram_em_oracle()

