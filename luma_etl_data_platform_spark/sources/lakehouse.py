@@ -1978,7 +1978,8 @@ def compact(spark: SparkSession, table_path: str,
             sort_by: str | None = None,
             zorder_by: list[str] | None = None,
             max_retries: int = 2,
-            if_dv_fraction_over: float | None = None) -> dict:
+            if_dv_fraction_over: float | None = None,
+            where_partition: dict | None = None) -> dict:
     """OPTIMIZE: bin-pack the snapshot's small files into
     ~``target_rows``-row files, committed as one atomic ``compact``
     action (adds the packed files, removes the smalls). Data content
@@ -2016,6 +2017,18 @@ def compact(spark: SparkSession, table_path: str,
     fraction of live physical rows (see :func:`dv_debt`); below the
     threshold the table is untouched and the no-op stats carry the
     measured fraction.
+
+    ``where_partition`` (column -> value) scopes the rewrite to data
+    files of matching partition values — Delta's ``OPTIMIZE ...
+    WHERE``: at 10^4 partitions an ingestion cadence only fragments
+    the partitions it touched, and rewriting the whole table to pack
+    one day's files is exactly the cost profile OPTIMIZE exists to
+    avoid. Files outside the scope are never opened. Deletion
+    vectors: in-scope MOR deletes are materialized by the rewrite;
+    sidecars still referencing OUT-of-scope files survive the commit
+    (the restated ``dv_files`` keeps them), so other partitions' debt
+    is untouched — run their own scoped OPTIMIZE (or an unscoped one)
+    to purge it.
     """
     candidates_of: dict = {}
     for attempt in range(max_retries + 1):
@@ -2040,9 +2053,17 @@ def compact(spark: SparkSession, table_path: str,
                        .select("f").distinct().collect()}
             by_base = {p.rsplit("/", 1)[-1]: p for p in stats}
             cand_set |= {by_base[b] for b in dv_base if b in by_base}
+        if where_partition is not None:
+            parts = {a["path"]: a.get("partition") or {}
+                     for a in snapshot_adds(spark, table_path)}
+            cand_set = {p for p in cand_set
+                        if all(str(parts.get(p, {}).get(c)) == str(v)
+                               for c, v in where_partition.items())}
         candidates = sorted(cand_set)
         if not candidates or (len(candidates) < 2 and not dv_live):
-            if dv_live and not candidates:
+            # (scoped runs never emit the global dv_files:[] cleanup —
+            # out-of-scope sidecars must survive)
+            if dv_live and not candidates and where_partition is None:
                 # only dead DV entries remain (their files already left
                 # the snapshot): drop the sidecars from the log with a
                 # metadata-only commit so maintenance can reap them
@@ -2136,10 +2157,30 @@ def compact(spark: SparkSession, table_path: str,
         doc = {"version": base_version + 1, "op": "compact",
                "add": adds, "remove": candidates}
         if dv_live:
-            # every DV-referenced live file was rewritten with the
-            # overlay applied: the vectors are materialized, restate
-            # the (now empty) sidecar set
-            doc["dv_files"] = []
+            if where_partition is None:
+                # every DV-referenced live file was rewritten with the
+                # overlay applied: the vectors are materialized,
+                # restate the (now empty) sidecar set
+                doc["dv_files"] = []
+            else:
+                # scoped rewrite: a sidecar survives iff it still
+                # deletes rows of a file OUTSIDE the rewrite set (its
+                # in-scope entries are dead — those basenames left
+                # the snapshot). One tiny job over the sidecars.
+                rewritten = {p.rsplit("/", 1)[-1] for p in candidates}
+                per = (spark.read.parquet(
+                           *[_abs(root, r) for r in dv_live])
+                       .select(F.col("f"),
+                               F.element_at(
+                                   F.split(F.input_file_name(), "/"), -1)
+                               .alias("_sc"))
+                       .groupBy("_sc")
+                       .agg(F.collect_set("f").alias("fs")).collect())
+                by_base = {r.rsplit("/", 1)[-1]: r for r in dv_live}
+                doc["dv_files"] = sorted(
+                    by_base[row["_sc"]] for row in per
+                    if row["_sc"] in by_base
+                    and any(f not in rewritten for f in row["fs"]))
         try:
             _write_commit(spark, table_path, base_version + 1, doc)
         except CommitConflictError:

@@ -1837,3 +1837,72 @@ def test_clone_expire_checkpoint_preserves_inherited_refs(table, spark,
     assert sorted(r["k"] for r in
                   LH.read_table_pruned(spark, dst, "k", 100, 102)
                   .collect()) == [100, 101, 102]
+
+
+def test_scoped_optimize_where_partition(tmp_path, spark):
+    """OPTIMIZE ... WHERE: only the scoped partition's files are
+    rewritten (out-of-scope files keep path+mtime), an out-of-scope
+    deletion vector SURVIVES the scoped commit, and the in-scope
+    vector is materialized away."""
+    path = str(tmp_path / "ptbl")
+    rows = [dict(k=i, v=i * 10, d=i % 2) for i in range(1, 21)]
+    LH.create_table(spark, path, _mk(spark, rows).repartition(4),
+                    ["k"], partition_by=["d"])
+    # fragment both partitions further
+    LH.append_table(spark, path,
+                    _mk(spark, [dict(k=100, v=1, d=0),
+                                dict(k=101, v=1, d=1)]), ["k"])
+    # one MOR delete per partition
+    LH.delete_where(spark, path, "k = 2", mode="mor")    # d=0
+    LH.delete_where(spark, path, "k = 1", mode="mor")    # d=1
+    assert LH.dv_debt(spark, path)["dv_rows"] == 2
+    before = {f: os.path.getmtime(f.replace("file:", ""))
+              for f in LH.snapshot_files(spark, path)}
+    out_of_scope = {f for f in before if "d=1" in f}
+    res = LH.compact(spark, path, target_rows=1000,
+                     where_partition={"d": 0})
+    assert res["n_files_compacted"] > 0
+    after = set(LH.snapshot_files(spark, path))
+    # every out-of-scope file survived untouched
+    assert out_of_scope <= after
+    for f in out_of_scope:
+        assert os.path.getmtime(f.replace("file:", "")) == before[f]
+    # no in-scope (d=0) original file survived
+    assert not any("d=0" in f and f in before for f in after
+                   if f not in out_of_scope) or all(
+        f in out_of_scope or f not in before
+        for f in after if "d=0" in f)
+    # out-of-scope vector still applies; in-scope one materialized
+    assert LH.dv_debt(spark, path)["dv_rows"] == 1
+    got = sorted(r["k"] for r in LH.read_table(spark, path).collect())
+    assert got == sorted(set(range(3, 21)) | {100, 101})
+    # an unscoped OPTIMIZE then clears the rest
+    LH.compact(spark, path, target_rows=1000)
+    assert LH.dv_debt(spark, path)["dv_rows"] == 0
+    assert sorted(r["k"] for r in
+                  LH.read_table(spark, path).collect()) == got
+
+
+def test_clone_of_clone_chains_absolute_refs(table, spark, tmp_path):
+    """Cloning a clone: inherited absolute references pass through
+    verbatim (they still point at the ORIGINAL table's files), both
+    clones read identically, and each layer stays independent."""
+    c1 = str(tmp_path / "c1")
+    c2 = str(tmp_path / "c2")
+    LH.clone_table(spark, table, c1)
+    LH.append_table(spark, c1, _mk(spark, [dict(k=50, v=500, tag="c1")]),
+                    ["k"])
+    LH.clone_table(spark, c1, c2)
+    assert _rows(LH.read_table(spark, c2)) == _rows(
+        LH.read_table(spark, c1))
+    # grandparent files referenced directly (absolute), not via c1
+    refs = [a["path"] for a in LH.snapshot_adds(spark, c2)]
+    assert sum(1 for r in refs if r.startswith(table)) == 3
+    assert all(r.startswith((table, c1)) for r in refs)
+    fs, jvm = LH._fs(spark, c2)
+    assert list(LH._data_files_on_disk(fs, jvm, c2)) == []
+    # divergence at every layer stays isolated
+    LH.delete_where(spark, c2, "k = 1")
+    assert LH.read_table(spark, c2).count() == 6
+    assert LH.read_table(spark, c1).count() == 7
+    assert LH.read_table(spark, table).count() == 6
