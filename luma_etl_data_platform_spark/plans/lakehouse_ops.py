@@ -1287,7 +1287,15 @@ def lakehouse_parquet_checkpoint(spark: SparkSession,
         orders.repartitionByRange(24, "o_orderkey")
         .sortWithinPartitions("o_orderkey"),
         ["o_orderkey"], bloom_cols=["o_orderkey"])
-    LH.delete_where(spark, path, "o_orderkey % 97 = 0")  # v2
+    # a SURGICAL delete: only the file(s) covering [100, 299] are
+    # rewritten, so the band-read's files keep their original range
+    # clustering. (A spray delete like `% 97 = 0` rewrites EVERY
+    # file, and the rewrite scan's split packing is size-ordered —
+    # at low local parallelism it mixes ranges and widens the
+    # rewritten files' min/max stats, making the band_pruned flag
+    # partition-layout-dependent. Found by the local[8]/shuffle=7
+    # sweep.)
+    LH.delete_where(spark, path, "o_orderkey BETWEEN 100 AND 299")  # v2
     LH.expire_snapshots(spark, path, keep_last=1,
                         checkpoint_format="parquet")
     log = f"{path}/_log"
@@ -1328,7 +1336,8 @@ SELECT count(*) AS n_rows,
        TRUE AS ckpt_parquet, TRUE AS spark_plane,
        TRUE AS band_pruned, TRUE AS point_pruned, TRUE AS point_found
 FROM orders
-WHERE o_orderkey BETWEEN 1000 AND 2000 AND o_orderkey % 97 <> 0
+WHERE o_orderkey BETWEEN 1000 AND 2000
+  AND o_orderkey NOT BETWEEN 100 AND 299
 """
 
 
