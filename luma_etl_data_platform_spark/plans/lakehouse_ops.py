@@ -1522,6 +1522,92 @@ FROM agg ORDER BY phase
 """
 
 
+def lakehouse_scoped_optimize(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... WHERE under the gate: a hive-partitioned orders
+    table carries one merge-on-read delete per partition; a compact
+    scoped to ONE partition must (a) leave every out-of-scope file
+    byte-untouched (mtime-proven), (b) materialize only the in-scope
+    deletion vector while the out-of-scope vector keeps applying to
+    reads, and (c) leave the table's relational answer exactly
+    unchanged. A final unscoped OPTIMIZE purges the rest and must
+    again change nothing relationally."""
+    import os as _os
+    tmp = tempfile.mkdtemp(prefix="luma_lakehouse_scopt_")
+    path = f"{tmp}/orders_tbl"
+    orders = (load_table(spark, sf_dir, "orders").select(*_COLS)
+              .withColumn("bucket", (F.col("o_orderkey") % 3)
+                          .cast("int")))
+    LH.create_table(spark, path, orders.repartition(4), ["o_orderkey"],
+                    partition_by=["bucket"])
+    LH.append_table(spark, path, orders.filter("o_orderkey % 500 = 1"),
+                    ["o_orderkey"])  # fragment every partition
+    LH.delete_where(spark, path, "o_orderkey % 3 = 0 AND "
+                    "o_orderkey % 11 = 0", mode="mor")   # bucket 0
+    LH.delete_where(spark, path, "o_orderkey % 3 = 1 AND "
+                    "o_orderkey % 13 = 0", mode="mor")   # bucket 1
+    out_files = {f.replace("file:", ""): None
+                 for f in LH.snapshot_files(spark, path)
+                 if "bucket=0" not in f}
+    mtimes = {f: _os.path.getmtime(f) for f in out_files}
+    pre_debt = LH.dv_debt(spark, path)["dv_rows"]
+    LH.compact(spark, path, target_rows=10_000_000,
+               where_partition={"bucket": 0})
+    post = {f.replace("file:", "")
+            for f in LH.snapshot_files(spark, path)}
+    untouched = (set(mtimes) <= post
+                 and all(_os.path.getmtime(f) == m
+                         for f, m in mtimes.items()))
+    # in-scope vector materialized, out-of-scope vector survives
+    debt_after = LH.dv_debt(spark, path)["dv_rows"]
+    scoped_ok = bool(untouched and 0 < debt_after < pre_debt)
+
+    def _agg(phase: str) -> DataFrame:
+        return (LH.read_table(spark, path)
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.round(F.sum(F.col("o_totalprice")
+                                   .cast("decimal(18,2)"))
+                             .cast("decimal(38,6)"), 2)
+                     .cast("double").alias("total_price"))
+                .withColumn("phase", F.lit(phase)))
+
+    after_scoped = _agg("after_scoped")
+    LH.compact(spark, path, target_rows=10_000_000)
+    purged = LH.dv_debt(spark, path)["dv_rows"] == 0
+    after_full = _agg("after_full")
+    out = (after_scoped.unionByName(after_full)
+           .withColumn("scoped_was_isolated", F.lit(scoped_ok))
+           .withColumn("fully_purged", F.lit(bool(purged)))
+           .orderBy("phase").localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["lakehouse_scoped_optimize"] = """
+WITH doubled AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 500 = 1),
+kept AS (
+  SELECT * FROM doubled
+  WHERE NOT (o_orderkey % 3 = 0 AND o_orderkey % 11 = 0)
+    AND NOT (o_orderkey % 3 = 1 AND o_orderkey % 13 = 0))
+SELECT count(*) AS n_rows,
+       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_price,
+       'after_scoped' AS phase,
+       TRUE AS scoped_was_isolated, TRUE AS fully_purged
+FROM kept
+UNION ALL
+SELECT count(*),
+       CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6)), 2) AS DOUBLE),
+       'after_full', TRUE, TRUE
+FROM kept
+ORDER BY phase
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "lakehouse_time_travel": lakehouse_time_travel,
@@ -1548,4 +1634,5 @@ QUERIES = {
     "lakehouse_restore_across_mor": lakehouse_restore_across_mor,
     "lakehouse_dv_auto_maintenance": lakehouse_dv_auto_maintenance,
     "lakehouse_shallow_clone": lakehouse_shallow_clone,
+    "lakehouse_scoped_optimize": lakehouse_scoped_optimize,
 }
