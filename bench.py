@@ -80,6 +80,16 @@ EXTRA = [
     "lakehouse_shallow_clone",
     "ann_pq_topk",
     "unigram_viterbi_stats",
+    # round-6 rotation: families that never had driver wall-time
+    # visibility — scoped OPTIMIZE, RESTORE across MOR, the
+    # incremental-view-maintenance family, the converged unigram
+    # trainer, the trained-codebook PQ tier, and the streaming CDF
+    "lakehouse_scoped_optimize",
+    "lakehouse_restore_across_mor",
+    "lakehouse_incremental_mv",
+    "unigram_em_round_stats",
+    "ann_pq_trained_topk",
+    "stream_cdf_apply",
 ]
 
 

@@ -88,18 +88,102 @@ def pq_codebook_df(spark: SparkSession, df: DataFrame,
         rows, "m int, code int, sub array<long>")
 
 
+def pq_trained_codebook_df(spark: SparkSession, df: DataFrame,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           dim: int = 64, m_sub: int = 4,
+                           k_codes: int = 16,
+                           iters: int = 1) -> DataFrame:
+    """TRAINED codebook: per-subspace Lloyd k-means over the corpus
+    sub-vectors, seeded from :func:`pq_codebook_df` — the production-
+    quality codebook (Jégou et al. §III trains exactly this; the
+    seeded variant is the determinism-doctrine fallback). Fully
+    deterministic, no RNG:
+
+    - assignment is the exact-integer squared-L2 argmin, ties to the
+      smaller code id (the ADC rule);
+    - the update is the component-wise rounded mean computed exactly:
+      ``floor((2*sum + n) / (2*n))`` (round-half-up in pure integer
+      arithmetic — replayable as a floor of an exactly-representable
+      double while |2*sum + n| < 2^53, which micro-unit components at
+      any tested corpus size guarantee);
+    - a code that loses every member carries its previous entry (the
+      Lloyd convention in ``operators/kmeans.py``).
+
+    Scale shape per round: one corpus-wide broadcast-join scoring
+    pass (the same plan as encoding) and one (m, code, dim)-keyed
+    sum whose key space is M*k*sub_d — the driver holds only the
+    M*k*sub_d update integers (1024 longs at the defaults)."""
+    sub_d = dim // m_sub
+    seeds = pq_codebook_df(spark, df, id_col, vec_col, dim, m_sub,
+                           k_codes)
+    qv = micro_units(F.col(vec_col), dim)
+    subs = (df.select(F.col(id_col).alias("id"),
+                      F.explode(_subspaces(qv, dim, m_sub)).alias("s"))
+            .select("id", F.col("s.m").alias("m"),
+                    F.col("s.sub").alias("vsub"))
+            .localCheckpoint(eager=True))  # reused every Lloyd round
+    entries = {(r["m"], r["code"]): list(r["sub"])
+               for r in seeds.collect()}
+    for _ in range(iters):
+        bdf = spark.createDataFrame(
+            [(m, c, s) for (m, c), s in sorted(entries.items())],
+            "m int, code int, sub array<long>")
+        # (d2, code) is unique per (id, m) group, so appending vsub to
+        # the min-struct never changes the argmin — it just carries
+        # the member's sub-vector into the update for free
+        assigned = (subs.join(F.broadcast(bdf), "m")
+                    .select("id", "m",
+                            F.struct(_d2(F.col("vsub"), F.col("sub"))
+                                     .alias("d2"), "code", "vsub")
+                            .alias("sc"))
+                    .groupBy("id", "m")
+                    .agg(F.min("sc").alias("w")))
+        sums = (assigned
+                .select("m", F.col("w.code").alias("code"),
+                        F.posexplode(F.col("w.vsub")).alias("i", "x"))
+                .groupBy("m", "code", "i")
+                .agg(F.sum("x").alias("s"),
+                     F.count(F.lit(1)).alias("n"))
+                .collect())
+        new: dict[tuple[int, int], list[int]] = {}
+        for r in sums:
+            key = (int(r["m"]), int(r["code"]))
+            new.setdefault(key, [0] * sub_d)[int(r["i"])] = \
+                (2 * int(r["s"]) + int(r["n"])) // (2 * int(r["n"]))
+        for key, sub in entries.items():
+            new.setdefault(key, sub)  # empty code: carry previous
+        entries = new
+    return spark.createDataFrame(
+        [(m, c, s) for (m, c), s in sorted(entries.items())],
+        "m int, code int, sub array<long>")
+
+
 def pq_topk(df: DataFrame, query: DataFrame, k: int = 10,
             dim: int = 64, m_sub: int = 4, k_codes: int = 16,
             id_col: str = "vec_id",
-            vec_col: str = "embedding") -> DataFrame:
-    """ADC top-k: encode the corpus against seeded codebooks and rank
+            vec_col: str = "embedding",
+            codebook: str = "seeded",
+            train_iters: int = 1) -> DataFrame:
+    """ADC top-k: encode the corpus against the codebooks and rank
     by the summed per-subspace distance to ``query`` (1-row frame).
     Returns (id, codes 'c0-c1-..', adc_dist) — smallest distance
     first, id-tiebroken; every value exact, so the result (including
-    quantization error) hash-matches a relational replay."""
+    quantization error) hash-matches a relational replay.
+
+    ``codebook``: ``"seeded"`` (deterministic corpus-row seeds) or
+    ``"trained"`` (:func:`pq_trained_codebook_df` — per-subspace
+    Lloyd, ``train_iters`` rounds)."""
     spark = df.sparkSession
-    book = pq_codebook_df(spark, df, id_col, vec_col, dim, m_sub,
-                          k_codes)
+    if codebook == "trained":
+        book = pq_trained_codebook_df(spark, df, id_col, vec_col, dim,
+                                      m_sub, k_codes, iters=train_iters)
+    elif codebook == "seeded":
+        book = pq_codebook_df(spark, df, id_col, vec_col, dim, m_sub,
+                              k_codes)
+    else:
+        raise ValueError(f"pq_topk: unknown codebook {codebook!r} "
+                         "(seeded | trained)")
     qv = micro_units(F.col(vec_col), dim)
     # query-to-codebook ADC table rides the codebook rows (M*k total)
     qsub = (query.select(F.explode(_subspaces(qv, dim, m_sub))

@@ -545,5 +545,11 @@ def mmr_topk(df: DataFrame, query, k: int = 5, pool: int = 20,
         out_rows.append((rank, best[1], float(best[0])))
         selected.append(best[1])
         remaining.remove(best[1])
-    return spark.createDataFrame(
-        out_rows, f"rnk int, {id_col} long, mmr_score double")
+    from pyspark.sql import types as T
+    # id-type-agnostic: the greedy never inspects ids, so the result
+    # schema must follow the corpus (string doc ids work too)
+    schema = T.StructType([
+        T.StructField("rnk", T.IntegerType()),
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField("mmr_score", T.DoubleType())])
+    return spark.createDataFrame(out_rows, schema)

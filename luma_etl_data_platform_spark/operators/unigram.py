@@ -178,9 +178,51 @@ def segmentation_cost_table(seg: DataFrame) -> DataFrame:
                     .cast("long").alias("cost")))
 
 
+def prune_cost_table(vocab: DataFrame, words: DataFrame,
+                     keep_top: int) -> DataFrame:
+    """Vocabulary-pruning step of the unigram trainer (SentencePiece's
+    shrink schedule): keep the ``keep_top`` multi-character tokens
+    with the LARGEST likelihood contribution ``cnt * cost`` — the
+    total micro-nats the corpus currently pays through that token,
+    which is the dominant term of SentencePiece's remove-and-measure
+    loss under a Viterbi-only E-step — plus EVERY single character of
+    the corpus (the coverage floor that keeps all words segmentable).
+    Characters absent from the current usage table get the fallback
+    cost ``max(cost) + 1e6`` (one nat worse than the rarest used
+    token: available, never preferred). Ties break on the token
+    string, so the kept set replays exactly in a relational engine.
+
+    Scale shape: the ranking is ONE vocabulary-bounded global sort
+    (row_number over ~10^5-10^6 tiny rows — a trainer step, not a
+    data-path shuffle); the char inventory is a projection of the
+    distinct-word table."""
+    from pyspark.sql.window import Window as W
+    chars = (words
+             .select(F.explode(F.sequence(F.lit(1), F.col("ln")))
+                     .alias("j"), "word")
+             .select(F.col("word").substr(F.col("j"), F.lit(1))
+                     .alias("token"))
+             .distinct())
+    fb = vocab.agg((F.max("cost") + F.lit(1_000_000)).alias("_fb"))
+    w = W.orderBy(F.desc(F.col("cnt") * F.col("cost")), "token")
+    multi = (vocab.filter(F.length("token") > 1)
+             .withColumn("_rk", F.row_number().over(w))
+             .filter(F.col("_rk") <= keep_top)
+             .select("token", "cnt", "cost"))
+    singles = (chars.join(vocab.filter(F.length("token") == 1),
+                          "token", "left")
+               .crossJoin(F.broadcast(fb))
+               .select("token",
+                       F.coalesce("cnt", F.lit(0).cast("long"))
+                       .alias("cnt"),
+                       F.coalesce("cost", F.col("_fb")).alias("cost")))
+    return multi.unionByName(singles)
+
+
 def viterbi_segment(df: DataFrame, text_col: str = "text",
                     min_count: int = 2,
-                    em_rounds: int = 0) -> DataFrame:
+                    em_rounds: int = 0,
+                    vocab_target: int | None = None) -> DataFrame:
     """Per distinct word: (word, n_word, ln, cost micro-nats, ntoks,
     toks) of its minimum-cost unigram segmentation. One corpus scan
     (the word groupBy), one vocabulary-scale substring count, one
@@ -189,13 +231,20 @@ def viterbi_segment(df: DataFrame, text_col: str = "text",
     ``em_rounds > 0`` runs that many EM iterations: E-step = the
     Viterbi paths above, M-step = re-score tokens from path usage
     (:func:`segmentation_cost_table`) — unused candidates fall out of
-    the vocabulary (the unigram trainer's pruning) and costs sharpen
-    toward the tokens the corpus actually segments with."""
+    the vocabulary (implicit pruning) and costs sharpen toward the
+    tokens the corpus actually segments with. ``vocab_target``
+    additionally applies the EXPLICIT prune schedule each round
+    (:func:`prune_cost_table`): at most that many multi-character
+    tokens survive, ranked by likelihood contribution, single
+    characters always kept — the SentencePiece trainer's shrink
+    toward a target vocabulary size."""
     words = corpus_words(df, text_col)
     vocab = token_cost_table(words, min_count)
     seg = _viterbi_core(words, vocab)
     for _ in range(em_rounds):
         vocab = segmentation_cost_table(
             seg.localCheckpoint(eager=True))
+        if vocab_target is not None:
+            vocab = prune_cost_table(vocab, words, vocab_target)
         seg = _viterbi_core(words, vocab)
     return seg

@@ -1192,3 +1192,198 @@ GROUP BY b1.ln ORDER BY word_len"""
 
 
 ORACLE["unigram_em_round_stats"] = _unigram_em_oracle()
+
+
+# ---------------------------------------------------------------------------
+# unigram_em_converged_stats: TWO full EM iterations of the unigram
+# trainer WITH the explicit vocabulary-prune schedule
+# (operators/unigram.prune_cost_table — SentencePiece's shrink toward
+# a target size: keep the top-K multi-char tokens by likelihood
+# contribution cnt*cost, always keep single chars, fallback-cost
+# chars absent from usage). The oracle unrolls everything: 2 x
+# (12-round backpointered DP + 12-hop path walk + usage re-count +
+# rank-and-prune) + a final 12-round DP on the twice-pruned
+# vocabulary. n_vocab_multi gates the prune itself.
+# ---------------------------------------------------------------------------
+
+_UEC_ROUNDS = 2
+_UEC_KEEP = 512
+
+
+@_q("unigram_em_converged_stats")
+def unigram_em_converged_stats(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from ..operators.unigram import (_viterbi_core, corpus_words,
+                                     prune_cost_table,
+                                     segmentation_cost_table,
+                                     token_cost_table)
+    docs = load_table(spark, sf_dir, "documents")
+    words = corpus_words(docs, "text")
+    vocab = token_cost_table(words, min_count=2)
+    seg1 = _viterbi_core(words, vocab).localCheckpoint(eager=True)
+    seg = seg1
+    for _ in range(_UEC_ROUNDS):
+        vocab = prune_cost_table(
+            segmentation_cost_table(seg), words, keep_top=_UEC_KEEP)
+        seg = _viterbi_core(words, vocab).localCheckpoint(eager=True)
+    nv = (vocab.filter(F.length("token") > 1)
+          .agg(F.count(F.lit(1)).alias("n_vocab_multi")))
+    j = (seg1.select("word", "ln", "n_word",
+                     F.col("ntoks").alias("ntoks0"))
+         .join(seg.select("word", F.col("ntoks").alias("ntoksf"),
+                          "cost"), "word"))
+    return (j.groupBy(F.col("ln").alias("word_len"))
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_word").alias("n_occurrences"),
+                 F.round(F.sum(F.col("ntoks0").cast("long")
+                               * F.col("n_word")).cast("double")
+                         / F.sum("n_word").cast("double"), 6)
+                 .alias("fertility_r1"),
+                 F.round(F.sum(F.col("ntoksf").cast("long")
+                               * F.col("n_word")).cast("double")
+                         / F.sum("n_word").cast("double"), 6)
+                 .alias("fertility_final"),
+                 F.round(F.sum(F.col("cost") * F.col("n_word"))
+                         .cast("double")
+                         / F.sum("n_word").cast("double")
+                         / 1_000_000.0, 6).alias("avg_cost_nats_final"))
+            .crossJoin(F.broadcast(nv))
+            .orderBy("word_len"))
+
+
+def _unigram_converged_oracle(max_word_len: int = 12, max_sub: int = 4,
+                              min_count: int = 2,
+                              rounds: int = _UEC_ROUNDS,
+                              keep_top: int = _UEC_KEEP) -> str:
+    sql = f"""WITH wf AS MATERIALIZED (
+  SELECT tk AS word, count(*) AS n_word
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS tk
+        FROM documents) GROUP BY tk),
+w12 AS MATERIALIZED (
+  SELECT word, CAST(n_word AS BIGINT) AS n_word, length(word) AS ln
+  FROM wf WHERE length(word) <= {max_word_len}),
+grid AS MATERIALIZED (
+  SELECT w.word, w.n_word, j.j, l.l,
+         substr(w.word, CAST(j.j AS INT), CAST(l.l AS INT)) AS token
+  FROM w12 w,
+       unnest(generate_series(1, w.ln)) j(j),
+       unnest(generate_series(1, least({max_sub}, w.ln - j.j + 1))) l(l)),
+chars AS MATERIALIZED (SELECT DISTINCT token FROM grid WHERE l = 1),
+cnt0 AS MATERIALIZED (
+  SELECT token, CAST(sum(n_word) AS BIGINT) AS cnt FROM grid GROUP BY token),
+tot0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM cnt0),
+vocab1 AS MATERIALIZED (
+  SELECT token, cnt,
+         CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+                    * 1000000.0, 0) AS BIGINT) AS cost
+  FROM cnt0, tot0
+  WHERE cnt >= {min_count} OR length(token) = 1)"""
+    for r in range(1, rounds + 1):
+        # backpointered DP round r on vocab{r}
+        sql += f""",
+r{r}edges AS MATERIALIZED (
+  SELECT g.word, CAST(g.j - 1 AS INT) AS j, CAST(g.j - 1 + g.l AS INT) AS i,
+         v.cost
+  FROM grid g JOIN vocab{r} v USING (token)),
+r{r}a0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS ntoks,
+                  -1 AS bj
+           FROM w12)"""
+        for k in range(1, max_word_len + 1):
+            sql += f""",
+r{r}d{k} AS MATERIALIZED (
+  SELECT word, {k} AS pos, cost, ntoks, bj FROM (
+    SELECT e.word, d.cost + e.cost AS cost, d.ntoks + 1 AS ntoks,
+           e.j AS bj,
+           row_number() OVER (PARTITION BY e.word
+                              ORDER BY d.cost + e.cost, d.ntoks + 1, e.j)
+             AS rn
+    FROM r{r}edges e JOIN r{r}a{k-1} d ON d.word = e.word AND d.pos = e.j
+    WHERE e.i = {k}) WHERE rn = 1),
+r{r}a{k} AS MATERIALIZED (
+  SELECT * FROM r{r}a{k-1} UNION ALL SELECT * FROM r{r}d{k})"""
+        # backward path walk
+        sql += f""",
+r{r}p0 AS (SELECT word, ln AS pos FROM w12)"""
+        for t in range(1, max_word_len + 1):
+            sql += f""",
+r{r}p{t} AS MATERIALIZED (
+  SELECT p.word, d.bj AS pos,
+         substr(p.word, CAST(d.bj + 1 AS INT), CAST(p.pos - d.bj AS INT))
+           AS token
+  FROM r{r}p{t-1} p JOIN r{r}a{max_word_len} d
+    ON d.word = p.word AND d.pos = p.pos
+  WHERE p.pos > 0)"""
+        toks_union = " UNION ALL ".join(
+            f"SELECT word, token FROM r{r}p{t}"
+            for t in range(1, max_word_len + 1))
+        # M-step usage re-scoring + the explicit prune
+        sql += f""",
+r{r}toks AS MATERIALIZED ({toks_union}),
+r{r}usage AS MATERIALIZED (
+  SELECT t.token, CAST(sum(w.n_word) AS BIGINT) AS cnt
+  FROM r{r}toks t JOIN w12 w ON w.word = t.word GROUP BY t.token),
+r{r}tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM r{r}usage),
+r{r}scored AS MATERIALIZED (
+  SELECT token, cnt,
+         CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+                    * 1000000.0, 0) AS BIGINT) AS cost
+  FROM r{r}usage, r{r}tot),
+r{r}fb AS (SELECT max(cost) + 1000000 AS fb FROM r{r}scored),
+r{r}multi AS MATERIALIZED (
+  SELECT token, cnt, cost,
+         row_number() OVER (ORDER BY cnt * cost DESC, token) AS rk
+  FROM r{r}scored WHERE length(token) > 1),
+vocab{r + 1} AS MATERIALIZED (
+  SELECT token, cnt, cost FROM r{r}multi WHERE rk <= {keep_top}
+  UNION ALL
+  SELECT c.token, CAST(coalesce(s.cnt, 0) AS BIGINT) AS cnt,
+         coalesce(s.cost, fb.fb) AS cost
+  FROM chars c
+  LEFT JOIN (SELECT * FROM r{r}scored WHERE length(token) = 1) s
+    USING (token), r{r}fb fb)"""
+    # final DP on the twice-pruned vocabulary (no backpointers needed)
+    fr = rounds + 1
+    sql += f""",
+fedges AS MATERIALIZED (
+  SELECT g.word, CAST(g.j - 1 AS INT) AS j, CAST(g.j - 1 + g.l AS INT) AS i,
+         v.cost
+  FROM grid g JOIN vocab{fr} v USING (token)),
+f0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS ntoks
+       FROM w12)"""
+    for k in range(1, max_word_len + 1):
+        sql += f""",
+fd{k} AS MATERIALIZED (
+  SELECT word, {k} AS pos, cost, ntoks FROM (
+    SELECT e.word, d.cost + e.cost AS cost, d.ntoks + 1 AS ntoks,
+           row_number() OVER (PARTITION BY e.word
+                              ORDER BY d.cost + e.cost, d.ntoks + 1, e.j)
+             AS rn
+    FROM fedges e JOIN f{k-1} d ON d.word = e.word AND d.pos = e.j
+    WHERE e.i = {k}) WHERE rn = 1),
+f{k} AS MATERIALIZED (SELECT * FROM f{k-1} UNION ALL SELECT * FROM fd{k})"""
+    sql += f""",
+best1 AS (SELECT w.word, w.ln, w.n_word, d.ntoks AS ntoks0
+          FROM w12 w JOIN r1a{max_word_len} d
+            ON d.word = w.word AND d.pos = w.ln),
+bestf AS (SELECT w.word, d.cost, d.ntoks AS ntoksf
+          FROM w12 w JOIN f{max_word_len} d
+            ON d.word = w.word AND d.pos = w.ln),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab_multi
+       FROM vocab{fr} WHERE length(token) > 1)
+SELECT b1.ln AS word_len,
+       count(*) AS n_words,
+       CAST(sum(b1.n_word) AS BIGINT) AS n_occurrences,
+       round(CAST(sum(CAST(b1.ntoks0 AS BIGINT) * b1.n_word) AS DOUBLE)
+             / CAST(sum(b1.n_word) AS DOUBLE), 6) AS fertility_r1,
+       round(CAST(sum(CAST(bf.ntoksf AS BIGINT) * b1.n_word) AS DOUBLE)
+             / CAST(sum(b1.n_word) AS DOUBLE), 6) AS fertility_final,
+       round(CAST(sum(bf.cost * b1.n_word) AS DOUBLE)
+             / CAST(sum(b1.n_word) AS DOUBLE) / 1000000.0, 6)
+         AS avg_cost_nats_final,
+       any_value(nv.n_vocab_multi) AS n_vocab_multi
+FROM best1 b1 JOIN bestf bf USING (word) CROSS JOIN nv
+GROUP BY b1.ln ORDER BY word_len"""
+    return sql
+
+
+ORACLE["unigram_em_converged_stats"] = _unigram_converged_oracle()

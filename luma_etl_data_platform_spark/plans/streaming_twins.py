@@ -560,7 +560,100 @@ FROM clean
 """
 
 
+# ---------------------------------------------------------------------------
+# stream_cdf_apply: the lakehouse's streaming half — follow a source
+# table's CHANGE FEED (streaming/cdf.stream_changes: per-commit
+# read_changes diffs, exactly-once via the processed-version ledger)
+# and maintain a downstream MIRROR table from the feed alone. The
+# source is built as four genuine commits (create + two newer-wins
+# merges + a delete), the mirror sees only _change_type rows, and a
+# full REDELIVERY of the history must apply nothing (replay_clean).
+# The batch twin: the mirror equals latest-event-per-user over all
+# events minus the deleted keys — predicted by one SQL statement.
+# ---------------------------------------------------------------------------
+def stream_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import lakehouse as LH
+    from ..streaming.cdf import stream_changes
+    tmp = tempfile.mkdtemp(prefix="luma_stream_cdf_")
+    src_path, mirror_path = f"{tmp}/src", f"{tmp}/mirror"
+    ledger = f"{tmp}/ledger"
+    feed = (load_table(spark, sf_dir, "events")
+            .select("user_id", "ts", "event_id", "value"))
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                         F.col("event_id").desc())
+
+    def _latest(df: DataFrame) -> DataFrame:
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+
+    newer = (F.col("src.ts") > F.col("tgt.ts")) | (
+        (F.col("src.ts") == F.col("tgt.ts"))
+        & (F.col("src.event_id") > F.col("tgt.event_id")))
+    upd = {c: F.when(newer, F.col(f"src.{c}"))
+           .otherwise(F.col(f"tgt.{c}"))
+           for c in ("ts", "event_id", "value")}
+    # three source commits: create (even event_ids), a newer-wins
+    # merge (odd ones), a delete — one CDF batch of each change shape
+    LH.create_table(spark, src_path,
+                    _latest(feed.filter(F.col("event_id") % 2 == 0)),
+                    ["user_id"])
+    LH.merge_into(spark, src_path,
+                  _latest(feed.filter(F.col("event_id") % 2 == 1)),
+                  ["user_id"], update_set=upd)
+    LH.delete_where(spark, src_path, "user_id % 7 = 0")
+
+    def _apply(changes: DataFrame, version: int) -> None:
+        ups = (changes.filter(F.col("_change_type")
+                              .isin("insert", "update_postimage"))
+               .drop("_change_type"))
+        dels = (changes.filter(F.col("_change_type") == "delete")
+                .drop("_change_type"))
+        if LH.current_version(spark, mirror_path) == 0:
+            LH.create_table(spark, mirror_path, ups, ["user_id"])
+            return
+        if ups.limit(1).count():
+            LH.merge_into(spark, mirror_path, ups, ["user_id"])
+        if dels.limit(1).count():
+            LH.merge_into(spark, mirror_path, dels, ["user_id"],
+                          update_set=None,
+                          delete_condition=F.lit(True),
+                          insert_when_not_matched=False)
+
+    first = stream_changes(spark, src_path, _apply, ledger)
+    n_rows = LH.read_table(spark, mirror_path).count()
+    # full redelivery: every version skips, the mirror is untouched
+    second = stream_changes(spark, src_path, _apply, ledger)
+    replay_clean = (not second["versions_applied"]
+                    and second["versions_skipped"]
+                    == len(first["versions_applied"])
+                    and LH.read_table(spark, mirror_path).count()
+                    == n_rows)
+    final = (LH.read_table(spark, mirror_path)
+             .select("user_id", "ts",
+                     F.col("event_id").alias("last_event_id"),
+                     F.round("value", 6).alias("last_value"))
+             .withColumn("replay_clean", F.lit(bool(replay_clean)))
+             .orderBy("user_id")
+             .localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
+ORACLE["stream_cdf_apply"] = """
+WITH latest AS (
+  SELECT user_id, ts, event_id, value FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) = 1)
+SELECT user_id, ts, event_id AS last_event_id,
+       round(value, 6) AS last_value, TRUE AS replay_clean
+FROM latest
+WHERE user_id % 7 <> 0
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "stream_cdf_apply": stream_cdf_apply,
     "stream_wap_ingest": stream_wap_ingest,
     "stream_txn_fanout": stream_txn_fanout,
     "stream_hll_distinct": stream_hll_distinct,

@@ -1279,3 +1279,120 @@ ORDER BY score DESC, vec_id
 """
 
 QUERIES["ann_pq_rerank_topk"] = ann_pq_rerank_topk
+
+
+def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with a TRAINED codebook (operators/pq.pq_trained_codebook_df
+    — one per-subspace Lloyd round over the corpus sub-vectors, seeded
+    deterministically) and a recall@10-vs-exact self-audit column:
+    the production-quality serving index the seeded variant stands in
+    for, under the same exact-integer gate. The oracle replays the
+    ENTIRE training round relationally: seed assignment, the
+    round-half-up integer mean update, empty-code carry-over, then
+    the ADC ranking on the trained book."""
+    from ..operators import pq as PQ
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = _query_vec(emb)
+    min_id = emb.agg(F.min("vec_id").alias("_mid"))
+    corpus = emb.join(F.broadcast(min_id), F.col("vec_id") == F.col("_mid"),
+                      "left_anti")
+    top = (PQ.pq_topk(corpus, query, k=10, codebook="trained")
+           .localCheckpoint(eager=True))  # 2 consumers: out + recall
+    exact = S.cosine_topk(corpus, query, k=10).select("vec_id")
+    hits = (top.join(exact, "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("_h")))
+    recall = hits.select(
+        F.round(F.col("_h").cast("double") / 10.0, 2)
+        .alias("recall_at_10"))
+    return (top.crossJoin(F.broadcast(recall))
+            .orderBy("adc_dist", "vec_id"))
+
+
+ORACLE["ann_pq_trained_topk"] = """
+WITH
+ev AS (SELECT vec_id,
+              list_transform(embedding::DOUBLE[],
+                             x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS v
+       FROM embeddings),
+qrow AS (SELECT v FROM ev WHERE vec_id = (SELECT min(vec_id) FROM ev)),
+corpus AS (SELECT * FROM ev WHERE vec_id <> (SELECT min(vec_id) FROM ev)),
+seeds AS (SELECT v, row_number() OVER (
+              ORDER BY CAST('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT),
+                       vec_id) - 1 AS code
+          FROM corpus
+          ORDER BY CAST('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT),
+                   vec_id
+          LIMIT 16),
+seedsub AS (SELECT m.m, s.code, list(s.v[m.m * 16 + i.i] ORDER BY i.i) AS sub
+            FROM seeds s, generate_series(0, 3) m(m),
+                 generate_series(1, 16) i(i)
+            GROUP BY m.m, s.code),
+-- training assignment under the seed codebook (exact integer L2,
+-- ties -> smaller code)
+dist0 AS (SELECT c.vec_id, b.m, b.code,
+                 sum((c.v[b.m * 16 + i.i] - b.sub[i.i])
+                     * (c.v[b.m * 16 + i.i] - b.sub[i.i])) AS d2
+          FROM corpus c, seedsub b, generate_series(1, 16) i(i)
+          GROUP BY 1, 2, 3),
+enc0 AS (SELECT vec_id, m, code FROM (
+           SELECT vec_id, m, code,
+                  row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d2, code) AS rn
+           FROM dist0) WHERE rn = 1),
+-- M-step: component-wise round-half-up integer mean
+upd AS (SELECT e0.m, e0.code, i.i,
+               CAST(floor((2.0 * sum(c.v[e0.m * 16 + i.i]) + count(*))
+                          / (2.0 * count(*))) AS BIGINT) AS comp
+        FROM enc0 e0 JOIN corpus c USING (vec_id),
+             generate_series(1, 16) i(i)
+        GROUP BY e0.m, e0.code, i.i),
+book1 AS (SELECT m, code, list(comp ORDER BY i) AS sub
+          FROM upd GROUP BY m, code),
+-- empty codes carry their seed entry
+bookf AS (SELECT m, code, sub FROM book1
+          UNION ALL
+          SELECT ss.m, ss.code, ss.sub FROM seedsub ss
+          WHERE NOT EXISTS (SELECT 1 FROM book1 b
+                            WHERE b.m = ss.m AND b.code = ss.code)),
+-- ADC on the trained book
+dist1 AS (SELECT c.vec_id, b.m, b.code,
+                 sum((c.v[b.m * 16 + i.i] - b.sub[i.i])
+                     * (c.v[b.m * 16 + i.i] - b.sub[i.i])) AS d2
+          FROM corpus c, bookf b, generate_series(1, 16) i(i)
+          GROUP BY 1, 2, 3),
+enc1 AS (SELECT vec_id, m, code FROM (
+           SELECT vec_id, m, code,
+                  row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d2, code) AS rn
+           FROM dist1) WHERE rn = 1),
+qdist AS (SELECT b.m, b.code,
+                 sum((q.v[b.m * 16 + i.i] - b.sub[i.i])
+                     * (q.v[b.m * 16 + i.i] - b.sub[i.i])) AS qd2
+          FROM qrow q, bookf b, generate_series(1, 16) i(i)
+          GROUP BY 1, 2),
+adc AS (SELECT e1.vec_id,
+               string_agg(e1.code, '-' ORDER BY e1.m) AS codes,
+               CAST(sum(qd.qd2) AS BIGINT) AS adc_dist
+        FROM enc1 e1 JOIN qdist qd ON e1.m = qd.m AND e1.code = qd.code
+        GROUP BY e1.vec_id),
+top AS (SELECT vec_id, codes, adc_dist FROM adc
+        ORDER BY adc_dist, vec_id LIMIT 10),
+ed AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       WHERE vec_id <> (SELECT min(vec_id) FROM embeddings)),
+qd2 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+exact AS (SELECT e3.vec_id
+          FROM ed e3, qd2
+          ORDER BY round(list_dot_product(e3.v, qd2.qv)
+                         / (sqrt(list_dot_product(e3.v, e3.v))
+                            * sqrt(list_dot_product(qd2.qv, qd2.qv))), 6)
+                   DESC, vec_id
+          LIMIT 10),
+rec AS (SELECT round(CAST((SELECT count(*) FROM top JOIN exact USING (vec_id))
+                          AS DOUBLE) / 10.0, 2) AS recall_at_10)
+SELECT top.vec_id, top.codes, top.adc_dist, rec.recall_at_10
+FROM top, rec
+ORDER BY adc_dist, vec_id
+"""
+
+QUERIES["ann_pq_trained_topk"] = ann_pq_trained_topk

@@ -143,6 +143,25 @@ def _log_ref(p: str, root: str) -> str:
     return p2 if p2.startswith("/") else p2.rsplit("/", 1)[-1]
 
 
+def _canon_root(path: str) -> str:
+    """Canonical absolute form of a table root used when recording
+    CROSS-ROOT file references (shallow clone): strip the ``file:`` /
+    ``file://`` local-scheme prefixes (including the single-slash
+    Hadoop form ``file:/x`` that :func:`_abs` would not recognize as
+    absolute), keep real object-store schemes (``s3a://…``) intact,
+    and resolve a relative local path to absolute — so every accepted
+    root spelling round-trips through :func:`_abs`/:func:`_log_ref`."""
+    p = path.rstrip("/")
+    if p.startswith("file://"):
+        p = p[len("file://"):]
+    elif p.startswith("file:"):
+        p = p[len("file:"):]
+    if "://" not in p and not p.startswith("/"):
+        import os
+        p = os.path.abspath(p)
+    return p
+
+
 def _abs(root: str, rel: str) -> str:
     """Resolve a commit-log file reference against the table root.
     References are normally root-relative; a SHALLOW CLONE's inherited
@@ -208,27 +227,72 @@ def _invisible(doc: dict) -> bool:
     return doc.get("_txn") in ("pending", "aborted")
 
 
+def _last_ckpt_pointer_path(table_path: str) -> str:
+    return f"{table_path.rstrip('/')}/{_LOG_DIR}/_last_checkpoint"
+
+
+def _last_ckpt_anchor(fs, jvm, table_path: str) -> int:
+    """The ``_last_checkpoint`` pointer's version, 0 when absent or
+    unreadable (full-parse fallback) — Delta's read-one-file
+    discovery of the replay anchor: at a long-retention log, parsing
+    starts at the anchor instead of json.loads-ing every retained
+    doc."""
+    p = jvm.org.apache.hadoop.fs.Path(_last_ckpt_pointer_path(table_path))
+    try:
+        if not fs.exists(p):
+            return 0
+        return int(json.loads(_read_text(fs, jvm, str(p)))["version"])
+    except Exception:
+        return 0  # torn/corrupt pointer: never an error, just slower
+
+
+def _name_version(name: str) -> int | None:
+    """The version encoded in a commit-log file name, None for
+    non-versioned entries (pointer, temp files)."""
+    head = name.split(".", 1)[0]
+    return int(head) if head.isdigit() else None
+
+
 def _commits(spark: SparkSession, table_path: str) -> list[dict]:
     fs, jvm = _fs(spark, table_path)
     Path = jvm.org.apache.hadoop.fs.Path
     log_dir = Path(f"{table_path.rstrip('/')}/{_LOG_DIR}")
     if not fs.exists(log_dir):
         return []
-    # one doc per version; a `<v>.checkpoint.json` shadows `<v>.json`
-    # (expire_snapshots installs checkpoints under the distinct name
-    # and deletes the plain commit only afterwards — a crash between
-    # the two leaves both, and the reader must pick the checkpoint)
-    by_version: dict[int, tuple[bool, dict]] = {}
-    for st in fs.listStatus(log_dir):
-        name = st.getPath().getName()
-        if not name.endswith(".json") or name.startswith("."):
-            continue
-        doc = json.loads(_read_text(fs, jvm, str(st.getPath())))
-        is_ckpt = name.endswith(".checkpoint.json")
-        prev = by_version.get(doc["version"])
-        if prev is None or (is_ckpt and not prev[0]):
-            by_version[doc["version"]] = (is_ckpt, doc)
-    docs = [by_version[v][1] for v in sorted(by_version)]
+    listing = [st.getPath() for st in fs.listStatus(log_dir)]
+
+    def _parse(anchor: int) -> list[dict]:
+        # one doc per version; a `<v>.checkpoint.json` shadows
+        # `<v>.json` (expire_snapshots installs checkpoints under the
+        # distinct name and deletes the plain commit only afterwards —
+        # a crash between the two leaves both, and the reader must
+        # pick the checkpoint). With a pointer anchor, names BELOW it
+        # are never even opened — O(tail) parses per call.
+        by_version: dict[int, tuple[bool, dict]] = {}
+        for p in listing:
+            name = p.getName()
+            if not name.endswith(".json") or name.startswith("."):
+                continue
+            if anchor:
+                nv = _name_version(name)
+                if nv is not None and nv < anchor:
+                    continue
+            doc = json.loads(_read_text(fs, jvm, str(p)))
+            is_ckpt = name.endswith(".checkpoint.json")
+            prev = by_version.get(doc["version"])
+            if prev is None or (is_ckpt and not prev[0]):
+                by_version[doc["version"]] = (is_ckpt, doc)
+        return [by_version[v][1] for v in sorted(by_version)]
+
+    anchor = _last_ckpt_anchor(fs, jvm, table_path)
+    docs = _parse(anchor)
+    if anchor and not any(
+            d["version"] == anchor
+            and (d.get("op") == "checkpoint" or d.get("adds_parquet"))
+            for d in docs):
+        # stale pointer (its checkpoint doc is gone): the anchored
+        # parse would silently miss pre-anchor adds — full fallback
+        docs = _parse(0)
     for doc in docs:
         txn = doc.get("txn")
         if txn:
@@ -256,6 +320,37 @@ def _ckpt_adds_df(spark: SparkSession, table_path: str,
     from . import lakehouse_meta as meta
     return (spark.read.schema(meta.CKPT_SCHEMA)
             .parquet(f"{table_path.rstrip('/')}/{doc['adds_parquet']}"))
+
+
+def _install_adds_parquet(spark: SparkSession, table_path: str,
+                          version: int, adds_df: DataFrame) -> str:
+    """Durably install ``adds_df`` (checkpoint schema) as the
+    add-action TABLE for ``version`` — write to a temp dir under
+    ``_log/``, then rename to the deterministic
+    ``<version>.checkpoint-data.parquet`` name. Returns the
+    table-relative path for the commit doc's ``adds_parquet`` field.
+    The caller commits the JSON doc (the actual commit point) only
+    after this returns, so a crash leaves at worst an orphaned data
+    dir that the next expire cycle reaps. Shared by
+    :func:`expire_snapshots`, :func:`clone_table` and
+    :func:`restore_table` — the three full-state restatement sites of
+    the distributed metadata plane."""
+    fs, jvm = _fs(spark, table_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = table_path.rstrip("/")
+    log_dir = f"{root}/{_LOG_DIR}"
+    fs.mkdirs(Path(log_dir))
+    data_rel = _ckpt_data_rel(version)
+    data_dest = Path(f"{root}/{data_rel}")
+    tmp_data = f"{log_dir}/.ckptdata-{uuid.uuid4().hex}"
+    adds_df.write.mode("overwrite").parquet(tmp_data)
+    if fs.exists(data_dest):
+        fs.delete(data_dest, True)  # stale dir of a crashed run
+    if not fs.rename(Path(tmp_data), data_dest):
+        fs.delete(Path(tmp_data), True)
+        raise IOError(f"failed to install add-action table for "
+                      f"version {version} of {table_path}")
+    return data_rel
 
 
 def _ckpt_doc_and_tail(spark: SparkSession, table_path: str,
@@ -301,23 +396,28 @@ def _adds_df_at(spark: SparkSession, table_path: str,
     return df
 
 
-def snapshot_files(spark: SparkSession, table_path: str,
+def _snapshot_refs(spark: SparkSession, table_path: str,
                    version: int | None = None) -> list[str]:
-    """Live data-file paths at ``version`` (default: latest) —
-    the replay of add/remove actions in commit order."""
+    """Raw commit-log file REFERENCES (not :func:`_abs`-resolved) of
+    the live snapshot — path-only replay: on parquet-checkpointed
+    tables only the path column crosses to the driver, never the
+    stats/Bloom payload."""
     live: list[str] = []
     for doc in _commits(spark, table_path):
         if version is not None and doc["version"] > version:
             break
         if _invisible(doc):
             continue  # undecided/aborted multi-table txn: no-op slot
-        if doc.get("op") == "checkpoint":
+        if doc.get("op") == "checkpoint" or doc.get("adds_parquet"):
             # a checkpoint carries the FULL live list at its version:
             # replay RESETS here, so a surviving pre-checkpoint prefix
             # (crash mid-expire) can never double-count its adds.
             # Parquet-format checkpoints hold the list in an add-action
             # TABLE: only the path column crosses to the driver (the
-            # stats/Bloom payload stays executor-side)
+            # stats/Bloom payload stays executor-side). ANY doc with
+            # ``adds_parquet`` is a full-state restatement — clone v1
+            # and RESTORE on parquet-checkpointed tables use the same
+            # mechanism (see clone_table / restore_table)
             live = ([r["path"] for r in
                      _ckpt_adds_df(spark, table_path, doc)
                      .select("path").collect()]
@@ -332,7 +432,15 @@ def snapshot_files(spark: SparkSession, table_path: str,
             aset = set(added)
             live = [f for f in live if f not in aset]
             live.extend(added)
-    return [_abs(table_path.rstrip("/"), f) for f in live]
+    return live
+
+
+def snapshot_files(spark: SparkSession, table_path: str,
+                   version: int | None = None) -> list[str]:
+    """Live data-file paths at ``version`` (default: latest) —
+    the replay of add/remove actions in commit order."""
+    return [_abs(table_path.rstrip("/"), f)
+            for f in _snapshot_refs(spark, table_path, version)]
 
 
 def history(spark: SparkSession, table_path: str) -> list[dict]:
@@ -356,23 +464,44 @@ def describe_table(spark: SparkSession, table_path: str) -> dict:
     commits = _commits(spark, table_path)
     if not commits:
         raise FileNotFoundError(f"{table_path} has no commit log")
-    adds = snapshot_adds(spark, table_path)
+    pcols = _table_partition_cols(spark, table_path)
+    adds_df = _adds_df_at(spark, table_path)
+    if adds_df is not None:
+        # parquet-checkpointed table: ONE aggregate job over the
+        # add-action table (count, rows, per-partition-column value
+        # sets) — the stats/Bloom payload never crosses to the driver
+        aggs = [F.count(F.lit(1)).alias("_nf"),
+                F.sum("rows").alias("_nr")]
+        for i, c in enumerate(pcols):
+            aggs.append(F.collect_set(
+                F.when(F.size("partition") > 0,
+                       F.coalesce(F.try_element_at("partition", F.lit(c))
+                                  .cast("string"), F.lit("None"))))
+                .alias(f"_p{i}"))
+        row = adds_df.agg(*aggs).collect()[0]
+        n_files, n_rows = int(row["_nf"]), int(row["_nr"] or 0)
+        parts = {c: sorted(row[f"_p{i}"]) for i, c in enumerate(pcols)}
+        paths = [r["path"] for r in adds_df.select("path").collect()]
+    else:
+        adds = snapshot_adds(spark, table_path)
+        n_files = len(adds)
+        n_rows = sum(a.get("rows") or 0 for a in adds)
+        parts = {c: sorted({str(a.get("partition", {}).get(c))
+                            for a in adds if a.get("partition")})
+                 for c in pcols}
+        paths = [a["path"] for a in adds]
     fs, jvm = _fs(spark, table_path)
     Path = jvm.org.apache.hadoop.fs.Path
     root = table_path.rstrip("/")
     size = 0
-    for a in adds:
-        p = Path(_abs(root, a["path"]))
+    for p0 in paths:
+        p = Path(_abs(root, p0))
         if fs.exists(p):
             size += fs.getFileStatus(p).getLen()
-    pcols = _table_partition_cols(spark, table_path)
-    parts = {c: sorted({str(a.get("partition", {}).get(c))
-                        for a in adds if a.get("partition")})
-             for c in pcols}
     debt = dv_debt(spark, table_path)
     return {"version": commits[-1]["version"],
-            "n_files": len(adds),
-            "n_rows": sum(a.get("rows") or 0 for a in adds),
+            "n_files": n_files,
+            "n_rows": n_rows,
             "size_bytes": int(size),
             "keys": _table_keys(spark, table_path),
             "partition_by": pcols,
@@ -710,6 +839,17 @@ def _write_data_files(spark: SparkSession, table_path: str,
     files (the write partitions on shadow ``_p_<col>`` copies), so
     explicit-file-list reads need no partition-dir inference and all
     existing read paths work unchanged."""
+    if bloom_cols and bloom_hashes is not None:
+        from . import lakehouse_meta as meta
+        if bloom_hashes > meta.MAX_BLOOM_SEEDS:
+            # refuse BEFORE any data file lands (the _annotate_adds
+            # twin of this check protects the convert path)
+            raise ValueError(
+                f"bloom_hashes={bloom_hashes} exceeds the Spark "
+                f"probe's seed cap lakehouse_meta.MAX_BLOOM_SEEDS="
+                f"{meta.MAX_BLOOM_SEEDS}; filters written with more "
+                "hashes would not be fully probed by the distributed "
+                "pruning plane")
     tmp_rel = f".stage-{uuid.uuid4().hex}"
     root = table_path.rstrip("/")
     tmp_dir = f"{root}/{tmp_rel}"
@@ -813,6 +953,17 @@ def _annotate_adds(spark: SparkSession, root: str, adds: list[dict],
                 a["max_key"] = str(r["_hi0"])
     bcols = [c for c in (bloom_cols or []) if c in data_columns]
     if bcols and adds:
+        from . import lakehouse_meta as meta
+        if bloom_hashes > meta.MAX_BLOOM_SEEDS:
+            # the Spark-side probe enumerates seeds 0..MAX-1 and treats
+            # extras as vacuously set — a bigger k would stay CORRECT
+            # but silently degrade skipping; refuse at write time
+            raise ValueError(
+                f"bloom_hashes={bloom_hashes} exceeds the Spark probe's "
+                f"seed cap lakehouse_meta.MAX_BLOOM_SEEDS="
+                f"{meta.MAX_BLOOM_SEEDS}; filters written with more "
+                "hashes would not be fully probed by the distributed "
+                "pruning plane")
         from ..functions.text import portable_hash32
         paths = [f"{root}/{a['path']}" for a in adds]
         by_path = {a["path"].rsplit("/", 1)[-1]: a for a in adds}
@@ -1053,7 +1204,50 @@ def clone_table(spark: SparkSession, src_path: str, dst_path: str,
             raise ValueError("clone_table: pass version OR "
                              "as_of_timestamp, not both")
         version = version_at_timestamp(spark, src_path, as_of_timestamp)
-    src_root = src_path.rstrip("/")
+    src_root = _canon_root(src_path)
+    doc = {
+        "version": 1, "op": "clone",
+        "source": src_root,
+        "source_version": (version if version is not None
+                           else current_version(spark, src_path)),
+        "keys": _decl_at(spark, src_path, "keys", [], version),
+        "bloom_cols": _decl_at(spark, src_path, "bloom_cols", [], version),
+        "partition_by": _decl_at(spark, src_path, "partition_by", [],
+                                 version),
+        "constraints": _decl_at(spark, src_path, "constraints", {},
+                                version),
+        "schema_events": _schema_events(spark, src_path, version),
+        "dv_files": [_abs(src_root, r)
+                     for r in _dv_rels(spark, src_path, version)],
+        "dv_rows_map": {_abs(src_root, r): n for r, n in
+                        _dv_rows_by_rel(_commits(spark, src_path),
+                                        version).items()},
+        "remove": []}
+    adds_df = _adds_df_at(spark, src_path, version)
+    if adds_df is not None:
+        # parquet-checkpointed source: the clone's v1 is itself a
+        # parquet add-action table, built by ONE Spark job that
+        # rewrites the path column to absolute source refs — the
+        # stats/Bloom payload never crosses to the driver and the
+        # commit doc stays O(1) regardless of file count
+        cloned_df = adds_df.withColumn(
+            "path",
+            F.when(F.col("path").startswith("/")
+                   | F.col("path").contains("://"), F.col("path"))
+            .otherwise(F.concat(F.lit(src_root + "/"), F.col("path"))))
+        stats_row = cloned_df.agg(
+            F.count(F.lit(1)).alias("_nf"),
+            F.sum("rows").alias("_nr")).collect()[0]
+        if not stats_row["_nf"]:
+            raise FileNotFoundError(
+                f"clone_table: {src_path} has no snapshot at "
+                f"version {version}")
+        doc["add"] = []
+        doc["adds_parquet"] = _install_adds_parquet(
+            spark, dst_path, 1, cloned_df)
+        _write_commit(spark, dst_path, 1, doc)
+        return {"version": 1, "n_files": int(stats_row["_nf"]),
+                "n_rows": int(stats_row["_nr"] or 0)}
     adds = snapshot_adds(spark, src_path, version)
     if not adds:
         raise FileNotFoundError(
@@ -1064,24 +1258,8 @@ def clone_table(spark: SparkSession, src_path: str, dst_path: str,
         a2 = dict(a)
         a2["path"] = _abs(src_root, a["path"])
         cloned.append(a2)
-    dvs = [_abs(src_root, r) for r in _dv_rels(spark, src_path, version)]
-    resolved = (version if version is not None
-                else current_version(spark, src_path))
-    _write_commit(spark, dst_path, 1, {
-        "version": 1, "op": "clone",
-        "source": src_root, "source_version": resolved,
-        "keys": _decl_at(spark, src_path, "keys", [], version),
-        "bloom_cols": _decl_at(spark, src_path, "bloom_cols", [], version),
-        "partition_by": _decl_at(spark, src_path, "partition_by", [],
-                                 version),
-        "constraints": _decl_at(spark, src_path, "constraints", {},
-                                version),
-        "schema_events": _schema_events(spark, src_path, version),
-        "dv_files": dvs,
-        "dv_rows_map": {_abs(src_root, r): n for r, n in
-                        _dv_rows_by_rel(_commits(spark, src_path),
-                                        version).items()},
-        "add": cloned, "remove": []})
+    doc["add"] = cloned
+    _write_commit(spark, dst_path, 1, doc)
     return {"version": 1, "n_files": len(cloned),
             "n_rows": sum(a.get("rows") or 0 for a in cloned)}
 
@@ -1672,12 +1850,23 @@ def restore_table(spark: SparkSession, table_path: str,
                 f"restore_table: version {version} not in log "
                 f"(have {sorted(known)}; earlier history may be expired)")
         base_version = commits[-1]["version"]
-        target_adds = snapshot_adds(spark, table_path, version)
         fs, jvm = _fs(spark, table_path)
         Path = jvm.org.apache.hadoop.fs.Path
         root = table_path.rstrip("/")
-        missing = [a["path"] for a in target_adds
-                   if not fs.exists(Path(_abs(root, a["path"])))]
+        target_df = _adds_df_at(spark, table_path, version)
+        if target_df is not None:
+            # parquet-checkpointed table: the restore restates the
+            # FULL target file set as a parquet add-action table (one
+            # DataFrame-to-DataFrame copy; stats and Bloom lanes never
+            # cross to the driver) — only the path lists needed for
+            # the existence check and the returned stats do
+            tgt = set(r["path"] for r in
+                      target_df.select("path").collect())
+        else:
+            target_adds = snapshot_adds(spark, table_path, version)
+            tgt = {a["path"] for a in target_adds}
+        missing = [p for p in sorted(tgt)
+                   if not fs.exists(Path(_abs(root, p)))]
         missing += [r for r in _dv_rels(spark, table_path, version=version)
                     if not fs.exists(Path(_abs(root, r)))]
         if missing:
@@ -1685,20 +1874,26 @@ def restore_table(spark: SparkSession, table_path: str,
                 f"restore_table: {len(missing)} data/deletion-vector "
                 f"file(s) of version {version} were vacuumed: "
                 f"{missing[:3]}...")
-        cur = {a["path"] for a in snapshot_adds(spark, table_path)}
-        tgt = {a["path"] for a in target_adds}
+        cur = set(_snapshot_refs(spark, table_path))
         doc = {"version": base_version + 1, "op": "restore",
                "restored_version": version,
-               # only the files NOT currently live need re-adding
-               # (their original add-actions, stats and blooms
-               # included); files live in both snapshots carry
-               "add": [a for a in target_adds if a["path"] not in cur],
-               "remove": sorted(cur - tgt),
                # restate the TARGET version's deletion-vector state:
                # without this, DV sidecars committed AFTER the target
                # would keep hiding rows the restore re-surfaced
                # (silent data loss on restore across a MOR delete)
                "dv_files": _dv_rels(spark, table_path, version=version)}
+        if target_df is not None:
+            doc["add"] = []
+            doc["remove"] = []
+            doc["adds_parquet"] = _install_adds_parquet(
+                spark, table_path, base_version + 1, target_df)
+        else:
+            # only the files NOT currently live need re-adding
+            # (their original add-actions, stats and blooms
+            # included); files live in both snapshots carry
+            doc["add"] = [a for a in target_adds
+                          if a["path"] not in cur]
+            doc["remove"] = sorted(cur - tgt)
         try:
             _write_commit(spark, table_path, base_version + 1, doc)
         except CommitConflictError:
@@ -1934,7 +2129,12 @@ def _data_files_on_disk(fs, jvm, root: str):
 def _file_rows(spark: SparkSession, table_path: str) -> dict[str, int | None]:
     """Per-file row counts for the LATEST snapshot, from the commit
     log's add-action stats (None when a file was added without
-    stats)."""
+    stats). Path+rows-only on parquet-checkpointed tables — the
+    stats/Bloom payload stays executor-side."""
+    df = _adds_df_at(spark, table_path)
+    if df is not None:
+        return {r["path"]: r["rows"]
+                for r in df.select("path", "rows").collect()}
     return {a["path"]: a.get("rows")
             for a in snapshot_adds(spark, table_path)}
 
@@ -1968,7 +2168,12 @@ def dv_debt(spark: SparkSession, table_path: str) -> dict:
     rows_by_rel = _dv_rows_by_rel(commits)
     dv_rows = sum(rows_by_rel.get(r, 0)
                   for r in _dv_rels(spark, table_path))
-    phys = sum(a.get("rows") or 0 for a in snapshot_adds(spark, table_path))
+    adds_df = _adds_df_at(spark, table_path)
+    if adds_df is not None:
+        phys = int(adds_df.agg(F.sum("rows")).collect()[0][0] or 0)
+    else:
+        phys = sum(a.get("rows") or 0
+                   for a in snapshot_adds(spark, table_path))
     return {"dv_rows": dv_rows, "physical_rows": phys,
             "fraction": (dv_rows / phys) if phys else 0.0}
 
@@ -2047,6 +2252,7 @@ def compact(spark: SparkSession, table_path: str,
         cand_set = {p for p, n in stats.items()
                     if n is None or n < target_rows}
         dv_live = _dv_rels(spark, table_path)
+        dv_base: set[str] = set()
         if dv_live:
             dv_base = {r["f"] for r in
                        spark.read.parquet(*[_abs(root, r) for r in dv_live])
@@ -2054,13 +2260,25 @@ def compact(spark: SparkSession, table_path: str,
             by_base = {p.rsplit("/", 1)[-1]: p for p in stats}
             cand_set |= {by_base[b] for b in dv_base if b in by_base}
         if where_partition is not None:
-            parts = {a["path"]: a.get("partition") or {}
-                     for a in snapshot_adds(spark, table_path)}
+            pdf = _adds_df_at(spark, table_path)
+            if pdf is not None:
+                parts = {r["path"]: dict(r["partition"] or {}) for r in
+                         pdf.select("path", "partition").collect()}
+            else:
+                parts = {a["path"]: a.get("partition") or {}
+                         for a in snapshot_adds(spark, table_path)}
             cand_set = {p for p in cand_set
                         if all(str(parts.get(p, {}).get(c)) == str(v)
                                for c, v in where_partition.items())}
         candidates = sorted(cand_set)
-        if not candidates or (len(candidates) < 2 and not dv_live):
+        # scoped idempotency: only a sidecar that actually references
+        # an IN-SCOPE candidate justifies rewriting a single already-
+        # packed file — out-of-scope debt must not make every scoped
+        # call rewrite the partition again
+        dv_in_scope = (bool(dv_live) if where_partition is None else
+                       bool(dv_base & {p.rsplit("/", 1)[-1]
+                                       for p in candidates}))
+        if not candidates or (len(candidates) < 2 and not dv_in_scope):
             # (scoped runs never emit the global dv_files:[] cleanup —
             # out-of-scope sidecars must survive)
             if dv_live and not candidates and where_partition is None:
@@ -2175,12 +2393,24 @@ def compact(spark: SparkSession, table_path: str,
                                    F.split(F.input_file_name(), "/"), -1)
                                .alias("_sc"))
                        .groupBy("_sc")
-                       .agg(F.collect_set("f").alias("fs")).collect())
+                       .agg(F.collect_set("f").alias("fs"),
+                            F.count(F.when(
+                                ~F.col("f").isin(list(rewritten)), 1))
+                            .alias("_live")).collect())
                 by_base = {r.rsplit("/", 1)[-1]: r for r in dv_live}
-                doc["dv_files"] = sorted(
-                    by_base[row["_sc"]] for row in per
-                    if row["_sc"] in by_base
-                    and any(f not in rewritten for f in row["fs"]))
+                survivors: dict[str, int] = {}
+                for row in per:
+                    rel = by_base.get(row["_sc"])
+                    if rel is not None and any(f not in rewritten
+                                               for f in row["fs"]):
+                        survivors[rel] = int(row["_live"])
+                doc["dv_files"] = sorted(survivors)
+                # a mixed-scope sidecar survives with only its
+                # out-of-scope entries live: restate the corrected
+                # counts so dv_debt stays exact (no phantom debt from
+                # entries the scoped rewrite just materialized)
+                if survivors:
+                    doc["dv_rows_map"] = survivors
         try:
             _write_commit(spark, table_path, base_version + 1, doc)
         except CommitConflictError:
@@ -2211,7 +2441,7 @@ def snapshot_adds(spark: SparkSession, table_path: str,
             break
         if _invisible(doc):
             continue  # undecided/aborted multi-table txn: no-op slot
-        if doc.get("op") == "checkpoint":
+        if doc.get("op") == "checkpoint" or doc.get("adds_parquet"):
             live = ({a["path"]: a for a in meta.rows_to_adds(
                         _ckpt_adds_df(spark, table_path, doc).collect())}
                     if doc.get("adds_parquet")
@@ -2655,18 +2885,9 @@ def expire_snapshots(spark: SparkSession, table_path: str,
             # the data dir is durably in place.
             df = (adds_df if adds_df is not None
                   else meta.adds_to_df(spark, live_adds))
-            data_rel = _ckpt_data_rel(cutoff)
-            data_dest = Path(f"{root}/{data_rel}")
-            tmp_data = f"{log_dir}/.ckptdata-{uuid.uuid4().hex}"
-            df.write.mode("overwrite").parquet(tmp_data)
-            if fs.exists(data_dest):
-                fs.delete(data_dest, True)  # stale dir of a crashed run
-            if not fs.rename(Path(tmp_data), data_dest):
-                fs.delete(Path(tmp_data), True)
-                raise IOError("expire_snapshots: failed to install "
-                              f"checkpoint data for version {cutoff}")
             doc["add"] = []
-            doc["adds_parquet"] = data_rel
+            doc["adds_parquet"] = _install_adds_parquet(
+                spark, table_path, cutoff, df)
         else:
             doc["add"] = (live_adds if live_adds is not None
                           else meta.rows_to_adds(adds_df.collect()))
@@ -2688,13 +2909,28 @@ def expire_snapshots(spark: SparkSession, table_path: str,
             raise IOError(f"expire_snapshots: failed to install "
                           f"checkpoint for version {cutoff}")
 
-    # 2. drop the now-shadowed plain commit and the expired prefix
-    # (including any expired version's checkpoint doc + parquet data)
+    # 1.5 update the `_last_checkpoint` pointer (AFTER the checkpoint
+    # is durable): `_commits` reads it first and parses only the
+    # O(tail) docs at or above the anchor. Plain overwrite — a torn
+    # or stale pointer degrades to the full parse, never to an error.
+    lcp = Path(_last_ckpt_pointer_path(table_path))
+    stream = fs.create(lcp, True)
+    try:
+        stream.write(bytearray(
+            json.dumps({"version": cutoff}).encode("utf-8")))
+    finally:
+        stream.close()
+
+    # 2. drop the now-shadowed plain commit and EVERYTHING below the
+    # cutoff — driven by the directory listing, not the parsed docs,
+    # so orphans a prior pointer anchor hid from `_commits` (crash
+    # between pointer update and deletion) are reaped too
     fs.delete(Path(_log_path(table_path, cutoff)), False)
-    for v in expired:
-        fs.delete(Path(_log_path(table_path, v)), False)
-        fs.delete(Path(_ckpt_path(table_path, v)), False)
-        fs.delete(Path(f"{root}/{_ckpt_data_rel(v)}"), True)
+    for st in fs.listStatus(Path(log_dir)):
+        name = st.getPath().getName()
+        nv = _name_version(name)
+        if nv is not None and nv < cutoff:
+            fs.delete(st.getPath(), True)
 
     # 3. delete data files no kept version references (files added by
     # a still-PENDING multi-table txn are in no snapshot yet but may

@@ -127,8 +127,19 @@ def adds_to_df(spark: SparkSession, adds: list[dict]) -> DataFrame:
 
 
 def rows_to_adds(rows) -> list[dict]:
-    """Lossless inverse of :func:`add_to_row` over collected rows."""
-    return [json.loads(r["add_json"]) for r in rows]
+    """Lossless inverse of :func:`add_to_row` over collected rows.
+
+    The typed ``path`` COLUMN is authoritative, not the one embedded
+    in ``add_json``: a shallow clone of a parquet-checkpointed source
+    rewrites refs to absolute source paths as a DataFrame transform
+    on the column alone (rewriting the embedded JSON string would be
+    a fragile string surgery for zero information gain)."""
+    out = []
+    for r in rows:
+        d = json.loads(r["add_json"])
+        d["path"] = r["path"]
+        out.append(d)
+    return out
 
 
 def _probe_kind(v) -> str:

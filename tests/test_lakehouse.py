@@ -1906,3 +1906,92 @@ def test_clone_of_clone_chains_absolute_refs(table, spark, tmp_path):
     assert LH.read_table(spark, c2).count() == 6
     assert LH.read_table(spark, c1).count() == 7
     assert LH.read_table(spark, table).count() == 6
+
+
+def test_scoped_optimize_is_idempotent_with_out_of_scope_dv(
+        tmp_path, spark):
+    """A second scoped OPTIMIZE of an already-packed partition must
+    be a no-op even while OTHER partitions still carry deletion-
+    vector debt (the early-exit guard looks at IN-SCOPE debt only)."""
+    path = str(tmp_path / "ptbl")
+    rows = [dict(k=i, v=i * 10, d=i % 2) for i in range(1, 21)]
+    LH.create_table(spark, path, _mk(spark, rows).repartition(4),
+                    ["k"], partition_by=["d"])
+    LH.delete_where(spark, path, "k = 1", mode="mor")    # d=1 debt
+    res1 = LH.compact(spark, path, target_rows=1000,
+                      where_partition={"d": 0})
+    assert res1["n_files_compacted"] > 0
+    before = {f: os.path.getmtime(f.replace("file:", ""))
+              for f in LH.snapshot_files(spark, path) if "d=0" in f}
+    # the d=1 sidecar is still live, but d=0 is packed: no-op
+    res2 = LH.compact(spark, path, target_rows=1000,
+                      where_partition={"d": 0})
+    assert res2["n_files_compacted"] == 0
+    assert res2["n_files_added"] == 0
+    for f, m in before.items():
+        assert os.path.getmtime(f.replace("file:", "")) == m
+    assert LH.dv_debt(spark, path)["dv_rows"] == 1
+
+
+def test_scoped_optimize_recounts_mixed_scope_sidecar(tmp_path, spark):
+    """One MOR delete spanning both partitions writes ONE sidecar
+    referencing files in each. A scoped OPTIMIZE of d=0 materializes
+    the in-scope entries; the surviving sidecar's dv_rows must be
+    restated to its LIVE (out-of-scope) entries only — no phantom
+    debt that could trigger if_dv_fraction_over."""
+    path = str(tmp_path / "ptbl")
+    rows = [dict(k=i, v=i * 10, d=i % 2) for i in range(1, 21)]
+    LH.create_table(spark, path, _mk(spark, rows).repartition(4),
+                    ["k"], partition_by=["d"])
+    # k=2 lives in d=0, k=1 in d=1 → one cross-partition sidecar
+    LH.delete_where(spark, path, "k IN (1, 2)", mode="mor")
+    assert LH.dv_debt(spark, path)["dv_rows"] == 2
+    assert len(LH._dv_rels(spark, path)) == 1
+    LH.compact(spark, path, target_rows=1000,
+               where_partition={"d": 0})
+    # sidecar survives (still masks k=1 in d=1) with corrected count
+    assert len(LH._dv_rels(spark, path)) == 1
+    assert LH.dv_debt(spark, path)["dv_rows"] == 1
+    got = sorted(r["k"] for r in LH.read_table(spark, path).collect())
+    assert got == sorted(set(range(3, 21)))
+    # the unscoped pass clears the rest
+    LH.compact(spark, path, target_rows=1000)
+    assert LH.dv_debt(spark, path)["dv_rows"] == 0
+    assert sorted(r["k"] for r in
+                  LH.read_table(spark, path).collect()) == got
+
+
+def test_bloom_hashes_beyond_probe_cap_rejected(tmp_path, spark):
+    """bloom_hashes > lakehouse_meta.MAX_BLOOM_SEEDS would write
+    filters the Spark-side probe cannot fully enumerate (silently
+    degraded skipping) — refused at write time."""
+    from luma_etl_data_platform_spark.sources import lakehouse_meta
+    df = _mk(spark, [dict(k=1, v=10, tag="a")])
+    with pytest.raises(ValueError, match="MAX_BLOOM_SEEDS"):
+        LH._write_data_files(
+            spark, str(tmp_path / "t1"), df, ["k"], bloom_cols=["k"],
+            bloom_hashes=lakehouse_meta.MAX_BLOOM_SEEDS + 1)
+    # the guard fires BEFORE any data file lands
+    assert not os.path.exists(str(tmp_path / "t1"))
+    # at the cap it writes and probes exactly
+    adds = LH._write_data_files(
+        spark, str(tmp_path / "t2"), df, ["k"], bloom_cols=["k"],
+        bloom_hashes=lakehouse_meta.MAX_BLOOM_SEEDS)
+    assert adds and adds[0].get("blooms"), f"no blooms in {adds}"
+    assert adds[0]["blooms"]["k"]["k"] == lakehouse_meta.MAX_BLOOM_SEEDS
+
+
+def test_clone_accepts_scheme_qualified_and_relative_roots(
+        table, spark, tmp_path):
+    """Table roots spelled 'file:/x' (single-slash Hadoop form) or
+    'file:///x' canonicalize before cross-root refs are recorded, so
+    the clone's inherited references round-trip through _abs."""
+    for i, spelling in enumerate([f"file:{table}", f"file://{table}"]):
+        dst = str(tmp_path / f"c{i}")
+        LH.clone_table(spark, spelling, dst)
+        refs = [a["path"] for a in LH.snapshot_adds(spark, dst)]
+        # canonical absolute refs — no 'file:' residue that _abs
+        # would treat as relative
+        assert all(r.startswith("/") and table in r for r in refs)
+        assert _rows(LH.read_table(spark, dst)) == _rows(
+            LH.read_table(spark, table))

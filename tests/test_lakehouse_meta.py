@@ -178,3 +178,150 @@ def test_numeric_projection_is_sound_for_wide_int64(spark):
     assert meta.spark_prune(df, {"k": (big, big)}, {}, None) == ["p1"]
     # and a far-away probe still prunes
     assert meta.spark_prune(df, {"k": (0, 10)}, {}, None) == []
+
+
+@pytest.fixture()
+def ckpt_table(tmp_path, spark):
+    """A fresh 40-file parquet-checkpointed table (partitioned on d,
+    Bloom on u) for the clone/restore/describe Spark-native tests —
+    NOT the shared module fixture, so mutation order can't leak."""
+    path = str(tmp_path / "ckpt")
+    n = 160
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        (F.col("id") % 2).alias("d"),
+        F.concat(F.lit("u-"), F.col("id")).alias("u"))
+    LH.create_table(
+        spark, path,
+        df.repartitionByRange(40, "k").sortWithinPartitions("k"),
+        ["k"], bloom_cols=["u"], partition_by=["d"])
+    LH.append_table(spark, path, spark.range(n, n + 2).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        (F.col("id") % 2).alias("d"),
+        F.concat(F.lit("u-"), F.col("id")).alias("u")).coalesce(1))
+    LH.expire_snapshots(spark, path, keep_last=1,
+                        checkpoint_format="parquet")
+    return path
+
+
+def test_clone_of_checkpointed_table_is_spark_native(
+        ckpt_table, tmp_path, spark, monkeypatch):
+    """SHALLOW CLONE of a parquet-checkpointed source writes its v1
+    as a parquet add-action table built by a Spark job — the full
+    stats+Bloom add list never materializes on the driver and the
+    commit doc stays O(1)."""
+    dst = str(tmp_path / "clone")
+    src_total = LH.read_table(spark, ckpt_table).count()
+    _no_materialize(monkeypatch)
+    res = LH.clone_table(spark, ckpt_table, dst)
+    assert res["n_rows"] == src_total
+    doc = json.loads(open(os.path.join(
+        dst, "_log", "0" * 19 + "1.json")).read())
+    assert doc["add"] == [] and doc["adds_parquet"].endswith(
+        ".checkpoint-data.parquet")
+    assert os.path.isdir(os.path.join(dst, doc["adds_parquet"]))
+    # instantly readable, stat pruning runs Spark-side on the clone
+    assert LH.read_table(spark, dst).count() == src_total
+    keep = LH.pruned_candidate_files(spark, dst, {"k": (42, 42)})
+    assert 1 <= len(keep) <= 3
+    got = LH.read_table_pruned(spark, dst, "k", 42, 42).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(42, 420)]
+    # Bloom point lookup through the inherited lanes
+    got_b = LH.read_table_point_lookup(spark, dst, {"u": "u-77"})
+    assert [r["k"] for r in got_b.collect()] == [77]
+    monkeypatch.undo()
+    # the path COLUMN is authoritative over add_json: inherited refs
+    # resolve absolute into the source root
+    refs = [a["path"] for a in LH.snapshot_adds(spark, dst)]
+    assert refs and all(r.startswith(ckpt_table) for r in refs)
+
+
+def test_restore_of_checkpointed_table_is_spark_native(
+        ckpt_table, spark, monkeypatch):
+    """RESTORE on a parquet-checkpointed table restates the full
+    target file set as a parquet add-action table (DataFrame-to-
+    DataFrame copy) — no driver materialization of stats/Blooms."""
+    v0 = LH.current_version(spark, ckpt_table)
+    total = LH.read_table(spark, ckpt_table).count()
+    LH.delete_where(spark, ckpt_table, "k < 50")
+    assert LH.read_table(spark, ckpt_table).count() == total - 50
+    _no_materialize(monkeypatch)
+    res = LH.restore_table(spark, ckpt_table, version=v0)
+    assert LH.read_table(spark, ckpt_table).count() == total
+    doc = json.loads(open(os.path.join(
+        ckpt_table, "_log",
+        f"{res['version']:020d}.json")).read())
+    assert doc["add"] == [] and doc["remove"] == []
+    assert doc["adds_parquet"].endswith(".checkpoint-data.parquet")
+    # pruning still runs Spark-side after the restore
+    got = LH.read_table_pruned(spark, ckpt_table, "k", 7, 7).collect()
+    assert [r["k"] for r in got] == [7]
+
+
+def test_describe_of_checkpointed_table_is_spark_native(
+        ckpt_table, spark, monkeypatch):
+    _no_materialize(monkeypatch)
+    prof = LH.describe_table(spark, ckpt_table)
+    assert prof["n_rows"] == 162
+    assert prof["n_files"] >= 40
+    assert prof["size_bytes"] > 0
+    assert prof["partition_by"] == ["d"]
+    assert prof["partitions"] == {"d": ["0", "1"]}
+    assert prof["bloom_cols"] == ["u"]
+
+
+def test_last_checkpoint_pointer_bounds_log_parsing(
+        tmp_path, spark, monkeypatch):
+    """`_commits` reads `_log/_last_checkpoint` first and opens only
+    docs at or above the anchor — O(tail) parses even when pre-anchor
+    docs survive on disk (the crash window between pointer update and
+    prefix deletion), and a stale/corrupt pointer degrades to the
+    full parse, never to a wrong snapshot."""
+    import shutil
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, 1)], ["k", "v"])
+    LH.create_table(spark, path, df.coalesce(1), ["k"])
+    for i in range(2, 9):
+        LH.append_table(spark, path, spark.createDataFrame(
+            [(i, i)], ["k", "v"]).coalesce(1))
+    log = os.path.join(path, "_log")
+    saved = {f: open(os.path.join(log, f), "rb").read()
+             for f in os.listdir(log) if f.endswith(".json")}
+    LH.expire_snapshots(spark, path, keep_last=3)   # cutoff = 6
+    assert json.loads(open(os.path.join(
+        log, "_last_checkpoint")).read())["version"] == 6
+    # simulate the crash window: resurrect the expired prefix
+    for f, data in saved.items():
+        tgt = os.path.join(log, f)
+        if not os.path.exists(tgt):
+            open(tgt, "wb").write(data)
+    LH.append_table(spark, path, spark.createDataFrame(
+        [(9, 9)], ["k", "v"]).coalesce(1))
+    reads: list[str] = []
+    orig = LH._read_text
+
+    def counting(fs, jvm, p):
+        if p.endswith(".json"):
+            reads.append(p)
+        return orig(fs, jvm, p)
+    monkeypatch.setattr(LH, "_read_text", counting)
+    docs = LH._commits(spark, path)
+    assert [d["version"] for d in docs] == [6, 7, 8, 9]
+    # checkpoint (+ its resurrected shadowed plain doc) + 3 tail docs
+    # — the 5 resurrected PRE-anchor docs were never opened
+    assert len(reads) <= 5
+    assert all(int(r.rsplit("/", 1)[-1][:20]) >= 6 for r in reads)
+    assert LH.read_table(spark, path).count() == 9
+    # a later expire reaps the hidden orphans from the LISTING
+    LH.expire_snapshots(spark, path, keep_last=2)
+    below = [f for f in os.listdir(log)
+             if f[:20].isdigit() and int(f[:20]) < 8]
+    assert below == []
+    # corrupt pointer → full-parse fallback stays correct
+    open(os.path.join(log, "_last_checkpoint"), "w").write("garbage")
+    assert [d["version"] for d in LH._commits(spark, path)] == [8, 9]
+    # stale pointer beyond any checkpoint doc → fallback too
+    open(os.path.join(log, "_last_checkpoint"), "w").write(
+        json.dumps({"version": 99}))
+    assert [d["version"] for d in LH._commits(spark, path)] == [8, 9]
+    assert LH.read_table(spark, path).count() == 9

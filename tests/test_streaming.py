@@ -154,3 +154,60 @@ def test_incremental_ingest_idempotent(spark, events_dir, tmp_path):
     go(str(tmp_path / "ckpt2"))
     assert spark.read.parquet(target).count() == n_src
     assert not os.path.exists(str(tmp_path / "dlq"))
+
+
+# ------------------------------------------------------- change feed
+
+
+def test_stream_changes_exactly_once_and_crash_replay(spark, tmp_path):
+    """streaming/cdf.stream_changes: every commit becomes one batch
+    of read_changes rows; versions already in the ledger never
+    redeliver; a crash mid-drain (apply raised before the version was
+    recorded) resumes at exactly the failed version; full redelivery
+    after completion applies nothing."""
+    from luma_etl_data_platform_spark.sources import lakehouse as LH
+    from luma_etl_data_platform_spark.streaming.cdf import stream_changes
+    src = str(tmp_path / "src")
+    led = str(tmp_path / "led")
+    mk = lambda rows: spark.createDataFrame(rows, ["k", "v"])
+    LH.create_table(spark, src, mk([(1, 10), (2, 20)]).coalesce(1),
+                    ["k"])
+    LH.merge_into(spark, src, mk([(2, 25), (3, 30)]), ["k"])
+    LH.delete_where(spark, src, "k = 1")
+
+    seen: list[tuple[int, dict]] = []
+    boom_at: set[int] = set()
+
+    def apply(changes, version):
+        if version in boom_at:
+            boom_at.discard(version)
+            raise RuntimeError("simulated crash before record")
+        by_type = {r["_change_type"]: r["k"] for r in changes.collect()}
+        seen.append((version, by_type))
+
+    # crash at v2: v1 lands, v2 raises, nothing past it runs
+    boom_at.add(2)
+    with pytest.raises(RuntimeError):
+        stream_changes(spark, src, apply, led)
+    assert [v for v, _ in seen] == [1]
+    # resume: v1 skips (ledger), v2 and v3 deliver exactly once
+    out = stream_changes(spark, src, apply, led)
+    assert out["versions_applied"] == [2, 3]
+    assert out["versions_skipped"] == 1
+    assert [v for v, _ in seen] == [1, 2, 3]
+    # change shapes per version
+    v1 = dict(seen[0][1])
+    assert set(v1) == {"insert"}
+    v2 = seen[1][1]
+    assert "update_postimage" in v2 and "insert" in v2
+    assert seen[2][1] == {"delete": 1}
+    # full redelivery: all skipped, nothing re-applied
+    again = stream_changes(spark, src, apply, led)
+    assert again == {"versions_applied": [], "versions_skipped": 3}
+    assert len(seen) == 3
+    # from_version narrows the feed (catch-up consumers)
+    led2 = str(tmp_path / "led2")
+    seen.clear()
+    out2 = stream_changes(spark, src, apply, led2, from_version=3)
+    assert out2["versions_applied"] == [3]
+    assert seen[0][1] == {"delete": 1}

@@ -157,3 +157,40 @@ def test_unigram_em_round_improves_and_converges(spark):
     # paths stay valid through EM
     for r in r1.values():
         assert "".join(r["toks"]) == r["word"]
+
+
+def test_unigram_prune_schedule_caps_vocab_and_keeps_coverage(spark):
+    """The explicit prune (vocab_target=) caps the multi-char
+    vocabulary at the top-K by likelihood contribution, ALWAYS keeps
+    every corpus character (fallback-costed when absent from usage),
+    and the pruned segmentation still reconstructs every word."""
+    from luma_etl_data_platform_spark.operators.unigram import (
+        corpus_words, prune_cost_table, segmentation_cost_table,
+        token_cost_table, viterbi_segment, _viterbi_core)
+    df = spark.createDataFrame(
+        [("abab abab abab cdcd cdcd efef ghgh the the quick brown",)],
+        "text string")
+    words = corpus_words(df, "text")
+    seg0 = _viterbi_core(words, token_cost_table(words, 2))
+    usage = segmentation_cost_table(seg0.localCheckpoint(eager=True))
+    pruned = prune_cost_table(usage, words, keep_top=2)
+    rows = pruned.collect()
+    multi = [r for r in rows if len(r["token"]) > 1]
+    singles = {r["token"] for r in rows if len(r["token"]) == 1}
+    assert len(multi) == 2
+    # top-2 by cnt * cost, tie on token string — deterministic
+    scored = sorted(((r["cnt"] * r["cost"], r["token"]) for r in
+                     usage.collect() if len(r["token"]) > 1),
+                    key=lambda t: (-t[0], t[1]))
+    assert sorted(m["token"] for m in multi) == sorted(
+        t for _, t in scored[:2])
+    # every corpus character present (coverage floor)
+    corpus_chars = set("".join(
+        r["word"] for r in words.select("word").collect()))
+    assert corpus_chars <= singles
+    # chars absent from usage carry the fallback cost, never NULL
+    assert all(r["cost"] is not None for r in rows)
+    # end-to-end: pruned segmentation still reconstructs every word
+    seg = viterbi_segment(df, "text", em_rounds=2, vocab_target=2)
+    for r in seg.collect():
+        assert "".join(r["toks"]) == r["word"]

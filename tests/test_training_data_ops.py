@@ -300,3 +300,19 @@ def test_mmr_rank1_is_pure_relevance_argmax(spark):
     best = S.cosine_topk(df, query, k=1).collect()[0]
     mmr = S.mmr_topk(df, query, k=3, pool=8).collect()
     assert mmr[0]["vec_id"] == best["vec_id"]
+
+
+def test_mmr_is_id_type_agnostic(spark):
+    """String doc ids flow through: the result schema follows the
+    corpus id column's type instead of hardcoding long."""
+    rows = [("doc-a", [1.0, 0.0]), ("doc-b", [1.0, 0.0]),
+            ("doc-c", [0.0, 1.0])]
+    df = spark.createDataFrame(
+        rows, "doc_id string, embedding array<double>")
+    query = spark.createDataFrame([([1.0, 0.2],)],
+                                  "embedding array<double>")
+    mmr = S.mmr_topk(df, query, k=2, pool=3, lam=0.5,
+                     id_col="doc_id")
+    assert dict(mmr.dtypes)["doc_id"] == "string"
+    got = [r["doc_id"] for r in mmr.collect()]
+    assert got[0] == "doc-a" and got[1] == "doc-c"
