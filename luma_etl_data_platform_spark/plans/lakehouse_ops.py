@@ -1608,7 +1608,96 @@ ORDER BY phase
 """
 
 
+def lakehouse_hidden_partitioning(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Iceberg-style HIDDEN partitioning under the gate: the table is
+    created with `partition_by=["days(ts)", "bucket(8, user_id)"]`
+    (sources/lakehouse.parse_partition_spec — the derived values, not
+    the source columns, become the partition keys), and the probes
+    filter on the SOURCE columns only: a `ts` day-range must open
+    only that day's files (`day_pruned`), a `user_id` equality must
+    open only its hash bucket's files (`bucket_pruned`), the data
+    schema must carry NO derived column (`layout_hidden`), and the
+    pruned reads' contents must equal the oracle's plain SQL over
+    events. Flags are layout-independent: they compare kept files
+    against the partition values the probes imply, never against
+    file counts of a particular write layout (beyond "strictly fewer
+    than all files", which any multi-day / multi-bucket corpus
+    guarantees at every sf).
+
+    Reference scope: beyond-reference (Iceberg spec, Partition
+    Transforms); completes the partition-pruning family
+    (`lakehouse_partition_pruned_read` covers identity partitions).
+    """
+    import datetime as dt
+    import hashlib as hl
+    tmp = tempfile.mkdtemp(prefix="luma_lh_hidden_")
+    path = f"{tmp}/t"
+    full = (load_table(spark, sf_dir, "events")
+            .select("user_id", "ts", "event_id", "value"))
+    mn = full.agg(F.min("ts").alias("t")).collect()[0]
+    day0 = mn["t"].replace(hour=0, minute=0, second=0, microsecond=0)
+    # bound the partition-dir count (8 days x 4 buckets): hidden
+    # partitioning is about PRUNING leverage, not dir cardinality,
+    # and a windowed feed keeps the scenario build O(32 dirs) at
+    # every sf — the oracle applies the identical window
+    feed = full.filter((F.col("ts") >= F.lit(day0))
+                       & (F.col("ts") < F.lit(day0
+                                              + dt.timedelta(days=8))))
+    LH.create_table(spark, path, feed.repartition(2), ["event_id"],
+                    partition_by=["days(ts)", "bucket(4, user_id)"])
+    # probe user = min user WITHIN the window (guaranteed present)
+    u = int(feed.agg(F.min("user_id")).collect()[0][0])
+    hi = day0 + dt.timedelta(days=1) - dt.timedelta(microseconds=1)
+    dstr = day0.strftime("%Y-%m-%d")
+    total = len(LH.snapshot_files(spark, path))
+    keep_day = LH.pruned_candidate_files(spark, path,
+                                         {"ts": (day0, hi)})
+    day_pruned = (bool(keep_day) and len(keep_day) < total
+                  and all(f"ts_day={dstr}" in f for f in keep_day))
+    bkt = int(hl.md5(f"0:{u}".encode()).hexdigest()[:8], 16) % 4
+    keep_u = LH.pruned_candidate_files(spark, path, None,
+                                       eq={"user_id": u})
+    bucket_pruned = (bool(keep_u) and len(keep_u) < total
+                     and all(f"user_id_bucket={bkt}" in f
+                             for f in keep_u))
+    # min-user rows may sit outside the 8-day window: count within
+    layout_hidden = (LH.read_table(spark, path).columns
+                     == ["user_id", "ts", "event_id", "value"])
+    day_row = (LH.read_table_pruned(spark, path, "ts", day0, hi)
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("event_id").alias("s")).collect()[0])
+    n_user = LH.read_table_point_lookup(spark, path,
+                                        {"user_id": u}).count()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(bool(day_pruned), bool(bucket_pruned), bool(layout_hidden),
+          int(day_row["n"]), int(day_row["s"]), int(n_user))],
+        "day_pruned boolean, bucket_pruned boolean, "
+        "layout_hidden boolean, n_rows_day long, "
+        "sum_event_id_day long, n_rows_user long")
+
+
+ORACLE["lakehouse_hidden_partitioning"] = """
+WITH d0 AS (SELECT date_trunc('day', min(ts)) AS d FROM events),
+u0 AS (SELECT min(user_id) AS u FROM events, d0
+       WHERE ts >= d AND ts < d + INTERVAL 8 DAY),
+dr AS (SELECT count(*) AS n_rows_day,
+              CAST(sum(event_id) AS BIGINT) AS sum_event_id_day
+       FROM events, d0
+       WHERE ts >= d AND ts < d + INTERVAL 1 DAY),
+ur AS (SELECT count(*) AS n_rows_user FROM events, u0, d0
+       WHERE user_id = u
+         AND ts >= d AND ts < d + INTERVAL 8 DAY)
+SELECT TRUE AS day_pruned, TRUE AS bucket_pruned,
+       TRUE AS layout_hidden,
+       n_rows_day, sum_event_id_day, n_rows_user
+FROM dr, ur
+"""
+
+
 QUERIES = {
+    "lakehouse_hidden_partitioning": lakehouse_hidden_partitioning,
     "merge_upsert_orders": merge_upsert_orders,
     "lakehouse_time_travel": lakehouse_time_travel,
     "lakehouse_compaction": lakehouse_compaction,

@@ -62,8 +62,10 @@ RESTORE semantics — auditable and itself reversible).
 
 from __future__ import annotations
 
+import datetime as _dt
 import hashlib
 import json
+import re as _re
 import time
 import uuid
 from urllib.parse import unquote
@@ -465,6 +467,9 @@ def describe_table(spark: SparkSession, table_path: str) -> dict:
     if not commits:
         raise FileNotFoundError(f"{table_path} has no commit log")
     pcols = _table_partition_cols(spark, table_path)
+    # partition VALUES are recorded under the transform NAME (ts_day,
+    # user_id_bucket, ...), which equals the spec for identity entries
+    pnames = [parse_partition_spec(s)["name"] for s in pcols]
     adds_df = _adds_df_at(spark, table_path)
     if adds_df is not None:
         # parquet-checkpointed table: ONE aggregate job over the
@@ -472,7 +477,7 @@ def describe_table(spark: SparkSession, table_path: str) -> dict:
         # sets) — the stats/Bloom payload never crosses to the driver
         aggs = [F.count(F.lit(1)).alias("_nf"),
                 F.sum("rows").alias("_nr")]
-        for i, c in enumerate(pcols):
+        for i, c in enumerate(pnames):
             aggs.append(F.collect_set(
                 F.when(F.size("partition") > 0,
                        F.coalesce(F.try_element_at("partition", F.lit(c))
@@ -480,7 +485,7 @@ def describe_table(spark: SparkSession, table_path: str) -> dict:
                 .alias(f"_p{i}"))
         row = adds_df.agg(*aggs).collect()[0]
         n_files, n_rows = int(row["_nf"]), int(row["_nr"] or 0)
-        parts = {c: sorted(row[f"_p{i}"]) for i, c in enumerate(pcols)}
+        parts = {c: sorted(row[f"_p{i}"]) for i, c in enumerate(pnames)}
         paths = [r["path"] for r in adds_df.select("path").collect()]
     else:
         adds = snapshot_adds(spark, table_path)
@@ -488,7 +493,7 @@ def describe_table(spark: SparkSession, table_path: str) -> dict:
         n_rows = sum(a.get("rows") or 0 for a in adds)
         parts = {c: sorted({str(a.get("partition", {}).get(c))
                             for a in adds if a.get("partition")})
-                 for c in pcols}
+                 for c in pnames}
         paths = [a["path"] for a in adds]
     fs, jvm = _fs(spark, table_path)
     Path = jvm.org.apache.hadoop.fs.Path
@@ -714,8 +719,10 @@ def rename_column(spark: SparkSession, table_path: str,
             "fresh name")
     if old in _table_keys(spark, table_path):
         raise ValueError(f"rename_column: {old!r} is a key column")
-    if old in _table_partition_cols(spark, table_path):
-        raise ValueError(f"rename_column: {old!r} is a partition column")
+    if old in {p["source"] for p in _partition_specs(
+            _table_partition_cols(spark, table_path))}:
+        raise ValueError(f"rename_column: {old!r} is a partition "
+                         "(or partition-transform source) column")
     import re
     for cname, expr in table_constraints(spark, table_path).items():
         if re.search(rf"\b{re.escape(old)}\b", expr):
@@ -745,8 +752,10 @@ def drop_column(spark: SparkSession, table_path: str, column: str) -> int:
         raise ValueError(f"drop_column: no column {column!r}")
     if column in _table_keys(spark, table_path):
         raise ValueError(f"drop_column: {column!r} is a key column")
-    if column in _table_partition_cols(spark, table_path):
-        raise ValueError(f"drop_column: {column!r} is a partition column")
+    if column in {p["source"] for p in _partition_specs(
+            _table_partition_cols(spark, table_path))}:
+        raise ValueError(f"drop_column: {column!r} is a partition "
+                         "(or partition-transform source) column")
     import re
     for cname, expr in table_constraints(spark, table_path).items():
         if re.search(rf"\b{re.escape(column)}\b", expr):
@@ -793,6 +802,131 @@ def read_table(spark: SparkSession, table_path: str,
         _apply_dv(reader.parquet(*files),
                   _dv_overlay(spark, table_path, version)),
         events)
+
+
+# ---------------------------------------------------------------------------
+# Partition transforms — Iceberg-style HIDDEN partitioning: a table
+# declares `partition_by=["days(ts)", "bucket(16, user_id)", ...]`
+# and queries keep filtering on the SOURCE column (`ts BETWEEN ...`,
+# `user_id = ...`); the engine derives the matching partition-value
+# probe and prunes files from the log alone. This removes the classic
+# Hive failure mode where users must know (and filter on) a derived
+# partition column, and it is the first-order pruning lever at
+# 10^6-file scale: a day-partitioned decade of data answers a
+# one-week query from ~7 directory values before any footer is read.
+# Supported transforms (Iceberg's set minus `void`):
+#   identity        bare column name (the pre-existing behavior)
+#   days/months/hours(col)   timestamp → "yyyy-MM-dd" / "yyyy-MM" /
+#                            "yyyy-MM-dd-HH" (session-timezone
+#                            wall-clock, lexically ordered)
+#   bucket(N, col)  portable_hash32(col) mod N — equality probes only
+#   truncate(W, col)  floored multiple of W (integers) or prefix of
+#                     length W (strings) — range-derivable
+# Reference anchor: Iceberg spec §Partition Transforms; beyond the
+# reference repo (which has no table format).
+# ---------------------------------------------------------------------------
+
+_SPEC_FN = _re.compile(r"^(days|months|hours)\(\s*(\w+)\s*\)$")
+_SPEC_FN2 = _re.compile(r"^(bucket|truncate)\(\s*(\d+)\s*,\s*(\w+)\s*\)$")
+_DATE_FMT = {"days": "yyyy-MM-dd", "months": "yyyy-MM",
+             "hours": "yyyy-MM-dd-HH"}
+_DATE_PYFMT = {"days": "%Y-%m-%d", "months": "%Y-%m",
+               "hours": "%Y-%m-%d-%H"}
+
+
+def parse_partition_spec(spec: str) -> dict:
+    """One declared partition entry →
+    ``{spec, kind, source, param, name}``; the ``name`` is the
+    partition KEY recorded in add-actions and directory layout
+    (Iceberg naming: ``ts_day``, ``user_id_bucket``, ``s_trunc``).
+    A bare column name is the identity transform."""
+    s = spec.strip()
+    m = _SPEC_FN.match(s)
+    if m:
+        kind, src = m.group(1), m.group(2)
+        return {"spec": s, "kind": kind, "source": src, "param": None,
+                "name": f"{src}_{kind[:-1]}"}
+    m = _SPEC_FN2.match(s)
+    if m:
+        kind, param, src = m.group(1), int(m.group(2)), m.group(3)
+        if param <= 0:
+            raise ValueError(f"partition spec {spec!r}: parameter "
+                             "must be positive")
+        suffix = "bucket" if kind == "bucket" else "trunc"
+        return {"spec": s, "kind": kind, "source": src, "param": param,
+                "name": f"{src}_{suffix}"}
+    if _re.match(r"^\w+$", s):
+        return {"spec": s, "kind": "identity", "source": s,
+                "param": None, "name": s}
+    raise ValueError(f"unrecognized partition spec {spec!r} (expected "
+                     "a column name, days/months/hours(col), "
+                     "bucket(N, col) or truncate(W, col))")
+
+
+def _partition_specs(cols: list[str] | None) -> list[dict]:
+    return [parse_partition_spec(s) for s in (cols or [])]
+
+
+def _transform_column(sp: dict, df: DataFrame) -> Column:
+    """The Spark expression computing a partition spec's value from
+    its source column (typed off ``df``'s schema for truncate)."""
+    src = F.col(sp["source"])
+    kind = sp["kind"]
+    if kind == "identity":
+        return src
+    if kind in _DATE_FMT:
+        return F.date_format(src.cast("timestamp"), _DATE_FMT[kind])
+    if kind == "bucket":
+        from ..functions.text import portable_hash32
+        return F.pmod(portable_hash32(src), F.lit(sp["param"]))
+    # truncate: prefix for strings, floored multiple for integers —
+    # src - pmod(src, W) is exact int64 (pmod is non-negative, so the
+    # result floors toward -inf, matching Python's % and Iceberg)
+    dt = df.schema[sp["source"]].dataType.simpleString()
+    if dt == "string":
+        return src.substr(1, sp["param"])
+    return (src - F.pmod(src, F.lit(sp["param"]))).cast("long")
+
+
+def _derive_partition_probe(sp: dict, lo, hi):
+    """The driver-side twin of :func:`_transform_column` over a probe
+    range: the (lo, hi) of the TRANSFORMED value implied by a range
+    on the source column, or None when underivable (→ no extra
+    pruning, conservatively correct). Monotone transforms
+    (days/months/hours, truncate) derive from any range; bucket only
+    from an equality probe (lo == hi)."""
+    kind = sp["kind"]
+    if kind in _DATE_PYFMT:
+        def _fmt(v):
+            if isinstance(v, str):
+                try:
+                    v = _dt.datetime.fromisoformat(v)
+                except ValueError:
+                    return None
+            if isinstance(v, _dt.datetime):
+                pass
+            elif isinstance(v, _dt.date):
+                v = _dt.datetime(v.year, v.month, v.day)
+            else:
+                return None
+            return v.strftime(_DATE_PYFMT[kind])
+        flo, fhi = _fmt(lo), _fmt(hi)
+        return (flo, fhi) if flo is not None and fhi is not None else None
+    if kind == "bucket":
+        if lo is None or lo != hi:
+            return None
+        b = int(hashlib.md5(f"0:{lo}".encode("utf-8"))
+                .hexdigest()[:8], 16) % sp["param"]
+        return (b, b)
+    if kind == "truncate":
+        w = sp["param"]
+        if isinstance(lo, str) and isinstance(hi, str):
+            return (lo[:w], hi[:w])
+        if (isinstance(lo, int) and isinstance(hi, int)
+                and not isinstance(lo, bool) and not isinstance(hi, bool)):
+            return (lo - (lo % w), hi - (hi % w))
+        return None
+    return None
 
 
 def _json_stat(v):
@@ -853,16 +987,23 @@ def _write_data_files(spark: SparkSession, table_path: str,
     tmp_rel = f".stage-{uuid.uuid4().hex}"
     root = table_path.rstrip("/")
     tmp_dir = f"{root}/{tmp_rel}"
-    pcols = [c for c in (partition_cols or []) if c in df.columns]
-    if partition_cols and len(pcols) != len(partition_cols):
-        missing = [c for c in partition_cols if c not in df.columns]
-        raise ValueError(f"partition columns not in dataframe: {missing}")
-    if pcols:
+    pspecs = _partition_specs(partition_cols)
+    missing = [p["source"] for p in pspecs if p["source"] not in df.columns]
+    if missing:
+        raise ValueError(
+            f"partition source columns not in dataframe: {missing}")
+    if pspecs:
+        # identity partitions write the column's own value; transform
+        # specs (days/bucket/truncate — hidden partitioning) write the
+        # DERIVED value under the transform's name while the source
+        # column stays in the data files untouched
         staged = df
-        for c in pcols:
-            staged = staged.withColumn(f"_p_{c}", F.col(c))
+        for p in pspecs:
+            staged = staged.withColumn(f"_p_{p['name']}",
+                                       _transform_column(p, df))
         (staged.write.mode("overwrite")
-         .partitionBy(*[f"_p_{c}" for c in pcols]).parquet(tmp_dir))
+         .partitionBy(*[f"_p_{p['name']}" for p in pspecs])
+         .parquet(tmp_dir))
     else:
         df.write.mode("overwrite").parquet(tmp_dir)
     fs, jvm = _fs(spark, table_path)
@@ -1057,6 +1198,17 @@ def create_table(spark: SparkSession, table_path: str, df: DataFrame,
     and OPTIMIZE all preserve the layout. Prefer low-cardinality
     int/string/date-string columns (a partition per distinct value).
 
+    Entries may also be partition TRANSFORMS — Iceberg-style HIDDEN
+    partitioning: ``days(ts)`` / ``months(ts)`` / ``hours(ts)``,
+    ``bucket(N, col)``, ``truncate(W, col)`` (see
+    :func:`parse_partition_spec`). The derived value (not the source
+    column) becomes the partition key, and reads keep filtering on
+    the SOURCE column: :func:`read_table_pruned` /
+    :func:`read_table_point_lookup` derive the matching partition
+    probe automatically, so ``ts BETWEEN ...`` prunes a
+    days-partitioned table and ``user_id = v`` prunes a bucketed one
+    with no derived column in the query.
+
     ``constraints`` maps name → SQL boolean CHECK expression; every
     write path enforces the set before committing (see
     :func:`add_constraint`)."""
@@ -1122,6 +1274,14 @@ def convert_to_table(spark: SparkSession, table_path: str,
             f"convert_to_table: no data files under {table_path}")
     data_columns = spark.read.parquet(
         f"{root}/{adds[0]['path']}").columns
+    transforms = [p["spec"] for p in _partition_specs(partition_by)
+                  if p["kind"] != "identity"]
+    if transforms:
+        raise ValueError(
+            f"convert_to_table: partition transforms {transforms} "
+            "cannot be inferred from a pre-existing directory layout "
+            "— onboard hidden partitioning with a one-time "
+            "create_table rewrite")
     missing = [c for c in (partition_by or []) if c not in data_columns]
     if missing:
         raise ValueError(
@@ -2357,10 +2517,13 @@ def compact(spark: SparkSession, table_path: str,
         else:
             pcols = _table_partition_cols(spark, table_path)
             if pcols:
-                # hash-colocate by partition value so the partitioned
-                # write emits ~one packed file per partition instead
-                # of n_out × n_partitions shards
-                packed = df.repartition(n_out, *[F.col(c) for c in pcols])
+                # hash-colocate by the (possibly transformed)
+                # partition VALUE so the partitioned write emits ~one
+                # packed file per partition instead of n_out ×
+                # n_partitions shards
+                pexprs = [_transform_column(p, df)
+                          for p in _partition_specs(pcols)]
+                packed = df.repartition(n_out, *pexprs)
             else:
                 packed = df.repartition(n_out)
         keys = _table_keys(spark, table_path)
@@ -2546,6 +2709,22 @@ def pruned_candidate_files(spark: SparkSession, table_path: str,
                          "range ({column: (lo, hi)}) or equality "
                          "({column: value}) predicate")
     ranges = {**preds, **{c: (v, v) for c, v in eq.items()}}
+    # hidden partitioning: a probe on a transform's SOURCE column
+    # implies a probe on the recorded partition value — derive it so
+    # `ts BETWEEN ...` prunes a days(ts)-partitioned table and
+    # `user_id = v` prunes a bucket(N, user_id) one without the
+    # caller ever naming the derived column (Iceberg's contract).
+    # The derived entries ride the existing partition-value lanes of
+    # BOTH pruners (the driver loop and the Spark filter job).
+    for spec in _table_partition_cols(spark, table_path):
+        sp = parse_partition_spec(spec)
+        if sp["kind"] == "identity" or sp["name"] in ranges:
+            continue
+        if sp["source"] in ranges:
+            derived = _derive_partition_probe(
+                sp, *ranges[sp["source"]])
+            if derived is not None:
+                ranges[sp["name"]] = derived
     # legacy min_key/max_key fields describe the FIRST key column —
     # recover its name from the log so the fallback can never apply
     # another column's probe to the wrong range (which would prune

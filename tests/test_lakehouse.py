@@ -1995,3 +1995,123 @@ def test_clone_accepts_scheme_qualified_and_relative_roots(
         assert all(r.startswith("/") and table in r for r in refs)
         assert _rows(LH.read_table(spark, dst)) == _rows(
             LH.read_table(spark, table))
+
+
+# ------------------------------------------- hidden partitioning
+
+
+def test_partition_spec_parsing():
+    P = LH.parse_partition_spec
+    assert P("d") == {"spec": "d", "kind": "identity", "source": "d",
+                      "param": None, "name": "d"}
+    assert P("days(ts)")["name"] == "ts_day"
+    assert P("months(ts)")["name"] == "ts_month"
+    assert P("hours(ts)")["name"] == "ts_hour"
+    assert P("bucket(16, uid)") == {"spec": "bucket(16, uid)",
+                                    "kind": "bucket", "source": "uid",
+                                    "param": 16, "name": "uid_bucket"}
+    assert P("truncate(4, s)")["name"] == "s_trunc"
+    for bad in ("days(a, b)", "bucket(uid)", "bucket(0, uid)",
+                "weird(ts)", "a b"):
+        with pytest.raises(ValueError):
+            P(bad)
+
+
+def test_hidden_partitioning_end_to_end(tmp_path, spark):
+    """days(ts) + bucket(8, uid): layout under derived names, source
+    columns intact in the data, probes on SOURCE columns prune to the
+    implied partitions, and DML/OPTIMIZE preserve the layout."""
+    import datetime as dt
+    path = str(tmp_path / "t")
+    rows = [(i, dt.datetime(2024, 1, 1 + i % 5, 3 + i % 10),
+             f"u{i % 11}", f"abcdef{i}") for i in range(200)]
+    df = spark.createDataFrame(rows,
+                               "k long, ts timestamp, uid string, s string")
+    LH.create_table(spark, path, df.repartition(4), ["k"],
+                    partition_by=["days(ts)", "bucket(8, uid)"])
+    t = LH.read_table(spark, path)
+    assert t.columns == ["k", "ts", "uid", "s"]  # nothing derived
+    assert t.count() == 200
+    assert any(d.startswith("ts_day=") for d in os.listdir(path))
+    # hidden pruning: ts range opens only that day's files
+    total = len(LH.snapshot_files(spark, path))
+    keep = LH.pruned_candidate_files(
+        spark, path, {"ts": (dt.datetime(2024, 1, 2),
+                             dt.datetime(2024, 1, 2, 23, 59))})
+    assert 0 < len(keep) < total
+    assert all("ts_day=2024-01-02" in f for f in keep)
+    got = LH.read_table_pruned(spark, path, "ts",
+                               dt.datetime(2024, 1, 2),
+                               dt.datetime(2024, 1, 2, 23, 59))
+    assert got.count() == 40
+    # bucket pruning on equality
+    import hashlib
+    b = int(hashlib.md5(b"0:u3").hexdigest()[:8], 16) % 8
+    keep_u = LH.pruned_candidate_files(spark, path, None,
+                                       eq={"uid": "u3"})
+    assert 0 < len(keep_u) < total
+    assert all(f"uid_bucket={b}" in f for f in keep_u)
+    assert LH.read_table_point_lookup(
+        spark, path, {"uid": "u3"}).count() == 18
+    # bucket never derives from a RANGE probe (hash is not monotone)
+    keep_r = LH.pruned_candidate_files(spark, path,
+                                       {"uid": ("u3", "u4")})
+    assert len(keep_r) == total  # conservative: no uid stats, no skip
+    # DML + append + OPTIMIZE preserve the derived layout
+    LH.delete_where(spark, path, "k < 10")
+    LH.append_table(spark, path, df.filter("k < 5"))
+    LH.compact(spark, path, target_rows=1000)
+    assert LH.read_table(spark, path).count() == 195
+    adds = LH.snapshot_adds(spark, path)
+    assert all(set(a.get("partition", {})) == {"ts_day", "uid_bucket"}
+               for a in adds)
+    keep2 = LH.pruned_candidate_files(
+        spark, path, {"ts": (dt.datetime(2024, 1, 2),
+                             dt.datetime(2024, 1, 2, 23, 59))})
+    assert all("ts_day=2024-01-02" in f for f in keep2)
+    # describe reports transform specs and derived value sets
+    prof = LH.describe_table(spark, path)
+    assert prof["partition_by"] == ["days(ts)", "bucket(8, uid)"]
+    assert "2024-01-02" in prof["partitions"]["ts_day"]
+    # guards: transform SOURCE columns are protected like partitions
+    with pytest.raises(ValueError, match="partition"):
+        LH.rename_column(spark, path, "ts", "ts2")
+    with pytest.raises(ValueError, match="partition"):
+        LH.drop_column(spark, path, "uid")
+
+
+def test_truncate_transform_numeric_and_string(tmp_path, spark):
+    """truncate(W, col): floored multiples for ints (negative-safe),
+    prefixes for strings; range probes derive truncated ranges."""
+    path = str(tmp_path / "t")
+    rows = [(i, i * 7 - 50, f"tok{i % 13:02d}x") for i in range(60)]
+    df = spark.createDataFrame(rows, "k long, v long, s string")
+    LH.create_table(spark, path, df.coalesce(2), ["k"],
+                    partition_by=["truncate(20, v)", "truncate(3, s)"])
+    adds = LH.snapshot_adds(spark, path)
+    for a in adds:
+        pv = int(a["partition"]["v_trunc"])
+        assert pv % 20 == 0
+        assert a["partition"]["s_trunc"] == "tok"
+    # a range on v derives the truncated range: only matching
+    # multiples open
+    total = len(LH.snapshot_files(spark, path))
+    keep = LH.pruned_candidate_files(spark, path, {"v": (0, 19)})
+    assert 0 < len(keep) <= total
+    assert all("v_trunc=0" in f for f in keep)
+    got = LH.read_table_pruned(spark, path, "v", 0, 19)
+    assert got.count() == df.filter("v between 0 and 19").count()
+    # floored (not truncated-toward-zero) for negatives: -50..-41
+    # lands in v_trunc=-60
+    keep_n = LH.pruned_candidate_files(spark, path, {"v": (-50, -41)})
+    assert all("v_trunc=-60" in f for f in keep_n)
+    assert LH.read_table_pruned(spark, path, "v", -50, -41).count() \
+        == df.filter("v between -50 and -41").count()
+
+
+def test_convert_rejects_partition_transforms(tmp_path, spark):
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, 2)], ["k", "v"]).write.parquet(path)
+    with pytest.raises(ValueError, match="transform"):
+        LH.convert_to_table(spark, path, ["k"],
+                            partition_by=["bucket(4, v)"])

@@ -325,3 +325,44 @@ def test_last_checkpoint_pointer_bounds_log_parsing(
         json.dumps({"version": 99}))
     assert [d["version"] for d in LH._commits(spark, path)] == [8, 9]
     assert LH.read_table(spark, path).count() == 9
+
+
+def test_hidden_partition_probes_ride_the_spark_pruner(
+        tmp_path, spark, monkeypatch):
+    """Derived partition probes (days/bucket transforms) work through
+    the parquet-checkpoint Spark pruner identically to the driver
+    JSON loop — and without materializing the add list."""
+    import datetime as dt
+    import hashlib as hl
+    path = str(tmp_path / "t")
+    rows = [(i, dt.datetime(2024, 1, 1 + i % 5, 3 + i % 10),
+             f"u{i % 11}") for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, uid string")
+    LH.create_table(spark, path, df.repartition(4), ["k"],
+                    partition_by=["days(ts)", "bucket(8, uid)"])
+    LH.append_table(spark, path, spark.createDataFrame(
+        [(999, dt.datetime(2024, 1, 2, 5), "u3")],
+        "k long, ts timestamp, uid string"))
+    LH.expire_snapshots(spark, path, keep_last=1,
+                        checkpoint_format="parquet")
+    assert LH._adds_df_at(spark, path) is not None  # spark plane live
+    probes = [({"ts": (dt.datetime(2024, 1, 2),
+                       dt.datetime(2024, 1, 2, 23, 59))}, None),
+              (None, {"uid": "u3"}),
+              ({"ts": (dt.datetime(2024, 1, 3),
+                       dt.datetime(2024, 1, 4))}, {"uid": "u7"})]
+    spark_res = [LH.pruned_candidate_files(spark, path, p, eq=e)
+                 for p, e in probes]
+    monkeypatch.setattr(LH, "_adds_df_at", lambda *a, **k: None)
+    driver_res = [LH.pruned_candidate_files(spark, path, p, eq=e)
+                  for p, e in probes]
+    monkeypatch.undo()
+    assert spark_res == driver_res
+    b = int(hl.md5(b"0:u3").hexdigest()[:8], 16) % 8
+    assert spark_res[1] and all(f"uid_bucket={b}" in f
+                                for f in spark_res[1])
+    _no_materialize(monkeypatch)
+    got = LH.read_table_pruned(spark, path, "ts",
+                               dt.datetime(2024, 1, 2),
+                               dt.datetime(2024, 1, 2, 23, 59))
+    assert got.count() == 41  # 40 base rows + the appended k=999
