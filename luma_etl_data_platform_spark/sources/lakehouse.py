@@ -3262,3 +3262,106 @@ def abort_staged(spark: SparkSession, table_path: str,
     if pending.get("staged_dir"):
         fs.delete(Path(f"{root}/{pending['staged_dir']}"), True)
     return sorted(removed)
+
+
+# ---------------------------------------------------------------------------
+# Maintenance planner — the lakehouse twin of the reference's nightly
+# maintenance scheduling (reference: schedule_jobs.ps1 chains the
+# nightly full-run + cleanup jobs per table): inspect a table's
+# operational profile and recommend (or run) the standard maintenance
+# pair — OPTIMIZE for layout debt, expire/vacuum for history debt.
+# At 10^3-10^4 tables nobody hand-tunes per-table schedules; the
+# planner turns the commit log's own metrics into the decision, and
+# every metric it reads is log-derived (describe_table: no data scan).
+# ---------------------------------------------------------------------------
+
+def maintenance_plan(spark: SparkSession, table_path: str,
+                     target_rows: int = 1_000_000,
+                     small_file_fraction: float = 0.5,
+                     dv_fraction: float = 0.05,
+                     keep_last: int = 10) -> dict:
+    """Recommend maintenance actions from the table's log-derived
+    profile — no data file is opened:
+
+    - ``compact``: more than ``small_file_fraction`` of live files
+      hold under ``target_rows/2`` rows (streaming/merge fragmentation
+      — footer reads and task scheduling dominate scans), OR live
+      deletion-vector debt exceeds ``dv_fraction`` of physical rows
+      (every read pays the MOR anti-join until purged);
+    - ``expire``: more than ``keep_last`` retained versions (each
+      retains its pre-image files on disk);
+    - ``vacuum``: the latest snapshot references fewer files than the
+      table directory holds (removed pre-images waiting for the reaper
+      — reported only when ``expire`` is not already recommended,
+      which reaps them itself).
+
+    Returns the profile plus ``actions`` (ordered list) and the
+    per-action reasons. Pure recommendation — see
+    :func:`run_maintenance`."""
+    prof = describe_table(spark, table_path)
+    rows_by = _file_rows(spark, table_path)
+    known = [n for n in rows_by.values() if n is not None]
+    small = [n for n in known if n < target_rows // 2]
+    small_frac = (len(small) / len(known)) if known else 0.0
+    debt = {"dv_rows": prof["n_dv_deleted_rows"],
+            "fraction": prof["dv_debt_fraction"]}
+    fs, jvm = _fs(spark, table_path)
+    on_disk = sum(1 for _ in _data_files_on_disk(
+        fs, jvm, table_path.rstrip("/")))
+    actions: list[str] = []
+    reasons: dict[str, str] = {}
+    # a SINGLE sub-target file is already optimally packed — only
+    # recommend compaction when merging could reduce the file count
+    if len(small) >= 2 and small_frac > small_file_fraction:
+        actions.append("compact")
+        reasons["compact"] = (
+            f"{len(small)}/{len(known)} live files under "
+            f"{target_rows // 2} rows (fraction {small_frac:.2f} > "
+            f"{small_file_fraction})")
+    if debt["fraction"] > dv_fraction and "compact" not in actions:
+        actions.append("compact")
+        reasons["compact"] = (
+            f"deletion-vector debt {debt['fraction']:.3f} > "
+            f"{dv_fraction} ({debt['dv_rows']} masked rows)")
+    if prof["n_commits"] > keep_last:
+        actions.append("expire")
+        reasons["expire"] = (f"{prof['n_commits']} retained versions "
+                             f"> keep_last={keep_last}")
+    elif on_disk > prof["n_files"]:
+        actions.append("vacuum")
+        reasons["vacuum"] = (f"{on_disk - prof['n_files']} on-disk "
+                             "files referenced by no live snapshot")
+    return {"table": table_path.rstrip("/"),
+            "n_files": prof["n_files"],
+            "n_files_on_disk": on_disk,
+            "n_small_files": len(small),
+            "small_file_fraction": round(small_frac, 4),
+            "dv_debt_fraction": round(debt["fraction"], 6),
+            "n_commits": prof["n_commits"],
+            "actions": actions, "reasons": reasons}
+
+
+def run_maintenance(spark: SparkSession, table_path: str,
+                    target_rows: int = 1_000_000,
+                    small_file_fraction: float = 0.5,
+                    dv_fraction: float = 0.05,
+                    keep_last: int = 10) -> dict:
+    """Execute :func:`maintenance_plan`'s recommendations in order
+    (compact → expire → vacuum) and return the plan with per-action
+    results attached. Idempotent: a second call on a maintained
+    table recommends nothing."""
+    plan = maintenance_plan(spark, table_path, target_rows,
+                            small_file_fraction, dv_fraction,
+                            keep_last)
+    results: dict[str, object] = {}
+    for action in plan["actions"]:
+        if action == "compact":
+            results["compact"] = compact(spark, table_path,
+                                         target_rows=target_rows)
+        elif action == "expire":
+            results["expire"] = expire_snapshots(spark, table_path,
+                                                 keep_last=keep_last)
+        elif action == "vacuum":
+            results["vacuum"] = vacuum(spark, table_path)
+    plan["results"] = results
+    return plan

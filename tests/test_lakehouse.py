@@ -2115,3 +2115,38 @@ def test_convert_rejects_partition_transforms(tmp_path, spark):
     with pytest.raises(ValueError, match="transform"):
         LH.convert_to_table(spark, path, ["k"],
                             partition_by=["bucket(4, v)"])
+
+
+# --------------------------------------------- maintenance planner
+
+
+def test_maintenance_plan_and_run(tmp_path, spark):
+    """The planner reads only the commit log: a fragmented table with
+    MOR debt and deep history recommends compact+expire; running the
+    plan clears the debt; a second run recommends nothing."""
+    path = str(tmp_path / "t")
+    rows = [dict(k=i, v=i, tag="x") for i in range(40)]
+    LH.create_table(spark, path, _mk(spark, rows).repartition(8),
+                    ["k"])
+    for i in range(12):  # deep history + fragmentation
+        LH.append_table(spark, path,
+                        _mk(spark, [dict(k=100 + i, v=i, tag="y")]))
+    LH.delete_where(spark, path, "k in (1, 2, 3)", mode="mor")
+    plan = LH.maintenance_plan(spark, path, target_rows=1000,
+                               keep_last=5)
+    assert plan["actions"][:2] == ["compact", "expire"]
+    assert plan["small_file_fraction"] > 0.5
+    assert plan["dv_debt_fraction"] > 0.05
+    out = LH.run_maintenance(spark, path, target_rows=1000,
+                             keep_last=5)
+    assert set(out["results"]) == {"compact", "expire"}
+    assert LH.read_table(spark, path).count() == 49
+    assert LH.dv_debt(spark, path)["dv_rows"] == 0
+    # idempotent: nothing left to do (vacuum may fire once to reap
+    # the expire's leftovers, then stays quiet)
+    again = LH.run_maintenance(spark, path, target_rows=1000,
+                               keep_last=5)
+    final = LH.maintenance_plan(spark, path, target_rows=1000,
+                                keep_last=5)
+    assert final["actions"] == []
+    assert LH.read_table(spark, path).count() == 49
