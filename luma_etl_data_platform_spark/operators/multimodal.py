@@ -311,3 +311,134 @@ def decode_ppm_stats(df: DataFrame, content_col: str = "content",
                                "mean_r", "mean_g", "mean_b"])
 
     return spread(df).mapInPandas(batches, PPM_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode: WAV (RIFF/WAVE, 16-bit PCM) — like PPM, a
+# complete container parse needs no codec library: RIFF chunk walk,
+# `fmt ` fields (format tag, channels, sample rate, bit depth),
+# `data` payload as little-endian int16 frames via numpy. Compressed
+# codecs (MP3/AAC/OGG) would stay behind an import-try exactly like
+# JPEG/PNG; linear PCM in a RIFF container is not a library problem.
+# ---------------------------------------------------------------------------
+
+WAV_META_SCHEMA = ("doc_id long, sample_rate int, n_channels int, "
+                   "bits int, n_samples long, duration_ms long, "
+                   "peak long, rms long")
+
+
+def make_wav(samples: list[int], sample_rate: int = 8000,
+             n_channels: int = 1) -> bytes:
+    """Serialize 16-bit PCM ``samples`` (interleaved if stereo) as a
+    canonical RIFF/WAVE blob — the writer half of the decode below."""
+    import struct
+    data = b"".join(struct.pack("<h", max(-32768, min(32767, s)))
+                    for s in samples)
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+                      byte_rate, n_channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def attach_demo_wav(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    max_samples: int = 400,
+                    sample_rate: int = 8000) -> DataFrame:
+    """Demo WAV corpus: per doc, a REAL mono 16-bit PCM blob whose
+    samples derive deterministically from the text — sample i is
+    ``(codepoint_i % 256 - 128) * 256`` (always within int16, so the
+    writer's clamp never engages and the oracle's arithmetic is
+    byte-exact) over the first
+    ``max_samples`` characters — so an oracle can replay the decoded
+    statistics from the relational ``text`` column alone. Empty texts
+    emit no row (mirror the oracle with ``length(text) >= 1``)."""
+    from ..core.partitioning import spread as _spread
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                t = str(text)[:max_samples]
+                if not t:
+                    continue
+                samples = [(ord(ch) % 256 - 128) * 256 for ch in t]
+                ids.append(int(did))
+                blobs.append(make_wav(samples, sample_rate))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "content": blobs,
+                "media_type": pd.Series(["audio/wav"] * len(ids)),
+            })
+
+    return _spread(df.select(id_col, text_col)).mapInPandas(
+        batches, "doc_id long, content binary, media_type string")
+
+
+def decode_wav_meta(df: DataFrame, content_col: str = "content",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Decode RIFF/WAVE blobs: walk the chunk list (tolerating extra
+    chunks before/between `fmt ` and `data`), reject non-PCM or
+    non-16-bit payloads, decode frames with numpy, and emit header
+    fields plus integer signal statistics:
+
+    - ``duration_ms`` = floor(n_samples * 1000 / sample_rate);
+    - ``peak`` = max |sample| (int);
+    - ``rms`` = floor(sqrt(floor(sum(sample^2) / n))) — every step
+      integer or a correctly-rounded IEEE sqrt at magnitudes where
+      floor(sqrt(k)) is exact in double, so the value replays in any
+      engine.
+
+    Malformed blobs are dropped (dead-letter semantics belong to the
+    caller). One numpy pass per blob; Arrow batches bound memory."""
+    import math
+    import struct
+
+    import numpy as np
+
+    def _parse(blob: bytes):
+        if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+            return None
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(blob):
+            cid = blob[pos:pos + 4]
+            (size,) = struct.unpack("<I", blob[pos + 4:pos + 8])
+            body = blob[pos + 8:pos + 8 + size]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+        if fmt is None or data is None or len(fmt) < 16:
+            return None
+        tag, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH",
+                                                      fmt[:16])
+        if tag != 1 or bits != 16 or ch < 1 or rate < 1:
+            return None  # non-PCM / non-16-bit: a codec library's job
+        frames = np.frombuffer(
+            data[:len(data) - (len(data) % (2 * ch))], dtype="<i2")
+        if frames.size == 0:
+            return None
+        n = frames.size // ch
+        v = frames.astype(np.int64)
+        sum_sq = int((v * v).sum())
+        return (rate, ch, bits, n,
+                n * 1000 // rate,
+                int(np.abs(v).max()),
+                int(math.sqrt(sum_sq // frames.size)))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[content_col]):
+                parsed = _parse(bytes(blob))
+                if parsed is not None:
+                    rows.append((int(did),) + parsed)
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "n_channels",
+                               "bits", "n_samples", "duration_ms",
+                               "peak", "rms"])
+
+    return spread(df).mapInPandas(batches, WAV_META_SCHEMA)

@@ -765,3 +765,39 @@ QUERIES = {
     "salted_join_user_segments": salted_join_user_segments,
     "event_value_histogram": event_value_histogram,
 }
+
+
+# multimodal WAV: a REAL audio-container decode under the gate — the
+# blobs are genuine RIFF/WAVE 16-bit PCM files built deterministically
+# from each document's text, and decode_wav_meta actually walks the
+# chunk list, validates the fmt fields, and decodes the frames with
+# numpy. The oracle replays sample i = (codepoint_i % 256 - 128)*256
+# relationally; every emitted statistic is integer (or a floor(sqrt)
+# exact in double at these magnitudes).
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_demo_wav(docs)
+    return MM.decode_wav_meta(media).orderBy("doc_id")
+
+
+ORACLE["multimodal_wav_decode"] = """
+WITH d AS (SELECT doc_id, text, least(400, length(text)) AS n
+           FROM documents WHERE length(text) >= 1),
+s AS (SELECT doc_id, n,
+             CAST((unicode(substr(text, CAST(i AS INT), 1)) % 256 - 128)
+                  * 256 AS BIGINT) AS v
+      FROM d, unnest(generate_series(1, n)) t(i)),
+a AS (SELECT doc_id, any_value(n) AS n, max(abs(v)) AS peak,
+             CAST(sum(v * v) AS BIGINT) AS ss
+      FROM s GROUP BY doc_id)
+SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels, CAST(16 AS INT) AS bits,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(floor(n * 1000.0 / 8000) AS BIGINT) AS duration_ms,
+       CAST(peak AS BIGINT) AS peak,
+       CAST(floor(sqrt(CAST(floor(CAST(ss AS DOUBLE) / n) AS BIGINT)))
+            AS BIGINT) AS rms
+FROM a ORDER BY doc_id
+"""
+
+QUERIES["multimodal_wav_decode"] = multimodal_wav_decode

@@ -107,3 +107,62 @@ def test_ppm_pixel_cycling(spark):
     blob = MM.make_ppm(2, 1, bytes([0, 1, 2, 3]))
     body = blob.split(b"\n", 3)[3]
     assert body == bytes([0, 1, 2, 3, 0, 1])
+
+
+# ---------------------------------------------------------------------------
+# WAV decode (real audio-container decode path)
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip_decode(spark):
+    from luma_etl_data_platform_spark.operators import multimodal as MM
+    blob = MM.make_wav([100, -200, 300, -32768], sample_rate=16000)
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "doc_id long, content binary")
+    row = MM.decode_wav_meta(df).collect()[0]
+    assert (row["sample_rate"], row["n_channels"], row["bits"]) == \
+        (16000, 1, 16)
+    assert row["n_samples"] == 4
+    assert row["duration_ms"] == 0          # 4 / 16000 s
+    assert row["peak"] == 32768
+    ss = 100 ** 2 + 200 ** 2 + 300 ** 2 + 32768 ** 2
+    import math
+    assert row["rms"] == int(math.sqrt(ss // 4))
+
+
+def test_wav_stereo_and_chunk_walk(spark):
+    """Stereo frames count as ONE sample per frame-set column pair?
+    No — n_samples is frames per channel; and the parser tolerates
+    extra RIFF chunks before fmt/data (real encoders emit LIST/INFO
+    chunks)."""
+    import struct
+    from luma_etl_data_platform_spark.operators import multimodal as MM
+    blob = MM.make_wav([1, -1, 2, -2, 3, -3], sample_rate=8000,
+                       n_channels=2)  # 3 stereo frames
+    # splice an unknown chunk between WAVE and fmt
+    junk = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = blob[:12] + junk + blob[12:]
+    spliced = spliced[:4] + struct.pack(
+        "<I", len(spliced) - 8) + spliced[8:]
+    df = spark.createDataFrame([(7, bytearray(spliced))],
+                               "doc_id long, content binary")
+    row = MM.decode_wav_meta(df).collect()[0]
+    assert row["n_channels"] == 2
+    assert row["n_samples"] == 3
+    assert row["peak"] == 3
+
+
+def test_wav_malformed_and_nonpcm_dropped(spark):
+    import struct
+    from luma_etl_data_platform_spark.operators import multimodal as MM
+    good = MM.make_wav([5, -5])
+    not_riff = b"OggS" + bytes(40)
+    truncated = good[:20]
+    # format tag 3 (IEEE float) — a codec library's job, rejected
+    nonpcm = bytearray(good)
+    struct.pack_into("<H", nonpcm, 20, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(not_riff)),
+         (3, bytearray(truncated)), (4, bytes(nonpcm))],
+        "doc_id long, content binary")
+    rows = MM.decode_wav_meta(df).collect()
+    assert [r["doc_id"] for r in rows] == [1]
