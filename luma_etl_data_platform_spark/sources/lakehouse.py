@@ -722,7 +722,7 @@ def rename_column(spark: SparkSession, table_path: str,
     if old in {p["source"] for p in _partition_specs(
             _table_partition_cols(spark, table_path))}:
         raise ValueError(f"rename_column: {old!r} is a partition "
-                         "(or partition-transform source) column")
+                         "column (or a partition-transform source)")
     import re
     for cname, expr in table_constraints(spark, table_path).items():
         if re.search(rf"\b{re.escape(old)}\b", expr):
@@ -755,7 +755,7 @@ def drop_column(spark: SparkSession, table_path: str, column: str) -> int:
     if column in {p["source"] for p in _partition_specs(
             _table_partition_cols(spark, table_path))}:
         raise ValueError(f"drop_column: {column!r} is a partition "
-                         "(or partition-transform source) column")
+                         "column (or a partition-transform source)")
     import re
     for cname, expr in table_constraints(spark, table_path).items():
         if re.search(rf"\b{re.escape(column)}\b", expr):

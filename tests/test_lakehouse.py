@@ -1966,19 +1966,23 @@ def test_bloom_hashes_beyond_probe_cap_rejected(tmp_path, spark):
     filters the Spark-side probe cannot fully enumerate (silently
     degraded skipping) — refused at write time."""
     from luma_etl_data_platform_spark.sources import lakehouse_meta
-    df = _mk(spark, [dict(k=1, v=10, tag="a")])
+    df = _mk(spark, [dict(k=1, v=10, tag="a")]).coalesce(1)
     with pytest.raises(ValueError, match="MAX_BLOOM_SEEDS"):
         LH._write_data_files(
             spark, str(tmp_path / "t1"), df, ["k"], bloom_cols=["k"],
             bloom_hashes=lakehouse_meta.MAX_BLOOM_SEEDS + 1)
     # the guard fires BEFORE any data file lands
     assert not os.path.exists(str(tmp_path / "t1"))
-    # at the cap it writes and probes exactly
+    # at the cap it writes and probes exactly (assert on the add that
+    # carries rows — an empty shuffle partition may emit a rowless
+    # part file, and the listing order is not deterministic)
     adds = LH._write_data_files(
         spark, str(tmp_path / "t2"), df, ["k"], bloom_cols=["k"],
         bloom_hashes=lakehouse_meta.MAX_BLOOM_SEEDS)
-    assert adds and adds[0].get("blooms"), f"no blooms in {adds}"
-    assert adds[0]["blooms"]["k"]["k"] == lakehouse_meta.MAX_BLOOM_SEEDS
+    withrows = [a for a in adds if a.get("rows")]
+    assert withrows and withrows[0].get("blooms"), f"adds: {adds}"
+    assert withrows[0]["blooms"]["k"]["k"] == \
+        lakehouse_meta.MAX_BLOOM_SEEDS
 
 
 def test_clone_accepts_scheme_qualified_and_relative_roots(
