@@ -2154,3 +2154,42 @@ def test_maintenance_plan_and_run(tmp_path, spark):
                                 keep_last=5)
     assert final["actions"] == []
     assert LH.read_table(spark, path).count() == 49
+
+
+def test_months_hours_transforms_partition_and_prune(tmp_path, spark):
+    """months(ts) / hours(ts): derived names, lexically ordered
+    values, and range probes on ts derive the matching partition
+    probe (the remaining two date-granularity transforms)."""
+    import datetime as dt
+    path = str(tmp_path / "t")
+    rows = [(i, dt.datetime(2024, 1 + i % 3, 1 + i % 5, i % 24))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp")
+    LH.create_table(spark, path, df.coalesce(4), ["k"],
+                    partition_by=["months(ts)"])
+    adds = LH.snapshot_adds(spark, path)
+    assert {a["partition"]["ts_month"] for a in adds} == \
+        {"2024-01", "2024-02", "2024-03"}
+    total = len(LH.snapshot_files(spark, path))
+    keep = LH.pruned_candidate_files(
+        spark, path, {"ts": (dt.datetime(2024, 2, 1),
+                             dt.datetime(2024, 2, 28))})
+    assert 0 < len(keep) < total
+    assert all("ts_month=2024-02" in f for f in keep)
+    got = LH.read_table_pruned(spark, path, "ts",
+                               dt.datetime(2024, 2, 1),
+                               dt.datetime(2024, 2, 28))
+    assert got.count() == df.filter(
+        "ts >= '2024-02-01' and ts <= '2024-02-28'").count()
+    # hours(ts) on a second table
+    path2 = str(tmp_path / "t2")
+    LH.create_table(spark, path2, df.coalesce(4), ["k"],
+                    partition_by=["hours(ts)"])
+    # i=5 -> ts 2024-03-01 05:00 exists; an absent hour prunes to []
+    keep_h = LH.pruned_candidate_files(
+        spark, path2, {"ts": (dt.datetime(2024, 3, 1, 5),
+                              dt.datetime(2024, 3, 1, 5, 59))})
+    assert keep_h and all("ts_hour=2024-03-01-05" in f for f in keep_h)
+    assert LH.pruned_candidate_files(
+        spark, path2, {"ts": (dt.datetime(2025, 6, 1, 0),
+                              dt.datetime(2025, 6, 1, 0, 59))}) == []
