@@ -64,6 +64,24 @@ def portable_hash32(col: Column, seed: int | Column = 0) -> Column:
     return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
 
 
+def portable_hash32_py(value, seed: int = 0) -> int:
+    """Driver-side twin of :func:`portable_hash32` — the SAME md5
+    payload ``"{seed}:{value}"`` and 8-hex-char truncation, so probe
+    derivation (e.g. hidden-partitioning bucket pruning) can never
+    diverge from what executors wrote. ``value`` must already be in
+    Spark's cast-to-string form: pass only ``int`` or ``str`` (floats
+    and bools stringify differently between Python and Spark — reject
+    or normalize them BEFORE calling)."""
+    if not isinstance(value, (int, str)) or isinstance(value, bool):
+        raise TypeError(
+            f"portable_hash32_py: value must be int or str, got "
+            f"{type(value).__name__} (float/bool stringification "
+            "differs between Python and Spark)")
+    import hashlib as _hashlib
+    return int(_hashlib.md5(f"{seed}:{value}".encode("utf-8"))
+               .hexdigest()[:8], 16)
+
+
 def fingerprint(col: Column) -> Column:
     """Content fingerprint of the normalized token stream (whitespace/
     case/punctuation-insensitive document identity)."""

@@ -63,7 +63,6 @@ RESTORE semantics — auditable and itself reversible).
 from __future__ import annotations
 
 import datetime as _dt
-import hashlib
 import json
 import re as _re
 import time
@@ -459,10 +458,13 @@ def history(spark: SparkSession, table_path: str) -> list[dict]:
 
 def describe_table(spark: SparkSession, table_path: str) -> dict:
     """DESCRIBE DETAIL: the table's operational profile from the
-    commit log alone (one filesystem size probe per live file, no
-    data read) — version, live file/row counts, total bytes, declared
-    keys / partition columns / bloom columns / constraints, and the
-    live partition values per partition column."""
+    commit log alone (zero filesystem probes, no data read) — version,
+    live file/row counts, total bytes, declared keys / partition
+    columns / bloom columns / constraints, and the live partition
+    values per partition column. ``size_bytes`` aggregates the length
+    every add-action records at write time; only files from pre-lane
+    history (adds with no ``size_bytes``) fall back to one
+    ``getFileStatus`` probe each."""
     commits = _commits(spark, table_path)
     if not commits:
         raise FileNotFoundError(f"{table_path} has no commit log")
@@ -473,10 +475,12 @@ def describe_table(spark: SparkSession, table_path: str) -> dict:
     adds_df = _adds_df_at(spark, table_path)
     if adds_df is not None:
         # parquet-checkpointed table: ONE aggregate job over the
-        # add-action table (count, rows, per-partition-column value
-        # sets) — the stats/Bloom payload never crosses to the driver
+        # add-action table (count, rows, bytes, per-partition-column
+        # value sets) — the stats/Bloom payload never crosses to the
+        # driver, and only legacy size-less paths do
         aggs = [F.count(F.lit(1)).alias("_nf"),
-                F.sum("rows").alias("_nr")]
+                F.sum("rows").alias("_nr"),
+                F.sum("size_bytes").alias("_nb")]
         for i, c in enumerate(pnames):
             aggs.append(F.collect_set(
                 F.when(F.size("partition") > 0,
@@ -485,24 +489,31 @@ def describe_table(spark: SparkSession, table_path: str) -> dict:
                 .alias(f"_p{i}"))
         row = adds_df.agg(*aggs).collect()[0]
         n_files, n_rows = int(row["_nf"]), int(row["_nr"] or 0)
+        size = int(row["_nb"] or 0)
         parts = {c: sorted(row[f"_p{i}"]) for i, c in enumerate(pnames)}
-        paths = [r["path"] for r in adds_df.select("path").collect()]
+        unsized = [r["path"] for r in adds_df
+                   .filter(F.col("size_bytes").isNull())
+                   .select("path").collect()]
     else:
         adds = snapshot_adds(spark, table_path)
         n_files = len(adds)
         n_rows = sum(a.get("rows") or 0 for a in adds)
+        size = sum(a["size_bytes"] for a in adds
+                   if a.get("size_bytes") is not None)
         parts = {c: sorted({str(a.get("partition", {}).get(c))
                             for a in adds if a.get("partition")})
                  for c in pnames}
-        paths = [a["path"] for a in adds]
-    fs, jvm = _fs(spark, table_path)
-    Path = jvm.org.apache.hadoop.fs.Path
-    root = table_path.rstrip("/")
-    size = 0
-    for p0 in paths:
-        p = Path(_abs(root, p0))
-        if fs.exists(p):
-            size += fs.getFileStatus(p).getLen()
+        unsized = [a["path"] for a in adds
+                   if a.get("size_bytes") is None]
+    if unsized:
+        # back-compat probe, scoped to EXACTLY the legacy files
+        fs, jvm = _fs(spark, table_path)
+        Path = jvm.org.apache.hadoop.fs.Path
+        root = table_path.rstrip("/")
+        for p0 in unsized:
+            p = Path(_abs(root, p0))
+            if fs.exists(p):
+                size += fs.getFileStatus(p).getLen()
     debt = dv_debt(spark, table_path)
     return {"version": commits[-1]["version"],
             "n_files": n_files,
@@ -839,7 +850,13 @@ def parse_partition_spec(spec: str) -> dict:
     ``{spec, kind, source, param, name}``; the ``name`` is the
     partition KEY recorded in add-actions and directory layout
     (Iceberg naming: ``ts_day``, ``user_id_bucket``, ``s_trunc``).
-    A bare column name is the identity transform."""
+    A bare column name is the identity transform.
+
+    days/months/hours partition VALUES are session-timezone wall
+    clock (Spark ``date_format``): write and read must run under the
+    same ``spark.sql.session.timeZone`` for derived pruning to
+    engage — :func:`_derive_partition_probe` refuses tz-aware probes
+    rather than risk a shifted window."""
     s = spec.strip()
     m = _SPEC_FN.match(s)
     if m:
@@ -894,7 +911,17 @@ def _derive_partition_probe(sp: dict, lo, hi):
     on the source column, or None when underivable (→ no extra
     pruning, conservatively correct). Monotone transforms
     (days/months/hours, truncate) derive from any range; bucket only
-    from an equality probe (lo == hi)."""
+    from an equality probe (lo == hi) whose value is an int or str —
+    Spark hashed the column's cast-to-string form at write time, and
+    a float/bool probe stringifies differently (``5.0`` vs ``5``), so
+    deriving from one would prune files that contain matches.
+
+    Session-timezone coupling: written days/months/hours partition
+    values use Spark's session-timezone ``date_format``, and the
+    probe formats NAIVE datetimes as the same wall clock — so a
+    tz-AWARE probe (or a session-tz change between write and read)
+    cannot be derived safely and returns None (no derived pruning,
+    never a wrong prune)."""
     kind = sp["kind"]
     if kind in _DATE_PYFMT:
         def _fmt(v):
@@ -904,7 +931,11 @@ def _derive_partition_probe(sp: dict, lo, hi):
                 except ValueError:
                     return None
             if isinstance(v, _dt.datetime):
-                pass
+                if v.tzinfo is not None:
+                    # tz-aware probe: its wall clock need not match
+                    # the session-timezone wall clock the writer
+                    # formatted — deriving would shift the window
+                    return None
             elif isinstance(v, _dt.date):
                 v = _dt.datetime(v.year, v.month, v.day)
             else:
@@ -915,8 +946,10 @@ def _derive_partition_probe(sp: dict, lo, hi):
     if kind == "bucket":
         if lo is None or lo != hi:
             return None
-        b = int(hashlib.md5(f"0:{lo}".encode("utf-8"))
-                .hexdigest()[:8], 16) % sp["param"]
+        if not isinstance(lo, (int, str)) or isinstance(lo, bool):
+            return None  # type-mismatched stringification hazard
+        from ..functions.text import portable_hash32_py
+        b = portable_hash32_py(lo) % sp["param"]
         return (b, b)
     if kind == "truncate":
         w = sp["param"]
@@ -1036,7 +1069,10 @@ def _write_data_files(spark: SparkSession, table_path: str,
             fs.mkdirs(Path(f"{root}/{final.rsplit('/', 1)[0]}"))
         if not fs.rename(st.getPath(), Path(f"{root}/{final}")):
             raise IOError(f"failed to place data file {final}")
-        add: dict = {"path": final}
+        # file length from the listing's FileStatus (rename preserves
+        # it) — zero extra RPCs; this is what lets DESCRIBE and the
+        # maintenance planner reason in bytes with no per-file probes
+        add: dict = {"path": final, "size_bytes": int(st.getLen())}
         if pvals:
             add["partition"] = pvals
         adds.append(add)
@@ -1155,8 +1191,8 @@ def _bloom_positions(value, m_bits: int, k_hashes: int) -> list[int]:
     k bit positions a value sets, computed from ``str(value)`` so a
     probe needs no Spark job. Must stay bit-identical to the column
     expression in :func:`_write_data_files`."""
-    return [int(hashlib.md5(f"{s}:{value}".encode("utf-8"))
-                .hexdigest()[:8], 16) % m_bits
+    from ..functions.text import portable_hash32_py
+    return [portable_hash32_py(str(value), seed=s) % m_bits
             for s in range(k_hashes)]
 
 
@@ -1259,13 +1295,13 @@ def convert_to_table(spark: SparkSession, table_path: str,
     fs, jvm = _fs(spark, table_path)
     root = table_path.rstrip("/")
     adds: list[dict] = []
-    for rel, _p in _data_files_on_disk(fs, jvm, root):
+    for rel, _p, sz in _data_files_on_disk(fs, jvm, root):
         pvals: dict = {}
         for seg in rel.split("/")[:-1]:
             col, _, raw = seg.partition("=")
             pvals[col] = (None if raw == "__HIVE_DEFAULT_PARTITION__"
                           else unquote(raw))
-        add: dict = {"path": rel}
+        add: dict = {"path": rel, "size_bytes": sz}
         if pvals:
             add["partition"] = pvals
         adds.append(add)
@@ -2025,10 +2061,14 @@ def restore_table(spark: SparkSession, table_path: str,
         else:
             target_adds = snapshot_adds(spark, table_path, version)
             tgt = {a["path"] for a in target_adds}
-        missing = [p for p in sorted(tgt)
-                   if not fs.exists(Path(_abs(root, p)))]
-        missing += [r for r in _dv_rels(spark, table_path, version=version)
-                    if not fs.exists(Path(_abs(root, r)))]
+        # batched existence check: one directory listing per distinct
+        # parent dir (not one exists-RPC per file — the per-file loop
+        # is minutes of driver wall-time at 10⁵-10⁶ files)
+        want = {_abs(root, p): p for p in tgt}
+        want.update({_abs(root, r): r for r in
+                     _dv_rels(spark, table_path, version=version)})
+        have = _existing_files(fs, jvm, want.keys())
+        missing = sorted(want[a] for a in set(want) - have)
         if missing:
             raise FileNotFoundError(
                 f"restore_table: {len(missing)} data/deletion-vector "
@@ -2231,7 +2271,7 @@ def vacuum(spark: SparkSession, table_path: str,
             if "dv_add" in doc:
                 dv_live.add(doc["dv_add"])
     deleted = []
-    for rel, p in _data_files_on_disk(fs, jvm, root):
+    for rel, p, _sz in _data_files_on_disk(fs, jvm, root):
         if rel not in live:
             if not dry_run:
                 fs.delete(p, False)
@@ -2263,13 +2303,41 @@ def _reap_dv_files(fs, jvm, root: str, retained_rels: set[str],
     return removed
 
 
+def _existing_files(fs, jvm, abs_paths) -> set[str]:
+    """The subset of ``abs_paths`` that exist on disk, probed with ONE
+    ``listStatus`` per DISTINCT PARENT DIRECTORY instead of one
+    ``exists`` RPC per file — at 10⁵-10⁶ files the directory count is
+    orders of magnitude smaller than the file count, and a listing is
+    one round trip regardless of entries. Handles absolute paths into
+    OTHER table roots (shallow-clone inheritance) the same way: the
+    parent grouping never assumes a single root. A missing parent
+    directory simply contributes nothing."""
+    Path = jvm.org.apache.hadoop.fs.Path
+    by_dir: dict[str, set[str]] = {}
+    for p in abs_paths:
+        d, _, name = p.rpartition("/")
+        by_dir.setdefault(d, set()).add(name)
+    found: set[str] = set()
+    for d, names in by_dir.items():
+        dp = Path(d)
+        if not fs.exists(dp):
+            continue
+        for st in fs.listStatus(dp):
+            name = st.getPath().getName()
+            if name in names:
+                found.add(f"{d}/{name}")
+    return found
+
+
 def _data_files_on_disk(fs, jvm, root: str):
-    """Yield ``(rel_path, hadoop_path)`` for every COMMITTED-layout
-    data file under the table root: root-level ``*.parquet`` plus
-    files under hive-style ``col=value/`` partition directories.
-    ``_log/``, dot-directories (``.staged-*`` WAP batches,
-    ``.stage-*`` in-flight writes), and dot-files are never
-    yielded — maintenance must not reap an uncommitted batch."""
+    """Yield ``(rel_path, hadoop_path, size_bytes)`` for every
+    COMMITTED-layout data file under the table root: root-level
+    ``*.parquet`` plus files under hive-style ``col=value/`` partition
+    directories. ``_log/``, dot-directories (``.staged-*`` WAP
+    batches, ``.stage-*`` in-flight writes), and dot-files are never
+    yielded — maintenance must not reap an uncommitted batch. The size
+    rides the recursive listing's FileStatus for free (no per-file
+    stat RPCs)."""
     Path = jvm.org.apache.hadoop.fs.Path
     it = fs.listFiles(Path(root), True)
     while it.hasNext():
@@ -2283,7 +2351,7 @@ def _data_files_on_disk(fs, jvm, root: str):
             continue
         if any("=" not in s for s in segs[:-1]):
             continue  # not a partition-layout subdir — leave alone
-        yield rel, p
+        yield rel, p, int(st.getLen())
 
 
 def _file_rows(spark: SparkSession, table_path: str) -> dict[str, int | None]:
@@ -2296,6 +2364,18 @@ def _file_rows(spark: SparkSession, table_path: str) -> dict[str, int | None]:
         return {r["path"]: r["rows"]
                 for r in df.select("path", "rows").collect()}
     return {a["path"]: a.get("rows")
+            for a in snapshot_adds(spark, table_path)}
+
+
+def _file_sizes(spark: SparkSession, table_path: str) -> dict[str, int | None]:
+    """Per-file byte sizes for the LATEST snapshot, from the
+    write-time ``size_bytes`` add-action lane (None on pre-lane
+    history). Same executor-side posture as :func:`_file_rows`."""
+    df = _adds_df_at(spark, table_path)
+    if df is not None:
+        return {r["path"]: r["size_bytes"]
+                for r in df.select("path", "size_bytes").collect()}
+    return {a["path"]: a.get("size_bytes")
             for a in snapshot_adds(spark, table_path)}
 
 
@@ -2976,7 +3056,10 @@ def expire_snapshots(spark: SparkSession, table_path: str,
     committing concurrently is safe — it only adds versions above
     the cutoff, and a WAP writer's staged files live under
     ``.staged-*/`` subdirectories this function never scans — but a
-    second concurrent expire is not.
+    second concurrent expire is not, and neither is a concurrent
+    CLONE/RESTORE (step 2 reaps ``_log/.ckptdata-*`` crash orphans,
+    which those ops briefly hold in-flight; they are
+    maintenance-class ops and must be serialized with expire).
 
     ``checkpoint_format``: ``"json"`` inlines the live add-list in the
     checkpoint doc (fastest at 10²-10³ files); ``"parquet"`` writes it
@@ -3110,6 +3193,12 @@ def expire_snapshots(spark: SparkSession, table_path: str,
         nv = _name_version(name)
         if nv is not None and nv < cutoff:
             fs.delete(st.getPath(), True)
+        elif name.startswith(".ckptdata-"):
+            # crash orphan of _install_adds_parquet: the temp dir is
+            # only ever in-flight within a single call, and expire is
+            # the single-maintenance-owner context — reap it here
+            # (vacuum never descends _log/, so nothing else would)
+            fs.delete(st.getPath(), True)
 
     # 3. delete data files no kept version references (files added by
     # a still-PENDING multi-table txn are in no snapshot yet but may
@@ -3123,7 +3212,7 @@ def expire_snapshots(spark: SparkSession, table_path: str,
         if doc.get("_txn") == "pending":
             retained.update(a["path"] for a in doc.get("add", []))
     removed = []
-    for rel, p in _data_files_on_disk(fs, jvm, root):
+    for rel, p, _sz in _data_files_on_disk(fs, jvm, root):
         if rel not in retained:
             fs.delete(p, False)
             removed.append(rel)
@@ -3279,15 +3368,20 @@ def maintenance_plan(spark: SparkSession, table_path: str,
                      target_rows: int = 1_000_000,
                      small_file_fraction: float = 0.5,
                      dv_fraction: float = 0.05,
-                     keep_last: int = 10) -> dict:
+                     keep_last: int = 10,
+                     target_file_bytes: int | None = None) -> dict:
     """Recommend maintenance actions from the table's log-derived
     profile — no data file is opened:
 
-    - ``compact``: more than ``small_file_fraction`` of live files
-      hold under ``target_rows/2`` rows (streaming/merge fragmentation
-      — footer reads and task scheduling dominate scans), OR live
-      deletion-vector debt exceeds ``dv_fraction`` of physical rows
-      (every read pays the MOR anti-join until purged);
+    - ``compact``: more than ``small_file_fraction`` of live files are
+      small (streaming/merge fragmentation — footer reads and task
+      scheduling dominate scans), OR live deletion-vector debt exceeds
+      ``dv_fraction`` of physical rows (every read pays the MOR
+      anti-join until purged). "Small" is judged in BYTES against
+      ``target_file_bytes/2`` when given (compaction economics are
+      bytes, not rows — Delta/Iceberg target ~128 MB files); files
+      from pre-lane history with no recorded size, or all files when
+      ``target_file_bytes`` is None, are judged by ``target_rows/2``;
     - ``expire``: more than ``keep_last`` retained versions (each
       retains its pre-image files on disk);
     - ``vacuum``: the latest snapshot references fewer files than the
@@ -3300,8 +3394,20 @@ def maintenance_plan(spark: SparkSession, table_path: str,
     :func:`run_maintenance`."""
     prof = describe_table(spark, table_path)
     rows_by = _file_rows(spark, table_path)
-    known = [n for n in rows_by.values() if n is not None]
-    small = [n for n in known if n < target_rows // 2]
+    sizes_by = (_file_sizes(spark, table_path)
+                if target_file_bytes is not None else {})
+    known = []   # (path, judged-small?) over files with SOME metric
+    small = []
+    for p, n in rows_by.items():
+        sz = sizes_by.get(p)
+        if target_file_bytes is not None and sz is not None:
+            known.append(p)
+            if sz < target_file_bytes // 2:
+                small.append(p)
+        elif n is not None:
+            known.append(p)
+            if n < target_rows // 2:
+                small.append(p)
     small_frac = (len(small) / len(known)) if known else 0.0
     debt = {"dv_rows": prof["n_dv_deleted_rows"],
             "fraction": prof["dv_debt_fraction"]}
@@ -3313,10 +3419,13 @@ def maintenance_plan(spark: SparkSession, table_path: str,
     # a SINGLE sub-target file is already optimally packed — only
     # recommend compaction when merging could reduce the file count
     if len(small) >= 2 and small_frac > small_file_fraction:
+        metric = (f"{target_file_bytes // 2} bytes"
+                  if target_file_bytes is not None
+                  else f"{target_rows // 2} rows")
         actions.append("compact")
         reasons["compact"] = (
             f"{len(small)}/{len(known)} live files under "
-            f"{target_rows // 2} rows (fraction {small_frac:.2f} > "
+            f"{metric} (fraction {small_frac:.2f} > "
             f"{small_file_fraction})")
     if debt["fraction"] > dv_fraction and "compact" not in actions:
         actions.append("compact")
@@ -3334,6 +3443,7 @@ def maintenance_plan(spark: SparkSession, table_path: str,
     return {"table": table_path.rstrip("/"),
             "n_files": prof["n_files"],
             "n_files_on_disk": on_disk,
+            "size_bytes": prof["size_bytes"],
             "n_small_files": len(small),
             "small_file_fraction": round(small_frac, 4),
             "dv_debt_fraction": round(debt["fraction"], 6),
@@ -3345,14 +3455,16 @@ def run_maintenance(spark: SparkSession, table_path: str,
                     target_rows: int = 1_000_000,
                     small_file_fraction: float = 0.5,
                     dv_fraction: float = 0.05,
-                    keep_last: int = 10) -> dict:
+                    keep_last: int = 10,
+                    target_file_bytes: int | None = None) -> dict:
     """Execute :func:`maintenance_plan`'s recommendations in order
     (compact → expire → vacuum) and return the plan with per-action
     results attached. Idempotent: a second call on a maintained
     table recommends nothing."""
     plan = maintenance_plan(spark, table_path, target_rows,
                             small_file_fraction, dv_fraction,
-                            keep_last)
+                            keep_last,
+                            target_file_bytes=target_file_bytes)
     results: dict[str, object] = {}
     for action in plan["actions"]:
         if action == "compact":

@@ -28,7 +28,6 @@ prune a boundary match.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import math
 
@@ -49,6 +48,10 @@ CKPT_SCHEMA = T.StructType([
     T.StructField("path", T.StringType()),
     T.StructField("add_json", T.StringType()),
     T.StructField("rows", T.LongType()),
+    # file length recorded at write time (Delta records it in every
+    # add action) — null on pre-lane history; DESCRIBE falls back to a
+    # filesystem probe ONLY for those files
+    T.StructField("size_bytes", T.LongType()),
     T.StructField("partition", T.MapType(T.StringType(), T.StringType())),
     T.StructField("has_stats", T.BooleanType()),
     T.StructField("stats_min_num", T.MapType(T.StringType(), T.DoubleType())),
@@ -104,6 +107,8 @@ def add_to_row(add: dict) -> dict:
         path=add["path"],
         add_json=json.dumps(add, sort_keys=True),
         rows=add.get("rows"),
+        size_bytes=(int(add["size_bytes"])
+                    if add.get("size_bytes") is not None else None),
         partition={k: (None if v is None else str(v))
                    for k, v in part.items()},
         has_stats=bool(stats),
@@ -208,9 +213,9 @@ def bloom_probe(df: DataFrame, col: str, value) -> DataFrame:
     tmp = df
     helper_cols: list[str] = []
     all_set = F.lit(True)
+    from ..functions.text import portable_hash32_py
     for s in range(MAX_BLOOM_SEEDS):
-        h = int(hashlib.md5(f"{s}:{value}".encode("utf-8"))
-                .hexdigest()[:8], 16)
+        h = portable_hash32_py(str(value), seed=s)
         pos = F.lit(h) % m
         lane_c, bit_c = f"_bl_lane_{s}", f"_bl_bit_{s}"
         helper_cols += [lane_c, bit_c]

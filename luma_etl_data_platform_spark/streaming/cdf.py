@@ -33,6 +33,7 @@ own commit history.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -49,12 +50,43 @@ class ChangeFeedLedger:
         self.path = path
 
     def processed(self) -> set[int]:
+        """Every processed version as a driver-side set — O(feed
+        lifetime) on the driver; kept for audits and small feeds.
+        The streaming path uses :meth:`summary` instead."""
         try:
             return {int(r["version"]) for r in
                     (self.spark.read.schema(self._SCHEMA)
                      .parquet(self.path).collect())}
         except Exception:
             return set()
+
+    def summary(self) -> tuple[int | None, set[int]]:
+        """``(watermark, exceptions)``: the contiguous-prefix high
+        mark (every version from the feed's first processed version
+        through ``watermark`` is recorded) plus the out-of-order
+        versions above it. Gap-finding runs as ONE Spark anti-join
+        over the ledger — the driver receives the watermark and the
+        (small, usually empty) exception set, never the full version
+        list, so a years-long feed's catch-up poll stays O(1) on the
+        driver."""
+        try:
+            df = (self.spark.read.schema(self._SCHEMA)
+                  .parquet(self.path).select("version").distinct())
+            mx = df.agg(F.max("version").alias("mx")).collect()[0]["mx"]
+        except Exception:
+            return None, set()
+        if mx is None:
+            return None, set()
+        first_hole = (df.select((F.col("version") + 1).alias("version"))
+                      .filter(F.col("version") <= mx)
+                      .join(df, "version", "left_anti")
+                      .agg(F.min("version")).collect()[0][0])
+        if first_hole is None:
+            return int(mx), set()
+        wm = int(first_hole) - 1
+        exc = {int(r["version"]) for r in
+               df.filter(F.col("version") > wm).collect()}
+        return wm, exc
 
     def record(self, version: int) -> None:
         (self.spark.createDataFrame([(int(version),)], self._SCHEMA)
@@ -64,11 +96,14 @@ class ChangeFeedLedger:
 def stream_changes(spark: SparkSession, table_path: str, apply_fn,
                    ledger_path: str, from_version: int = 1,
                    keys: list[str] | None = None,
-                   max_batches: int | None = None) -> dict:
+                   max_batches: int | None = None,
+                   max_versions_per_trigger: int | None = None,
+                   on_missing_versions: str = "error") -> dict:
     """Drain every unprocessed commit of ``table_path`` at or above
-    ``from_version`` through ``apply_fn(changes_df, version)`` — the
-    ``trigger(availableNow=True)`` shape of the change feed: one call
-    processes everything available and returns.
+    ``from_version`` (the feed's STARTING VERSION, Delta's
+    ``startingVersion``) through ``apply_fn(changes_df, version)`` —
+    the ``trigger(availableNow=True)`` shape of the change feed: one
+    call processes everything available and returns.
 
     ``changes_df`` is the :func:`sources.lakehouse.read_changes`
     frame of versions ``(v-1, v]`` (table columns +
@@ -76,27 +111,107 @@ def stream_changes(spark: SparkSession, table_path: str, apply_fn,
     re-running after a crash (or redelivering the whole history)
     applies nothing twice; a crash BETWEEN apply and record redelivers
     that one version — apply must be idempotent per version, which
-    any keyed MERGE/overwrite-by-version sink is.
+    any keyed MERGE/overwrite-by-version sink is. The skip check reads
+    the ledger's :meth:`ChangeFeedLedger.summary` — a contiguous
+    watermark plus a small exception set, never the full version list.
 
-    Returns ``{"versions_applied": [...], "versions_skipped": n}``.
+    ``max_versions_per_trigger`` caps how many versions one call
+    applies (Delta's ``maxFilesPerTrigger`` analogue for a capped
+    drain loop); ``max_batches`` is the same knob's original name and
+    still accepted — the stricter of the two wins.
+
+    Expired-history safety (the Delta ``readChangeFeed`` failure
+    contract): if :func:`sources.lakehouse.expire_snapshots` removed
+    versions the feed has NOT yet applied — the log now starts at a
+    checkpoint restatement above the feed's resume point, or an
+    unprocessed version's predecessor is gone so its file diff cannot
+    be computed — the stream RAISES by default instead of silently
+    skipping the lost deletes/updates. Pass
+    ``on_missing_versions="skip"`` to acknowledge the loss explicitly:
+    the lost versions are recorded in the ledger (so the watermark
+    advances) and reported under ``versions_lost`` — the documented
+    full-resync escape hatch: rebuild the mirror from a full read,
+    then resume the feed.
+
+    Aborted multi-table-transaction tombstones carry no changes; they
+    are recorded in the ledger without an apply call so the watermark
+    stays contiguous. A PENDING transaction version stops the drain at
+    that frontier (its outcome is undecided — applying later versions
+    first would deliver its changes out of order when it commits);
+    the stalled version is reported as ``pending_version``.
+
+    Returns ``{"versions_applied": [...], "versions_skipped": n,
+    "versions_lost": [...], "pending_version": v | None}``.
     """
+    if on_missing_versions not in ("error", "skip"):
+        raise ValueError("stream_changes: on_missing_versions must be "
+                         "'error' or 'skip'")
+    cap = min(x for x in (max_batches, max_versions_per_trigger)
+              if x is not None) if (max_batches is not None or
+                                    max_versions_per_trigger is not None
+                                    ) else None
     from ..sources import lakehouse as LH
     ledger = ChangeFeedLedger(spark, ledger_path)
-    done = ledger.processed()
-    commits = [d["version"] for d in LH._commits(spark, table_path)
-               if d["version"] >= max(from_version, 1)
-               and not LH._invisible(d)]
+    wm, exc = ledger.summary()
+
+    def _done(v: int) -> bool:
+        return (wm is not None and v <= wm) or v in exc
+
+    docs = LH._commits(spark, table_path)
+    all_versions = {d["version"] for d in docs}
+    start = max(from_version, 1)
+
+    # -- expired-history gap detection (ADVICE r6, medium) ----------
+    lost: list[int] = []
+    if docs:
+        log_start = min(all_versions)
+        # versions wholly expired out of the log below its start
+        resume = start if wm is None else max(start, wm + 1)
+        lost += [v for v in range(resume, log_start) if not _done(v)]
+        # surviving versions whose predecessor is gone (the log's
+        # checkpoint-restated first version): their (v-1, v] file
+        # diff is uncomputable once v-1 expired
+        lost += [d["version"] for d in docs
+                 if d["version"] >= start and not _done(d["version"])
+                 and d["version"] > 1
+                 and d["version"] - 1 not in all_versions]
+    if lost:
+        lost = sorted(set(lost))
+        if on_missing_versions == "error":
+            raise RuntimeError(
+                f"stream_changes on {table_path}: version(s) {lost} "
+                "were expired before this feed applied them — their "
+                "deletes/updates are unrecoverable from the log. "
+                "Full-resync the mirror (rebuild from read_table), "
+                "then pass on_missing_versions='skip' to advance the "
+                "ledger past the gap.")
+        for v in lost:
+            ledger.record(v)
+
     applied: list[int] = []
     skipped = 0
-    for v in sorted(commits):
-        if v in done:
+    pending_version = None
+    for d in sorted(docs, key=lambda d: d["version"]):
+        v = d["version"]
+        if v < start or v in lost:
+            continue
+        if _done(v):
             skipped += 1
             continue
+        if d.get("_txn") == "pending":
+            # undecided frontier: stop — processing past it would
+            # deliver its changes out of order if it later commits
+            pending_version = v
+            break
+        if LH._invisible(d):  # aborted tombstone: no changes by
+            ledger.record(v)  # definition — record to keep the
+            continue          # watermark contiguous
         changes = LH.read_changes(spark, table_path, v - 1, v,
                                   keys=keys)
         apply_fn(changes, v)
         ledger.record(v)
         applied.append(v)
-        if max_batches is not None and len(applied) >= max_batches:
+        if cap is not None and len(applied) >= cap:
             break
-    return {"versions_applied": applied, "versions_skipped": skipped}
+    return {"versions_applied": applied, "versions_skipped": skipped,
+            "versions_lost": lost, "pending_version": pending_version}

@@ -1,0 +1,257 @@
+"""Round-7 scale fixes: the ``size_bytes`` add-action lane (zero-probe
+DESCRIBE, byte-based maintenance planning), the batched
+directory-listing existence check in RESTORE, expire's reaping of
+crashed ``_log/.ckptdata-*`` temp dirs, and the partition-probe
+type/timezone guards.
+
+The driver-RPC discipline mirrors ``test_lakehouse_meta``'s
+no-materialization style: a proxy filesystem object counts (or
+forbids) the per-file calls that must no longer happen.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from luma_etl_data_platform_spark.functions.text import portable_hash32_py
+from luma_etl_data_platform_spark.sources import lakehouse as LH
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture()
+def table(tmp_path, spark):
+    path = str(tmp_path / "tbl")
+    parts = [
+        [dict(k=1, v=10), dict(k=2, v=20)],
+        [dict(k=11, v=110), dict(k=12, v=120)],
+        [dict(k=21, v=210), dict(k=22, v=220)],
+    ]
+    LH.create_table(spark, path, _mk(spark, parts[0]).coalesce(1), ["k"])
+    for p in parts[1:]:
+        LH.append_table(spark, path, _mk(spark, p).coalesce(1), ["k"])
+    return path
+
+
+class _ForbidStatFS:
+    """Proxy fs whose per-file stat/exists probes fail loudly — the
+    zero-probe contract for DESCRIBE on a fully-sized history."""
+
+    def __init__(self, fs, forbid=("getFileStatus",)):
+        self._fs = fs
+        self._forbid = set(forbid)
+        self.calls: dict[str, int] = {}
+
+    def __getattr__(self, name):
+        if name in self._forbid:
+            raise AssertionError(
+                f"per-file driver probe {name} called — the "
+                "size_bytes lane must make this unnecessary")
+        return getattr(self._fs, name)
+
+
+class _CountingFS:
+    def __init__(self, fs, count=("exists", "listStatus")):
+        self._fs = fs
+        self.calls = {c: 0 for c in count}
+
+    def __getattr__(self, name):
+        if name in self.calls:
+            self.calls[name] += 1
+        return getattr(self._fs, name)
+
+
+def _proxy_fs(monkeypatch, cls, **kw):
+    real = LH._fs
+    holder = {}
+
+    def patched(spark, path):
+        fs, jvm = real(spark, path)
+        if "fs" not in holder:
+            holder["fs"] = cls(fs, **kw)
+        return holder["fs"], jvm
+
+    monkeypatch.setattr(LH, "_fs", patched)
+    return holder
+
+
+def test_adds_record_size_bytes(table, spark):
+    adds = LH.snapshot_adds(spark, table)
+    assert adds and all(a.get("size_bytes") for a in adds)
+    for a in adds:
+        assert a["size_bytes"] == os.path.getsize(
+            os.path.join(table, a["path"]))
+
+
+def test_describe_zero_probe_json_path(table, spark, monkeypatch):
+    expected = sum(os.path.getsize(os.path.join(table, a["path"]))
+                   for a in LH.snapshot_adds(spark, table))
+    _proxy_fs(monkeypatch, _ForbidStatFS)
+    d = LH.describe_table(spark, table)
+    assert d["size_bytes"] == expected
+    assert d["n_files"] == 3 and d["n_rows"] == 6
+
+
+def test_describe_zero_probe_parquet_checkpoint(tmp_path, spark,
+                                                monkeypatch):
+    path = str(tmp_path / "big")
+    df = spark.range(600).select(F.col("id").alias("k"),
+                                 (F.col("id") * 2).alias("v"))
+    LH.create_table(spark, path,
+                    df.repartitionByRange(40, "k"), ["k"])
+    LH.append_table(spark, path,
+                    spark.range(600, 610).select(
+                        F.col("id").alias("k"),
+                        (F.col("id") * 2).alias("v")).coalesce(1))
+    LH.expire_snapshots(spark, path, keep_last=1,
+                        checkpoint_format="parquet")
+    expected = sum(os.path.getsize(os.path.join(path, a["path"]))
+                   for a in LH.snapshot_adds(spark, path))
+    monkeypatch.setattr(LH, "snapshot_adds", lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("driver materialization")))
+    _proxy_fs(monkeypatch, _ForbidStatFS)
+    d = LH.describe_table(spark, path)
+    assert d["size_bytes"] == expected
+    assert d["n_files"] >= 40
+
+
+def test_describe_falls_back_for_pre_lane_history(table, spark):
+    """Adds written before the lane existed (size_bytes stripped from
+    the log) still get an exact byte total via the scoped probe."""
+    log_dir = os.path.join(table, "_log")
+    for name in os.listdir(log_dir):
+        if not name.endswith(".json") or name.startswith("_"):
+            continue
+        p = os.path.join(log_dir, name)
+        doc = json.loads(open(p).read())
+        changed = False
+        for a in doc.get("add", []):
+            changed |= a.pop("size_bytes", None) is not None
+        if changed:
+            open(p, "w").write(json.dumps(doc, sort_keys=True))
+            crc = os.path.join(log_dir, f".{name}.crc")
+            if os.path.exists(crc):  # hadoop local-fs checksum sidecar
+                os.remove(crc)
+    adds = LH.snapshot_adds(spark, table)
+    assert all(a.get("size_bytes") is None for a in adds)
+    d = LH.describe_table(spark, table)
+    assert d["size_bytes"] == sum(
+        os.path.getsize(os.path.join(table, a["path"])) for a in adds)
+
+
+def test_maintenance_plan_bytes_mode(table, spark):
+    plan = LH.maintenance_plan(spark, table,
+                               target_file_bytes=64 * 1024 * 1024)
+    assert plan["size_bytes"] > 0
+    assert "compact" in plan["actions"]
+    assert "bytes" in plan["reasons"]["compact"]
+    # with a byte target every data file here is tiny → all small
+    assert plan["n_small_files"] == plan["n_files"]
+    # rows mode (default) is unchanged in shape
+    plan_rows = LH.maintenance_plan(spark, table)
+    assert "rows" in plan_rows["reasons"]["compact"]
+
+
+def test_restore_existence_check_is_batched(tmp_path, spark,
+                                            monkeypatch):
+    path = str(tmp_path / "wide")
+    df = spark.range(400).select(F.col("id").alias("k"),
+                                 (F.col("id") * 3).alias("v"))
+    LH.create_table(spark, path, df.repartitionByRange(40, "k"), ["k"])
+    LH.append_table(spark, path, spark.range(400, 410).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")).coalesce(1))
+    holder = _proxy_fs(monkeypatch, _CountingFS)
+    res = LH.restore_table(spark, path, 1)
+    assert res["restored_version"] == 1
+    calls = holder["fs"].calls
+    # the target set existence check is one listing per distinct
+    # parent directory (one here: the table root) — NOT one exists()
+    # per file. The remaining exists() calls are per-_commits log/
+    # pointer bookkeeping, a constant independent of the 40-file
+    # target set; the old per-file loop would need 40+ on its own.
+    assert calls["exists"] <= 25, calls
+    monkeypatch.undo()
+    assert LH.read_table(spark, path).count() == 400
+
+
+def test_restore_missing_file_still_detected(table, spark):
+    adds = LH.snapshot_adds(spark, table, version=2)
+    os.remove(os.path.join(table, adds[0]["path"]))
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        LH.restore_table(spark, table, 2)
+
+
+def test_existing_files_helper_multi_dir(table, spark, tmp_path):
+    fs, jvm = LH._fs(spark, table)
+    other = tmp_path / "elsewhere"
+    other.mkdir()
+    (other / "x.parquet").write_bytes(b"x")
+    paths = [os.path.join(table, a["path"])
+             for a in LH.snapshot_adds(spark, table)]
+    probe = (paths + [str(other / "x.parquet"),
+                      str(other / "missing.parquet"),
+                      str(tmp_path / "no_dir" / "y.parquet")])
+    have = LH._existing_files(fs, jvm, probe)
+    assert have == set(paths) | {str(other / "x.parquet")}
+
+
+def test_expire_reaps_ckptdata_orphans(table, spark):
+    orphan = os.path.join(table, "_log", ".ckptdata-deadbeef")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-0.parquet"), "w").write("junk")
+    LH.expire_snapshots(spark, table, keep_last=1)
+    assert not os.path.exists(orphan)
+    assert LH.read_table(spark, table).count() == 6
+
+
+# -- partition-probe guards (ADVICE r6) ------------------------------
+
+def _bucket_spec(n=16):
+    return {"spec": f"bucket({n}, k)", "kind": "bucket",
+            "source": "k", "param": n, "name": "k_bucket"}
+
+
+def test_bucket_probe_rejects_type_mismatch():
+    sp = _bucket_spec()
+    b = LH._derive_partition_probe(sp, 5, 5)
+    assert b == (portable_hash32_py(5) % 16,) * 2
+    s = LH._derive_partition_probe(sp, "5", "5")
+    assert s == (portable_hash32_py("5") % 16,) * 2
+    # Spark writes hash("5") for a long column; a float probe would
+    # hash "5.0" → wrong bucket → silent wrong prune. Must refuse.
+    assert LH._derive_partition_probe(sp, 5.0, 5.0) is None
+    assert LH._derive_partition_probe(sp, True, True) is None
+    assert LH._derive_partition_probe(sp, None, None) is None
+
+
+def test_date_probe_rejects_tz_aware():
+    sp = {"spec": "days(ts)", "kind": "days", "source": "ts",
+          "param": None, "name": "ts_day"}
+    naive = dt.datetime(2024, 3, 5, 12, 0, 0)
+    assert LH._derive_partition_probe(sp, naive, naive) == (
+        "2024-03-05", "2024-03-05")
+    aware = naive.replace(tzinfo=dt.timezone.utc)
+    assert LH._derive_partition_probe(sp, aware, aware) is None
+    # ISO strings with an offset parse tz-aware → refused too
+    assert LH._derive_partition_probe(
+        sp, "2024-03-05T12:00:00+05:00", "2024-03-05T12:00:00+05:00"
+    ) is None
+    assert LH._derive_partition_probe(
+        sp, "2024-03-05T12:00:00", "2024-03-06T00:00:00") == (
+        "2024-03-05", "2024-03-06")
+
+
+def test_portable_hash32_py_guards():
+    with pytest.raises(TypeError):
+        portable_hash32_py(5.0)
+    with pytest.raises(TypeError):
+        portable_hash32_py(True)
+    assert portable_hash32_py("abc") == portable_hash32_py("abc", seed=0)
+    assert portable_hash32_py("abc", seed=1) != portable_hash32_py("abc")

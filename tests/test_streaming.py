@@ -203,7 +203,8 @@ def test_stream_changes_exactly_once_and_crash_replay(spark, tmp_path):
     assert seen[2][1] == {"delete": 1}
     # full redelivery: all skipped, nothing re-applied
     again = stream_changes(spark, src, apply, led)
-    assert again == {"versions_applied": [], "versions_skipped": 3}
+    assert again == {"versions_applied": [], "versions_skipped": 3,
+                     "versions_lost": [], "pending_version": None}
     assert len(seen) == 3
     # from_version narrows the feed (catch-up consumers)
     led2 = str(tmp_path / "led2")
@@ -211,3 +212,134 @@ def test_stream_changes_exactly_once_and_crash_replay(spark, tmp_path):
     out2 = stream_changes(spark, src, apply, led2, from_version=3)
     assert out2["versions_applied"] == [3]
     assert seen[0][1] == {"delete": 1}
+
+
+def test_stream_changes_capped_triggers_with_crash(spark, tmp_path):
+    """Round-7 CDF rate controls: a 20-commit table drains in 4
+    capped triggers (max_versions_per_trigger=5, Delta's
+    maxFilesPerTrigger analogue), a crash between two of them resumes
+    exactly where the ledger watermark stopped, and the ledger's
+    summary() stays a (watermark, exceptions) pair — never the full
+    version list on the driver."""
+    from luma_etl_data_platform_spark.sources import lakehouse as LH
+    from luma_etl_data_platform_spark.streaming.cdf import (
+        ChangeFeedLedger, stream_changes)
+    src = str(tmp_path / "src")
+    led = str(tmp_path / "led")
+    mk = lambda rows: spark.createDataFrame(rows, ["k", "v"])
+    LH.create_table(spark, src, mk([(0, 0)]).coalesce(1), ["k"])
+    for i in range(1, 20):
+        LH.append_table(spark, src, mk([(i, i * 10)]).coalesce(1))
+    assert LH.current_version(spark, src) == 20
+
+    seen: list[int] = []
+    boom_at: set[int] = set()
+
+    def apply(changes, version):
+        if version in boom_at:
+            boom_at.discard(version)
+            raise RuntimeError("crash between triggers")
+        seen.append(version)
+
+    t1 = stream_changes(spark, src, apply, led,
+                        max_versions_per_trigger=5)
+    assert t1["versions_applied"] == [1, 2, 3, 4, 5]
+    # crash mid-second-trigger: 6,7 land, 8 raises before record
+    boom_at.add(8)
+    with pytest.raises(RuntimeError):
+        stream_changes(spark, src, apply, led,
+                       max_versions_per_trigger=5)
+    assert ChangeFeedLedger(spark, led).summary() == (7, set())
+    t2 = stream_changes(spark, src, apply, led,
+                        max_versions_per_trigger=5)
+    assert t2["versions_applied"] == [8, 9, 10, 11, 12]
+    t3 = stream_changes(spark, src, apply, led,
+                        max_versions_per_trigger=5)
+    t4 = stream_changes(spark, src, apply, led,
+                        max_versions_per_trigger=5)
+    assert t3["versions_applied"] == [13, 14, 15, 16, 17]
+    assert t4["versions_applied"] == [18, 19, 20]
+    assert seen == list(range(1, 21))
+    wm, exc = ChangeFeedLedger(spark, led).summary()
+    assert (wm, exc) == (20, set())
+    # drained: one more trigger applies nothing
+    t5 = stream_changes(spark, src, apply, led)
+    assert t5["versions_applied"] == [] and t5["versions_skipped"] == 20
+
+
+def test_stream_changes_detects_expired_gap(spark, tmp_path):
+    """ADVICE r6 (medium): versions expired before the feed applied
+    them must RAISE (Delta readChangeFeed contract), not silently
+    skip; on_missing_versions='skip' is the documented full-resync
+    escape hatch that advances the watermark past the gap."""
+    from luma_etl_data_platform_spark.sources import lakehouse as LH
+    from luma_etl_data_platform_spark.streaming.cdf import (
+        ChangeFeedLedger, stream_changes)
+    src = str(tmp_path / "src")
+    led = str(tmp_path / "led")
+    mk = lambda rows: spark.createDataFrame(rows, ["k", "v"])
+    LH.create_table(spark, src, mk([(0, 0)]).coalesce(1), ["k"])
+    for i in range(1, 6):
+        LH.append_table(spark, src, mk([(i, i * 10)]).coalesce(1))
+    seen: list[int] = []
+    stream_changes(spark, src, lambda c, v: seen.append(v), led,
+                   max_versions_per_trigger=2)
+    assert seen == [1, 2]
+    # history the lagging feed never applied is expired away
+    LH.expire_snapshots(spark, src, keep_last=1)
+    with pytest.raises(RuntimeError, match="expired"):
+        stream_changes(spark, src, lambda c, v: seen.append(v), led)
+    assert seen == [1, 2]  # nothing was silently skipped
+    # documented full-resync: acknowledge the loss, watermark advances
+    out = stream_changes(spark, src, lambda c, v: seen.append(v), led,
+                         on_missing_versions="skip")
+    assert out["versions_lost"] == [3, 4, 5, 6]
+    assert out["versions_applied"] == []
+    wm, exc = ChangeFeedLedger(spark, led).summary()
+    assert (wm, exc) == (6, set())
+    # new commits stream normally after the resync point
+    LH.append_table(spark, src, mk([(99, 990)]).coalesce(1))
+    out2 = stream_changes(spark, src, lambda c, v: seen.append(v), led)
+    assert out2["versions_applied"] == [7] and seen[-1] == 7
+
+
+def test_stream_changes_aborted_txn_tombstone(spark, tmp_path,
+                                              monkeypatch):
+    """A PENDING multi-table-txn version stops the drain at that
+    frontier (its changes must not be reordered past later commits);
+    once force-aborted it is a tombstone with no changes, which the
+    feed records so the watermark stays contiguous."""
+    from luma_etl_data_platform_spark.sources import lakehouse as LH
+    from luma_etl_data_platform_spark.sources import lakehouse_txn as TX
+    from luma_etl_data_platform_spark.streaming.cdf import (
+        ChangeFeedLedger, stream_changes)
+    src = str(tmp_path / "src")
+    led = str(tmp_path / "led")
+    status = str(tmp_path / "status")
+    mk = lambda rows: spark.createDataFrame(rows, ["k", "v"])
+    LH.create_table(spark, src, mk([(0, 0)]).coalesce(1), ["k"])
+    # a txn that PREPARED (doc v2 with marker) but whose decision
+    # write crashed → pending tombstone in the log
+    txn = TX.begin_transaction(spark, status)
+    txn.stage_append(src, mk([(50, 500)]).coalesce(1))
+    monkeypatch.setattr(
+        TX, "_write_decision",
+        lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("decision write crashed")))
+    with pytest.raises(RuntimeError, match="decision write crashed"):
+        txn.commit()
+    monkeypatch.undo()
+    LH.append_table(spark, src, mk([(1, 10)]).coalesce(1))  # v3
+    seen: list[int] = []
+    out = stream_changes(spark, src, lambda c, v: seen.append(v), led)
+    # v1 applies; the pending v2 stalls the frontier (v3 untouched)
+    assert out["versions_applied"] == [1]
+    assert out["pending_version"] == 2
+    # the decision lands as aborted → v2 is a no-change tombstone:
+    # recorded (watermark stays contiguous), never applied
+    res = TX.force_abort_pending(spark, src)
+    assert set(res.values()) == {"aborted"}, res
+    out2 = stream_changes(spark, src, lambda c, v: seen.append(v), led)
+    assert out2["versions_applied"] == [3]
+    assert ChangeFeedLedger(spark, led).summary() == (3, set())
+    assert seen == [1, 3]
