@@ -65,31 +65,31 @@ HEADLINE = [
 # docstring): rotates never-driver-sampled families through a
 # driver-recorded artifact each round
 EXTRA = [
+    # long-running continuity entries (cross-round comparability):
+    # the MERGE flagship, the metadata plane, and the streaming CDF —
+    # the last now exercising the round-7 watermark ledger, so its
+    # trend line shows whether the summary() rewrite costs anything
     "merge_upsert_orders",
-    "stream_wap_ingest",
-    "bpe_train_merges",
-    "pca_top_component",
-    "lakehouse_multi_table_txn",
-    # round-5 rotation: the distributed metadata plane (parquet
-    # checkpoint + Spark-side prune) and the MOR maintenance trigger
-    # replace the round-4 bloom/partition singles they generalize
     "lakehouse_parquet_checkpoint",
     "lakehouse_dv_auto_maintenance",
-    # round-5 session-2 additions: zero-copy fork, PQ serving tier,
-    # and the second tokenizer family
-    "lakehouse_shallow_clone",
-    "ann_pq_topk",
-    "unigram_viterbi_stats",
-    # round-6 rotation: families that never had driver wall-time
-    # visibility — scoped OPTIMIZE, RESTORE across MOR, the
-    # incremental-view-maintenance family, the converged unigram
-    # trainer, the trained-codebook PQ tier, and the streaming CDF
-    "lakehouse_scoped_optimize",
-    "lakehouse_restore_across_mor",
-    "lakehouse_incremental_mv",
-    "unigram_em_round_stats",
-    "ann_pq_trained_topk",
     "stream_cdf_apply",
+    "ann_pq_trained_topk",
+    # round-7 rotation toward never-driver-sampled families (verdict
+    # item 8): hidden partitioning + the new months/hours/truncate
+    # and spec-evolution gates, the converged unigram trainer, the
+    # WAV decoder (multimodal family's first wall-time record), and
+    # graph PageRank (the graph family's first). Rotated OUT after
+    # 2-3 rounds of visibility: stream_wap_ingest, bpe_train_merges,
+    # pca_top_component, lakehouse_multi_table_txn,
+    # lakehouse_shallow_clone, ann_pq_topk, unigram_viterbi_stats,
+    # lakehouse_scoped_optimize, lakehouse_restore_across_mor,
+    # lakehouse_incremental_mv, unigram_em_round_stats
+    "lakehouse_hidden_partitioning",
+    "lakehouse_partition_transforms",
+    "lakehouse_partition_spec_evolution",
+    "unigram_em_converged_stats",
+    "multimodal_wav_decode",
+    "graph_pagerank_top20",
 ]
 
 

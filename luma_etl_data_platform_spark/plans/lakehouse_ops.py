@@ -1696,8 +1696,262 @@ FROM dr, ur
 """
 
 
+def lakehouse_partition_transforms(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Hidden-partitioning coverage for the THREE transform kinds the
+    `lakehouse_hidden_partitioning` gate does not probe: `months`,
+    `hours`, and `truncate` (both the integer-width and string-prefix
+    forms). Two scenario tables, probes on SOURCE columns only:
+
+    - orders (first 4 months, custkey < 1000) partitioned by
+      ``months(o_orderdate), truncate(100, o_custkey)``: a one-month
+      date range must open only that month's directories
+      (`month_pruned`), a custkey equality only its floored-hundred
+      directory (`trunc_int_pruned`);
+    - events (first day) partitioned by
+      ``hours(ts), truncate(2, event_type)``: the min-ts hour range
+      opens only that hour (`hour_pruned`), an event_type equality
+      only its 2-char-prefix directories (`trunc_str_pruned`).
+
+    Flags are layout-independent (kept files checked against the
+    partition values the probe implies, plus strictly-fewer-than-all)
+    and the pruned reads' aggregates must equal the oracle's plain
+    SQL. Reference scope: beyond-reference (Iceberg spec §Partition
+    Transforms), completing the days/bucket legs of
+    `lakehouse_hidden_partitioning`."""
+    import datetime as dt
+    tmp = tempfile.mkdtemp(prefix="luma_lh_ptrans_")
+    try:
+        # -- orders: months + truncate(int) -------------------------
+        po = f"{tmp}/orders"
+        odf = (load_table(spark, sf_dir, "orders")
+               .select("o_orderkey", "o_custkey", "o_orderdate",
+                       "o_totalprice")
+               .filter(F.col("o_custkey") < 1000))
+        m0 = odf.agg(F.min("o_orderdate")).collect()[0][0]
+        m0 = m0.replace(day=1)
+        m_end = (m0.replace(year=m0.year + (m0.month + 3) // 13,
+                            month=(m0.month + 3) % 12 + 1)
+                 if m0.month + 4 > 12
+                 else m0.replace(month=m0.month + 4))
+        feed = odf.filter((F.col("o_orderdate") >= F.lit(m0))
+                          & (F.col("o_orderdate") < F.lit(m_end)))
+        LH.create_table(spark, po, feed.repartition(2), ["o_orderkey"],
+                        partition_by=["months(o_orderdate)",
+                                      "truncate(100, o_custkey)"])
+        total_o = len(LH.snapshot_files(spark, po))
+        mstr = m0.strftime("%Y-%m")
+        m1 = (m0.replace(year=m0.year + 1, month=1) if m0.month == 12
+              else m0.replace(month=m0.month + 1))
+        keep_m = LH.pruned_candidate_files(
+            spark, po, {"o_orderdate": (m0, m1 - dt.timedelta(days=1))})
+        month_pruned = (bool(keep_m) and len(keep_m) < total_o
+                        and all(f"o_orderdate_month={mstr}" in f
+                                for f in keep_m))
+        ck = int(feed.agg(F.min("o_custkey")).collect()[0][0])
+        keep_c = LH.pruned_candidate_files(spark, po, None,
+                                           eq={"o_custkey": ck})
+        trunc_int_pruned = (bool(keep_c) and len(keep_c) < total_o
+                            and all(f"o_custkey_trunc={ck - ck % 100}"
+                                    in f for f in keep_c))
+        mrow = (LH.read_table_pruned(spark, po, "o_orderdate", m0,
+                                     m1 - dt.timedelta(days=1))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.round(F.sum("o_totalprice"), 2).alias("s"))
+                .collect()[0])
+        n_ck = LH.read_table_point_lookup(spark, po,
+                                          {"o_custkey": ck}).count()
+
+        # -- events: hours + truncate(str) ---------------------------
+        pe = f"{tmp}/events"
+        edf = (load_table(spark, sf_dir, "events")
+               .select("event_id", "event_type", "ts", "value"))
+        t0 = edf.agg(F.min("ts")).collect()[0][0]
+        day0 = t0.replace(hour=0, minute=0, second=0, microsecond=0)
+        efeed = edf.filter((F.col("ts") >= F.lit(day0))
+                           & (F.col("ts") < F.lit(
+                               day0 + dt.timedelta(days=1))))
+        LH.create_table(spark, pe, efeed.repartition(2), ["event_id"],
+                        partition_by=["hours(ts)",
+                                      "truncate(2, event_type)"])
+        total_e = len(LH.snapshot_files(spark, pe))
+        h0 = t0.replace(minute=0, second=0, microsecond=0)
+        hstr = h0.strftime("%Y-%m-%d-%H")
+        keep_h = LH.pruned_candidate_files(
+            spark, pe,
+            {"ts": (h0, h0 + dt.timedelta(hours=1)
+                    - dt.timedelta(microseconds=1))})
+        hour_pruned = (bool(keep_h) and len(keep_h) < total_e
+                       and all(f"ts_hour={hstr}" in f for f in keep_h))
+        et = efeed.agg(F.min("event_type")).collect()[0][0]
+        keep_t = LH.pruned_candidate_files(spark, pe, None,
+                                           eq={"event_type": et})
+        trunc_str_pruned = (bool(keep_t) and len(keep_t) < total_e
+                            and all(f"event_type_trunc={et[:2]}" in f
+                                    for f in keep_t))
+        hrow = (LH.read_table_pruned(
+            spark, pe, "ts", h0,
+            h0 + dt.timedelta(hours=1) - dt.timedelta(microseconds=1))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("s")).collect()[0])
+        n_et = LH.read_table_point_lookup(spark, pe,
+                                          {"event_type": et}).count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(bool(month_pruned), bool(trunc_int_pruned),
+          bool(hour_pruned), bool(trunc_str_pruned),
+          int(mrow["n"]), float(mrow["s"]), int(n_ck),
+          int(hrow["n"]), float(hrow["s"] or 0.0), int(n_et))],
+        "month_pruned boolean, trunc_int_pruned boolean, "
+        "hour_pruned boolean, trunc_str_pruned boolean, "
+        "n_rows_month long, sum_price_month double, n_rows_custkey long, "
+        "n_rows_hour long, sum_value_hour double, n_rows_etype long")
+
+
+ORACLE["lakehouse_partition_transforms"] = """
+WITH ow AS (SELECT * FROM orders WHERE o_custkey < 1000),
+m0 AS (SELECT date_trunc('month', min(o_orderdate)) AS m FROM ow),
+feed AS (SELECT ow.* FROM ow, m0
+         WHERE o_orderdate >= m AND o_orderdate < m + INTERVAL 4 MONTH),
+mr AS (SELECT count(*) AS n_rows_month,
+              ROUND(sum(o_totalprice), 2) AS sum_price_month
+       FROM feed, m0
+       WHERE o_orderdate >= m AND o_orderdate < m + INTERVAL 1 MONTH),
+ck AS (SELECT min(o_custkey) AS c FROM feed),
+cr AS (SELECT count(*) AS n_rows_custkey FROM feed, ck
+       WHERE o_custkey = c),
+t0 AS (SELECT min(ts) AS t FROM events),
+efeed AS (SELECT events.* FROM events, t0
+          WHERE ts >= date_trunc('day', t)
+            AND ts < date_trunc('day', t) + INTERVAL 1 DAY),
+hr AS (SELECT count(*) AS n_rows_hour,
+              COALESCE(ROUND(sum(value), 2), 0.0) AS sum_value_hour
+       FROM efeed, t0
+       WHERE ts >= date_trunc('hour', t)
+         AND ts < date_trunc('hour', t) + INTERVAL 1 HOUR),
+et AS (SELECT min(event_type) AS e FROM efeed),
+er AS (SELECT count(*) AS n_rows_etype FROM efeed, et
+       WHERE event_type = e)
+SELECT TRUE AS month_pruned, TRUE AS trunc_int_pruned,
+       TRUE AS hour_pruned, TRUE AS trunc_str_pruned,
+       n_rows_month, sum_price_month, n_rows_custkey,
+       n_rows_hour, sum_value_hour, n_rows_etype
+FROM mr, cr, hr, er
+"""
+
+
+def lakehouse_partition_spec_evolution(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION (Iceberg's other half of hidden
+    partitioning): generation A is written under
+    ``months(o_orderdate)``, the spec evolves to
+    ``truncate(100, o_custkey)`` via `set_partition_spec` (a
+    metadata-only commit — `evolution_zero_rewrite` asserts every
+    gen-A file path survives byte-untouched), generation B lands
+    under the NEW spec, and each generation keeps pruning under the
+    spec it was written with: a gen-A month probe opens only that
+    month's directories and no gen-B file beyond what its stats
+    allow (`old_gen_pruned`), a custkey equality opens only gen-B's
+    floored-hundred directory plus stat-surviving gen-A files
+    (`new_gen_pruned`). Reads stay exact across the evolution
+    (oracle parity on both generations)."""
+    import datetime as dt
+    tmp = tempfile.mkdtemp(prefix="luma_lh_specevo_")
+    try:
+        path = f"{tmp}/t"
+        odf = (load_table(spark, sf_dir, "orders")
+               .select("o_orderkey", "o_custkey", "o_orderdate",
+                       "o_totalprice")
+               .filter(F.col("o_custkey") < 1000))
+        m0 = odf.agg(F.min("o_orderdate")).collect()[0][0].replace(day=1)
+
+        def plus_months(d, n):
+            y, m = d.year + (d.month - 1 + n) // 12, (d.month - 1 + n) % 12 + 1
+            return d.replace(year=y, month=m)
+
+        gen_a = odf.filter((F.col("o_orderdate") >= F.lit(m0))
+                           & (F.col("o_orderdate")
+                              < F.lit(plus_months(m0, 2))))
+        gen_b = odf.filter((F.col("o_orderdate")
+                            >= F.lit(plus_months(m0, 2)))
+                           & (F.col("o_orderdate")
+                              < F.lit(plus_months(m0, 4))))
+        LH.create_table(spark, path, gen_a.repartition(2),
+                        ["o_orderkey"],
+                        partition_by=["months(o_orderdate)"])
+        import os as _os
+        mtimes = {f: _os.path.getmtime(f)
+                  for f in LH.snapshot_files(spark, path)}
+        LH.set_partition_spec(spark, path, ["truncate(100, o_custkey)"])
+        LH.append_table(spark, path, gen_b.repartition(2))
+        evolution_zero_rewrite = all(
+            _os.path.getmtime(f) == m for f, m in mtimes.items())
+        total = len(LH.snapshot_files(spark, path))
+        mstr = m0.strftime("%Y-%m")
+        keep_m = LH.pruned_candidate_files(
+            spark, path,
+            {"o_orderdate": (m0, plus_months(m0, 1)
+                             - dt.timedelta(days=1))})
+        # gen-A: only month-0 dirs survive; gen-B files carry no month
+        # key — any kept must have survived on their own date stats
+        old_gen_pruned = (bool(keep_m) and len(keep_m) < total
+                          and all(f"o_orderdate_month={mstr}" in f
+                                  for f in keep_m
+                                  if "o_orderdate_month=" in f))
+        ck = int(gen_b.agg(F.min("o_custkey")).collect()[0][0])
+        keep_c = LH.pruned_candidate_files(spark, path, None,
+                                           eq={"o_custkey": ck})
+        new_gen_pruned = (bool(keep_c) and len(keep_c) < total
+                          and all(f"o_custkey_trunc={ck - ck % 100}"
+                                  in f for f in keep_c
+                                  if "o_custkey_trunc=" in f))
+        mrow = (LH.read_table_pruned(
+            spark, path, "o_orderdate", m0,
+            plus_months(m0, 1) - dt.timedelta(days=1))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("s"))
+            .collect()[0])
+        n_ck = LH.read_table_point_lookup(spark, path,
+                                          {"o_custkey": ck}).count()
+        n_all = LH.read_table(spark, path).count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(bool(evolution_zero_rewrite), bool(old_gen_pruned),
+          bool(new_gen_pruned), int(mrow["n"]), float(mrow["s"]),
+          int(n_ck), int(n_all))],
+        "evolution_zero_rewrite boolean, old_gen_pruned boolean, "
+        "new_gen_pruned boolean, n_rows_month long, "
+        "sum_price_month double, n_rows_custkey long, n_rows_total long")
+
+
+ORACLE["lakehouse_partition_spec_evolution"] = """
+WITH ow AS (SELECT * FROM orders WHERE o_custkey < 1000),
+m0 AS (SELECT date_trunc('month', min(o_orderdate)) AS m FROM ow),
+feed AS (SELECT ow.* FROM ow, m0
+         WHERE o_orderdate >= m AND o_orderdate < m + INTERVAL 4 MONTH),
+mr AS (SELECT count(*) AS n_rows_month,
+              ROUND(sum(o_totalprice), 2) AS sum_price_month
+       FROM feed, m0
+       WHERE o_orderdate >= m AND o_orderdate < m + INTERVAL 1 MONTH),
+genb AS (SELECT feed.* FROM feed, m0
+         WHERE o_orderdate >= m + INTERVAL 2 MONTH),
+ck AS (SELECT min(o_custkey) AS c FROM genb),
+cr AS (SELECT count(*) AS n_rows_custkey FROM feed, ck
+       WHERE o_custkey = c),
+tot AS (SELECT count(*) AS n_rows_total FROM feed)
+SELECT TRUE AS evolution_zero_rewrite, TRUE AS old_gen_pruned,
+       TRUE AS new_gen_pruned,
+       n_rows_month, sum_price_month, n_rows_custkey, n_rows_total
+FROM mr, cr, tot
+"""
+
+
 QUERIES = {
     "lakehouse_hidden_partitioning": lakehouse_hidden_partitioning,
+    "lakehouse_partition_transforms": lakehouse_partition_transforms,
+    "lakehouse_partition_spec_evolution": lakehouse_partition_spec_evolution,
     "merge_upsert_orders": merge_upsert_orders,
     "lakehouse_time_travel": lakehouse_time_travel,
     "lakehouse_compaction": lakehouse_compaction,

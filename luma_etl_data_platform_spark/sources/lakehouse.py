@@ -1478,6 +1478,89 @@ def _table_partition_cols(spark: SparkSession, table_path: str) -> list[str]:
     return []
 
 
+def set_partition_spec(spark: SparkSession, table_path: str,
+                       partition_by: list[str]) -> int:
+    """``ALTER TABLE ... SET PARTITION SPEC`` — Iceberg-style
+    partition-spec EVOLUTION as a metadata-only commit: files already
+    written keep the layout and recorded partition values of the spec
+    they were written under; only NEW files use the new spec. No data
+    is rewritten. Readers are spec-agnostic (explicit-file-list reads
+    + per-add partition values), and :func:`pruned_candidate_files`
+    derives source-column probes for EVERY spec the log has ever
+    declared, so both generations keep pruning (see
+    :func:`_partition_specs_ever` for the same-name-different-spec
+    ambiguity rule).
+
+    Reference anchor: the schema-drift registry discipline of the
+    reference (utilities/utilities.py:672-694) applied to layout;
+    Iceberg spec §Partition Evolution. Returns the committed
+    version."""
+    specs = _partition_specs(partition_by)
+    cols = read_table(spark, table_path).columns
+    missing = [p["source"] for p in specs if p["source"] not in cols]
+    if missing:
+        raise ValueError(
+            f"set_partition_spec: source column(s) {missing} are not "
+            "in the table schema")
+    for _ in range(3):
+        v = current_version(spark, table_path)
+        try:
+            _write_commit(spark, table_path, v + 1,
+                          {"version": v + 1, "op": "set_partition_spec",
+                           "partition_by": list(partition_by),
+                           "add": [], "remove": []})
+            return v + 1
+        except CommitConflictError:
+            continue
+    raise CommitConflictError(
+        f"set_partition_spec: lost the commit race on {table_path}")
+
+
+def _partition_specs_ever(spark: SparkSession,
+                          table_path: str) -> list[dict]:
+    """Every partition spec the log has ever declared (current +
+    evolved-away generations; the expire checkpoint restates the
+    cumulative set as ``partition_spec_history`` so expiry does not
+    lose old-generation pruning), parsed — EXCEPT transform names
+    declared with CONFLICTING spec strings (e.g. ``bucket(4, u)``
+    evolved to ``bucket(8, u)``: both record values under
+    ``u_bucket``, and a probe derived under one spec applied to a
+    file written under the other would prune files that contain
+    matches). Those names are skipped entirely — conservative, never
+    wrong. Identity entries pass through untouched (their recorded
+    value IS the column value, spec-independent)."""
+    by_name: dict[str, set[str]] = {}
+    for d in _commits(spark, table_path):
+        if _invisible(d):
+            continue
+        specs = list(d.get("partition_by") or [])
+        specs += list(d.get("partition_spec_history") or [])
+        for s in specs:
+            sp = parse_partition_spec(s)
+            by_name.setdefault(sp["name"], set()).add(sp["spec"])
+    out = []
+    for name, strs in by_name.items():
+        if len(strs) == 1:
+            out.append(parse_partition_spec(next(iter(strs))))
+        elif all(parse_partition_spec(s)["kind"] == "identity"
+                 for s in strs):
+            out.append(parse_partition_spec(next(iter(strs))))
+    return out
+
+
+def _partition_spec_history(spark: SparkSession,
+                            table_path: str) -> list[str]:
+    """The cumulative distinct partition-spec strings for checkpoint
+    restatement."""
+    seen: set[str] = set()
+    for d in _commits(spark, table_path):
+        if _invisible(d):
+            continue
+        seen.update(d.get("partition_by") or [])
+        seen.update(d.get("partition_spec_history") or [])
+    return sorted(seen)
+
+
 def table_constraints(spark: SparkSession, table_path: str) -> dict[str, str]:
     """The table's declared CHECK constraints, name → SQL boolean
     expression (latest declaration wins — create,
@@ -2796,8 +2879,12 @@ def pruned_candidate_files(spark: SparkSession, table_path: str,
     # caller ever naming the derived column (Iceberg's contract).
     # The derived entries ride the existing partition-value lanes of
     # BOTH pruners (the driver loop and the Spark filter job).
-    for spec in _table_partition_cols(spark, table_path):
-        sp = parse_partition_spec(spec)
+    # Derivation covers EVERY spec generation the log has declared
+    # (partition-spec evolution): a file only carries the partition
+    # keys of the spec it was written under, and files lacking a
+    # derived key are conservatively kept, so each generation is
+    # pruned exactly by its own transforms.
+    for sp in _partition_specs_ever(spark, table_path):
         if sp["kind"] == "identity" or sp["name"] in ranges:
             continue
         if sp["source"] in ranges:
@@ -3126,6 +3213,10 @@ def expire_snapshots(spark: SparkSession, table_path: str,
                "remove": [], "keys": keys,
                "bloom_cols": _table_bloom_cols(spark, table_path),
                "partition_by": _table_partition_cols(spark, table_path),
+               # cumulative spec generations: evolved-away transforms
+               # keep deriving probes for their files past expiry
+               "partition_spec_history": _partition_spec_history(
+                   spark, table_path),
                "constraints": table_constraints(spark, table_path),
                "schema_events": _schema_events(spark, table_path,
                                                version=cutoff),

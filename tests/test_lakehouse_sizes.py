@@ -255,3 +255,85 @@ def test_portable_hash32_py_guards():
         portable_hash32_py(True)
     assert portable_hash32_py("abc") == portable_hash32_py("abc", seed=0)
     assert portable_hash32_py("abc", seed=1) != portable_hash32_py("abc")
+
+
+# -- partition-spec evolution (round-7 verdict item 5) ----------------
+
+def test_set_partition_spec_evolution(tmp_path, spark):
+    """Files keep the layout of the spec they were written under; new
+    files use the new spec; each generation prunes under its own
+    transforms; evolving a NAME to a conflicting spec disables that
+    name's derived pruning (conservative) instead of mispruning."""
+    import datetime as dt
+    path = str(tmp_path / "evo")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("u"),
+        F.expr("timestamp'2024-01-01' + make_interval(0,0,0,"
+               "cast(id/25 as int),0,0,0)").alias("ts"))
+    LH.create_table(spark, path, df, ["k"], partition_by=["days(ts)"])
+    v = LH.set_partition_spec(spark, path, ["bucket(4, u)"])
+    assert v == 2
+    df2 = spark.range(100, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("u"),
+        F.expr("timestamp'2024-01-05' + make_interval(0,0,0,"
+               "cast((id-100)/25 as int),0,0,0)").alias("ts"))
+    LH.append_table(spark, path, df2)
+    dirs = {a["path"].split("/")[0] for a in LH.snapshot_adds(spark, path)}
+    assert any(d.startswith("ts_day=") for d in dirs)
+    assert any(d.startswith("u_bucket=") for d in dirs)
+    total = len(LH.snapshot_files(spark, path))
+    # gen-A pruned by its days transform, gen-B kept conservatively
+    keep = LH.pruned_candidate_files(
+        spark, path, {"ts": (dt.datetime(2024, 1, 2),
+                             dt.datetime(2024, 1, 2, 23, 59, 59))})
+    assert 0 < len(keep) < total
+    assert all("ts_day=2024-01-02" in p for p in keep
+               if "ts_day=" in p)
+    # gen-B pruned by its bucket transform
+    keep_u = LH.pruned_candidate_files(spark, path, None, eq={"u": 3})
+    assert 0 < len(keep_u) < total
+    assert all("u_bucket=3" in p for p in keep_u if "u_bucket=" in p)
+    # reads stay exact across the evolution
+    assert (LH.read_table_pruned(spark, path, "u", 3, 3).count()
+            == LH.read_table(spark, path).filter("u = 3").count())
+    # conflicting re-declaration of the same transform NAME: bucket(8)
+    # vs bucket(4) both record u_bucket — derived pruning must turn
+    # OFF for that name (a probe under one spec would misprune files
+    # written under the other)
+    LH.set_partition_spec(spark, path, ["bucket(8, u)"])
+    keep_amb = LH.pruned_candidate_files(spark, path, None, eq={"u": 3})
+    assert len(keep_amb) == total
+    # unknown source column refuses
+    with pytest.raises(ValueError, match="not in the table schema"):
+        LH.set_partition_spec(spark, path, ["days(nope)"])
+
+
+def test_spec_history_survives_expire(tmp_path, spark):
+    """The expire checkpoint restates partition_spec_history, so an
+    evolved-away generation keeps pruning after its declaring commits
+    are expired."""
+    import datetime as dt
+    path = str(tmp_path / "evoexp")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("u"),
+        F.expr("timestamp'2024-01-01' + make_interval(0,0,0,"
+               "cast(id/25 as int),0,0,0)").alias("ts"))
+    LH.create_table(spark, path, df, ["k"], partition_by=["days(ts)"])
+    LH.set_partition_spec(spark, path, ["bucket(4, u)"])
+    df2 = spark.range(100, 130).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("u"),
+        F.lit(dt.datetime(2024, 1, 9)).alias("ts"))
+    LH.append_table(spark, path, df2)
+    LH.append_table(spark, path, df2.withColumn("k", F.col("k") + 100))
+    # expire everything below the latest version: the days(ts)
+    # declaration commits are gone, the checkpoint restates history
+    LH.expire_snapshots(spark, path, keep_last=1)
+    specs = {sp["spec"] for sp in LH._partition_specs_ever(spark, path)}
+    assert specs == {"days(ts)", "bucket(4, u)"}
+    total = len(LH.snapshot_files(spark, path))
+    keep = LH.pruned_candidate_files(
+        spark, path, {"ts": (dt.datetime(2024, 1, 2),
+                             dt.datetime(2024, 1, 2, 23, 59, 59))})
+    assert 0 < len(keep) < total
+    assert all("ts_day=2024-01-02" in p for p in keep
+               if "ts_day=" in p)
