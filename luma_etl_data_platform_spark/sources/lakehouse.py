@@ -2507,13 +2507,23 @@ def compact(spark: SparkSession, table_path: str,
             zorder_by: list[str] | None = None,
             max_retries: int = 2,
             if_dv_fraction_over: float | None = None,
-            where_partition: dict | None = None) -> dict:
+            where_partition: dict | None = None,
+            target_file_bytes: int | None = None) -> dict:
     """OPTIMIZE: bin-pack the snapshot's small files into
     ~``target_rows``-row files, committed as one atomic ``compact``
     action (adds the packed files, removes the smalls). Data content
     is byte-identical by construction — compaction only re-arranges
     rows across files — and snapshot isolation holds: pre-compaction
     versions remain time-travelable until :func:`vacuum`.
+
+    ``target_file_bytes`` switches candidate selection AND output
+    sizing to BYTES (Delta/Iceberg OPTIMIZE semantics — their default
+    is ~1 GB files): candidates are live files under the byte target
+    (by the write-time ``size_bytes`` add-action lane; size-less
+    pre-lane files are always candidates), and the packed file count
+    is ``ceil(candidate_bytes / target_file_bytes)``. Compaction
+    economics are bytes — a row target mis-sizes wide-row vs
+    narrow-row tables by orders of magnitude.
 
     ``sort_by`` additionally range-clusters the output
     (``repartitionByRange`` + ``sortWithinPartitions``), so the
@@ -2572,8 +2582,14 @@ def compact(spark: SparkSession, table_path: str,
                         "triggered": False}
         root = table_path.rstrip("/")
         stats = _file_rows(spark, table_path)
-        cand_set = {p for p, n in stats.items()
-                    if n is None or n < target_rows}
+        sizes = (_file_sizes(spark, table_path)
+                 if target_file_bytes is not None else {})
+        if target_file_bytes is not None:
+            cand_set = {p for p, sz in sizes.items()
+                        if sz is None or sz < target_file_bytes}
+        else:
+            cand_set = {p for p, n in stats.items()
+                        if n is None or n < target_rows}
         dv_live = _dv_rels(spark, table_path)
         dv_base: set[str] = set()
         if dv_live:
@@ -2635,7 +2651,12 @@ def compact(spark: SparkSession, table_path: str,
         known = [stats[p] for p in candidates if stats[p] is not None]
         total = (sum(known) if len(known) == len(candidates)
                  else df.count())
-        n_out = max(1, -(-total // target_rows))
+        kb = [sizes.get(p) for p in candidates]
+        if target_file_bytes is not None and all(s is not None
+                                                 for s in kb):
+            n_out = max(1, -(-sum(kb) // target_file_bytes))
+        else:
+            n_out = max(1, -(-total // target_rows))
         if zorder_by is not None:
             from ..operators.layout import morton_key_n
             zcols = list(zorder_by)
@@ -3559,8 +3580,9 @@ def run_maintenance(spark: SparkSession, table_path: str,
     results: dict[str, object] = {}
     for action in plan["actions"]:
         if action == "compact":
-            results["compact"] = compact(spark, table_path,
-                                         target_rows=target_rows)
+            results["compact"] = compact(
+                spark, table_path, target_rows=target_rows,
+                target_file_bytes=target_file_bytes)
         elif action == "expire":
             results["expire"] = expire_snapshots(spark, table_path,
                                                  keep_last=keep_last)

@@ -337,3 +337,45 @@ def test_spec_history_survives_expire(tmp_path, spark):
     assert 0 < len(keep) < total
     assert all("ts_day=2024-01-02" in p for p in keep
                if "ts_day=" in p)
+
+
+def test_compact_bytes_mode(tmp_path, spark):
+    """OPTIMIZE with target_file_bytes bin-packs by the size_bytes
+    lane: all sub-target files are candidates, the output file count
+    follows candidate BYTES, and content is unchanged."""
+    path = str(tmp_path / "cb")
+    df = spark.range(2000).select(F.col("id").alias("k"),
+                                  (F.col("id") * 7).alias("v"))
+    LH.create_table(spark, path, df.repartition(10), ["k"])
+    sizes = [a["size_bytes"] for a in LH.snapshot_adds(spark, path)]
+    assert len(sizes) == 10 and all(sizes)
+    target = sum(sizes) // 2 + 1  # pack ~10 smalls into 2 files
+    res = LH.compact(spark, path, target_file_bytes=target)
+    assert res["n_files_compacted"] == 10
+    assert res["n_files_added"] == 2
+    adds = LH.snapshot_adds(spark, path)
+    assert len(adds) == 2 and all(a.get("size_bytes") for a in adds)
+    got = LH.read_table(spark, path)
+    assert got.count() == 2000
+    assert got.agg(F.sum("v")).collect()[0][0] == sum(i * 7
+                                                      for i in range(2000))
+    # a file at/above the byte target is never a rewrite candidate
+    res2 = LH.compact(spark, path, target_file_bytes=min(
+        a["size_bytes"] for a in adds))
+    assert res2["n_files_compacted"] == 0
+
+
+def test_run_maintenance_bytes_mode(tmp_path, spark):
+    path = str(tmp_path / "rm")
+    df = spark.range(500).select(F.col("id").alias("k"))
+    LH.create_table(spark, path, df.repartition(8), ["k"])
+    out = LH.run_maintenance(spark, path,
+                             target_file_bytes=64 * 1024 * 1024)
+    assert "compact" in out["actions"]
+    assert out["results"]["compact"]["n_files_compacted"] == 8
+    assert LH.read_table(spark, path).count() == 500
+    # idempotent: a second byte-mode pass recommends nothing
+    again = LH.maintenance_plan(spark, path,
+                                target_file_bytes=64 * 1024 * 1024,
+                                keep_last=20)
+    assert "compact" not in again["actions"]
