@@ -3409,14 +3409,21 @@ def publish_staged(spark: SparkSession, table_path: str,
         # violates a CHECK constraint never becomes table history
         _enforce_constraints(read_staged(spark, table_path, pending),
                              cons, f"publish_staged on {table_path}")
+    # batched existence check (one listing per distinct parent dir,
+    # not one exists RPC per staged file — a big stage is 10³-10⁵
+    # files): a missing file fails loudly BEFORE any rename or commit
+    have = _existing_files(fs, jvm,
+                           [f"{root}/{a['path']}" for a in pending["add"]])
+    gone = [a["path"] for a in pending["add"]
+            if f"{root}/{a['path']}" not in have]
+    if gone:
+        raise FileNotFoundError(
+            f"publish_staged: staged file {gone[0]} is missing "
+            f"from {table_path} — was the stage aborted or the "
+            "staging directory removed?")
     final_adds = []
     for a in pending["add"]:
         src = Path(f"{root}/{a['path']}")
-        if not fs.exists(src):
-            raise FileNotFoundError(
-                f"publish_staged: staged file {a['path']} is missing "
-                f"from {table_path} — was the stage aborted or the "
-                "staging directory removed?")
         # preserve the partition-dir tail (everything after the
         # .staged-*/ prefix) so partitioned stages publish into their
         # hive-style directories

@@ -161,13 +161,19 @@ class MultiTableTransaction:
         fs, jvm = lh._fs(self.spark, table_path)
         Path = jvm.org.apache.hadoop.fs.Path
         root = table_path.rstrip("/")
+        # batched existence check — same one-listing-per-parent-dir
+        # shape as publish_staged (never one exists RPC per file)
+        have = lh._existing_files(
+            fs, jvm, [f"{root}/{a['path']}" for a in pending["add"]])
+        gone = [a["path"] for a in pending["add"]
+                if f"{root}/{a['path']}" not in have]
+        if gone:
+            raise FileNotFoundError(
+                f"txn prepare: staged file {gone[0]} is missing "
+                f"from {table_path}")
         final_adds = []
         for a in pending["add"]:
             src = Path(f"{root}/{a['path']}")
-            if not fs.exists(src):
-                raise FileNotFoundError(
-                    f"txn prepare: staged file {a['path']} is missing "
-                    f"from {table_path}")
             # preserve a partitioned stage's hive-dir tail, as in
             # publish_staged
             staged_dir = pending.get("staged_dir") or ""

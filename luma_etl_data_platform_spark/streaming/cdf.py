@@ -98,6 +98,7 @@ def stream_changes(spark: SparkSession, table_path: str, apply_fn,
                    keys: list[str] | None = None,
                    max_batches: int | None = None,
                    max_versions_per_trigger: int | None = None,
+                   max_bytes_per_trigger: int | None = None,
                    on_missing_versions: str = "error") -> dict:
     """Drain every unprocessed commit of ``table_path`` at or above
     ``from_version`` (the feed's STARTING VERSION, Delta's
@@ -119,6 +120,13 @@ def stream_changes(spark: SparkSession, table_path: str, apply_fn,
     applies (Delta's ``maxFilesPerTrigger`` analogue for a capped
     drain loop); ``max_batches`` is the same knob's original name and
     still accepted — the stricter of the two wins.
+    ``max_bytes_per_trigger`` caps a trigger by the CUMULATIVE
+    ``size_bytes`` of the drained versions' added files (the
+    write-time add-action lane — Delta's ``maxBytesPerTrigger``): the
+    drain stops after the version that crosses the budget, always
+    applying at least one. Versions whose adds predate the size lane
+    count as 0 bytes (never under-drains; a cap is a pacing hint, not
+    a correctness surface).
 
     Expired-history safety (the Delta ``readChangeFeed`` failure
     contract): if :func:`sources.lakehouse.expire_snapshots` removed
@@ -191,6 +199,7 @@ def stream_changes(spark: SparkSession, table_path: str, apply_fn,
     applied: list[int] = []
     skipped = 0
     pending_version = None
+    bytes_drained = 0
     for d in sorted(docs, key=lambda d: d["version"]):
         v = d["version"]
         if v < start or v in lost:
@@ -211,7 +220,12 @@ def stream_changes(spark: SparkSession, table_path: str, apply_fn,
         apply_fn(changes, v)
         ledger.record(v)
         applied.append(v)
+        bytes_drained += sum(a.get("size_bytes") or 0
+                             for a in d.get("add", []))
         if cap is not None and len(applied) >= cap:
+            break
+        if (max_bytes_per_trigger is not None
+                and bytes_drained >= max_bytes_per_trigger):
             break
     return {"versions_applied": applied, "versions_skipped": skipped,
             "versions_lost": lost, "pending_version": pending_version}

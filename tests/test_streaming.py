@@ -343,3 +343,32 @@ def test_stream_changes_aborted_txn_tombstone(spark, tmp_path,
     assert out2["versions_applied"] == [3]
     assert ChangeFeedLedger(spark, led).summary() == (3, set())
     assert seen == [1, 3]
+
+
+def test_stream_changes_max_bytes_per_trigger(spark, tmp_path):
+    """max_bytes_per_trigger paces the drain by the cumulative
+    size_bytes of the drained versions' adds — the drain stops after
+    the version that crosses the budget, always applying >= 1."""
+    from luma_etl_data_platform_spark.sources import lakehouse as LH
+    from luma_etl_data_platform_spark.streaming.cdf import stream_changes
+    src = str(tmp_path / "src")
+    led = str(tmp_path / "led")
+    mk = lambda rows: spark.createDataFrame(rows, ["k", "v"])
+    LH.create_table(spark, src, mk([(0, 0)]).coalesce(1), ["k"])
+    for i in range(1, 6):
+        LH.append_table(spark, src, mk([(i, i)]).coalesce(1))
+    per_commit = [sum(a.get("size_bytes") or 0 for a in d.get("add", []))
+                  for d in LH._commits(spark, src)]
+    assert all(per_commit), "size lane missing"
+    budget = per_commit[0] + per_commit[1] + 1  # crosses inside v3
+    seen: list[int] = []
+    out = stream_changes(spark, src, lambda c, v: seen.append(v), led,
+                         max_bytes_per_trigger=budget)
+    assert out["versions_applied"] == [1, 2, 3]
+    # a budget below one version still drains exactly one
+    out2 = stream_changes(spark, src, lambda c, v: seen.append(v), led,
+                          max_bytes_per_trigger=1)
+    assert out2["versions_applied"] == [4]
+    out3 = stream_changes(spark, src, lambda c, v: seen.append(v), led)
+    assert out3["versions_applied"] == [5, 6]
+    assert seen == [1, 2, 3, 4, 5, 6]
