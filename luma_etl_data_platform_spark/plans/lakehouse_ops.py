@@ -1948,10 +1948,167 @@ FROM mr, cr, tot
 """
 
 
+def lakehouse_byte_optimize(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Byte-target OPTIMIZE under the gate (round 7): the write-time
+    ``size_bytes`` add-action lane drives BOTH candidate selection and
+    packed-file sizing (Delta/Iceberg semantics — compaction
+    economics are bytes, not rows). A 12-file fragmented lineitem
+    extract is packed to a budget of half its total bytes; flags:
+
+    - ``sized_adds``: every add-action (before AND after) carries the
+      lane — DESCRIBE needs zero filesystem probes;
+    - ``packed_to_budget``: the output file count equals
+      ceil(candidate_bytes / target) as computed from the PRE-compact
+      log (here 2);
+    - ``describe_consistent``: post-compact DESCRIBE's byte total
+      equals the sum of the packed adds' recorded sizes (the
+      zero-probe aggregate agrees with the lane);
+
+    plus a content rollup that must be identical before/after and
+    equal to the oracle's plain SQL."""
+    tmp = tempfile.mkdtemp(prefix="luma_lh_byteopt_")
+    try:
+        path = f"{tmp}/t"
+        df = (load_table(spark, sf_dir, "lineitem")
+              .select("l_orderkey", "l_linenumber", "l_quantity",
+                      "l_extendedprice")
+              .filter(F.col("l_orderkey") % 10 == 0))
+        LH.create_table(spark, path, df.repartition(12),
+                        ["l_orderkey"])
+        adds0 = LH.snapshot_adds(spark, path)
+        sized_before = all(a.get("size_bytes") for a in adds0)
+        total_bytes = sum(a["size_bytes"] for a in adds0)
+        target = total_bytes // 2 + 1
+        before = (LH.read_table(spark, path)
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.round(F.sum("l_extendedprice"), 2).alias("s"))
+                  .collect()[0])
+        res = LH.compact(spark, path, target_file_bytes=target)
+        adds1 = LH.snapshot_adds(spark, path)
+        sized_adds = sized_before and all(a.get("size_bytes")
+                                          for a in adds1)
+        packed_to_budget = (res["n_files_compacted"] == 12
+                            and res["n_files_added"] == 2
+                            and len(adds1) == 2)
+        d = LH.describe_table(spark, path)
+        describe_consistent = (d["size_bytes"]
+                               == sum(a["size_bytes"] for a in adds1))
+        after = (LH.read_table(spark, path)
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.round(F.sum("l_extendedprice"), 2).alias("s"))
+                 .collect()[0])
+        content_stable = (before["n"] == after["n"]
+                          and float(before["s"]) == float(after["s"]))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(bool(sized_adds), bool(packed_to_budget),
+          bool(describe_consistent), bool(content_stable),
+          int(after["n"]), float(after["s"]))],
+        "sized_adds boolean, packed_to_budget boolean, "
+        "describe_consistent boolean, content_stable boolean, "
+        "n_rows long, sum_price double")
+
+
+ORACLE["lakehouse_byte_optimize"] = """
+SELECT TRUE AS sized_adds, TRUE AS packed_to_budget,
+       TRUE AS describe_consistent, TRUE AS content_stable,
+       count(*) AS n_rows,
+       ROUND(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem WHERE l_orderkey % 10 = 0
+"""
+
+
+def stream_cdf_paced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 change-feed rate controls under the gate: a
+    4-commit orders-derived source drains through
+    ``max_versions_per_trigger=2`` with a simulated CRASH inside the
+    second trigger (apply raised before the version was recorded →
+    exactly that version redelivers, nothing duplicates), the
+    ledger's watermark summary stays a contiguous
+    (watermark, exceptions=∅) pair at the crash point and at the end,
+    and a final full-redelivery trigger applies nothing. The mirror
+    is an append-only parquet sink (idempotent because the ledger
+    never redelivers a recorded version); the gate returns its end
+    state next to the pacing flags, the oracle the same state as
+    plain SQL."""
+    tmp = tempfile.mkdtemp(prefix="luma_cdf_paced_")
+    try:
+        src = f"{tmp}/src"
+        led = f"{tmp}/led"
+        mirror = f"{tmp}/mirror"
+        from ..streaming.cdf import ChangeFeedLedger, stream_changes
+        base = (load_table(spark, sf_dir, "orders")
+                .select("o_custkey", "o_totalprice")
+                .groupBy("o_custkey")
+                .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+                .filter(F.col("o_custkey") <= 40))
+        LH.create_table(spark, src,
+                        base.filter(F.col("o_custkey") <= 10)
+                        .coalesce(1), ["o_custkey"])
+        for lo, hi in [(11, 20), (21, 30), (31, 40)]:
+            LH.append_table(
+                spark, src,
+                base.filter((F.col("o_custkey") >= lo)
+                            & (F.col("o_custkey") <= hi)).coalesce(1))
+        crash_at = {3}
+
+        def _apply(changes: DataFrame, version: int) -> None:
+            if version in crash_at:
+                crash_at.discard(version)
+                raise RuntimeError("simulated crash")
+            (changes.filter(F.col("_change_type")
+                            .isin("insert", "update_postimage"))
+             .drop("_change_type")
+             .coalesce(1).write.mode("append").parquet(mirror))
+
+        t1 = stream_changes(spark, src, _apply, led,
+                            max_versions_per_trigger=2)
+        crashed = False
+        try:
+            stream_changes(spark, src, _apply, led,
+                           max_versions_per_trigger=2)
+        except RuntimeError:
+            crashed = True
+        wm_mid = ChangeFeedLedger(spark, led).summary()
+        t2 = stream_changes(spark, src, _apply, led,
+                            max_versions_per_trigger=2)
+        audit = stream_changes(spark, src, _apply, led)
+        wm_end = ChangeFeedLedger(spark, led).summary()
+        paced = (t1["versions_applied"] == [1, 2]
+                 and crashed and wm_mid == (2, set())
+                 and t2["versions_applied"] == [3, 4]
+                 and wm_end == (4, set()))
+        replay_clean = (audit["versions_applied"] == []
+                        and audit["versions_skipped"] == 4)
+        out = (spark.read.parquet(mirror)
+               .withColumn("paced_exactly", F.lit(bool(paced)))
+               .withColumn("replay_clean", F.lit(bool(replay_clean)))
+               .orderBy("o_custkey"))
+        rows = out.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+ORACLE["stream_cdf_paced"] = """
+SELECT o_custkey,
+       ROUND(sum(o_totalprice), 2) AS spend,
+       TRUE AS paced_exactly, TRUE AS replay_clean
+FROM orders
+WHERE o_custkey <= 40
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
 QUERIES = {
     "lakehouse_hidden_partitioning": lakehouse_hidden_partitioning,
     "lakehouse_partition_transforms": lakehouse_partition_transforms,
     "lakehouse_partition_spec_evolution": lakehouse_partition_spec_evolution,
+    "lakehouse_byte_optimize": lakehouse_byte_optimize,
+    "stream_cdf_paced": stream_cdf_paced,
     "merge_upsert_orders": merge_upsert_orders,
     "lakehouse_time_travel": lakehouse_time_travel,
     "lakehouse_compaction": lakehouse_compaction,
