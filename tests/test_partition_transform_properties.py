@@ -126,3 +126,38 @@ def test_bucket_range_probe_refused():
     assert LH._derive_partition_probe(sp, 3, 9) is None
     with pytest.raises(TypeError):
         portable_hash32_py(3.5)
+
+
+# -- change-feed ledger summary (round-7) -----------------------------
+
+from hypothesis import given as _given  # noqa: E402
+
+
+@settings(max_examples=1, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@_given(st.sets(st.integers(min_value=1, max_value=40),
+                min_size=0, max_size=25))
+def test_ledger_summary_matches_reference(spark, tmp_path_factory,
+                                          versions):
+    """summary() == (largest w with every recorded version <= w
+    present above the feed's min, versions above w) for arbitrary
+    recorded sets — including gaps at the start, singletons, and the
+    empty ledger."""
+    from luma_etl_data_platform_spark.streaming.cdf import (
+        ChangeFeedLedger)
+    led = ChangeFeedLedger(
+        spark, str(tmp_path_factory.mktemp("led") / "l"))
+    for v in sorted(versions):
+        led.record(v)
+    wm, exc = led.summary()
+    if not versions:
+        assert (wm, exc) == (None, set())
+        return
+    mx = max(versions)
+    holes = {v + 1 for v in versions} - versions
+    first_hole = min((h for h in holes if h <= mx), default=None)
+    want_wm = mx if first_hole is None else first_hole - 1
+    assert wm == want_wm
+    assert exc == {v for v in versions if v > want_wm}
+    # and the full-set audit view agrees
+    assert led.processed() == versions
