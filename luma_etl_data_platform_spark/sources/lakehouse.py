@@ -470,8 +470,12 @@ def describe_table(spark: SparkSession, table_path: str) -> dict:
         raise FileNotFoundError(f"{table_path} has no commit log")
     pcols = _table_partition_cols(spark, table_path)
     # partition VALUES are recorded under the transform NAME (ts_day,
-    # user_id_bucket, ...), which equals the spec for identity entries
+    # user_id_bucket, ...), which equals the spec for identity
+    # entries. Report values for EVERY spec generation (evolution:
+    # old files carry old names; current-spec names listed first)
     pnames = [parse_partition_spec(s)["name"] for s in pcols]
+    pnames += [sp["name"] for sp in _partition_specs_ever(spark, table_path)
+               if sp["name"] not in pnames]
     adds_df = _adds_df_at(spark, table_path)
     if adds_df is not None:
         # parquet-checkpointed table: ONE aggregate job over the
@@ -482,8 +486,11 @@ def describe_table(spark: SparkSession, table_path: str) -> dict:
                 F.sum("rows").alias("_nr"),
                 F.sum("size_bytes").alias("_nb")]
         for i, c in enumerate(pnames):
+            # a file WITHOUT the key (other spec generation) is
+            # absent; a file with a NULL value (hive default
+            # partition) reports the "None" sentinel
             aggs.append(F.collect_set(
-                F.when(F.size("partition") > 0,
+                F.when(F.map_contains_key(F.col("partition"), F.lit(c)),
                        F.coalesce(F.try_element_at("partition", F.lit(c))
                                   .cast("string"), F.lit("None"))))
                 .alias(f"_p{i}"))
@@ -500,8 +507,10 @@ def describe_table(spark: SparkSession, table_path: str) -> dict:
         n_rows = sum(a.get("rows") or 0 for a in adds)
         size = sum(a["size_bytes"] for a in adds
                    if a.get("size_bytes") is not None)
-        parts = {c: sorted({str(a.get("partition", {}).get(c))
-                            for a in adds if a.get("partition")})
+        parts = {c: sorted({str(a["partition"].get(c))
+                            for a in adds
+                            if a.get("partition")
+                            and c in a["partition"]})
                  for c in pnames}
         unsized = [a["path"] for a in adds
                    if a.get("size_bytes") is None]

@@ -72,11 +72,18 @@ class ChangeFeedLedger:
         try:
             df = (self.spark.read.schema(self._SCHEMA)
                   .parquet(self.path).select("version").distinct())
-            mx = df.agg(F.max("version").alias("mx")).collect()[0]["mx"]
+            row = df.agg(F.max("version").alias("mx"),
+                         F.min("version").alias("mn"),
+                         F.count("version").alias("n")).collect()[0]
         except Exception:
             return None, set()
+        mx = row["mx"]
         if mx is None:
             return None, set()
+        if int(row["n"]) == int(mx) - int(row["mn"]) + 1:
+            # contiguous (the common steady state): no gap-finding
+            # join needed — one job per catch-up poll
+            return int(mx), set()
         first_hole = (df.select((F.col("version") + 1).alias("version"))
                       .filter(F.col("version") <= mx)
                       .join(df, "version", "left_anti")

@@ -379,3 +379,20 @@ def test_run_maintenance_bytes_mode(tmp_path, spark):
                                 target_file_bytes=64 * 1024 * 1024,
                                 keep_last=20)
     assert "compact" not in again["actions"]
+
+
+def test_describe_reports_all_spec_generations(tmp_path, spark):
+    """After spec evolution DESCRIBE reports partition values under
+    EVERY generation's transform names, not just the current spec."""
+    import datetime as dt
+    path = str(tmp_path / "dsc")
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("u"),
+        F.lit(dt.datetime(2024, 1, 2)).alias("ts"))
+    LH.create_table(spark, path, df, ["k"], partition_by=["days(ts)"])
+    LH.set_partition_spec(spark, path, ["bucket(4, u)"])
+    LH.append_table(spark, path, df.withColumn("k", F.col("k") + 100))
+    d = LH.describe_table(spark, path)
+    assert d["partition_by"] == ["bucket(4, u)"]
+    assert "u_bucket" in d["partitions"]
+    assert d["partitions"]["ts_day"] == ["2024-01-02"]
