@@ -3468,16 +3468,20 @@ def abort_staged(spark: SparkSession, table_path: str,
                  pending: dict) -> list[str]:
     """WAP step 3b (ABORT): delete the staged files (and their
     staging subdirectory); the table is untouched — they were never
-    referenced by any commit."""
+    referenced by any commit. A stage with a recorded ``staged_dir``
+    holds every file under it, so the abort is ONE recursive delete —
+    not a per-file RPC loop; the loop survives only for legacy
+    pendings without the field."""
     fs, jvm = _fs(spark, table_path)
     Path = jvm.org.apache.hadoop.fs.Path
     root = table_path.rstrip("/")
+    if pending.get("staged_dir"):
+        fs.delete(Path(f"{root}/{pending['staged_dir']}"), True)
+        return sorted(a["path"] for a in pending["add"])
     removed = []
     for a in pending["add"]:
         fs.delete(Path(f"{root}/{a['path']}"), False)
         removed.append(a["path"])
-    if pending.get("staged_dir"):
-        fs.delete(Path(f"{root}/{pending['staged_dir']}"), True)
     return sorted(removed)
 
 
