@@ -1419,6 +1419,10 @@ def clone_table(spark: SparkSession, src_path: str, dst_path: str,
         "bloom_cols": _decl_at(spark, src_path, "bloom_cols", [], version),
         "partition_by": _decl_at(spark, src_path, "partition_by", [],
                                  version),
+        # spec generations ride along: inherited files written under
+        # an evolved-away spec keep their derived pruning in the clone
+        "partition_spec_history": _partition_spec_history(spark,
+                                                          src_path),
         "constraints": _decl_at(spark, src_path, "constraints", {},
                                 version),
         "schema_events": _schema_events(spark, src_path, version),

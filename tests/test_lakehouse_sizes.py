@@ -396,3 +396,29 @@ def test_describe_reports_all_spec_generations(tmp_path, spark):
     assert d["partition_by"] == ["bucket(4, u)"]
     assert "u_bucket" in d["partitions"]
     assert d["partitions"]["ts_day"] == ["2024-01-02"]
+
+
+def test_clone_inherits_spec_history(tmp_path, spark):
+    """A shallow clone of an evolved source restates
+    partition_spec_history, so inherited old-generation files keep
+    their derived pruning in the clone."""
+    import datetime as dt
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") % 6).alias("u"),
+        F.expr("timestamp'2024-01-01' + make_interval(0,0,0,"
+               "cast(id/20 as int),0,0,0)").alias("ts"))
+    LH.create_table(spark, src, df, ["k"], partition_by=["days(ts)"])
+    LH.set_partition_spec(spark, src, ["bucket(4, u)"])
+    LH.append_table(spark, src, df.withColumn("k", F.col("k") + 100))
+    LH.clone_table(spark, src, dst)
+    specs = {sp["spec"] for sp in LH._partition_specs_ever(spark, dst)}
+    assert specs == {"days(ts)", "bucket(4, u)"}
+    total = len(LH.snapshot_files(spark, dst))
+    keep = LH.pruned_candidate_files(
+        spark, dst, {"ts": (dt.datetime(2024, 1, 2),
+                            dt.datetime(2024, 1, 2, 23, 59, 59))})
+    assert 0 < len(keep) < total
+    assert all("ts_day=2024-01-02" in p for p in keep
+               if "ts_day=" in p)
