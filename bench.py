@@ -116,6 +116,24 @@ def _spark_fixed_job_canary(spark) -> float:
     return round(best, 4)
 
 
+def _scan_canary(spark, sf_dir: str) -> float:
+    """Parquet-scan throughput canary (added round 7): the python
+    loop measures single-core scalar speed and the fixed job measures
+    JVM/scheduler/codegen, but NEITHER measures disk — and a
+    round-7 close-run analysis found scan-heavy queries +25% on a
+    host whose other two canaries matched the record host, while
+    join/shuffle-heavy queries matched or beat it. Best-of-2 full
+    column scan of lineitem (the largest table) attributes that
+    dimension."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+            "sum(l_quantity) as s", "count(*) as n").collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -130,6 +148,7 @@ def main() -> None:
     canary = {
         "python_loop_sec": _python_loop_canary(),
         "spark_fixed_job_sec": _spark_fixed_job_canary(spark),
+        "scan_lineitem_sec": _scan_canary(spark, sf_dir),
     }
 
     # best-of-3 per HEADLINE query (round-4 review: single runs carry
