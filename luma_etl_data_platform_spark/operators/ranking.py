@@ -85,8 +85,14 @@ def bm25_top_docs(df: DataFrame, query_terms: tuple[str, ...],
         F.col("_id").alias(id_col),
         nhit.alias("n_terms_hit"),
         F.round(total, 6).alias("score"))
+    # Global top-k via orderBy+limit (TakeOrderedAndProject: per-
+    # partition heaps, never a single-partition sort of the full
+    # candidate set), THEN rank the k survivors — the window now sees
+    # a k-row input, so its one-partition exchange is O(k) regardless
+    # of corpus size.
+    topk = ranked.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
     win = W.orderBy(F.col("score").desc(), F.col(id_col))
-    return (ranked.withColumn("rnk", F.row_number().over(win))
+    return (topk.withColumn("rnk", F.row_number().over(win))
             .filter(F.col("rnk") <= k))
 
 
@@ -119,9 +125,14 @@ def pmi_bigrams(df: DataFrame, text_col: str = "text",
     pmi = F.round(F.log(
         (F.col("pair_count").cast("double") * F.col("_tot"))
         / (F.col("_ca").cast("double") * F.col("_cb"))), 6)
+    scored = joined.select("w1", "w2", "pair_count", pmi.alias("pmi"))
+    # Same TakeOrdered-then-rank shape as bm25_top_docs: the frequent-
+    # bigram set scales with the corpus, so limit(k) first keeps the
+    # window's one-partition exchange at O(k).
+    topk = scored.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2")) \
+                 .limit(k)
     win = W.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
-    return (joined.select("w1", "w2", "pair_count", pmi.alias("pmi"))
-            .withColumn("rnk", F.row_number().over(win))
+    return (topk.withColumn("rnk", F.row_number().over(win))
             .filter(F.col("rnk") <= k))
 
 

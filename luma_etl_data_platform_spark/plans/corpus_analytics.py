@@ -160,10 +160,54 @@ FROM j GROUP BY 1, 2
 
 # ---------------------------------------------------------------------------
 # rfm_user_segments: recency/frequency/monetary quintile scores per
-# user (ntile over unique orderings), rolled up to segment counts.
-# Monetary sums are decimal-exact (partition-order-independent); the
-# global max-timestamp scalar is broadcast.
+# user, rolled up to segment counts. The quintiles reproduce
+# ``ntile(5) OVER (ORDER BY value, user_id)`` EXACTLY — but without a
+# single-partition sort of the user dimension: the global rank is
+# rebuilt as bucket-offset + within-bucket rank (the budget_pack
+# two-phase prefix-sum shape), and ntile's bucket boundary is a closed
+# form of (rank, n). The only serial window runs over DISTINCT score
+# values (day-granular recency / integer frequency / 2-dp monetary),
+# not users. Monetary sums are decimal-exact
+# (partition-order-independent); the global max-timestamp scalar and
+# the offset tables are broadcast.
 # ---------------------------------------------------------------------------
+def _scale_ntile(t: DataFrame, value_col: str, asc: bool,
+                 out_col: str, k: int = 5,
+                 id_col: str = "user_id", n_col: str = "_n") -> DataFrame:
+    """Add ``ntile(k) OVER (ORDER BY value_col [ASC|DESC], id_col)``
+    as ``out_col`` without moving the row set to one partition.
+
+    Phase 1 cumulates per-distinct-value row counts (a window over the
+    DISTINCT value set — bounded by value cardinality, not rows);
+    phase 2 ranks within each value partition by ``id_col``; the
+    global rank is offset + within-rank, and ntile's bucket is the
+    standard closed form: with ``q = n DIV k`` and ``rem = n % k`` the
+    first ``rem`` buckets take ``q+1`` rows, the rest ``q``.
+    ``n_col`` must already hold the total row count (broadcast scalar).
+    """
+    v = F.col(value_col)
+    order = v.asc() if asc else v.desc()
+    cnts = t.groupBy(value_col).agg(F.count(F.lit(1)).alias("_m"))
+    w_off = W.orderBy(order).rowsBetween(W.unboundedPreceding, -1)
+    off = cnts.select(
+        value_col,
+        F.coalesce(F.sum("_m").over(w_off), F.lit(0)).alias("_off"))
+    w_in = W.partitionBy(value_col).orderBy(id_col)
+    ranked = (t.join(F.broadcast(off), value_col)
+              .withColumn("_r", F.col("_off") + F.row_number().over(w_in)))
+    n, r = F.col(n_col), F.col("_r")
+    q = F.expr(f"{n_col} DIV {k}")
+    rem = n % k
+    cut = rem * (q + 1)
+    bucket = F.when(r <= cut, F.expr(f"(_r + ({n_col} DIV {k}))"
+                                     f" DIV (({n_col} DIV {k}) + 1)")) \
+        .otherwise(rem + F.expr(
+            f"(_r - ({n_col} % {k}) * (({n_col} DIV {k}) + 1)"
+            f" + ({n_col} DIV {k}) - 1) DIV ({n_col} DIV {k})"))
+    return (ranked.withColumn(out_col, bucket.cast("int"))
+            .drop("_off", "_r"))
+
+
 def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
@@ -175,14 +219,11 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (u.crossJoin(F.broadcast(g))
          .select("user_id", "freq", "monetary",
                  F.datediff(F.col("gmax"), F.col("last_ts")).alias("rec")))
-    t = s.select(
-        "user_id", "monetary", "rec",
-        F.ntile(5).over(W.orderBy(F.col("rec").asc(), "user_id"))
-        .alias("r_score"),
-        F.ntile(5).over(W.orderBy(F.col("freq").desc(), "user_id"))
-        .alias("f_score"),
-        F.ntile(5).over(W.orderBy(F.col("monetary").desc(), "user_id"))
-        .alias("m_score"))
+    n_users = s.agg(F.count(F.lit(1)).alias("_n"))
+    t = s.crossJoin(F.broadcast(n_users))
+    t = _scale_ntile(t, "rec", asc=True, out_col="r_score")
+    t = _scale_ntile(t, "freq", asc=False, out_col="f_score")
+    t = _scale_ntile(t, "monetary", asc=False, out_col="m_score")
     return t.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.round(F.sum(F.col("monetary").cast("decimal(18,2)"))

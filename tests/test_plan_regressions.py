@@ -215,6 +215,22 @@ def test_bm25_no_shuffle_joins(spark):
     plan = _formatted_plan(bm25_top_docs(docs, ("spark", "query"), k=5))
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+    _assert_topk_before_window(plan)
+
+
+def _assert_topk_before_window(plan: str) -> None:
+    """The global top-k must be a TakeOrderedAndProject (per-partition
+    heaps) BELOW the rank window, so the window's single-partition
+    exchange only ever sees k rows — never the full scored candidate
+    set. Formatted-explain node ids grow bottom-up, so the
+    TakeOrdered's id must be smaller than the Window's."""
+    import re
+    take = re.search(r"\((\d+)\) TakeOrderedAndProject", plan)
+    win = re.search(r"\((\d+)\) Window", plan)
+    assert take is not None, "global top-k lost its TakeOrderedAndProject"
+    assert win is not None
+    assert int(take.group(1)) < int(win.group(1)), \
+        "rank window runs below the limit — full candidate set sorted"
 
 
 def test_pmi_no_cartesian(spark):
@@ -226,6 +242,27 @@ def test_pmi_no_cartesian(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     plan = _formatted_plan(pmi_bigrams(docs, min_count=5, k=10))
     assert "CartesianProduct" not in plan
+    _assert_topk_before_window(plan)
+
+
+def test_rfm_rank_windows_are_partitioned(spark):
+    """rfm_user_segments must never sort the user dimension on one
+    partition: no ntile in the plan, and every row_number window
+    (the per-user rank) carries a partition column as its first
+    windowspecdefinition argument — only the distinct-value offset
+    windows (sum(_m), value-cardinality-bounded) may be global."""
+    import re
+    from luma_etl_data_platform_spark.plans.corpus_analytics import (
+        rfm_user_segments,
+    )
+    plan = _formatted_plan(rfm_user_segments(spark, SF_SMOKE))
+    assert "ntile" not in plan
+    firsts = re.findall(
+        r"(?:row_number|ntile)\(\)? ?windowspecdefinition\(([^,]+),", plan)
+    assert firsts, "expected row_number rank windows in the plan"
+    for arg in firsts:
+        assert " ASC" not in arg and " DESC" not in arg, \
+            f"unpartitioned rank window over the user set: {arg}"
 
 
 def test_rolling_anomaly_single_exchange(spark):
