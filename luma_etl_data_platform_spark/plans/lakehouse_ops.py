@@ -1730,10 +1730,12 @@ def lakehouse_partition_transforms(spark: SparkSession,
                .filter(F.col("o_custkey") < 1000))
         m0 = odf.agg(F.min("o_orderdate")).collect()[0][0]
         m0 = m0.replace(day=1)
-        m_end = (m0.replace(year=m0.year + (m0.month + 3) // 13,
-                            month=(m0.month + 3) % 12 + 1)
-                 if m0.month + 4 > 12
-                 else m0.replace(month=m0.month + 4))
+        # exact +4 calendar months (ADVICE r7: the old rollover
+        # branch landed a September start in January of the SAME
+        # year, emptying the feed — unreachable with TPC-H's
+        # January-min data but latent for any other dataset)
+        m_end = m0.replace(year=m0.year + (m0.month - 1 + 4) // 12,
+                           month=(m0.month - 1 + 4) % 12 + 1)
         feed = odf.filter((F.col("o_orderdate") >= F.lit(m0))
                           & (F.col("o_orderdate") < F.lit(m_end)))
         LH.create_table(spark, po, feed.repartition(2), ["o_orderkey"],

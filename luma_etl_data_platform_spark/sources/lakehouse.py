@@ -3480,7 +3480,17 @@ def abort_staged(spark: SparkSession, table_path: str,
     Path = jvm.org.apache.hadoop.fs.Path
     root = table_path.rstrip("/")
     if pending.get("staged_dir"):
-        fs.delete(Path(f"{root}/{pending['staged_dir']}"), True)
+        sd = Path(f"{root}/{pending['staged_dir']}")
+        # a failed recursive delete (permissions, concurrent removal
+        # mid-walk) must not report success and leak the staged batch
+        # on disk: check the delete's verdict AND that the dir is
+        # gone (delete returns False for an already-absent path,
+        # which IS a clean abort — e.g. a re-run after a crash)
+        if not fs.delete(sd, True) and fs.exists(sd):
+            raise IOError(
+                f"abort_staged: failed to delete staged dir "
+                f"{pending['staged_dir']} under {table_path}; the "
+                "staged batch is still on disk")
         return sorted(a["path"] for a in pending["add"])
     removed = []
     for a in pending["add"]:

@@ -32,6 +32,9 @@ own commit history.
 
 from __future__ import annotations
 
+import json
+import uuid
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -39,15 +42,41 @@ from pyspark.sql import types as T
 
 class ChangeFeedLedger:
     """Append-only parquet ledger of processed commit versions (the
-    ``ProcessedIdLedger`` shape, keyed by version)."""
+    ``ProcessedIdLedger`` shape, keyed by version).
+
+    File-count hygiene: each :meth:`record` appends one tiny parquet
+    file, so a years-long feed would accumulate one file per commit
+    and every :meth:`summary` poll would pay the listing. ``record``
+    therefore self-compacts: every ``compact_every`` appends (counted
+    from the directory's actual file population, so restarts don't
+    reset the bound) the ledger is rewritten to a single file —
+    steady-state file count is O(compact_every), not O(feed
+    lifetime). Compaction is crash-safe by construction: the
+    compacted file lands via rename BEFORE the originals are deleted,
+    and a crash in between only leaves duplicate version rows, which
+    every reader already collapses (``processed`` builds a set,
+    ``summary`` reads ``.distinct()``).
+
+    The feed's STARTING version is pinned write-once in
+    ``_feed_start`` (underscore-prefixed: invisible to the parquet
+    reader). The contiguous watermark treats everything below the
+    first recorded version as out-of-scope, so without the pin a feed
+    originally drained with ``from_version=N`` and re-run with a
+    lower one would silently skip ``1..N-1``; with it,
+    :func:`stream_changes` refuses the lower resume point instead
+    (ADVICE r7).
+    """
 
     _SCHEMA = T.StructType([
         T.StructField("version", T.LongType(), False),
     ])
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str,
+                 compact_every: int = 64):
         self.spark = spark
         self.path = path
+        self.compact_every = max(int(compact_every), 2)
+        self._files = None  # lazily counted once per ledger instance
 
     def processed(self) -> set[int]:
         """Every processed version as a driver-side set — O(feed
@@ -69,6 +98,12 @@ class ChangeFeedLedger:
         (small, usually empty) exception set, never the full version
         list, so a years-long feed's catch-up poll stays O(1) on the
         driver."""
+        _mn, wm, exc = self._summary_full()
+        return wm, exc
+
+    def _summary_full(self) -> tuple[int | None, int | None, set[int]]:
+        """``(min_recorded, watermark, exceptions)`` — the summary
+        plus the feed's lowest recorded version (one shared agg)."""
         try:
             df = (self.spark.read.schema(self._SCHEMA)
                   .parquet(self.path).select("version").distinct())
@@ -76,28 +111,109 @@ class ChangeFeedLedger:
                          F.min("version").alias("mn"),
                          F.count("version").alias("n")).collect()[0]
         except Exception:
-            return None, set()
+            return None, None, set()
         mx = row["mx"]
         if mx is None:
-            return None, set()
-        if int(row["n"]) == int(mx) - int(row["mn"]) + 1:
+            return None, None, set()
+        mn = int(row["mn"])
+        if int(row["n"]) == int(mx) - mn + 1:
             # contiguous (the common steady state): no gap-finding
             # join needed — one job per catch-up poll
-            return int(mx), set()
+            return mn, int(mx), set()
         first_hole = (df.select((F.col("version") + 1).alias("version"))
                       .filter(F.col("version") <= mx)
                       .join(df, "version", "left_anti")
                       .agg(F.min("version")).collect()[0][0])
         if first_hole is None:
-            return int(mx), set()
+            return mn, int(mx), set()
         wm = int(first_hole) - 1
         exc = {int(r["version"]) for r in
                df.filter(F.col("version") > wm).collect()}
-        return wm, exc
+        return mn, wm, exc
+
+    def _hfs(self):
+        from ..sources.lakehouse import _fs
+        fs, jvm = _fs(self.spark, self.path)
+        return fs, jvm, jvm.org.apache.hadoop.fs.Path
+
+    def _data_files(self, fs, Path):
+        """The ledger's parquet data files (markers and hidden files
+        excluded — the same set the parquet reader sees)."""
+        root = Path(self.path)
+        if not fs.exists(root):
+            return []
+        return [s.getPath() for s in fs.listStatus(root)
+                if s.isFile()
+                and not s.getPath().getName().startswith("_")
+                and not s.getPath().getName().startswith(".")]
 
     def record(self, version: int) -> None:
+        if self._files is None:
+            fs, _jvm, Path = self._hfs()
+            self._files = len(self._data_files(fs, Path))
         (self.spark.createDataFrame([(int(version),)], self._SCHEMA)
          .coalesce(1).write.mode("append").parquet(self.path))
+        self._files += 1
+        if self._files >= self.compact_every:
+            self.compact()
+
+    def compact(self) -> None:
+        """Rewrite the ledger to one parquet file. Order of
+        operations makes every crash point benign: (1) the distinct
+        version set is written to a hidden side dir, (2) its single
+        part file is RENAMED into the ledger (atomic; a crash before
+        this loses only the side dir), (3) the superseded originals
+        are deleted (a crash between 2 and 3 leaves duplicate rows —
+        readers distinct/set them away)."""
+        fs, _jvm, Path = self._hfs()
+        old = self._data_files(fs, Path)
+        if len(old) <= 1:
+            self._files = len(old)
+            return
+        tmp = f"{self.path.rstrip('/')}/.compact-{uuid.uuid4().hex}"
+        (self.spark.read.schema(self._SCHEMA).parquet(self.path)
+         .select("version").distinct().coalesce(1)
+         .write.mode("overwrite").parquet(tmp))
+        parts = [s.getPath() for s in fs.listStatus(Path(tmp))
+                 if s.isFile() and s.getPath().getName().startswith("part-")]
+        dest = Path(f"{self.path.rstrip('/')}/"
+                    f"compacted-{uuid.uuid4().hex}.parquet")
+        if not fs.rename(parts[0], dest):
+            fs.delete(Path(tmp), True)
+            raise IOError(f"ledger compaction: rename into {dest} failed")
+        fs.delete(Path(tmp), True)
+        for p in old:
+            fs.delete(p, False)
+        self._files = 1
+
+    # -- feed start pinning (ADVICE r7) --------------------------------
+    def start_version(self) -> int | None:
+        """The pinned starting version, or None for a fresh/legacy
+        ledger."""
+        fs, jvm, Path = self._hfs()
+        p = Path(f"{self.path.rstrip('/')}/_feed_start")
+        if not fs.exists(p):
+            return None
+        from ..sources.lakehouse import _read_text
+        return int(json.loads(_read_text(fs, jvm, str(p)))["from_version"])
+
+    def pin_start(self, version: int) -> None:
+        """Write-once pin of the feed's starting version (tmp +
+        rename; concurrent pinners race harmlessly — first wins)."""
+        fs, _jvm, Path = self._hfs()
+        fs.mkdirs(Path(self.path))
+        dest = Path(f"{self.path.rstrip('/')}/_feed_start")
+        if fs.exists(dest):
+            return
+        tmp = Path(f"{self.path.rstrip('/')}/.feed_start-{uuid.uuid4().hex}")
+        stream = fs.create(tmp, False)
+        try:
+            stream.write(bytearray(json.dumps(
+                {"from_version": int(version)}).encode("utf-8")))
+        finally:
+            stream.close()
+        if not fs.rename(tmp, dest):
+            fs.delete(tmp, False)  # another pinner won — keep theirs
 
 
 def stream_changes(spark: SparkSession, table_path: str, apply_fn,
@@ -167,14 +283,32 @@ def stream_changes(spark: SparkSession, table_path: str, apply_fn,
                                     ) else None
     from ..sources import lakehouse as LH
     ledger = ChangeFeedLedger(spark, ledger_path)
-    wm, exc = ledger.summary()
+    mn, wm, exc = ledger._summary_full()
+    start = max(from_version, 1)
+
+    # -- starting-version pin (ADVICE r7): the watermark treats
+    # everything below the feed's first recorded version as
+    # out-of-scope, so resuming an existing ledger from a LOWER
+    # version would silently skip commits the original drain never
+    # applied. Refuse instead of skipping; a lower start needs a
+    # fresh ledger (full resync).
+    pinned = ledger.start_version()
+    floor = pinned if pinned is not None else mn
+    if floor is not None and start < floor:
+        raise ValueError(
+            f"stream_changes on {table_path}: this feed started at "
+            f"version {floor}; resuming it with from_version={start} "
+            "would NOT apply the earlier versions (they are below the "
+            "ledger's watermark scope). Use a fresh ledger_path to "
+            "re-feed from an earlier version.")
+    if pinned is None:
+        ledger.pin_start(start if mn is None else min(start, mn))
 
     def _done(v: int) -> bool:
         return (wm is not None and v <= wm) or v in exc
 
     docs = LH._commits(spark, table_path)
     all_versions = {d["version"] for d in docs}
-    start = max(from_version, 1)
 
     # -- expired-history gap detection (ADVICE r6, medium) ----------
     lost: list[int] = []

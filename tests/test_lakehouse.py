@@ -652,6 +652,36 @@ def test_wap_abort_leaves_no_trace(table, spark):
     assert files0 == files1
 
 
+def test_wap_abort_surfaces_failed_delete(table, spark, monkeypatch):
+    """ADVICE r7: a failed staged-dir delete must raise, not report
+    the batch as removed while it leaks on disk; an ALREADY-absent
+    staged dir (crash re-run) is a clean abort, not a failure.
+    Delete failure is injected via a proxy fs (root ignores POSIX
+    perms, so a chmod can't force one)."""
+    import os
+    pending = LH.stage_append(
+        spark, table, _mk(spark, [dict(k=52, v=520, tag="y")]), ["k"])
+    staged = os.path.join(table, pending["staged_dir"])
+    assert os.path.isdir(staged)
+    real_fs, jvm = LH._fs(spark, table)
+
+    class StuckFS:
+        """fs whose recursive delete fails with the target intact."""
+        def delete(self, path, recursive=False):
+            return False
+        def exists(self, path):
+            return True
+    monkeypatch.setattr(LH, "_fs", lambda sp, p: (StuckFS(), jvm))
+    with pytest.raises(IOError, match="failed to delete"):
+        LH.abort_staged(spark, table, pending)
+    monkeypatch.undo()
+    assert os.path.isdir(staged), "abort must not touch data on failure"
+    removed = LH.abort_staged(spark, table, pending)
+    assert removed and not os.path.exists(staged)
+    # re-running the abort after success (dir already gone) is clean
+    assert LH.abort_staged(spark, table, pending) == removed
+
+
 # ---------------------------------------------------------------------------
 # round 4: per-column stats / stat-pruned MERGE / crash-safe expire /
 # WAP vs maintenance / concurrent writers

@@ -372,3 +372,105 @@ def test_stream_changes_max_bytes_per_trigger(spark, tmp_path):
     out3 = stream_changes(spark, src, lambda c, v: seen.append(v), led)
     assert out3["versions_applied"] == [5, 6]
     assert seen == [1, 2, 3, 4, 5, 6]
+
+
+def test_change_feed_ledger_self_compacts(spark, tmp_path):
+    """Verdict r7 #3: the ledger's file count is bounded by
+    compact_every, not feed lifetime — a 50-record drain must not
+    leave 50 part files; restarts keep the bound (the counter
+    re-seeds from the directory's real population); crash-shaped
+    duplicates collapse on the next compaction."""
+    from luma_etl_data_platform_spark.streaming.cdf import ChangeFeedLedger
+    path = str(tmp_path / "led")
+
+    def data_files():
+        return [f for f in os.listdir(path)
+                if not f.startswith(("_", "."))]
+
+    led = ChangeFeedLedger(spark, path, compact_every=8)
+    for v in range(1, 51):
+        led.record(v)
+    assert len(data_files()) <= 8
+    assert led.summary() == (50, set())
+    assert led.processed() == set(range(1, 51))
+    # a fresh instance (process restart) keeps the bound
+    led2 = ChangeFeedLedger(spark, path, compact_every=8)
+    for v in range(51, 61):
+        led2.record(v)
+    assert len(data_files()) <= 8
+    assert led2.summary() == (60, set())
+    # crash between rename-in and delete-old leaves duplicate rows:
+    # simulate by double-recording, then compact — readers collapse it
+    led2.record(60)
+    led2.compact()
+    assert len(data_files()) == 1
+    assert led2.summary() == (60, set())
+    # gap semantics survive compaction
+    led2.record(63)
+    led2.compact()
+    assert led2.summary() == (60, {63})
+
+
+def test_stream_changes_drain_bounds_ledger_files(spark, tmp_path):
+    """End-to-end: a multi-commit stream_changes drain compacts its
+    ledger as it goes (default compact_every=64 scaled down via the
+    ledger's own knob exercised above; here the drain itself must not
+    leave one file per version once past the threshold)."""
+    from luma_etl_data_platform_spark.sources import lakehouse as LH
+    from luma_etl_data_platform_spark.streaming import cdf as C
+    src = str(tmp_path / "src")
+    led = str(tmp_path / "led")
+    mk = lambda rows: spark.createDataFrame(rows, ["k", "v"])
+    LH.create_table(spark, src, mk([(0, 0)]).coalesce(1), ["k"])
+    for i in range(1, 10):
+        LH.append_table(spark, src, mk([(i, i)]).coalesce(1))
+    orig = C.ChangeFeedLedger
+    try:
+        C.ChangeFeedLedger = (
+            lambda sp, p, compact_every=64: orig(sp, p, compact_every=4))
+        out = C.stream_changes(spark, src, lambda c, v: None, led)
+    finally:
+        C.ChangeFeedLedger = orig
+    assert out["versions_applied"] == list(range(1, 11))
+    files = [f for f in os.listdir(led) if not f.startswith(("_", "."))]
+    assert len(files) <= 4
+    assert orig(spark, led).summary() == (10, set())
+
+
+def test_stream_changes_refuses_lower_from_version(spark, tmp_path):
+    """ADVICE r7: a feed's starting version is pinned; re-running an
+    existing ledger with a LOWER from_version raises (the watermark
+    would silently treat the never-applied earlier versions as done)
+    instead of skipping. Legacy ledgers without the pin fall back to
+    the min recorded version as the floor."""
+    from luma_etl_data_platform_spark.sources import lakehouse as LH
+    from luma_etl_data_platform_spark.streaming.cdf import stream_changes
+    src = str(tmp_path / "src")
+    led = str(tmp_path / "led")
+    mk = lambda rows: spark.createDataFrame(rows, ["k", "v"])
+    LH.create_table(spark, src, mk([(0, 0)]).coalesce(1), ["k"])
+    for i in range(1, 5):
+        LH.append_table(spark, src, mk([(i, i)]).coalesce(1))
+    seen: list[int] = []
+    out = stream_changes(spark, src, lambda c, v: seen.append(v), led,
+                         from_version=3)
+    assert out["versions_applied"] == [3, 4, 5]
+    # at or above the pin: normal skip semantics
+    out2 = stream_changes(spark, src, lambda c, v: seen.append(v), led,
+                          from_version=3)
+    assert out2["versions_applied"] == [] and out2["versions_skipped"] == 3
+    stream_changes(spark, src, lambda c, v: seen.append(v), led,
+                   from_version=4)
+    # below the pin: refused, nothing applied or recorded
+    with pytest.raises(ValueError, match="started at version 3"):
+        stream_changes(spark, src, lambda c, v: seen.append(v), led)
+    assert seen == [3, 4, 5]
+    # legacy ledger (no pin marker): min recorded version is the floor
+    os.remove(os.path.join(led, "_feed_start"))
+    with pytest.raises(ValueError, match="started at version 3"):
+        stream_changes(spark, src, lambda c, v: seen.append(v), led,
+                       from_version=1)
+    # a compliant re-run re-pins the feed
+    stream_changes(spark, src, lambda c, v: seen.append(v), led,
+                   from_version=3)
+    assert os.path.exists(os.path.join(led, "_feed_start"))
