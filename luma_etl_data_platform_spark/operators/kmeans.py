@@ -86,8 +86,9 @@ def kmeans_model(spark: SparkSession, df: DataFrame,
             s = cents[cid]
             nc2 = sum(x * x for x in s)
             rows.append((cid, s, math.sqrt(float(nc2))))
-        return spark.createDataFrame(
-            rows, "cluster long, s array<long>, ncs double")
+        from ..core.localframe import local_frame
+        return local_frame(
+            spark, rows, "cluster long, s array<long>, ncs double")
 
     def _assign():
         scored = (q.crossJoin(F.broadcast(_cent_df()))

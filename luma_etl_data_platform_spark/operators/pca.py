@@ -131,8 +131,9 @@ def pca_top_component(spark: SparkSession, df: DataFrame, vec_col: str,
     d_sel = min(range(dim), key=lambda d: (-abs(v[d]), d))
     sgn = 1.0 if v[d_sel] >= 0 else -1.0
 
-    vdf = spark.createDataFrame([(i, v[i]) for i in range(dim)],
-                                "dim int, v long")
+    from ..core.localframe import local_frame
+    vdf = local_frame(spark, [(i, v[i]) for i in range(dim)],
+                      "dim int, v long")
     loading = F.round(F.col("v").cast("double") * F.lit(sgn)
                       / F.sqrt(F.lit(float(den))), 6)
     # den >= MICRO^2 always (the iterate keeps a ±MICRO coordinate),

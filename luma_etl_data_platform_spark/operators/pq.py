@@ -42,7 +42,10 @@ brief's similarity-search scale path.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+
 from pyspark.sql import functions as F
+
+from ..core.localframe import local_frame
 
 from ..functions.text import portable_hash32
 from ..functions.vectors import micro_units
@@ -84,8 +87,8 @@ def pq_codebook_df(spark: SparkSession, df: DataFrame,
              .orderBy("_h", "_id").limit(k_codes).collect())
     rows = [(m, code, list(r["_q"][m * sub_d:(m + 1) * sub_d]))
             for code, r in enumerate(seeds) for m in range(m_sub)]
-    return spark.createDataFrame(
-        rows, "m int, code int, sub array<long>")
+    return local_frame(
+        spark, rows, "m int, code int, sub array<long>")
 
 
 def pq_trained_codebook_df(spark: SparkSession, df: DataFrame,
@@ -126,8 +129,8 @@ def pq_trained_codebook_df(spark: SparkSession, df: DataFrame,
     entries = {(r["m"], r["code"]): list(r["sub"])
                for r in seeds.collect()}
     for _ in range(iters):
-        bdf = spark.createDataFrame(
-            [(m, c, s) for (m, c), s in sorted(entries.items())],
+        bdf = local_frame(
+            spark, [(m, c, s) for (m, c), s in sorted(entries.items())],
             "m int, code int, sub array<long>")
         # (d2, code) is unique per (id, m) group, so appending vsub to
         # the min-struct never changes the argmin — it just carries
@@ -154,8 +157,8 @@ def pq_trained_codebook_df(spark: SparkSession, df: DataFrame,
         for key, sub in entries.items():
             new.setdefault(key, sub)  # empty code: carry previous
         entries = new
-    return spark.createDataFrame(
-        [(m, c, s) for (m, c), s in sorted(entries.items())],
+    return local_frame(
+        spark, [(m, c, s) for (m, c), s in sorted(entries.items())],
         "m int, code int, sub array<long>")
 
 

@@ -104,4 +104,5 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
         T.StructField("min_str", T.StringType(), True),
         T.StructField("max_str", T.StringType(), True),
     ])
-    return df.sparkSession.createDataFrame(out, schema)
+    from ..core.localframe import local_frame
+    return local_frame(df.sparkSession, out, schema)

@@ -182,8 +182,9 @@ def signlsh_neardup_pairs(df: DataFrame, threshold: float = 0.99,
     O(candidates · dims), not O(rows · bands · dims)."""
     first = df.select(vec_col).first()
     if first is None:  # empty corpus → empty result, not a TypeError
-        return df.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, score double")
+        from ..core.localframe import local_frame
+        return local_frame(df.sparkSession,
+                           [], "id_a long, id_b long, score double")
     dims = len(first[0])
     planes = _sign_planes(n_planes, dims)
     v = _as_double(_spread(df), vec_col)
@@ -552,4 +553,5 @@ def mmr_topk(df: DataFrame, query, k: int = 5, pool: int = 20,
         T.StructField("rnk", T.IntegerType()),
         T.StructField(id_col, df.schema[id_col].dataType),
         T.StructField("mmr_score", T.DoubleType())])
-    return spark.createDataFrame(out_rows, schema)
+    from ..core.localframe import local_frame
+    return local_frame(spark, out_rows, schema)

@@ -43,9 +43,10 @@ class JobTracker:
     def record(self, business_class: str, success: bool, duration_s: float,
                error: str | None = None) -> None:
         import datetime as dt
+        from .core.localframe import local_frame
         row = [(business_class, dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
                 bool(success), float(duration_s), error)]
-        self.spark.createDataFrame(row, self._SCHEMA).write.mode("append").parquet(self.path)
+        local_frame(self.spark, row, self._SCHEMA).write.mode("append").parquet(self.path)
 
     def read(self) -> DataFrame:
         return self.spark.read.schema(self._SCHEMA).parquet(self.path)

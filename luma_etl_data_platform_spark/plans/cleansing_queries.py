@@ -10,7 +10,10 @@ derivation + the same repair and match bit-for-bit.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
 from pyspark.sql import functions as F
+
+from ..core.localframe import local_frame
 
 from ..functions.cleansing import (
     extract_keyed_value, repair_amount, validate_uuid,
@@ -253,8 +256,8 @@ def constrained_load_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # left-join counts onto the full rule list so a rule with zero
     # rejects still reports a 0 row (the oracle emits every rule
     # unconditionally)
-    rules = spark.createDataFrame([(r,) for r in sorted(checks)],
-                                  "rule string")
+    rules = local_frame(spark, [(r,) for r in sorted(checks)],
+                        "rule string")
     counts = (rejects.select(F.explode("_violations").alias("rule"))
               .groupBy("rule").agg(F.count(F.lit(1)).alias("_n")))
     rej = (rules.join(counts, "rule", "left")

@@ -14,7 +14,10 @@ pure integer arithmetic — so even the *sketch estimates* and the
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
 from pyspark.sql import functions as F
+
+from ..core.localframe import local_frame
 
 from ..operators import sketches as K
 from ..operators.bpe import bpe_pair_counts
@@ -368,10 +371,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_train
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(docs, "text", n_merges=_BPE_MERGES)
-    return spark.createDataFrame(
-        merges,
-        schema="merge_rank bigint, left string, right string, "
-               "pair_count bigint").orderBy("merge_rank")
+    return local_frame(
+        spark, merges,
+        "merge_rank bigint, left string, right string, "
+        "pair_count bigint").orderBy("merge_rank")
 
 
 def _bpe_oracle(n: int, final_select: str | None = None) -> str:

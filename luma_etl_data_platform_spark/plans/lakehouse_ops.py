@@ -24,6 +24,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..core.localframe import local_frame
+
 from ..sources import lakehouse as LH
 from ..sources.tables import load_table
 
@@ -1670,7 +1672,7 @@ def lakehouse_hidden_partitioning(spark: SparkSession,
     n_user = LH.read_table_point_lookup(spark, path,
                                         {"user_id": u}).count()
     shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(bool(day_pruned), bool(bucket_pruned), bool(layout_hidden),
           int(day_row["n"]), int(day_row["s"]), int(n_user))],
         "day_pruned boolean, bucket_pruned boolean, "
@@ -1800,7 +1802,7 @@ def lakehouse_partition_transforms(spark: SparkSession,
                                           {"event_type": et}).count()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(bool(month_pruned), bool(trunc_int_pruned),
           bool(hour_pruned), bool(trunc_str_pruned),
           int(mrow["n"]), float(mrow["s"]), int(n_ck),
@@ -1914,17 +1916,45 @@ def lakehouse_partition_spec_evolution(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("o_totalprice"), 2).alias("s"))
             .collect()[0])
+        # SAME-NAME conflict (round 8, Iceberg per-file spec-id):
+        # truncate(50, o_custkey) re-declares the o_custkey_trunc
+        # name with a different width; gen-C lands under it and each
+        # generation keeps pruning by the transform string its
+        # add-actions recorded — previously this conflict disabled
+        # the name's derived pruning entirely.
+        LH.set_partition_spec(spark, path, ["truncate(50, o_custkey)"])
+        gen_c = odf.filter((F.col("o_orderdate")
+                            >= F.lit(plus_months(m0, 4)))
+                           & (F.col("o_orderdate")
+                              < F.lit(plus_months(m0, 6))))
+        LH.append_table(spark, path, gen_c.repartition(2))
+        total2 = len(LH.snapshot_files(spark, path))
+        keep_s = LH.pruned_candidate_files(spark, path, None,
+                                           eq={"o_custkey": ck})
+        t100, t50 = ck - ck % 100, ck - ck % 50
+        by_path = {a["path"]: a for a in LH.snapshot_adds(spark, path)}
+        samename_both_pruned = bool(keep_s) and len(keep_s) < total2
+        for p in keep_s:
+            a = by_path.get(p, {})
+            sp_rec = (a.get("spec") or {}).get("o_custkey_trunc")
+            pv = (a.get("partition") or {}).get("o_custkey_trunc")
+            if sp_rec == "truncate(100, o_custkey)" and pv != str(t100):
+                samename_both_pruned = False
+            if sp_rec == "truncate(50, o_custkey)" and pv != str(t50):
+                samename_both_pruned = False
         n_ck = LH.read_table_point_lookup(spark, path,
                                           {"o_custkey": ck}).count()
         n_all = LH.read_table(spark, path).count()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark,
         [(bool(evolution_zero_rewrite), bool(old_gen_pruned),
-          bool(new_gen_pruned), int(mrow["n"]), float(mrow["s"]),
+          bool(new_gen_pruned), bool(samename_both_pruned),
+          int(mrow["n"]), float(mrow["s"]),
           int(n_ck), int(n_all))],
         "evolution_zero_rewrite boolean, old_gen_pruned boolean, "
-        "new_gen_pruned boolean, n_rows_month long, "
+        "new_gen_pruned boolean, samename_both_pruned boolean, "
+        "n_rows_month long, "
         "sum_price_month double, n_rows_custkey long, n_rows_total long")
 
 
@@ -1932,19 +1962,20 @@ ORACLE["lakehouse_partition_spec_evolution"] = """
 WITH ow AS (SELECT * FROM orders WHERE o_custkey < 1000),
 m0 AS (SELECT date_trunc('month', min(o_orderdate)) AS m FROM ow),
 feed AS (SELECT ow.* FROM ow, m0
-         WHERE o_orderdate >= m AND o_orderdate < m + INTERVAL 4 MONTH),
+         WHERE o_orderdate >= m AND o_orderdate < m + INTERVAL 6 MONTH),
 mr AS (SELECT count(*) AS n_rows_month,
               ROUND(sum(o_totalprice), 2) AS sum_price_month
        FROM feed, m0
        WHERE o_orderdate >= m AND o_orderdate < m + INTERVAL 1 MONTH),
 genb AS (SELECT feed.* FROM feed, m0
-         WHERE o_orderdate >= m + INTERVAL 2 MONTH),
+         WHERE o_orderdate >= m + INTERVAL 2 MONTH
+           AND o_orderdate < m + INTERVAL 4 MONTH),
 ck AS (SELECT min(o_custkey) AS c FROM genb),
 cr AS (SELECT count(*) AS n_rows_custkey FROM feed, ck
        WHERE o_custkey = c),
 tot AS (SELECT count(*) AS n_rows_total FROM feed)
 SELECT TRUE AS evolution_zero_rewrite, TRUE AS old_gen_pruned,
-       TRUE AS new_gen_pruned,
+       TRUE AS new_gen_pruned, TRUE AS samename_both_pruned,
        n_rows_month, sum_price_month, n_rows_custkey, n_rows_total
 FROM mr, cr, tot
 """
@@ -2004,7 +2035,7 @@ def lakehouse_byte_optimize(spark: SparkSession,
                           and float(before["s"]) == float(after["s"]))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(bool(sized_adds), bool(packed_to_budget),
           bool(describe_consistent), bool(content_stable),
           int(after["n"]), float(after["s"]))],
@@ -2091,7 +2122,7 @@ def stream_cdf_paced(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_frame(spark, rows, out.schema)
 
 
 ORACLE["stream_cdf_paced"] = """

@@ -28,7 +28,10 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+
 from pyspark.sql import functions as F
+
+from ..core.localframe import local_frame
 from pyspark.sql.window import Window as W
 
 from ..sources.incremental import ProcessedIdLedger
@@ -263,8 +266,9 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     _run()
     far = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
     for bump in (1, 2):      # two flush passes (advance, then emit)
-        sentinel = spark.createDataFrame(
-            [(-1, far, None)], "user_id long, ts timestamp, value decimal(18,2)"
+        sentinel = local_frame(
+            spark, [(-1, far, None)],
+            "user_id long, ts timestamp, value decimal(18,2)"
         ).withColumn("ts", F.col("ts")
                      + F.expr(f"INTERVAL {31 * bump} DAYS"))
         sentinel.write.mode("append").parquet(f"{tmp}/src")

@@ -43,7 +43,8 @@ class ProcessedIdLedger:
         try:
             return self.spark.read.schema(self._SCHEMA).parquet(self.path)
         except Exception:
-            return self.spark.createDataFrame([], self._SCHEMA)
+            from ..core.localframe import local_frame
+            return local_frame(self.spark, [], self._SCHEMA)
 
     def not_processed(self, candidates: DataFrame, id_col: str = "id") -> DataFrame:
         """Anti-join: candidates not yet in the ledger (reference:

@@ -476,6 +476,8 @@ def describe_table(spark: SparkSession, table_path: str) -> dict:
     pnames = [parse_partition_spec(s)["name"] for s in pcols]
     pnames += [sp["name"] for sp in _partition_specs_ever(spark, table_path)
                if sp["name"] not in pnames]
+    pnames += [n for n in sorted(_conflicting_specs_ever(spark, table_path))
+               if n not in pnames]
     adds_df = _adds_df_at(spark, table_path)
     if adds_df is not None:
         # parquet-checkpointed table: ONE aggregate job over the
@@ -1084,6 +1086,18 @@ def _write_data_files(spark: SparkSession, table_path: str,
         add: dict = {"path": final, "size_bytes": int(st.getLen())}
         if pvals:
             add["partition"] = pvals
+            # per-file spec identity (Iceberg's per-file spec-id):
+            # record WHICH transform string produced each derived
+            # partition value, so a name re-declared with a different
+            # parameter (bucket(4,u) → bucket(8,u)) keeps pruning per
+            # generation instead of being disabled wholesale
+            # (identity values are spec-independent — not recorded)
+            spec_map = {p["name"]: p["spec"]
+                        for p in _partition_specs(partition_cols)
+                        if p["kind"] != "identity"}
+            spec_rec = {k: spec_map[k] for k in pvals if k in spec_map}
+            if spec_rec:
+                add["spec"] = spec_rec
         adds.append(add)
     fs.delete(Path(tmp_dir), True)
     _annotate_adds(spark, root, adds, df.columns, keys,
@@ -1529,6 +1543,22 @@ def set_partition_spec(spark: SparkSession, table_path: str,
         f"set_partition_spec: lost the commit race on {table_path}")
 
 
+def _specs_by_name(spark: SparkSession,
+                   table_path: str) -> dict[str, set[str]]:
+    """Every partition-spec string the log has ever declared,
+    grouped by the partition-key NAME it records values under."""
+    by_name: dict[str, set[str]] = {}
+    for d in _commits(spark, table_path):
+        if _invisible(d):
+            continue
+        specs = list(d.get("partition_by") or [])
+        specs += list(d.get("partition_spec_history") or [])
+        for s in specs:
+            sp = parse_partition_spec(s)
+            by_name.setdefault(sp["name"], set()).add(sp["spec"])
+    return by_name
+
+
 def _partition_specs_ever(spark: SparkSession,
                           table_path: str) -> list[dict]:
     """Every partition spec the log has ever declared (current +
@@ -1539,25 +1569,35 @@ def _partition_specs_ever(spark: SparkSession,
     evolved to ``bucket(8, u)``: both record values under
     ``u_bucket``, and a probe derived under one spec applied to a
     file written under the other would prune files that contain
-    matches). Those names are skipped entirely — conservative, never
-    wrong. Identity entries pass through untouched (their recorded
-    value IS the column value, spec-independent)."""
-    by_name: dict[str, set[str]] = {}
-    for d in _commits(spark, table_path):
-        if _invisible(d):
-            continue
-        specs = list(d.get("partition_by") or [])
-        specs += list(d.get("partition_spec_history") or [])
-        for s in specs:
-            sp = parse_partition_spec(s)
-            by_name.setdefault(sp["name"], set()).add(sp["spec"])
+    matches). Those names are excluded HERE (the global, applies-to-
+    every-file probe lane) and handled per generation instead:
+    :func:`_conflicting_specs_ever` + the per-file ``spec`` record
+    stamped by the writer let each file be probed under exactly the
+    transform that wrote it. Identity entries pass through untouched
+    (their recorded value IS the column value, spec-independent)."""
     out = []
-    for name, strs in by_name.items():
+    for name, strs in _specs_by_name(spark, table_path).items():
         if len(strs) == 1:
             out.append(parse_partition_spec(next(iter(strs))))
         elif all(parse_partition_spec(s)["kind"] == "identity"
                  for s in strs):
             out.append(parse_partition_spec(next(iter(strs))))
+    return out
+
+
+def _conflicting_specs_ever(spark: SparkSession,
+                            table_path: str) -> dict[str, list[dict]]:
+    """Transform names declared with CONFLICTING spec strings across
+    generations, name → the parsed specs. Pruning on these names is
+    per-file: a file's probe comes from the spec string its
+    add-action recorded (``add["spec"]``); files without the record
+    (pre-lane history) are conservatively kept."""
+    out: dict[str, list[dict]] = {}
+    for name, strs in _specs_by_name(spark, table_path).items():
+        parsed = [parse_partition_spec(s) for s in sorted(strs)]
+        if len(strs) > 1 and any(p["kind"] != "identity"
+                                 for p in parsed):
+            out[name] = parsed
     return out
 
 
@@ -2926,6 +2966,22 @@ def pruned_candidate_files(spark: SparkSession, table_path: str,
                 sp, *ranges[sp["source"]])
             if derived is not None:
                 ranges[sp["name"]] = derived
+    # names re-declared with a DIFFERENT transform string (spec
+    # evolution that reuses the name, e.g. bucket(4,u) → bucket(8,u)):
+    # derive one probe PER spec string and apply each only to files
+    # whose add-action recorded that string (Iceberg's per-file
+    # spec-id, carried here as add["spec"]); files predating the
+    # record are conservatively kept
+    amb: dict[str, dict[str, tuple]] = {}
+    for name, sps in _conflicting_specs_ever(spark, table_path).items():
+        if name in ranges:
+            continue
+        for sp in sps:
+            if sp["kind"] != "identity" and sp["source"] in ranges:
+                derived = _derive_partition_probe(
+                    sp, *ranges[sp["source"]])
+                if derived is not None:
+                    amb.setdefault(name, {})[sp["spec"]] = derived
     # legacy min_key/max_key fields describe the FIRST key column —
     # recover its name from the log so the fallback can never apply
     # another column's probe to the wrong range (which would prune
@@ -2939,7 +2995,8 @@ def pruned_candidate_files(spark: SparkSession, table_path: str,
         # paths return to the driver (at 10^5-10^6 files the stats and
         # Bloom lanes never leave the executors)
         from . import lakehouse_meta as meta
-        return meta.spark_prune(adds_df, ranges, eq, legacy_col)
+        return meta.spark_prune(adds_df, ranges, eq, legacy_col,
+                                amb_probes=amb)
     adds = snapshot_adds(spark, table_path, version)
     keep = []
     for a in adds:
@@ -2972,6 +3029,24 @@ def pruned_candidate_files(spark: SparkSession, table_path: str,
             if disjoint:
                 open_file = False
                 break
+        if open_file and amb:
+            spec_rec = a.get("spec") or {}
+            for name, by_spec in amb.items():
+                probe = by_spec.get(spec_rec.get(name))
+                pv = part.get(name)
+                if probe is None or pv is None:
+                    continue  # other/no generation, or value-less add
+                lo, hi = probe
+                fmin, fmax = _coerced(pv, lo), _coerced(pv, hi)
+                if fmin is None or fmax is None:
+                    continue
+                try:
+                    disjoint = fmax < lo or fmin > hi
+                except TypeError:
+                    disjoint = False
+                if disjoint:
+                    open_file = False
+                    break
         if open_file:
             for col, v in eq.items():
                 if _bloom_excludes(a, col, v):

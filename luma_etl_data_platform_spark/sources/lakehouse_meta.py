@@ -53,6 +53,11 @@ CKPT_SCHEMA = T.StructType([
     # filesystem probe ONLY for those files
     T.StructField("size_bytes", T.LongType()),
     T.StructField("partition", T.MapType(T.StringType(), T.StringType())),
+    # per-file spec identity: partition-key name → the transform
+    # string that produced its recorded value (null on pre-lane
+    # history and identity-only layouts) — lets a re-declared name
+    # (bucket(4,u) → bucket(8,u)) prune per generation
+    T.StructField("spec", T.MapType(T.StringType(), T.StringType())),
     T.StructField("has_stats", T.BooleanType()),
     T.StructField("stats_min_num", T.MapType(T.StringType(), T.DoubleType())),
     T.StructField("stats_max_num", T.MapType(T.StringType(), T.DoubleType())),
@@ -111,6 +116,7 @@ def add_to_row(add: dict) -> dict:
                     if add.get("size_bytes") is not None else None),
         partition={k: (None if v is None else str(v))
                    for k, v in part.items()},
+        spec={k: str(v) for k, v in (add.get("spec") or {}).items()},
         has_stats=bool(stats),
         stats_min_num=mn_num, stats_max_num=mx_num,
         stats_min_str=mn_str, stats_max_str=mx_str,
@@ -231,12 +237,48 @@ def bloom_probe(df: DataFrame, col: str, value) -> DataFrame:
     return tmp.filter(m.isNull() | all_set).drop(*helper_cols)
 
 
+def amb_keep_condition(amb_probes: dict[str, dict[str, tuple]]) -> Column:
+    """The Spark twin of the driver's per-generation partition-value
+    lane: for a partition-key name declared with CONFLICTING transform
+    strings, a file is skipped only when its OWN recorded spec string
+    (the ``spec`` map stamped at write time) matches a derived probe
+    AND its recorded value is provably outside it. Files without the
+    record (pre-lane history, other generations) are kept."""
+    keep = F.lit(True)
+    for name, by_spec in (amb_probes or {}).items():
+        excluded = F.lit(False)
+        for spec_str, (lo, hi) in by_spec.items():
+            kinds = {_probe_kind(lo), _probe_kind(hi)}
+            if kinds == {"num"}:
+                pv = _m("partition", name).try_cast("double")
+                plo, phi = F.lit(float(lo)), F.lit(float(hi))
+            elif kinds == {"str"}:
+                pv = _m("partition", name)
+                plo, phi = F.lit(lo), F.lit(hi)
+            else:
+                continue
+            disjoint = (pv < plo) | (pv > phi)
+            # coalesce BOTH legs: a null spec lookup (pre-lane rows,
+            # old checkpoints without the column) must read as
+            # no-match, never as a null that nulls the whole filter
+            excluded = excluded | (
+                F.coalesce(_m("spec", name) == F.lit(spec_str),
+                           F.lit(False))
+                & F.coalesce(disjoint, F.lit(False)))
+        keep = keep & ~excluded
+    return keep
+
+
 def spark_prune(adds_df: DataFrame, ranges: dict[str, tuple],
-                eq: dict, legacy_col: str | None) -> list[str]:
+                eq: dict, legacy_col: str | None,
+                amb_probes: dict[str, dict[str, tuple]] | None = None,
+                ) -> list[str]:
     """Run the full stat + Bloom prune as ONE Spark filter job over
     the add-action table; only the surviving relative paths cross back
     to the driver (the stats/Bloom payload never does)."""
     df = adds_df.filter(range_keep_condition(ranges, legacy_col))
+    if amb_probes:
+        df = df.filter(amb_keep_condition(amb_probes))
     for col, v in (eq or {}).items():
         df = bloom_probe(df, col, v)
     return sorted(r["path"] for r in df.select("path").collect())

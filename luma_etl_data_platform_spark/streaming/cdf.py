@@ -151,7 +151,8 @@ class ChangeFeedLedger:
         if self._files is None:
             fs, _jvm, Path = self._hfs()
             self._files = len(self._data_files(fs, Path))
-        (self.spark.createDataFrame([(int(version),)], self._SCHEMA)
+        from ..core.localframe import local_frame
+        (local_frame(self.spark, [(int(version),)], self._SCHEMA)
          .coalesce(1).write.mode("append").parquet(self.path))
         self._files += 1
         if self._files >= self.compact_every:

@@ -262,8 +262,9 @@ def test_portable_hash32_py_guards():
 def test_set_partition_spec_evolution(tmp_path, spark):
     """Files keep the layout of the spec they were written under; new
     files use the new spec; each generation prunes under its own
-    transforms; evolving a NAME to a conflicting spec disables that
-    name's derived pruning (conservative) instead of mispruning."""
+    transforms; evolving a NAME to a conflicting spec (bucket(4,u) →
+    bucket(8,u)) keeps BOTH generations pruning via the per-file spec
+    record (Iceberg's per-file spec-id), and never misprunes."""
     import datetime as dt
     path = str(tmp_path / "evo")
     df = spark.range(100).select(
@@ -297,12 +298,45 @@ def test_set_partition_spec_evolution(tmp_path, spark):
     assert (LH.read_table_pruned(spark, path, "u", 3, 3).count()
             == LH.read_table(spark, path).filter("u = 3").count())
     # conflicting re-declaration of the same transform NAME: bucket(8)
-    # vs bucket(4) both record u_bucket — derived pruning must turn
-    # OFF for that name (a probe under one spec would misprune files
-    # written under the other)
+    # vs bucket(4) both record u_bucket — the per-file spec record
+    # keeps each generation pruning under the transform that wrote it
+    # (r7: this used to disable the name's pruning entirely)
+    from luma_etl_data_platform_spark.functions.text import (
+        portable_hash32_py,
+    )
     LH.set_partition_spec(spark, path, ["bucket(8, u)"])
+    b4 = portable_hash32_py(3) % 4
     keep_amb = LH.pruned_candidate_files(spark, path, None, eq={"u": 3})
-    assert len(keep_amb) == total
+    assert 0 < len(keep_amb) < total
+    assert all(f"u_bucket={b4}" in p for p in keep_amb
+               if "u_bucket=" in p)
+    # gen-C lands under bucket(8): prunes by ITS spec while gen-B
+    # keeps pruning by bucket(4)
+    df3 = spark.range(200, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("u"),
+        F.lit(dt.datetime(2024, 1, 20)).alias("ts"))
+    LH.append_table(spark, path, df3)
+    b8 = portable_hash32_py(3) % 8
+    total3 = len(LH.snapshot_files(spark, path))
+    keep3 = LH.pruned_candidate_files(spark, path, None, eq={"u": 3})
+    assert 0 < len(keep3) < total3
+    by_path = {a["path"]: a for a in LH.snapshot_adds(spark, path)}
+    for p in keep3:
+        a = by_path[p]
+        spec = (a.get("spec") or {}).get("u_bucket")
+        pv = (a.get("partition") or {}).get("u_bucket")
+        if spec == "bucket(4, u)":
+            assert pv == str(b4)
+        elif spec == "bucket(8, u)":
+            assert pv == str(b8)
+    # reads stay exact across both bucket generations
+    assert (LH.read_table_point_lookup(spark, path, {"u": 3}).count()
+            == LH.read_table(spark, path).filter("u = 3").count())
+    # expire restates the per-file spec record: pruning unchanged
+    # after the declaring commits are gone
+    LH.expire_snapshots(spark, path, keep_last=1)
+    keep4 = LH.pruned_candidate_files(spark, path, None, eq={"u": 3})
+    assert sorted(keep4) == sorted(keep3)
     # unknown source column refuses
     with pytest.raises(ValueError, match="not in the table schema"):
         LH.set_partition_spec(spark, path, ["days(nope)"])
