@@ -291,7 +291,8 @@ def repetition_profile(df: DataFrame, text_col: str, id_col: str,
 
 
 def budget_pack(df: DataFrame, id_col: str, score_col: str,
-                tokens_col: str, budget: int) -> DataFrame:
+                tokens_col: str, budget: int,
+                score_decimals: int = 6) -> DataFrame:
     """Token-budget-constrained selection: walk documents in
     (score DESC, id ASC) order and keep them while the running token
     total stays within ``budget`` — the curation step that turns
@@ -309,8 +310,18 @@ def budget_pack(df: DataFrame, id_col: str, score_col: str,
     corpus to one partition. Distinct-score cardinality, not corpus
     size, bounds the serial step. Arithmetic is BIGINT throughout;
     the selection is bit-stable under any partitioning.
+
+    ``score_decimals`` sets the bucket quantum (default 6 dp — exact
+    for scores that are themselves <= 6 dp). For CONTINUOUS scores
+    the distinct-bucket set approaches corpus size at full precision
+    and the bucket window becomes the bottleneck; pass a coarser
+    value (e.g. 3) to bound it. Within a quantum the walk order is
+    (bucket DESC, id ASC) — ties that quantization introduces break
+    deterministically by id, and the budget is never over-spent at
+    ANY quantization (``cum_tokens <= budget`` is the filter itself).
     """
-    micro = F.floor(F.col(score_col) * 1000000.0 + F.lit(0.5)).cast("long")
+    micro = F.floor(F.col(score_col) * F.lit(10.0 ** score_decimals)
+                    + F.lit(0.5)).cast("long")
     rows = df.withColumn("_b", micro)
     buckets = (rows.groupBy("_b")
                .agg(F.sum(F.col(tokens_col).cast("long")).alias("_btot")))

@@ -113,6 +113,35 @@ def test_budget_pack_hand_computed(spark):
     assert got == {"a": 10, "b": 25, "c": 30}
 
 
+def test_budget_pack_quantized_never_overspends(spark):
+    """score_decimals coarsens the bucket key (continuous-score
+    escape hatch): at ANY quantization the selection stays within
+    budget, stays deterministic under repartitioning, and coarser
+    keys collapse the distinct-bucket set the serial window runs
+    over."""
+    import random
+    from luma_etl_data_platform_spark.operators.curation import budget_pack
+    rng = random.Random(8)
+    rows = [Row(id=i, score=rng.uniform(0.0, 1.0), tok=1 + i % 13)
+            for i in range(300)]
+    df = spark.createDataFrame(rows)
+    budget = 700
+    for dec in (6, 3, 1, 0):
+        got = budget_pack(df, "id", "score", "tok", budget,
+                          score_decimals=dec)
+        rows_out = got.collect()
+        assert max(r["cum_tokens"] for r in rows_out) <= budget
+        # repartition-stable at every quantization
+        again = sorted(r["id"] for r in budget_pack(
+            df.repartition(11), "id", "score", "tok", budget,
+            score_decimals=dec).collect())
+        assert again == sorted(r["id"] for r in rows_out)
+    # coarser key → fewer distinct buckets for the serial window
+    n6 = df.select(F.floor(F.col("score") * 1e6 + 0.5)).distinct().count()
+    n1 = df.select(F.floor(F.col("score") * 10 + 0.5)).distinct().count()
+    assert n1 < n6
+
+
 def test_budget_pack_partition_stable(spark):
     from luma_etl_data_platform_spark.operators.curation import budget_pack
     rows = [Row(id=i, score=float(i % 7), tok=10) for i in range(100)]
