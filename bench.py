@@ -74,22 +74,23 @@ EXTRA = [
     "lakehouse_dv_auto_maintenance",
     "stream_cdf_apply",
     "ann_pq_trained_topk",
-    # round-7 rotation toward never-driver-sampled families (verdict
-    # item 8): hidden partitioning + the new months/hours/truncate
-    # and spec-evolution gates, the converged unigram trainer, the
-    # WAV decoder (multimodal family's first wall-time record), and
-    # graph PageRank (the graph family's first). Rotated OUT after
-    # 2-3 rounds of visibility: stream_wap_ingest, bpe_train_merges,
-    # pca_top_component, lakehouse_multi_table_txn,
-    # lakehouse_shallow_clone, ann_pq_topk, unigram_viterbi_stats,
-    # lakehouse_scoped_optimize, lakehouse_restore_across_mor,
-    # lakehouse_incremental_mv, unigram_em_round_stats
-    "lakehouse_hidden_partitioning",
-    "lakehouse_partition_transforms",
+    # round-8 rotation toward never-driver-sampled families (verdict
+    # item 7): graph LPA (second graph entry), the CMS heavy-hitters
+    # sketch (sketch family's first wall-time record), duplicated-
+    # span dedup (Lee et al.), and the spec-evolution gate (kept one
+    # more round — it now carries the new same-name per-file-spec-id
+    # leg). Rotated OUT after 2-3 rounds of visibility:
+    # stream_wap_ingest, bpe_train_merges, pca_top_component,
+    # lakehouse_multi_table_txn, lakehouse_shallow_clone, ann_pq_topk,
+    # unigram_viterbi_stats, lakehouse_scoped_optimize,
+    # lakehouse_restore_across_mor, lakehouse_incremental_mv,
+    # unigram_em_round_stats, lakehouse_hidden_partitioning,
+    # lakehouse_partition_transforms, unigram_em_converged_stats,
+    # multimodal_wav_decode, graph_pagerank_top20
     "lakehouse_partition_spec_evolution",
-    "unigram_em_converged_stats",
-    "multimodal_wav_decode",
-    "graph_pagerank_top20",
+    "graph_lpa_communities",
+    "cms_heavy_hitters",
+    "dedup_span_docs",
 ]
 
 

@@ -583,13 +583,6 @@ def stream_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ledger = f"{tmp}/ledger"
     feed = (load_table(spark, sf_dir, "events")
             .select("user_id", "ts", "event_id", "value"))
-    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(),
-                                         F.col("event_id").desc())
-
-    def _latest(df: DataFrame) -> DataFrame:
-        return (df.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1).drop("_rn"))
-
     newer = (F.col("src.ts") > F.col("tgt.ts")) | (
         (F.col("src.ts") == F.col("tgt.ts"))
         & (F.col("src.event_id") > F.col("tgt.event_id")))
@@ -597,12 +590,25 @@ def stream_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
            .otherwise(F.col(f"tgt.{c}"))
            for c in ("ts", "event_id", "value")}
     # three source commits: create (even event_ids), a newer-wins
-    # merge (odd ones), a delete — one CDF batch of each change shape
+    # merge (odd ones), a delete — one CDF batch of each change
+    # shape. The user-keyed frames are repartitioned to 8 files: the
+    # scenario's cost is per-FILE (each version's CDF diff and each
+    # mirror merge walk the touched files), and a 32-way layout of a
+    # user-level table is pure task overhead at gate scale. Both
+    # halves come from ONE window pass over events — partition by
+    # (user_id, parity) and checkpoint, so the corpus is shuffled
+    # once, not once per commit.
+    wp = W.partitionBy("user_id", (F.col("event_id") % 2))\
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest_by_parity = (feed.withColumn("_rn", F.row_number().over(wp))
+                        .filter(F.col("_rn") == 1).drop("_rn")
+                        .repartition(8)
+                        .localCheckpoint(eager=True))
     LH.create_table(spark, src_path,
-                    _latest(feed.filter(F.col("event_id") % 2 == 0)),
+                    latest_by_parity.filter(F.col("event_id") % 2 == 0),
                     ["user_id"])
     LH.merge_into(spark, src_path,
-                  _latest(feed.filter(F.col("event_id") % 2 == 1)),
+                  latest_by_parity.filter(F.col("event_id") % 2 == 1),
                   ["user_id"], update_set=upd)
     LH.delete_where(spark, src_path, "user_id % 7 = 0")
 
@@ -613,7 +619,8 @@ def stream_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         dels = (changes.filter(F.col("_change_type") == "delete")
                 .drop("_change_type"))
         if LH.current_version(spark, mirror_path) == 0:
-            LH.create_table(spark, mirror_path, ups, ["user_id"])
+            LH.create_table(spark, mirror_path, ups.repartition(8),
+                            ["user_id"])
             return
         if ups.limit(1).count():
             LH.merge_into(spark, mirror_path, ups, ["user_id"])
