@@ -219,6 +219,10 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (u.crossJoin(F.broadcast(g))
          .select("user_id", "freq", "monetary",
                  F.datediff(F.col("gmax"), F.col("last_ts")).alias("rec")))
+    # the per-user aggregate feeds four branches (three distinct-value
+    # count sets + the main row set) — persist it so the events scan
+    # and user groupBy run once, not once per branch
+    s = s.persist()
     n_users = s.agg(F.count(F.lit(1)).alias("_n"))
     t = s.crossJoin(F.broadcast(n_users))
     t = _scale_ntile(t, "rec", asc=True, out_col="r_score")
