@@ -86,9 +86,11 @@ def kmeans_model(spark: SparkSession, df: DataFrame,
             s = cents[cid]
             nc2 = sum(x * x for x in s)
             rows.append((cid, s, math.sqrt(float(nc2))))
-        from ..core.localframe import local_frame
-        return local_frame(
-            spark, rows, "cluster long, s array<long>, ncs double")
+        # createDataFrame, not a literal plan: rebuilt per Lloyd
+        # iteration and broadcast-joined into every assignment query
+        # (see operators/pq.py for the measured trade-off)
+        return spark.createDataFrame(
+            rows, "cluster long, s array<long>, ncs double")
 
     def _assign():
         scored = (q.crossJoin(F.broadcast(_cent_df()))

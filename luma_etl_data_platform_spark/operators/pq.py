@@ -45,7 +45,6 @@ from pyspark.sql import Column, DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
-from ..core.localframe import local_frame
 
 from ..functions.text import portable_hash32
 from ..functions.vectors import micro_units
@@ -87,8 +86,15 @@ def pq_codebook_df(spark: SparkSession, df: DataFrame,
              .orderBy("_h", "_id").limit(k_codes).collect())
     rows = [(m, code, list(r["_q"][m * sub_d:(m + 1) * sub_d]))
             for code, r in enumerate(seeds) for m in range(m_sub)]
-    return local_frame(
-        spark, rows, "m int, code int, sub array<long>")
+    # createDataFrame (NOT a literal plan) is deliberate here: the
+    # codebook frame is broadcast-joined inside every ADC query and
+    # rebuilt per Lloyd iteration — an inline literal tree is
+    # re-analyzed by Catalyst in each downstream plan (measured 2x
+    # slower end-to-end on ann_pq_trained_topk), while a LocalRelation
+    # is opaque and tiny. local_frame stays the right tool for
+    # one-shot flag/ledger rows.
+    return spark.createDataFrame(
+        rows, "m int, code int, sub array<long>")
 
 
 def pq_trained_codebook_df(spark: SparkSession, df: DataFrame,
@@ -129,8 +135,8 @@ def pq_trained_codebook_df(spark: SparkSession, df: DataFrame,
     entries = {(r["m"], r["code"]): list(r["sub"])
                for r in seeds.collect()}
     for _ in range(iters):
-        bdf = local_frame(
-            spark, [(m, c, s) for (m, c), s in sorted(entries.items())],
+        bdf = spark.createDataFrame(
+            [(m, c, s) for (m, c), s in sorted(entries.items())],
             "m int, code int, sub array<long>")
         # (d2, code) is unique per (id, m) group, so appending vsub to
         # the min-struct never changes the argmin — it just carries
@@ -157,8 +163,8 @@ def pq_trained_codebook_df(spark: SparkSession, df: DataFrame,
         for key, sub in entries.items():
             new.setdefault(key, sub)  # empty code: carry previous
         entries = new
-    return local_frame(
-        spark, [(m, c, s) for (m, c), s in sorted(entries.items())],
+    return spark.createDataFrame(
+        [(m, c, s) for (m, c), s in sorted(entries.items())],
         "m int, code int, sub array<long>")
 
 
