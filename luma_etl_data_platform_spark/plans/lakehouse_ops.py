@@ -2136,6 +2136,55 @@ ORDER BY o_custkey
 """
 
 
+
+def merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with schema evolution (Delta's ``withSchemaEvolution()``):
+    the table is created WITHOUT a ``segment`` column; a merge source
+    carrying it (custkeys 11-30: 11-20 match and update, 21-30 insert)
+    widens the schema as part of the merge — never-matched rows
+    (custkeys 1-10, untouched files) read the new column as typed
+    NULL, updates and inserts carry its values, and no file is
+    rewritten for the widening itself. End state checked against a
+    relational oracle; the default no-evolution path (extra source
+    columns ignored) and DROP-COLUMN-name refusal are pytest-pinned
+    in tests/test_lakehouse.py."""
+    tmp = tempfile.mkdtemp(prefix="luma_lh_mevo_")
+    try:
+        path = f"{tmp}/t"
+        base = (load_table(spark, sf_dir, "orders")
+                .filter(F.col("o_custkey") <= 30)
+                .groupBy("o_custkey")
+                .agg(F.round(F.sum("o_totalprice"), 2).alias("spend")))
+        LH.create_table(spark, path,
+                        base.filter(F.col("o_custkey") <= 20).coalesce(2),
+                        ["o_custkey"])
+        src = (base.filter(F.col("o_custkey") > 10)
+               .withColumn("segment",
+                           F.when(F.col("o_custkey") % 2 == 0, "even")
+                           .otherwise("odd")))
+        LH.merge_into(spark, path, src, ["o_custkey"],
+                      schema_evolution=True)
+        out = (LH.read_table(spark, path, merge_schema=True)
+               .select("o_custkey",
+                       F.round("spend", 2).alias("spend"), "segment")
+               .orderBy("o_custkey")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["merge_schema_evolution"] = """
+WITH b AS (SELECT o_custkey, ROUND(sum(o_totalprice), 2) AS spend
+           FROM orders WHERE o_custkey <= 30 GROUP BY 1)
+SELECT o_custkey, ROUND(spend, 2) AS spend,
+       CASE WHEN o_custkey > 10
+            THEN (CASE WHEN o_custkey % 2 = 0 THEN 'even' ELSE 'odd' END)
+       END AS segment
+FROM b ORDER BY o_custkey
+"""
+
+
 QUERIES = {
     "lakehouse_hidden_partitioning": lakehouse_hidden_partitioning,
     "lakehouse_partition_transforms": lakehouse_partition_transforms,
@@ -2143,6 +2192,7 @@ QUERIES = {
     "lakehouse_byte_optimize": lakehouse_byte_optimize,
     "stream_cdf_paced": stream_cdf_paced,
     "merge_upsert_orders": merge_upsert_orders,
+    "merge_schema_evolution": merge_schema_evolution,
     "lakehouse_time_travel": lakehouse_time_travel,
     "lakehouse_compaction": lakehouse_compaction,
     "lakehouse_change_feed": lakehouse_change_feed,

@@ -1718,7 +1718,8 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
                delete_condition: Column | str | None = None,
                insert_when_not_matched: bool = True,
                max_retries: int = 2,
-               mode: str = "cow") -> dict:
+               mode: str = "cow",
+               schema_evolution: bool = False) -> dict:
     """Row-level ``MERGE INTO`` with copy-on-write file rewrites.
 
     Clause semantics (mirroring ANSI/Delta MERGE):
@@ -1747,7 +1748,17 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
     land as new small files, and NO existing file is rewritten —
     O(changed rows) writes for a sparse upsert into huge files. The
     change feed reports MOR updates as delete+insert pairs; OPTIMIZE
-    purges the vectors."""
+    purges the vectors.
+
+    ``schema_evolution=True`` is Delta's ``withSchemaEvolution()``:
+    source columns the target lacks are ADDED to the table schema as
+    part of the merge — pre-existing rows read them as NULL
+    (add-column evolution, no file is rewritten for the widening
+    itself), matched updates and inserts carry the new values.
+    Without the flag (the default, and Delta's) extra source columns
+    are ignored. The source must still carry every target column;
+    names retired by DROP/RENAME COLUMN are refused just as in
+    ``append_table``."""
     if mode not in ("cow", "mor"):
         raise ValueError(f"merge_into: unknown mode {mode!r}")
     for attempt in range(max_retries + 1):
@@ -1755,14 +1766,33 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
             if mode == "mor":
                 return _merge_mor_once(spark, table_path, source, keys,
                                        update_set, delete_condition,
-                                       insert_when_not_matched)
+                                       insert_when_not_matched,
+                                       schema_evolution)
             return _merge_once(spark, table_path, source, keys,
                                update_set, delete_condition,
-                               insert_when_not_matched)
+                               insert_when_not_matched, schema_evolution)
         except CommitConflictError:
             if attempt == max_retries:
                 raise
     raise AssertionError("unreachable")
+
+
+def _evolve_merge_target(spark: SparkSession, table_path: str,
+                         target: DataFrame, source: DataFrame) -> DataFrame:
+    """MERGE schema evolution: widen the logical target with the
+    source's NEW columns (typed NULL for existing rows). Retired
+    names (DROP/RENAME COLUMN history) are refused — silently
+    resurrecting a dropped column under its old name would un-drop
+    stale data on old files."""
+    new_cols = [c for c in source.columns if c not in target.columns]
+    if not new_cols:
+        return target
+    _guard_retired_names(spark, table_path, new_cols,
+                         f"merge_into schema evolution on {table_path}")
+    for c in new_cols:
+        target = target.withColumn(
+            c, F.lit(None).cast(source.schema[c].dataType))
+    return target
 
 
 def _table_keys(spark: SparkSession, table_path: str) -> list[str]:
@@ -1937,7 +1967,8 @@ def _delete_mor_once(spark: SparkSession, table_path: str,
 def _merge_mor_once(spark: SparkSession, table_path: str,
                     source: DataFrame, keys: list[str],
                     update_set, delete_condition,
-                    insert_when_not_matched: bool) -> dict:
+                    insert_when_not_matched: bool,
+                    schema_evolution: bool = False) -> dict:
     """Merge-on-read MERGE body: matched rows that a clause modifies
     become deletion-vector positions, their post-images (plus
     not-matched inserts) land as new small files, and NO existing
@@ -1956,6 +1987,8 @@ def _merge_mor_once(spark: SparkSession, table_path: str,
             dv, (tagged["__f"] == dv["__dv_f"])
             & (tagged["__i"] == dv["__dv_i"]), "left_anti")
     tgt = _apply_schema_events(tagged, events)
+    if schema_evolution:
+        tgt = _evolve_merge_target(spark, table_path, tgt, source)
     tgt_cols = [c for c in tgt.columns if c not in ("__f", "__i")]
     src = source.select(*tgt_cols)
 
@@ -2260,7 +2293,8 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
                 keys: list[str],
                 update_set: dict[str, Column] | str | None,
                 delete_condition: Column | str | None,
-                insert_when_not_matched: bool) -> dict:
+                insert_when_not_matched: bool,
+                schema_evolution: bool = False) -> dict:
     base_version = current_version(spark, table_path)
     if base_version == 0:
         raise FileNotFoundError(f"{table_path} has no commit log")
@@ -2275,6 +2309,8 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
     target = _apply_schema_events(
         _apply_dv(spark.read.option("mergeSchema", "true")
                   .parquet(*files), dv), events)
+    if schema_evolution:
+        target = _evolve_merge_target(spark, table_path, target, source)
     tgt_cols = target.columns
     src = source.select(*tgt_cols)
     src_keys = src.select(*keys).distinct().localCheckpoint(eager=True)

@@ -277,6 +277,57 @@ def test_merge_into_evolved_table_updates_and_inserts(tmp_path, spark):
     assert got == {1: (11, "E1"), 2: (20, "E2"), 3: (30, "E3")}
 
 
+def test_merge_schema_evolution_both_modes(tmp_path, spark):
+    """merge_into(schema_evolution=True) — Delta's
+    withSchemaEvolution(): a NEW source column widens the table as
+    part of the merge (typed NULL on untouched rows, values on
+    updates/inserts, no rewrite of unmatched files); the default
+    ignores extra source columns; resurrecting a DROPped name is
+    refused."""
+    for mode in ("cow", "mor"):
+        path = str(tmp_path / f"evo_{mode}")
+        LH.create_table(
+            spark, path,
+            spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+            .coalesce(1), ["k"])
+        src = spark.createDataFrame([(2, 25, "x"), (3, 30, "y")],
+                                    "k long, v long, tag string")
+        # default: extra source column ignored, schema unchanged
+        LH.merge_into(spark, path, src, ["k"], mode=mode)
+        assert LH.read_table(spark, path, merge_schema=True).columns \
+            == ["k", "v"]
+        # evolution: column added; matched update + insert carry it,
+        # the never-matched row reads typed NULL
+        src2 = spark.createDataFrame([(3, 35, "z"), (4, 40, "w")],
+                                     "k long, v long, tag string")
+        LH.merge_into(spark, path, src2, ["k"], mode=mode,
+                      schema_evolution=True)
+        got = {r["k"]: (r["v"], r["tag"]) for r in
+               LH.read_table(spark, path, merge_schema=True).collect()}
+        assert got == {1: (10, None), 2: (25, None),
+                       3: (35, "z"), 4: (40, "w")}
+        # the widened column participates in later plain merges
+        LH.merge_into(spark, path,
+                      spark.createDataFrame([(1, 11, "n")],
+                                            "k long, v long, tag string"),
+                      ["k"], mode=mode)
+        row1 = (LH.read_table(spark, path, merge_schema=True)
+                .filter("k = 1").collect()[0])
+        assert (row1["v"], row1["tag"]) == (11, "n")
+    # retired names refuse (same contract as append_table)
+    path = str(tmp_path / "evo_ret")
+    LH.create_table(spark, path,
+                    spark.createDataFrame([(1, 10, "a")],
+                                          "k long, v long, old string")
+                    .coalesce(1), ["k"])
+    LH.drop_column(spark, path, "old")
+    with pytest.raises(ValueError, match="old"):
+        LH.merge_into(spark, path,
+                      spark.createDataFrame([(1, 11, "b")],
+                                            "k long, v long, old string"),
+                      ["k"], schema_evolution=True)
+
+
 def test_read_changes_mixed_merge(table, spark):
     # v3 -> v4: update k=1 (v 10->99), delete k=11, insert k=31.
     src = spark.createDataFrame([
