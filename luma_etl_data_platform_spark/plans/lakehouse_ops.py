@@ -2185,6 +2185,84 @@ FROM b ORDER BY o_custkey
 """
 
 
+
+def replace_where_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATOMIC predicate overwrite (Delta ``replaceWhere``) as the
+    idempotent monthly backfill: a 3-month orders table partitioned by
+    ``months(o_orderdate)`` has its MIDDLE month re-loaded with
+    corrected prices (+1000) — one commit deletes the month and lands
+    the new slice, a second identical run is a no-op end-state-wise
+    (``idempotent``), and the commit touches only that month's files
+    (``pruned``: carried count > 0). Out-of-predicate rows are
+    refused by validation (pytest-pinned)."""
+    import datetime as _dt
+    tmp = tempfile.mkdtemp(prefix="luma_lh_rw_")
+    try:
+        path = f"{tmp}/t"
+        odf = (load_table(spark, sf_dir, "orders")
+               .filter(F.col("o_custkey") <= 2000)
+               .select("o_orderkey", "o_custkey", "o_orderdate",
+                       "o_totalprice"))
+        m0 = odf.agg(F.min("o_orderdate")).collect()[0][0].replace(day=1)
+
+        def plus_months(d, n):
+            y, m = d.year + (d.month - 1 + n) // 12, (d.month - 1 + n) % 12 + 1
+            return d.replace(year=y, month=m)
+
+        m1, m2, m3 = (plus_months(m0, 1), plus_months(m0, 2),
+                      plus_months(m0, 3))
+        feed = odf.filter((F.col("o_orderdate") >= F.lit(m0))
+                          & (F.col("o_orderdate") < F.lit(m3)))
+        LH.create_table(spark, path, feed.repartition(4), ["o_orderkey"],
+                        partition_by=["months(o_orderdate)"])
+        in_m1 = ((F.col("o_orderdate") >= F.lit(m1))
+                 & (F.col("o_orderdate") < F.lit(m2)))
+        repl = (feed.filter(in_m1)
+                .withColumn("o_totalprice",
+                            F.round(F.col("o_totalprice") + 1000.0, 2)))
+        st1 = LH.replace_where(spark, path, repl, in_m1)
+        st2 = LH.replace_where(spark, path, repl, in_m1)  # re-run
+        out = (LH.read_table(spark, path)
+               .groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                        .alias("month"))
+               .agg(F.count(F.lit(1)).alias("n_orders"),
+                    F.round(F.sum("o_totalprice"), 2).alias("sum_price")))
+        total = (LH.read_table(spark, path)
+                 .agg(F.count(F.lit(1))).collect()[0][0])
+        expected = feed.count()
+        idempotent = bool(total == expected
+                          and st2["n_rows_changed"]
+                          == st1["n_rows_inserted"])
+        pruned = bool(st1["n_files_carried"] > 0
+                      and st1["n_files_rewritten"] > 0)
+        out = (out.withColumn("idempotent", F.lit(idempotent))
+               .withColumn("pruned", F.lit(pruned))
+               .orderBy("month")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["replace_where_backfill"] = """
+WITH ow AS (SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+            WHERE o_custkey <= 2000),
+m0 AS (SELECT date_trunc('month', min(o_orderdate)) AS m FROM ow),
+feed AS (SELECT ow.*,
+                CASE WHEN o_orderdate >= m + INTERVAL 1 MONTH
+                      AND o_orderdate <  m + INTERVAL 2 MONTH
+                     THEN ROUND(o_totalprice + 1000.0, 2)
+                     ELSE o_totalprice END AS adj
+         FROM ow, m0
+         WHERE o_orderdate >= m AND o_orderdate < m + INTERVAL 3 MONTH)
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       count(*) AS n_orders,
+       ROUND(sum(adj), 2) AS sum_price,
+       TRUE AS idempotent, TRUE AS pruned
+FROM feed GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "lakehouse_hidden_partitioning": lakehouse_hidden_partitioning,
     "lakehouse_partition_transforms": lakehouse_partition_transforms,
@@ -2193,6 +2271,7 @@ QUERIES = {
     "stream_cdf_paced": stream_cdf_paced,
     "merge_upsert_orders": merge_upsert_orders,
     "merge_schema_evolution": merge_schema_evolution,
+    "replace_where_backfill": replace_where_backfill,
     "lakehouse_time_travel": lakehouse_time_travel,
     "lakehouse_compaction": lakehouse_compaction,
     "lakehouse_change_feed": lakehouse_change_feed,

@@ -1803,11 +1803,15 @@ def _table_keys(spark: SparkSession, table_path: str) -> list[str]:
 
 
 def _dml_once(spark: SparkSession, table_path: str, condition,
-              update_set: dict[str, Column] | None, op: str) -> dict:
-    """Shared copy-on-write body of DELETE WHERE / UPDATE WHERE:
-    reconnaissance finds the files that contain a matching row (the
-    rest carry by reference), touched files are rewritten with the
-    row-level change, and the swap commits atomically."""
+              update_set: dict[str, Column] | None, op: str,
+              insert_df: DataFrame | None = None) -> dict:
+    """Shared copy-on-write body of DELETE WHERE / UPDATE WHERE /
+    REPLACE WHERE: reconnaissance finds the files that contain a
+    matching row (the rest carry by reference), touched files are
+    rewritten with the row-level change, and the swap commits
+    atomically. ``insert_df`` (REPLACE WHERE) lands as new files in
+    the SAME commit as the predicate delete — the replacement is
+    atomic, never observable half-done."""
     base_version = current_version(spark, table_path)
     if base_version == 0:
         raise FileNotFoundError(f"{table_path} has no commit log")
@@ -1839,18 +1843,23 @@ def _dml_once(spark: SparkSession, table_path: str, condition,
                     .distinct().collect())
     touched = sorted(r["_f"] for r in touched_rows)
     touched_rel = [_log_ref(f, root) for f in touched]
-    if not touched:
+    if not touched and insert_df is None:
         return {"version": base_version, "n_files_rewritten": 0,
                 "n_files_carried": len(files), "n_rows_changed": 0}
 
-    tgt_touched = _align_logical(
-        _apply_schema_events(
-            _apply_dv(spark.read.option("mergeSchema", "true")
-                      .parquet(*touched), dv),
-            events),
-        target.schema)
-    n_match = tgt_touched.filter(cond).count()
-    if update_set is None:
+    n_match = 0
+    out: DataFrame | None = None
+    if touched:
+        tgt_touched = _align_logical(
+            _apply_schema_events(
+                _apply_dv(spark.read.option("mergeSchema", "true")
+                          .parquet(*touched), dv),
+                events),
+            target.schema)
+        n_match = tgt_touched.filter(cond).count()
+    if not touched:
+        pass
+    elif update_set is None:
         out = tgt_touched.filter(~cond)
     else:
         # every RHS evaluates against the PRE-update row (one select,
@@ -1869,7 +1878,8 @@ def _dml_once(spark: SparkSession, table_path: str, condition,
         out = tgt_touched.select(*out_cols)
 
     adds: list[dict] = []
-    if update_set is not None or out.limit(1).count() > 0:
+    if out is not None and (update_set is not None
+                            or out.limit(1).count() > 0):
         if update_set is not None:
             # UPDATE can introduce violations; DELETE survivors are a
             # subset of already-valid rows and need no re-check
@@ -1881,13 +1891,29 @@ def _dml_once(spark: SparkSession, table_path: str, condition,
                                      spark, table_path),
                                  partition_cols=_table_partition_cols(
                                      spark, table_path))
+    n_inserted = 0
+    if insert_df is not None:
+        ins = _align_logical(insert_df, target.schema)
+        _enforce_constraints(ins, table_constraints(spark, table_path),
+                             f"{op} on {table_path}")
+        ins_adds = _write_data_files(spark, table_path, ins,
+                                     _table_keys(spark, table_path),
+                                     bloom_cols=_table_bloom_cols(
+                                         spark, table_path),
+                                     partition_cols=_table_partition_cols(
+                                         spark, table_path))
+        n_inserted = sum(a.get("rows") or 0 for a in ins_adds)
+        adds += ins_adds
     doc = {"version": base_version + 1, "op": op,
            "add": adds, "remove": touched_rel}
     _write_commit(spark, table_path, base_version + 1, doc)
-    return {"version": base_version + 1,
-            "n_files_rewritten": len(touched_rel),
-            "n_files_carried": len(files) - len(touched_rel),
-            "n_rows_changed": n_match}
+    res = {"version": base_version + 1,
+           "n_files_rewritten": len(touched_rel),
+           "n_files_carried": len(files) - len(touched_rel),
+           "n_rows_changed": n_match}
+    if insert_df is not None:
+        res["n_rows_inserted"] = n_inserted
+    return res
 
 
 def delete_where(spark: SparkSession, table_path: str,
@@ -2183,6 +2209,49 @@ def update_where(spark: SparkSession, table_path: str,
                                         dict(update_set))
             return _dml_once(spark, table_path, condition,
                              dict(update_set), "update")
+        except CommitConflictError:
+            if attempt == max_retries:
+                raise
+    raise AssertionError("unreachable")
+
+
+def replace_where(spark: SparkSession, table_path: str, df: DataFrame,
+                  condition: Column | str,
+                  validate: bool = True,
+                  max_retries: int = 2) -> dict:
+    """Delta's ``replaceWhere`` — ATOMIC predicate overwrite, the
+    idempotent-backfill primitive: every existing row matching
+    ``condition`` is deleted and ``df``'s rows land, in ONE commit
+    (readers see either the old slice or the new one, never neither
+    or both; a crashed backfill re-runs to the same end state).
+
+    ``validate=True`` (default, Delta's contract) refuses when ``df``
+    contains rows OUTSIDE the predicate — a re-load of March must not
+    smuggle April rows past the delete half. Rows where the predicate
+    is NULL count as outside.
+
+    Scale shape: reconnaissance opens only predicate-matching files
+    (parquet pushdown; the rest carry by reference), survivors of
+    touched files are rewritten once, and the new slice is written
+    under the table's declared hive/hidden partition layout — a daily
+    re-load into a days(ts)-partitioned table touches ~that day's
+    directories, regardless of table size."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    _guard_retired_names(spark, table_path, df.columns,
+                         f"replace_where on {table_path}")
+    if validate:
+        outside = df.filter(~F.coalesce(cond, F.lit(False)))
+        if outside.limit(1).count():
+            raise ValueError(
+                f"replace_where on {table_path}: the replacement frame "
+                "contains rows that do NOT satisfy the predicate — "
+                "they would survive the next re-run's delete half and "
+                "break idempotence. Widen the predicate or pass "
+                "validate=False to overwrite anyway.")
+    for attempt in range(max_retries + 1):
+        try:
+            return _dml_once(spark, table_path, cond, None,
+                             "replace_where", insert_df=df)
         except CommitConflictError:
             if attempt == max_retries:
                 raise

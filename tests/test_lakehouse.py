@@ -328,6 +328,50 @@ def test_merge_schema_evolution_both_modes(tmp_path, spark):
                       ["k"], schema_evolution=True)
 
 
+def test_replace_where_atomic_backfill(tmp_path, spark):
+    """replace_where: one commit deletes the predicate slice and
+    lands the replacement (atomic; idempotent re-run); out-of-
+    predicate rows refuse under validation; an empty existing slice
+    degrades to insert-only; time travel and the change feed see one
+    clean delete+insert version."""
+    path = str(tmp_path / "rw")
+    LH.create_table(spark, path, spark.createDataFrame(
+        [(i, i % 3, i * 10) for i in range(30)],
+        "k long, d long, v long").repartition(3), ["k"],
+        partition_by=["d"])
+    new = spark.createDataFrame([(100 + i, 1, 999) for i in range(5)],
+                                "k long, d long, v long")
+    st = LH.replace_where(spark, path, new, "d = 1")
+    assert st["n_rows_changed"] == 10 and st["n_rows_inserted"] == 5
+    assert st["n_files_carried"] > 0
+    got = LH.read_table(spark, path)
+    assert got.filter("d = 1").count() == 5
+    assert got.count() == 25
+    assert {r["v"] for r in got.filter("d = 1").collect()} == {999}
+    # idempotent re-run: same end state
+    LH.replace_where(spark, path, new, "d = 1")
+    assert LH.read_table(spark, path).count() == 25
+    # validation: a row outside the predicate refuses
+    with pytest.raises(ValueError, match="do NOT satisfy"):
+        LH.replace_where(spark, path, spark.createDataFrame(
+            [(200, 2, 1)], "k long, d long, v long"), "d = 1")
+    # ... unless explicitly overridden
+    LH.replace_where(spark, path, spark.createDataFrame(
+        [(200, 2, 1)], "k long, d long, v long"), "d = 1",
+        validate=False)
+    # empty existing slice: insert-only commit
+    st3 = LH.replace_where(spark, path, spark.createDataFrame(
+        [(300, 7, 1)], "k long, d long, v long"), "d = 7")
+    assert st3["n_files_rewritten"] == 0 and st3["n_rows_inserted"] == 1
+    # history: the pre-backfill slice is still time-travelable and
+    # the replace version's change feed is delete+insert only
+    assert LH.read_table(spark, path, version=1).filter("d = 1") \
+        .count() == 10
+    types = {r["_change_type"] for r in
+             LH.read_changes(spark, path, 1, 2).collect()}
+    assert types == {"delete", "insert"}
+
+
 def test_read_changes_mixed_merge(table, spark):
     # v3 -> v4: update k=1 (v 10->99), delete k=11, insert k=31.
     src = spark.createDataFrame([
