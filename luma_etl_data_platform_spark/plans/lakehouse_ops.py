@@ -2220,8 +2220,13 @@ def replace_where_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         repl = (feed.filter(in_m1)
                 .withColumn("o_totalprice",
                             F.round(F.col("o_totalprice") + 1000.0, 2)))
-        st1 = LH.replace_where(spark, path, repl, in_m1)
-        st2 = LH.replace_where(spark, path, repl, in_m1)  # re-run
+        # structured predicate: reconnaissance prunes at the FILE
+        # level through the months() partition transform before any
+        # footer is opened (dict ranges are inclusive; o_orderdate is
+        # a DATE, so m2 - 1 day is the closed upper bound)
+        pred = {"o_orderdate": (m1, m2 - _dt.timedelta(days=1))}
+        st1 = LH.replace_where(spark, path, repl, pred)
+        st2 = LH.replace_where(spark, path, repl, pred)  # re-run
         out = (LH.read_table(spark, path)
                .groupBy(F.date_format("o_orderdate", "yyyy-MM")
                         .alias("month"))

@@ -1802,16 +1802,51 @@ def _table_keys(spark: SparkSession, table_path: str) -> list[str]:
                  reversed(_commits(spark, table_path)) if d.get("keys")), [])
 
 
+def _structured_condition(spark: SparkSession, table_path: str,
+                          condition) -> tuple:
+    """Normalize a DML predicate. A Column/str passes through with no
+    file-level pruning (reconnaissance scans every file, with parquet
+    row-group pushdown). A DICT — ``{col: (lo, hi)}`` ranges and/or
+    ``{col: value}`` equalities, conjunctive — additionally routes
+    through :func:`pruned_candidate_files`, so reconnaissance opens
+    ONLY the files whose recorded stats / partition values / Blooms
+    can intersect the predicate: a monthly backfill against a
+    months-partitioned 10^6-file table probes ~that month's files
+    instead of every footer. Returns ``(condition_column,
+    candidate_rel_paths | None)``."""
+    if not isinstance(condition, dict):
+        return (F.expr(condition) if isinstance(condition, str)
+                else condition), None
+    if not condition:
+        raise ValueError("structured DML predicate: the dict form "
+                         "needs at least one {col: (lo, hi)} range or "
+                         "{col: value} equality")
+    ranges = {c: v for c, v in condition.items() if isinstance(v, tuple)}
+    eq = {c: v for c, v in condition.items() if not isinstance(v, tuple)}
+    cond: Column = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        cond = cond & (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
+    for c, v in eq.items():
+        cond = cond & (F.col(c) == F.lit(v))
+    cands = pruned_candidate_files(spark, table_path,
+                                   ranges or None, eq=eq or None)
+    return cond, cands
+
+
 def _dml_once(spark: SparkSession, table_path: str, condition,
               update_set: dict[str, Column] | None, op: str,
-              insert_df: DataFrame | None = None) -> dict:
+              insert_df: DataFrame | None = None,
+              recon_files: list[str] | None = None) -> dict:
     """Shared copy-on-write body of DELETE WHERE / UPDATE WHERE /
     REPLACE WHERE: reconnaissance finds the files that contain a
     matching row (the rest carry by reference), touched files are
     rewritten with the row-level change, and the swap commits
     atomically. ``insert_df`` (REPLACE WHERE) lands as new files in
     the SAME commit as the predicate delete — the replacement is
-    atomic, never observable half-done."""
+    atomic, never observable half-done. ``recon_files`` (relative
+    paths from :func:`_structured_condition`) restricts the
+    reconnaissance scan to stat-surviving candidates; files outside
+    it are provably match-free and carry by reference unopened."""
     base_version = current_version(spark, table_path)
     if base_version == 0:
         raise FileNotFoundError(f"{table_path} has no commit log")
@@ -1823,25 +1858,44 @@ def _dml_once(spark: SparkSession, table_path: str, condition,
     target = _apply_schema_events(_apply_dv(raw, dv), events)
     cond = F.expr(condition) if isinstance(condition, str) else condition
 
-    # _metadata must be captured from the raw scan BEFORE schema
-    # events (or the DV anti-join's projection) rewrite the plan;
-    # DV-deleted rows must neither mark files touched nor survive a
-    # rewrite
-    tagged = raw.select(
-        F.col("_metadata.file_path").alias("_f"),
-        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
-        .alias("__f"),
-        F.col("_metadata.row_index").alias("__i"), "*")
-    if dv is not None:
-        tagged = tagged.join(
-            dv, (tagged["__f"] == dv["__dv_f"])
-            & (tagged["__i"] == dv["__dv_i"]), "left_anti")
-    probe = _apply_schema_events(tagged.drop("__f", "__i"), events)
-    touched_rows = (probe
-                    .filter(cond)
-                    .select("_f")
-                    .distinct().collect())
-    touched = sorted(r["_f"] for r in touched_rows)
+    # reconnaissance scan: all files, or only the stat-surviving
+    # candidates when the caller's predicate came in structured form
+    # (files pruned_candidate_files drops are provably match-free)
+    if recon_files is None:
+        recon_src = raw
+    elif recon_files:
+        recon_src = (spark.read.option("mergeSchema", "true")
+                     .parquet(*[_abs(root, p) for p in recon_files]))
+    else:
+        recon_src = None  # every file stat-pruned: nothing matches
+    touched: list[str] = []
+    if recon_src is not None:
+        # _metadata must be captured from the raw scan BEFORE schema
+        # events (or the DV anti-join's projection) rewrite the plan;
+        # DV-deleted rows must neither mark files touched nor survive
+        # a rewrite
+        tagged = recon_src.select(
+            F.col("_metadata.file_path").alias("_f"),
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+            .alias("__f"),
+            F.col("_metadata.row_index").alias("__i"), "*")
+        if dv is not None:
+            tagged = tagged.join(
+                dv, (tagged["__f"] == dv["__dv_f"])
+                & (tagged["__i"] == dv["__dv_i"]), "left_anti")
+        probe = _apply_schema_events(tagged.drop("__f", "__i"), events)
+        # a candidate SUBSET may predate a schema evolution and lack a
+        # predicate column entirely — pad with typed NULLs (keeping
+        # the _f tag, so no _align_logical select) before filtering
+        for fld in target.schema.fields:
+            if fld.name not in probe.columns:
+                probe = probe.withColumn(
+                    fld.name, F.lit(None).cast(fld.dataType))
+        touched_rows = (probe
+                        .filter(cond)
+                        .select("_f")
+                        .distinct().collect())
+        touched = sorted(r["_f"] for r in touched_rows)
     touched_rel = [_log_ref(f, root) for f in touched]
     if not touched and insert_df is None:
         return {"version": base_version, "n_files_rewritten": 0,
@@ -1917,12 +1971,19 @@ def _dml_once(spark: SparkSession, table_path: str, condition,
 
 
 def delete_where(spark: SparkSession, table_path: str,
-                 condition: Column | str,
+                 condition: Column | str | dict,
                  max_retries: int = 2,
                  mode: str = "cow") -> dict:
     """``DELETE FROM table WHERE condition`` (the single-table sibling
     of :func:`merge_into`'s delete clause — no source frame needed).
     Retries against a fresh snapshot on a commit race.
+
+    ``condition`` may be a structured dict — ``{col: (lo, hi)}``
+    ranges / ``{col: value}`` equalities, ANDed — in which case the
+    COW reconnaissance additionally prunes at the FILE level through
+    the log's stats/partition/Bloom lanes (see
+    :func:`_structured_condition`): the scan opens only candidate
+    files instead of every footer.
 
     ``mode="cow"`` (default) rewrites the touched files copy-on-write:
     files with no matching row are never opened past the
@@ -1943,9 +2004,12 @@ def delete_where(spark: SparkSession, table_path: str,
         raise ValueError(f"delete_where: unknown mode {mode!r}")
     for attempt in range(max_retries + 1):
         try:
+            cond, cands = _structured_condition(spark, table_path,
+                                                condition)
             if mode == "mor":
-                return _delete_mor_once(spark, table_path, condition)
-            return _dml_once(spark, table_path, condition, None, "delete")
+                return _delete_mor_once(spark, table_path, cond)
+            return _dml_once(spark, table_path, cond, None, "delete",
+                             recon_files=cands)
         except CommitConflictError:
             if attempt == max_retries:
                 raise
@@ -2204,11 +2268,14 @@ def update_where(spark: SparkSession, table_path: str,
         raise ValueError(f"update_where: unknown mode {mode!r}")
     for attempt in range(max_retries + 1):
         try:
+            cond, cands = _structured_condition(spark, table_path,
+                                                condition)
             if mode == "mor":
-                return _update_mor_once(spark, table_path, condition,
+                return _update_mor_once(spark, table_path, cond,
                                         dict(update_set))
-            return _dml_once(spark, table_path, condition,
-                             dict(update_set), "update")
+            return _dml_once(spark, table_path, cond,
+                             dict(update_set), "update",
+                             recon_files=cands)
         except CommitConflictError:
             if attempt == max_retries:
                 raise
@@ -2216,7 +2283,7 @@ def update_where(spark: SparkSession, table_path: str,
 
 
 def replace_where(spark: SparkSession, table_path: str, df: DataFrame,
-                  condition: Column | str,
+                  condition: Column | str | dict,
                   validate: bool = True,
                   max_retries: int = 2) -> dict:
     """Delta's ``replaceWhere`` — ATOMIC predicate overwrite, the
@@ -2230,28 +2297,37 @@ def replace_where(spark: SparkSession, table_path: str, df: DataFrame,
     smuggle April rows past the delete half. Rows where the predicate
     is NULL count as outside.
 
-    Scale shape: reconnaissance opens only predicate-matching files
-    (parquet pushdown; the rest carry by reference), survivors of
+    Scale shape: with the structured dict condition (``{col: (lo,
+    hi)}`` / ``{col: value}``) reconnaissance first prunes at the
+    FILE level through the log's stats/partition/Bloom lanes and only
+    opens candidates; Column/str conditions scan with parquet
+    row-group pushdown. Either way only predicate-matching files are
+    rewritten (the rest carry by reference), survivors of
     touched files are rewritten once, and the new slice is written
     under the table's declared hive/hidden partition layout — a daily
     re-load into a days(ts)-partitioned table touches ~that day's
     directories, regardless of table size."""
-    cond = F.expr(condition) if isinstance(condition, str) else condition
     _guard_retired_names(spark, table_path, df.columns,
                          f"replace_where on {table_path}")
-    if validate:
-        outside = df.filter(~F.coalesce(cond, F.lit(False)))
-        if outside.limit(1).count():
-            raise ValueError(
-                f"replace_where on {table_path}: the replacement frame "
-                "contains rows that do NOT satisfy the predicate — "
-                "they would survive the next re-run's delete half and "
-                "break idempotence. Widen the predicate or pass "
-                "validate=False to overwrite anyway.")
     for attempt in range(max_retries + 1):
+        # structured candidates are computed INSIDE the retry loop: a
+        # commit race means a new snapshot, so the stat-pruned file
+        # set must be re-derived against it
+        cond, cands = _structured_condition(spark, table_path, condition)
+        if attempt == 0 and validate:
+            outside = df.filter(~F.coalesce(cond, F.lit(False)))
+            if outside.limit(1).count():
+                raise ValueError(
+                    f"replace_where on {table_path}: the replacement "
+                    "frame contains rows that do NOT satisfy the "
+                    "predicate — they would survive the next re-run's "
+                    "delete half and break idempotence. Widen the "
+                    "predicate or pass validate=False to overwrite "
+                    "anyway.")
         try:
             return _dml_once(spark, table_path, cond, None,
-                             "replace_where", insert_df=df)
+                             "replace_where", insert_df=df,
+                             recon_files=cands)
         except CommitConflictError:
             if attempt == max_retries:
                 raise

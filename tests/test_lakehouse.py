@@ -372,6 +372,51 @@ def test_replace_where_atomic_backfill(tmp_path, spark):
     assert types == {"delete", "insert"}
 
 
+def test_structured_dml_predicates_prune_reconnaissance(tmp_path, spark):
+    """The dict condition form — {col: (lo, hi)} / {col: value} —
+    routes DELETE/UPDATE/REPLACE reconnaissance through the log's
+    stat lanes: candidates are a strict subset of the live files, and
+    results match the equivalent Column/str predicate exactly."""
+    path = str(tmp_path / "sdml")
+    LH.create_table(spark, path, spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "k long, v long")
+        .repartition(1).sortWithinPartitions("k"), ["k"])
+    for lo in (100, 200, 300):
+        LH.append_table(spark, path, spark.createDataFrame(
+            [(lo + i, i) for i in range(100)], "k long, v long")
+            .coalesce(1))
+    total = len(LH.snapshot_files(spark, path))
+    cond, cands = LH._structured_condition(spark, path,
+                                           {"k": (120, 140)})
+    assert cands is not None and 0 < len(cands) < total
+    # delete via dict == delete via string (on twin tables)
+    twin = str(tmp_path / "sdml_twin")
+    LH.clone_table(spark, path, twin)
+    st = LH.delete_where(spark, path, {"k": (120, 140)})
+    LH.delete_where(spark, twin, "k >= 120 AND k <= 140")
+    assert st["n_rows_changed"] == 21
+    assert st["n_files_carried"] >= total - len(cands)
+    a = sorted(r["k"] for r in LH.read_table(spark, path).collect())
+    b = sorted(r["k"] for r in LH.read_table(spark, twin).collect())
+    assert a == b and len(a) == 379
+    # update via dict (equality leg)
+    LH.update_where(spark, path, {"k": 205}, {"v": F.lit(9999)})
+    assert LH.read_table(spark, path).filter("k = 205") \
+        .collect()[0]["v"] == 9999
+    # replace via dict: recon + validation share the same predicate
+    st2 = LH.replace_where(spark, path, spark.createDataFrame(
+        [(310, 1), (315, 2)], "k long, v long"), {"k": (300, 399)})
+    assert st2["n_rows_inserted"] == 2
+    assert LH.read_table(spark, path).filter(
+        "k >= 300 AND k <= 399").count() == 2
+    # fully-pruned predicate: zero files opened, clean no-op delete
+    st3 = LH.delete_where(spark, path, {"k": (10_000, 20_000)})
+    assert st3["n_rows_changed"] == 0 and st3["n_files_rewritten"] == 0
+    # empty dict refuses
+    with pytest.raises(ValueError, match="at least one"):
+        LH.delete_where(spark, path, {})
+
+
 def test_read_changes_mixed_merge(table, spark):
     # v3 -> v4: update k=1 (v 10->99), delete k=11, insert k=31.
     src = spark.createDataFrame([
