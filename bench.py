@@ -74,12 +74,14 @@ EXTRA = [
     "lakehouse_dv_auto_maintenance",
     "stream_cdf_apply",
     "ann_pq_trained_topk",
-    # round-8 rotation toward never-driver-sampled families (verdict
-    # item 7): graph LPA (second graph entry), the CMS heavy-hitters
-    # sketch (sketch family's first wall-time record), duplicated-
-    # span dedup (Lee et al.), and the spec-evolution gate (kept one
-    # more round — it now carries the new same-name per-file-spec-id
-    # leg). Rotated OUT after 2-3 rounds of visibility:
+    # round-9 rotation toward never-benched families (verdict item
+    # 6): SCD2 point-in-time join (temporal join family's first
+    # record), streaming ingest dedup (St1/stateful twin), entity
+    # resolution (blocked fuzzy matching), and the round's new
+    # structured-pruned-read gate (read_table(where=...) through the
+    # stat/partition/Bloom lanes). Rotated OUT after 2-3 rounds of
+    # visibility: lakehouse_partition_spec_evolution,
+    # graph_lpa_communities, cms_heavy_hitters, dedup_span_docs,
     # stream_wap_ingest, bpe_train_merges, pca_top_component,
     # lakehouse_multi_table_txn, lakehouse_shallow_clone, ann_pq_topk,
     # unigram_viterbi_stats, lakehouse_scoped_optimize,
@@ -87,10 +89,10 @@ EXTRA = [
     # unigram_em_round_stats, lakehouse_hidden_partitioning,
     # lakehouse_partition_transforms, unigram_em_converged_stats,
     # multimodal_wav_decode, graph_pagerank_top20
-    "lakehouse_partition_spec_evolution",
-    "graph_lpa_communities",
-    "cms_heavy_hitters",
-    "dedup_span_docs",
+    "scd2_point_in_time_join",
+    "stream_ingest_dedup",
+    "entity_resolution_parts",
+    "structured_pruned_read",
 ]
 
 

@@ -184,16 +184,24 @@ def _scale_ntile(t: DataFrame, value_col: str, asc: bool,
     standard closed form: with ``q = n DIV k`` and ``rem = n % k`` the
     first ``rem`` buckets take ``q+1`` rows, the rest ``q``.
     ``n_col`` must already hold the total row count (broadcast scalar).
+
+    NULL scores rank LAST in either direction (explicit
+    ``asc_nulls_last``/``desc_nulls_last`` — DuckDB's default null
+    ordering, so the composite stays oracle-identical when a score is
+    NULL), and the offset join is null-SAFE — a user whose score is
+    NULL (e.g. a monetary sum over all-null values) is bucketed, not
+    silently dropped (ADVICE r8).
     """
     v = F.col(value_col)
-    order = v.asc() if asc else v.desc()
+    order = v.asc_nulls_last() if asc else v.desc_nulls_last()
     cnts = t.groupBy(value_col).agg(F.count(F.lit(1)).alias("_m"))
     w_off = W.orderBy(order).rowsBetween(W.unboundedPreceding, -1)
     off = cnts.select(
-        value_col,
+        F.col(value_col).alias("_v"),
         F.coalesce(F.sum("_m").over(w_off), F.lit(0)).alias("_off"))
     w_in = W.partitionBy(value_col).orderBy(id_col)
-    ranked = (t.join(F.broadcast(off), value_col)
+    ranked = (t.join(F.broadcast(off), v.eqNullSafe(F.col("_v")))
+              .drop("_v")
               .withColumn("_r", F.col("_off") + F.row_number().over(w_in)))
     n, r = F.col(n_col), F.col("_r")
     q = F.expr(f"{n_col} DIV {k}")
@@ -220,9 +228,12 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("user_id", "freq", "monetary",
                  F.datediff(F.col("gmax"), F.col("last_ts")).alias("rec")))
     # the per-user aggregate feeds four branches (three distinct-value
-    # count sets + the main row set) — persist it so the events scan
-    # and user groupBy run once, not once per branch
-    s = s.persist()
+    # count sets + the main row set) — localCheckpoint so the events
+    # scan and user groupBy run once, not once per branch. Checkpoint,
+    # not persist(): the materialization is released with the frame
+    # (a persist() here leaked cached partitions for the session
+    # lifetime across bench repeats — ADVICE r8)
+    s = s.localCheckpoint(eager=True)
     n_users = s.agg(F.count(F.lit(1)).alias("_n"))
     t = s.crossJoin(F.broadcast(n_users))
     t = _scale_ntile(t, "rec", asc=True, out_col="r_score")

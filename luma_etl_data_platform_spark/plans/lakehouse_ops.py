@@ -2144,8 +2144,11 @@ def merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     widens the schema as part of the merge — never-matched rows
     (custkeys 1-10, untouched files) read the new column as typed
     NULL, updates and inserts carry its values, and no file is
-    rewritten for the widening itself. End state checked against a
-    relational oracle; the default no-evolution path (extra source
+    rewritten for the widening itself. The merge commit RESTATES the
+    widened schema as log metadata (schema-in-log, Delta metaData
+    parity), so the DEFAULT read surfaces the evolved column — no
+    ``merge_schema`` flag, no footer union. End state checked against
+    a relational oracle; the default no-evolution path (extra source
     columns ignored) and DROP-COLUMN-name refusal are pytest-pinned
     in tests/test_lakehouse.py."""
     tmp = tempfile.mkdtemp(prefix="luma_lh_mevo_")
@@ -2164,7 +2167,7 @@ def merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                            .otherwise("odd")))
         LH.merge_into(spark, path, src, ["o_custkey"],
                       schema_evolution=True)
-        out = (LH.read_table(spark, path, merge_schema=True)
+        out = (LH.read_table(spark, path)
                .select("o_custkey",
                        F.round("spend", 2).alias("spend"), "segment")
                .orderBy("o_custkey")
@@ -2249,6 +2252,89 @@ def replace_where_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def structured_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified structured pruned reads — ``read_table(where={...})``
+    (round-9 verdict item 2): the same dict predicate the DML takes
+    ({col: (lo, hi)} ranges + {col: value} equalities) routes an
+    AD-HOC read through the log's stat/partition/Bloom lanes, so the
+    scan opens only surviving files. A 3-month orders table
+    partitioned by ``months(o_orderdate)`` (8 files/month, Bloom on
+    ``o_orderkey``) answers (a) a month+custkey box read and (b) an
+    order-key point lookup. Audited flags ride the result row:
+    ``pruned`` (candidates are a strict nonempty subset of live
+    files), ``cand_covers`` (every file a surviving row came from is
+    in the candidate set — the prune is lossless), ``point_pruned``
+    (the Bloom lane cut the point lookup below the month's file
+    count). Values oracle-checked against plain SQL."""
+    import datetime as _dt
+    tmp = tempfile.mkdtemp(prefix="luma_lh_spr_")
+    try:
+        path = f"{tmp}/t"
+        odf = (load_table(spark, sf_dir, "orders")
+               .select("o_orderkey", "o_custkey", "o_orderdate",
+                       "o_totalprice"))
+        m0 = odf.agg(F.min("o_orderdate")).collect()[0][0].replace(day=1)
+
+        def plus_months(d, n):
+            y, m = d.year + (d.month - 1 + n) // 12, (d.month - 1 + n) % 12 + 1
+            return d.replace(year=y, month=m)
+
+        m1, m2, m3 = (plus_months(m0, 1), plus_months(m0, 2),
+                      plus_months(m0, 3))
+        feed = odf.filter((F.col("o_orderdate") >= F.lit(m0))
+                          & (F.col("o_orderdate") < F.lit(m3)))
+        LH.create_table(spark, path, feed.repartition(8), ["o_orderkey"],
+                        partition_by=["months(o_orderdate)"],
+                        bloom_cols=["o_orderkey"])
+        where = {"o_orderdate": (m1, m2 - _dt.timedelta(days=1)),
+                 "o_custkey": (1, 1500)}
+        n_live = LH.describe_table(spark, path)["n_files"]
+        cands = LH.pruned_candidate_files(
+            spark, path, {c: v for c, v in where.items()})
+        got = LH.read_table(spark, path, where=where)
+        # file identity by basename (part-<uuid> names are unique):
+        # sidesteps file:// URI-vs-path normalization
+        hit_base = {r[0].rsplit("/", 1)[-1] for r in got
+                    .select(F.input_file_name()).distinct().collect()}
+        cand_base = {p.rsplit("/", 1)[-1] for p in cands}
+        pruned = bool(0 < len(cands) < n_live)
+        cand_covers = bool(hit_base <= cand_base)
+        # Bloom point lookup through the SAME where= path
+        probe_key = int(feed.agg(F.min("o_orderkey")).collect()[0][0])
+        pt_cands = LH.pruned_candidate_files(spark, path, None,
+                                             eq={"o_orderkey": probe_key})
+        pt = LH.read_table(spark, path, where={"o_orderkey": probe_key})
+        point_pruned = bool(len(pt_cands) < n_live
+                            and pt.count() == 1)
+        out = (got.groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                           .alias("month"))
+               .agg(F.count(F.lit(1)).alias("n_orders"),
+                    F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+               .withColumn("pruned", F.lit(pruned))
+               .withColumn("cand_covers", F.lit(cand_covers))
+               .withColumn("point_pruned", F.lit(point_pruned))
+               .orderBy("month")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["structured_pruned_read"] = """
+WITH m0 AS (SELECT date_trunc('month', min(o_orderdate)) AS m
+            FROM orders)
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       count(*) AS n_orders,
+       ROUND(sum(o_totalprice), 2) AS sum_price,
+       TRUE AS pruned, TRUE AS cand_covers, TRUE AS point_pruned
+FROM orders, m0
+WHERE o_orderdate >= m + INTERVAL 1 MONTH
+  AND o_orderdate <  m + INTERVAL 2 MONTH
+  AND o_custkey BETWEEN 1 AND 1500
+GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE["replace_where_backfill"] = """
 WITH ow AS (SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
             WHERE o_custkey <= 2000),
@@ -2277,6 +2363,7 @@ QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "merge_schema_evolution": merge_schema_evolution,
     "replace_where_backfill": replace_where_backfill,
+    "structured_pruned_read": structured_pruned_read,
     "lakehouse_time_travel": lakehouse_time_travel,
     "lakehouse_compaction": lakehouse_compaction,
     "lakehouse_change_feed": lakehouse_change_feed,

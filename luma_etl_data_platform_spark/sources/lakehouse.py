@@ -71,6 +71,7 @@ from urllib.parse import unquote
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 _LOG_DIR = "_log"
 _VERSION_WIDTH = 20
@@ -526,10 +527,16 @@ def describe_table(spark: SparkSession, table_path: str) -> dict:
             if fs.exists(p):
                 size += fs.getFileStatus(p).getLen()
     debt = dv_debt(spark, table_path)
+    sch = table_schema(spark, table_path)
     return {"version": commits[-1]["version"],
             "n_files": n_files,
             "n_rows": n_rows,
             "size_bytes": int(size),
+            # the DECLARED logical schema (schema-in-log) as
+            # name → simple type string; None on legacy logs
+            "schema": ({f.name: f.dataType.simpleString()
+                        for f in sch.fields} if sch is not None
+                       else None),
             "keys": _table_keys(spark, table_path),
             "partition_by": pcols,
             "partitions": parts,
@@ -642,6 +649,77 @@ def _align_logical(df: DataFrame, schema) -> DataFrame:
     return df.select(*[f.name for f in schema.fields])
 
 
+# ---------------------------------------------------------------------------
+# Schema-in-log — the logical schema as commit-log METADATA (Delta's
+# `metaData` action / Iceberg's schema JSON): `create_table` declares
+# it, every schema-changing writer (add-column append, MERGE schema
+# evolution, RENAME/DROP COLUMN, RESTORE, CLONE) restates it, and the
+# expire checkpoint carries it cumulatively. Readers project to the
+# DECLARED schema by default, which buys two things at 10^6-file
+# scale: (1) merge-evolved columns are visible without the reader
+# opting in (`SELECT *` shows what the log says the table IS, not
+# what one sampled footer happens to hold), and (2) a snapshot read
+# of an event-free table imposes the declared schema on the scan —
+# ZERO mergeSchema footer unions, where the file-derived design paid
+# one footer read per file per query. Reference anchor: the
+# reference's tables are always born with a metadata-declared schema
+# (metadata/createtablefrommetadata.py:33-59, db/sql.py:7-22).
+# Legacy logs without the field keep the file-derived behavior.
+# ---------------------------------------------------------------------------
+
+def _nullable_json(node):
+    """Normalize a schema jsonValue tree to fully-nullable: the log
+    declares what columns EXIST, not a not-null guarantee (parquet
+    scans surface everything nullable anyway, and an imposed
+    non-nullable field over an evolved file subset that lacks it
+    would be undefined behavior). Matches Delta, which relaxes
+    nullability on evolved reads."""
+    if isinstance(node, dict):
+        out = {k: _nullable_json(v) for k, v in node.items()}
+        for flag in ("nullable", "containsNull", "valueContainsNull"):
+            if flag in out:
+                out[flag] = True
+        return out
+    if isinstance(node, list):
+        return [_nullable_json(x) for x in node]
+    return node
+
+
+def _schema_json(schema) -> dict:
+    """A DataFrame schema as the commit-log ``schema`` field."""
+    return _nullable_json(schema.jsonValue())
+
+
+def table_schema(spark: SparkSession, table_path: str,
+                 version: int | None = None) -> StructType | None:
+    """The DECLARED logical schema at ``version`` (latest ``schema``
+    declaration at or before it — create/evolve/rename/drop/restore
+    commits and expire checkpoints all restate it), or None on a
+    legacy log that predates schema-in-log (readers then fall back to
+    file-derived schemas)."""
+    sj = _decl_at(spark, table_path, "schema", None, version)
+    return StructType.fromJson(sj) if sj else None
+
+
+def _file_reader(spark: SparkSession, schema, events):
+    """The snapshot-scan reader: impose the DECLARED schema when the
+    log carries one and no RENAME/DROP event needs old physical
+    column names (files missing an evolved column yield typed NULLs
+    natively — no footer union is ever read); otherwise the
+    mergeSchema union (event replay must see every vintage's physical
+    names; legacy logs have no declared schema to impose)."""
+    if schema is not None and not events:
+        return spark.read.schema(schema)
+    return spark.read.option("mergeSchema", "true")
+
+
+def _finish_logical(df: DataFrame, schema, events) -> DataFrame:
+    """Replay RENAME/DROP events onto a raw scan, then project to the
+    declared logical schema when the log has one."""
+    df = _apply_schema_events(df, events)
+    return _align_logical(df, schema) if schema is not None else df
+
+
 _DV_DIR = "_dv"
 
 
@@ -727,7 +805,9 @@ def rename_column(spark: SparkSession, table_path: str,
     recorded under the old name stop pruning for pre-rename files
     (they are conservatively read); OPTIMIZE re-records them under
     the new name."""
-    cols = read_table(spark, table_path).columns
+    sch = table_schema(spark, table_path)
+    cols = (sch.names if sch is not None
+            else read_table(spark, table_path).columns)
     if old not in cols:
         raise ValueError(f"rename_column: no column {old!r} "
                          f"(have {cols})")
@@ -754,11 +834,16 @@ def rename_column(spark: SparkSession, table_path: str,
                 "against the new name")
     blooms = _table_bloom_cols(spark, table_path)
     v = current_version(spark, table_path)
-    _write_commit(spark, table_path, v + 1,
-                  {"version": v + 1, "op": "rename_column",
-                   "from": old, "to": new,
-                   "bloom_cols": [new if c == old else c for c in blooms],
-                   "add": [], "remove": []})
+    doc = {"version": v + 1, "op": "rename_column",
+           "from": old, "to": new,
+           "bloom_cols": [new if c == old else c for c in blooms],
+           "add": [], "remove": []}
+    if sch is not None:
+        # restate the declared schema under the new logical name
+        doc["schema"] = _schema_json(StructType(
+            [type(f)(new, f.dataType, f.nullable, f.metadata)
+             if f.name == old else f for f in sch.fields]))
+    _write_commit(spark, table_path, v + 1, doc)
     return v + 1
 
 
@@ -769,7 +854,9 @@ def drop_column(spark: SparkSession, table_path: str, column: str) -> int:
     key/partition columns, no constraint references). The bytes
     remain in pre-drop files until OPTIMIZE/vacuum cycles them out —
     same contract as Delta's mapping-mode DROP COLUMN."""
-    cols = read_table(spark, table_path).columns
+    sch = table_schema(spark, table_path)
+    cols = (sch.names if sch is not None
+            else read_table(spark, table_path).columns)
     if column not in cols:
         raise ValueError(f"drop_column: no column {column!r}")
     if column in _table_keys(spark, table_path):
@@ -786,44 +873,104 @@ def drop_column(spark: SparkSession, table_path: str, column: str) -> int:
                 f"references {column!r}; drop it first")
     blooms = _table_bloom_cols(spark, table_path)
     v = current_version(spark, table_path)
-    _write_commit(spark, table_path, v + 1,
-                  {"version": v + 1, "op": "drop_column",
-                   "column": column,
-                   "bloom_cols": [c for c in blooms if c != column],
-                   "add": [], "remove": []})
+    doc = {"version": v + 1, "op": "drop_column",
+           "column": column,
+           "bloom_cols": [c for c in blooms if c != column],
+           "add": [], "remove": []}
+    if sch is not None:
+        doc["schema"] = _schema_json(StructType(
+            [f for f in sch.fields if f.name != column]))
+    _write_commit(spark, table_path, v + 1, doc)
     return v + 1
+
+
+def _split_structured(where: dict) -> tuple[dict, dict]:
+    """Split a structured predicate dict into ``(ranges, eq)``:
+    tuple values are inclusive ``(lo, hi)`` ranges, anything else an
+    equality. Conjunctive (AND) semantics throughout."""
+    if not where:
+        raise ValueError("structured predicate: the dict form needs at "
+                         "least one {col: (lo, hi)} range or "
+                         "{col: value} equality")
+    ranges = {c: v for c, v in where.items() if isinstance(v, tuple)}
+    eq = {c: v for c, v in where.items() if not isinstance(v, tuple)}
+    return ranges, eq
+
+
+def _structured_column(ranges: dict, eq: dict) -> Column:
+    """The exact Column predicate of a structured dict (the residual
+    filter applied to stat-surviving files)."""
+    cond: Column = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        cond = cond & (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
+    for c, v in eq.items():
+        cond = cond & (F.col(c) == F.lit(v))
+    return cond
 
 
 def read_table(spark: SparkSession, table_path: str,
                version: int | None = None,
                merge_schema: bool = False,
-               as_of_timestamp: float | None = None) -> DataFrame:
-    """Snapshot read. ``merge_schema=True`` unions the file schemas
-    (schema evolution: files written before a column existed yield
-    NULL for it) at the cost of reading every file's footer up
-    front — leave it off for fixed-schema tables.
+               as_of_timestamp: float | None = None,
+               where: dict | None = None) -> DataFrame:
+    """Snapshot read, projected to the log-DECLARED schema (see
+    :func:`table_schema`): merge-evolved columns are visible by
+    default (typed NULL for pre-evolution files), and event-free
+    tables impose the declared schema on the scan — no mergeSchema
+    footer union is ever read. ``merge_schema=True`` survives for
+    LEGACY logs without a declared schema, where it unions the file
+    footers to surface evolved columns (the declared schema
+    supersedes it otherwise).
+
+    ``where`` is the structured pruned-read path — the same dict
+    predicate the DML takes (``{col: (lo, hi)}`` inclusive ranges +
+    ``{col: value}`` equalities, ANDed): the scan opens ONLY the
+    files whose commit-log stats / partition values (incl. hidden
+    partition transforms) / Bloom filters can intersect the
+    predicate, then applies the exact filter to the survivors. At a
+    10^6-file table an ad-hoc range+point read opens O(matching)
+    files with zero footer probes of the rest. See
+    :func:`pruned_candidate_files` for the pruning lanes.
+
     ``as_of_timestamp`` (epoch seconds) resolves to the snapshot
     live at that wall-clock instant (TIMESTAMP AS OF); mutually
     exclusive with ``version``. RENAME/DROP COLUMN events committed
-    at or before the read version are applied to the raw files
-    (mixed vintages read under ``mergeSchema`` automatically)."""
+    at or before the read version are applied to the raw files."""
     if as_of_timestamp is not None:
         if version is not None:
             raise ValueError("read_table: pass version OR "
                              "as_of_timestamp, not both")
         version = version_at_timestamp(spark, table_path, as_of_timestamp)
+    schema = table_schema(spark, table_path, version)
+    if where is not None:
+        ranges, eq = _split_structured(where)
+        keep = pruned_candidate_files(spark, table_path, ranges or None,
+                                      version, eq=eq or None)
+        cond = _structured_column(ranges, eq)
+        if not keep:
+            # every file provably match-free: an empty frame with the
+            # logical schema, no scan built at all
+            if schema is not None:
+                return spark.createDataFrame([], schema).filter(cond)
+            return (read_table(spark, table_path, version)
+                    .filter(F.lit(False)))
+        return _read_pruned_files(spark, table_path, keep,
+                                  version).filter(cond)
     files = snapshot_files(spark, table_path, version)
     if not files:
         raise FileNotFoundError(
             f"no snapshot for {table_path} at version {version}")
     events = _schema_events(spark, table_path, version)
+    dv = _dv_overlay(spark, table_path, version)
+    if schema is not None and not events:
+        # declared-schema fast path: zero footer unions, evolved
+        # columns present as typed NULLs where a file predates them
+        return _apply_dv(spark.read.schema(schema).parquet(*files), dv)
     reader = spark.read
-    if merge_schema or events:
+    if merge_schema or events or schema is not None:
         reader = reader.option("mergeSchema", "true")
-    return _apply_schema_events(
-        _apply_dv(reader.parquet(*files),
-                  _dv_overlay(spark, table_path, version)),
-        events)
+    return _finish_logical(_apply_dv(reader.parquet(*files), dv),
+                           schema, events)
 
 
 # ---------------------------------------------------------------------------
@@ -1280,6 +1427,7 @@ def create_table(spark: SparkSession, table_path: str, df: DataFrame,
                              partition_cols=partition_by)
     _write_commit(spark, table_path, 1,
                   {"version": 1, "op": "create", "keys": keys,
+                   "schema": _schema_json(df.schema),
                    "bloom_cols": bloom_cols or [],
                    "partition_by": partition_by or [],
                    "constraints": constraints or {},
@@ -1331,8 +1479,14 @@ def convert_to_table(spark: SparkSession, table_path: str,
     if not adds:
         raise FileNotFoundError(
             f"convert_to_table: no data files under {table_path}")
-    data_columns = spark.read.parquet(
-        f"{root}/{adds[0]['path']}").columns
+    # the declared schema is the files' UNION schema — one footer
+    # union at onboarding time (convert is the single moment the
+    # format derives schema from files; every read thereafter
+    # projects to this declaration instead of re-paying the union)
+    union_schema = (spark.read.option("mergeSchema", "true")
+                    .parquet(*[f"{root}/{a['path']}" for a in adds])
+                    .schema)
+    data_columns = union_schema.names
     transforms = [p["spec"] for p in _partition_specs(partition_by)
                   if p["kind"] != "identity"]
     if transforms:
@@ -1356,6 +1510,7 @@ def convert_to_table(spark: SparkSession, table_path: str,
                    stat_cols=partition_by, bloom_cols=bloom_cols)
     _write_commit(spark, table_path, 1,
                   {"version": 1, "op": "convert", "keys": keys,
+                   "schema": _schema_json(union_schema),
                    "bloom_cols": bloom_cols or [],
                    "partition_by": partition_by or [],
                    "constraints": constraints or {},
@@ -1440,12 +1595,17 @@ def clone_table(spark: SparkSession, src_path: str, dst_path: str,
         "constraints": _decl_at(spark, src_path, "constraints", {},
                                 version),
         "schema_events": _schema_events(spark, src_path, version),
+        # the SOURCE's declared schema at the cloned version rides
+        # along (None-valued key omitted below for legacy sources)
+        "schema": _decl_at(spark, src_path, "schema", None, version),
         "dv_files": [_abs(src_root, r)
                      for r in _dv_rels(spark, src_path, version)],
         "dv_rows_map": {_abs(src_root, r): n for r, n in
                         _dv_rows_by_rel(_commits(spark, src_path),
                                         version).items()},
         "remove": []}
+    if doc["schema"] is None:
+        doc.pop("schema")  # legacy source: stay file-derived
     adds_df = _adds_df_at(spark, src_path, version)
     if adds_df is not None:
         # parquet-checkpointed source: the clone's v1 is itself a
@@ -1685,15 +1845,35 @@ def drop_constraint(spark: SparkSession, table_path: str,
     return v + 1
 
 
+def _evolved_schema_json(spark: SparkSession, table_path: str,
+                         new_schema, context: str) -> dict | None:
+    """The ``schema`` field an add-column evolution commit should
+    carry: the declared schema widened (in place, order-preserving)
+    with ``new_schema``'s unseen columns appended. None when nothing
+    evolves or the log is legacy (no declared schema to widen).
+    Retired names are refused — same contract as MERGE evolution."""
+    cur = table_schema(spark, table_path)
+    if cur is None:
+        return None
+    new_cols = [c for c in new_schema.names if c not in cur.names]
+    if not new_cols:
+        return None
+    _guard_retired_names(spark, table_path, new_cols, context)
+    return _schema_json(StructType(
+        cur.fields + [new_schema[c] for c in new_cols]))
+
+
 def append_table(spark: SparkSession, table_path: str,
                  df: DataFrame, keys: list[str] | None = None) -> None:
     """Blind append (no key reconciliation): new files, no removes.
     An append MAY carry columns earlier commits lack (add-column
-    schema evolution) — read the table with ``merge_schema=True`` to
-    surface them (NULL for pre-evolution files). ``keys`` defaults to
-    the table's DECLARED keys, so appended files always carry the
-    per-file stats the data-skipping paths prune on (blooms and
-    partition layout already inherit the declaration)."""
+    schema evolution): the commit restates the widened DECLARED
+    schema, so the new columns are visible to every subsequent
+    default read (pre-evolution files yield typed NULL) — no
+    ``merge_schema`` opt-in needed. ``keys`` defaults to the table's
+    DECLARED keys, so appended files always carry the per-file stats
+    the data-skipping paths prune on (blooms and partition layout
+    already inherit the declaration)."""
     v = current_version(spark, table_path)
     if v == 0:
         raise FileNotFoundError(f"{table_path} has no commit log")
@@ -1703,13 +1883,16 @@ def append_table(spark: SparkSession, table_path: str,
                          f"append_table on {table_path}")
     if keys is None:
         keys = _table_keys(spark, table_path)
+    evolved = _evolved_schema_json(spark, table_path, df.schema,
+                                   f"append_table on {table_path}")
     adds = _write_data_files(spark, table_path, df, keys or [],
                              bloom_cols=_table_bloom_cols(spark, table_path),
                              partition_cols=_table_partition_cols(
                                  spark, table_path))
-    _write_commit(spark, table_path, v + 1,
-                  {"version": v + 1, "op": "append",
-                   "add": adds, "remove": []})
+    doc = {"version": v + 1, "op": "append", "add": adds, "remove": []}
+    if evolved is not None:
+        doc["schema"] = evolved
+    _write_commit(spark, table_path, v + 1, doc)
 
 
 def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
@@ -1807,55 +1990,66 @@ def _structured_condition(spark: SparkSession, table_path: str,
     """Normalize a DML predicate. A Column/str passes through with no
     file-level pruning (reconnaissance scans every file, with parquet
     row-group pushdown). A DICT — ``{col: (lo, hi)}`` ranges and/or
-    ``{col: value}`` equalities, conjunctive — additionally routes
-    through :func:`pruned_candidate_files`, so reconnaissance opens
-    ONLY the files whose recorded stats / partition values / Blooms
-    can intersect the predicate: a monthly backfill against a
-    months-partitioned 10^6-file table probes ~that month's files
-    instead of every footer. Returns ``(condition_column,
-    candidate_rel_paths | None)``."""
+    ``{col: value}`` equalities, conjunctive — additionally returns
+    the parsed ``(ranges, eq)`` spec; the DML BODY derives the
+    stat/partition/Bloom candidate file set from it AT ITS PINNED
+    base version (deriving it here, before the body reads the
+    version, would open a TOCTOU window: a commit landing in between
+    would be missing from the candidates yet present in the snapshot
+    the version-CAS accepts — silently skipping its rows). Returns
+    ``(condition_column, (ranges, eq) | None)``."""
     if not isinstance(condition, dict):
         return (F.expr(condition) if isinstance(condition, str)
                 else condition), None
-    if not condition:
-        raise ValueError("structured DML predicate: the dict form "
-                         "needs at least one {col: (lo, hi)} range or "
-                         "{col: value} equality")
-    ranges = {c: v for c, v in condition.items() if isinstance(v, tuple)}
-    eq = {c: v for c, v in condition.items() if not isinstance(v, tuple)}
-    cond: Column = F.lit(True)
-    for c, (lo, hi) in ranges.items():
-        cond = cond & (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
-    for c, v in eq.items():
-        cond = cond & (F.col(c) == F.lit(v))
-    cands = pruned_candidate_files(spark, table_path,
-                                   ranges or None, eq=eq or None)
-    return cond, cands
+    ranges, eq = _split_structured(condition)
+    return _structured_column(ranges, eq), (ranges, eq)
+
+
+def _recon_candidates(spark: SparkSession, table_path: str,
+                      spec: tuple | None,
+                      base_version: int) -> list[str] | None:
+    """The reconnaissance candidate set for a structured DML spec,
+    pinned at ``base_version`` (the same snapshot the commit-CAS
+    guards — see :func:`_structured_condition`). None = unstructured
+    predicate, scan every file."""
+    if spec is None:
+        return None
+    ranges, eq = spec
+    return pruned_candidate_files(spark, table_path, ranges or None,
+                                  version=base_version, eq=eq or None)
 
 
 def _dml_once(spark: SparkSession, table_path: str, condition,
               update_set: dict[str, Column] | None, op: str,
               insert_df: DataFrame | None = None,
-              recon_files: list[str] | None = None) -> dict:
+              recon_spec: tuple | None = None) -> dict:
     """Shared copy-on-write body of DELETE WHERE / UPDATE WHERE /
     REPLACE WHERE: reconnaissance finds the files that contain a
     matching row (the rest carry by reference), touched files are
     rewritten with the row-level change, and the swap commits
     atomically. ``insert_df`` (REPLACE WHERE) lands as new files in
     the SAME commit as the predicate delete — the replacement is
-    atomic, never observable half-done. ``recon_files`` (relative
-    paths from :func:`_structured_condition`) restricts the
-    reconnaissance scan to stat-surviving candidates; files outside
-    it are provably match-free and carry by reference unopened."""
+    atomic, never observable half-done. ``recon_spec`` (the parsed
+    dict predicate from :func:`_structured_condition`) restricts the
+    reconnaissance scan to stat-surviving candidate files — derived
+    HERE, at the same pinned ``base_version`` the snapshot and the
+    commit-CAS use, so no concurrent commit can slip between the
+    candidate derivation and the version check (ADVICE r8: the
+    TOCTOU that could silently skip rows in concurrently-added files
+    or resurrect rows from files a concurrent OPTIMIZE removed)."""
     base_version = current_version(spark, table_path)
     if base_version == 0:
         raise FileNotFoundError(f"{table_path} has no commit log")
     root = table_path.rstrip("/")
-    files = snapshot_files(spark, table_path)
-    events = _schema_events(spark, table_path)
-    dv = _dv_overlay(spark, table_path)
-    raw = spark.read.option("mergeSchema", "true").parquet(*files)
-    target = _apply_schema_events(_apply_dv(raw, dv), events)
+    files = snapshot_files(spark, table_path, base_version)
+    events = _schema_events(spark, table_path, base_version)
+    dv = _dv_overlay(spark, table_path, base_version)
+    schema = table_schema(spark, table_path, base_version)
+    reader = _file_reader(spark, schema, events)
+    recon_files = _recon_candidates(spark, table_path, recon_spec,
+                                    base_version)
+    raw = reader.parquet(*files)
+    target = _finish_logical(_apply_dv(raw, dv), schema, events)
     cond = F.expr(condition) if isinstance(condition, str) else condition
 
     # reconnaissance scan: all files, or only the stat-surviving
@@ -1864,8 +2058,7 @@ def _dml_once(spark: SparkSession, table_path: str, condition,
     if recon_files is None:
         recon_src = raw
     elif recon_files:
-        recon_src = (spark.read.option("mergeSchema", "true")
-                     .parquet(*[_abs(root, p) for p in recon_files]))
+        recon_src = reader.parquet(*[_abs(root, p) for p in recon_files])
     else:
         recon_src = None  # every file stat-pruned: nothing matches
     touched: list[str] = []
@@ -1906,8 +2099,7 @@ def _dml_once(spark: SparkSession, table_path: str, condition,
     if touched:
         tgt_touched = _align_logical(
             _apply_schema_events(
-                _apply_dv(spark.read.option("mergeSchema", "true")
-                          .parquet(*touched), dv),
+                _apply_dv(reader.parquet(*touched), dv),
                 events),
             target.schema)
         n_match = tgt_touched.filter(cond).count()
@@ -2004,12 +2196,13 @@ def delete_where(spark: SparkSession, table_path: str,
         raise ValueError(f"delete_where: unknown mode {mode!r}")
     for attempt in range(max_retries + 1):
         try:
-            cond, cands = _structured_condition(spark, table_path,
-                                                condition)
+            cond, spec = _structured_condition(spark, table_path,
+                                               condition)
             if mode == "mor":
-                return _delete_mor_once(spark, table_path, cond)
+                return _delete_mor_once(spark, table_path, cond,
+                                        recon_spec=spec)
             return _dml_once(spark, table_path, cond, None, "delete",
-                             recon_files=cands)
+                             recon_spec=spec)
         except CommitConflictError:
             if attempt == max_retries:
                 raise
@@ -2017,23 +2210,46 @@ def delete_where(spark: SparkSession, table_path: str,
 
 
 def _delete_mor_once(spark: SparkSession, table_path: str,
-                     condition) -> dict:
+                     condition, recon_spec: tuple | None = None) -> dict:
     base_version = current_version(spark, table_path)
     if base_version == 0:
         raise FileNotFoundError(f"{table_path} has no commit log")
     root = table_path.rstrip("/")
-    files = snapshot_files(spark, table_path)
-    events = _schema_events(spark, table_path)
-    dv = _dv_overlay(spark, table_path)
+    files = snapshot_files(spark, table_path, base_version)
+    events = _schema_events(spark, table_path, base_version)
+    dv = _dv_overlay(spark, table_path, base_version)
+    schema = table_schema(spark, table_path, base_version)
+    # structured predicate: the matched-row scan opens only the
+    # stat/partition/Bloom-surviving files (pinned at base_version —
+    # same TOCTOU-free contract as _dml_once); a Bloom-pruned MOR
+    # point delete (GDPR erasure) opens O(matches) files
+    cands = _recon_candidates(spark, table_path, recon_spec,
+                              base_version)
+    if cands is not None and schema is not None:
+        # (legacy logs without a declared schema skip the file-level
+        # prune: a candidate SUBSET could lack a predicate column and
+        # there is no declared type to pad it back with)
+        if not cands:
+            return {"version": base_version, "n_rows_deleted": 0,
+                    "dv_file": None}
+        files = [_abs(root, p) for p in cands]
     cond = F.expr(condition) if isinstance(condition, str) else condition
-    tagged = _dv_tag(spark.read.option("mergeSchema", "true")
+    tagged = _dv_tag(_file_reader(spark, schema, events)
                      .parquet(*files))
     if dv is not None:
         # already-deleted rows must not be re-recorded
         tagged = tagged.join(
             dv, (tagged["__f"] == dv["__dv_f"])
             & (tagged["__i"] == dv["__dv_i"]), "left_anti")
-    hits = (_apply_schema_events(tagged, events)
+    probe = _apply_schema_events(tagged, events)
+    if schema is not None:
+        # a candidate/event subset may predate an evolution — pad the
+        # missing logical columns (keeping the __f/__i tags)
+        for fld in schema.fields:
+            if fld.name not in probe.columns:
+                probe = probe.withColumn(
+                    fld.name, F.lit(None).cast(fld.dataType))
+    hits = (probe
             .filter(cond)
             .select(F.col("__f").alias("f"), F.col("__i").alias("pos"))
             .localCheckpoint(eager=True))
@@ -2067,18 +2283,28 @@ def _merge_mor_once(spark: SparkSession, table_path: str,
     base_version = current_version(spark, table_path)
     if base_version == 0:
         raise FileNotFoundError(f"{table_path} has no commit log")
-    files = snapshot_files(spark, table_path)
-    events = _schema_events(spark, table_path)
-    dv = _dv_overlay(spark, table_path)
-    tagged = _dv_tag(spark.read.option("mergeSchema", "true")
+    files = snapshot_files(spark, table_path, base_version)
+    events = _schema_events(spark, table_path, base_version)
+    dv = _dv_overlay(spark, table_path, base_version)
+    schema = table_schema(spark, table_path, base_version)
+    tagged = _dv_tag(_file_reader(spark, schema, events)
                      .parquet(*files))
     if dv is not None:
         tagged = tagged.join(
             dv, (tagged["__f"] == dv["__dv_f"])
             & (tagged["__i"] == dv["__dv_i"]), "left_anti")
     tgt = _apply_schema_events(tagged, events)
+    if schema is not None:
+        for fld in schema.fields:
+            if fld.name not in tgt.columns:
+                tgt = tgt.withColumn(fld.name,
+                                     F.lit(None).cast(fld.dataType))
+    evolved_json = None
     if schema_evolution:
         tgt = _evolve_merge_target(spark, table_path, tgt, source)
+        evolved_json = _evolved_schema_json(
+            spark, table_path, source.schema,
+            f"merge_into schema evolution on {table_path}")
     tgt_cols = [c for c in tgt.columns if c not in ("__f", "__i")]
     src = source.select(*tgt_cols)
 
@@ -2131,6 +2357,8 @@ def _merge_mor_once(spark: SparkSession, table_path: str,
                                      spark, table_path))
     doc: dict = {"version": base_version + 1, "op": "merge_mor",
                  "add": adds, "remove": []}
+    if evolved_json is not None:
+        doc["schema"] = evolved_json
     if n_mod:
         doc["dv_add"] = _write_dv_sidecar(
             spark, table_path,
@@ -2187,22 +2415,39 @@ def _write_dv_sidecar(spark: SparkSession, table_path: str,
 
 
 def _update_mor_once(spark: SparkSession, table_path: str,
-                     condition, update_set: dict) -> dict:
+                     condition, update_set: dict,
+                     recon_spec: tuple | None = None) -> dict:
     base_version = current_version(spark, table_path)
     if base_version == 0:
         raise FileNotFoundError(f"{table_path} has no commit log")
-    files = snapshot_files(spark, table_path)
-    events = _schema_events(spark, table_path)
-    dv = _dv_overlay(spark, table_path)
+    root = table_path.rstrip("/")
+    files = snapshot_files(spark, table_path, base_version)
+    events = _schema_events(spark, table_path, base_version)
+    dv = _dv_overlay(spark, table_path, base_version)
+    schema = table_schema(spark, table_path, base_version)
+    cands = _recon_candidates(spark, table_path, recon_spec,
+                              base_version)
+    if cands is not None and schema is not None:
+        # structured predicate: scan only stat-surviving files,
+        # pinned at base_version (see _delete_mor_once)
+        if not cands:
+            return {"version": base_version, "n_rows_updated": 0,
+                    "dv_file": None}
+        files = [_abs(root, p) for p in cands]
     cond = F.expr(condition) if isinstance(condition, str) else condition
-    tagged = _dv_tag(spark.read.option("mergeSchema", "true")
+    tagged = _dv_tag(_file_reader(spark, schema, events)
                      .parquet(*files))
     if dv is not None:
         tagged = tagged.join(
             dv, (tagged["__f"] == dv["__dv_f"])
             & (tagged["__i"] == dv["__dv_i"]), "left_anti")
-    matched = (_apply_schema_events(tagged, events)
-               .filter(cond).localCheckpoint(eager=True))
+    probe = _apply_schema_events(tagged, events)
+    if schema is not None:
+        for fld in schema.fields:
+            if fld.name not in probe.columns:
+                probe = probe.withColumn(
+                    fld.name, F.lit(None).cast(fld.dataType))
+    matched = probe.filter(cond).localCheckpoint(eager=True)
     n = matched.count()
     if n == 0:
         return {"version": base_version, "n_rows_updated": 0,
@@ -2268,14 +2513,15 @@ def update_where(spark: SparkSession, table_path: str,
         raise ValueError(f"update_where: unknown mode {mode!r}")
     for attempt in range(max_retries + 1):
         try:
-            cond, cands = _structured_condition(spark, table_path,
-                                                condition)
+            cond, spec = _structured_condition(spark, table_path,
+                                               condition)
             if mode == "mor":
                 return _update_mor_once(spark, table_path, cond,
-                                        dict(update_set))
+                                        dict(update_set),
+                                        recon_spec=spec)
             return _dml_once(spark, table_path, cond,
                              dict(update_set), "update",
-                             recon_files=cands)
+                             recon_spec=spec)
         except CommitConflictError:
             if attempt == max_retries:
                 raise
@@ -2310,10 +2556,10 @@ def replace_where(spark: SparkSession, table_path: str, df: DataFrame,
     _guard_retired_names(spark, table_path, df.columns,
                          f"replace_where on {table_path}")
     for attempt in range(max_retries + 1):
-        # structured candidates are computed INSIDE the retry loop: a
-        # commit race means a new snapshot, so the stat-pruned file
-        # set must be re-derived against it
-        cond, cands = _structured_condition(spark, table_path, condition)
+        # the parsed spec is version-free; the candidate set derives
+        # INSIDE _dml_once at its pinned base version, so a commit
+        # race re-derives it against the fresh snapshot automatically
+        cond, spec = _structured_condition(spark, table_path, condition)
         if attempt == 0 and validate:
             outside = df.filter(~F.coalesce(cond, F.lit(False)))
             if outside.limit(1).count():
@@ -2327,7 +2573,7 @@ def replace_where(spark: SparkSession, table_path: str, df: DataFrame,
         try:
             return _dml_once(spark, table_path, cond, None,
                              "replace_where", insert_df=df,
-                             recon_files=cands)
+                             recon_spec=spec)
         except CommitConflictError:
             if attempt == max_retries:
                 raise
@@ -2396,6 +2642,12 @@ def restore_table(spark: SparkSession, table_path: str,
                # would keep hiding rows the restore re-surfaced
                # (silent data loss on restore across a MOR delete)
                "dv_files": _dv_rels(spark, table_path, version=version)}
+        # the declared schema restores with the data (Delta RESTORE
+        # semantics — a post-target evolution must not keep showing
+        # its column over the restored rows)
+        sj = _decl_at(spark, table_path, "schema", None, version)
+        if sj is not None:
+            doc["schema"] = sj
         if target_df is not None:
             doc["add"] = []
             doc["remove"] = []
@@ -2444,18 +2696,25 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
     if base_version == 0:
         raise FileNotFoundError(f"{table_path} has no commit log")
     root = table_path.rstrip("/")
-    files = snapshot_files(spark, table_path)
-    # union schema so merges work on schema-evolved tables (files
+    files = snapshot_files(spark, table_path, base_version)
+    # logical schema so merges work on schema-evolved tables (files
     # written before a column existed read as NULL); RENAME/DROP
     # COLUMN events map the raw vintages onto the logical schema and
-    # the deletion-vector overlay hides merge-on-read-deleted rows
-    events = _schema_events(spark, table_path)
-    dv = _dv_overlay(spark, table_path)
-    target = _apply_schema_events(
-        _apply_dv(spark.read.option("mergeSchema", "true")
-                  .parquet(*files), dv), events)
+    # the deletion-vector overlay hides merge-on-read-deleted rows.
+    # Everything (snapshot, events, DVs, stat-pruned candidates) is
+    # pinned at base_version — the version the commit-CAS guards.
+    events = _schema_events(spark, table_path, base_version)
+    dv = _dv_overlay(spark, table_path, base_version)
+    schema = table_schema(spark, table_path, base_version)
+    reader = _file_reader(spark, schema, events)
+    target = _finish_logical(_apply_dv(reader.parquet(*files), dv),
+                             schema, events)
+    evolved_json = None
     if schema_evolution:
         target = _evolve_merge_target(spark, table_path, target, source)
+        evolved_json = _evolved_schema_json(
+            spark, table_path, source.schema,
+            f"merge_into schema evolution on {table_path}")
     tgt_cols = target.columns
     src = source.select(*tgt_cols)
     src_keys = src.select(*keys).distinct().localCheckpoint(eager=True)
@@ -2474,13 +2733,16 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
     # pruned_candidate_files dispatches: driver-side JSON loop for
     # small tables, one Spark filter job over the parquet checkpoint's
     # add-action table for big ones (stats never cross to the driver)
-    candidates = (pruned_candidate_files(spark, table_path, bounds)
+    candidates = (pruned_candidate_files(spark, table_path, bounds,
+                                         version=base_version)
                   if bounds else [])
     n_stat_pruned = len(files) - len(candidates)
 
     # reconnaissance: which candidate files contain a matched key?
     # The scan is pruned to (keys, _metadata) — exact file-level
-    # pruning over the stat-surviving files only.
+    # pruning over the stat-surviving files only. Keys cannot be
+    # renamed (guarded), so imposing the logical schema is safe even
+    # across RENAME vintages for this keys-only scan.
     touched: list[str] = []
     if candidates:
         cand_paths = [_abs(root, p) for p in candidates]
@@ -2499,8 +2761,7 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
     if touched:
         tgt_touched = _align_logical(
             _apply_schema_events(
-                _apply_dv(spark.read.option("mergeSchema", "true")
-                          .parquet(*touched), dv),
+                _apply_dv(reader.parquet(*touched), dv),
                 events),
             target.schema)
         # matched marker: a non-null sentinel column, NOT "any source
@@ -2550,6 +2811,8 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
                                      spark, table_path))
     doc = {"version": base_version + 1, "op": "merge",
            "add": adds, "remove": touched_rel}
+    if evolved_json is not None:
+        doc["schema"] = evolved_json
     _write_commit(spark, table_path, base_version + 1, doc)
     return {"version": base_version + 1,
             "n_files_rewritten": len(touched_rel),
@@ -2873,15 +3136,21 @@ def compact(spark: SparkSession, table_path: str,
                     "n_files_added": 0}
         candidates_of[attempt] = candidates
         events = _schema_events(spark, table_path)
-        reader = spark.read
-        if events:
-            reader = reader.option("mergeSchema", "true")
+        schema = table_schema(spark, table_path)
+        # declared schema imposed on the candidate scan (or the
+        # mergeSchema union for event/legacy logs): a MIXED-VINTAGE
+        # candidate set reads every logical column — a plain
+        # single-footer-sampled read could silently drop an evolved
+        # column's data from the rewrite. The packed files migrate to
+        # the full logical schema as a side effect.
+        reader = _file_reader(spark, schema, events) \
+            if (schema is not None or events) else spark.read
         # OPTIMIZE is also the deletion-vector PURGE: the rewrite
         # materializes MOR deletes, so the packed files carry none
-        df = _apply_schema_events(
+        df = _finish_logical(
             _apply_dv(reader.parquet(*[_abs(root, p) for p in candidates]),
                       _dv_overlay(spark, table_path)),
-            events)
+            schema, events)
         known = [stats[p] for p in candidates if stats[p] is not None]
         total = (sum(known) if len(known) == len(candidates)
                  else df.count())
@@ -3054,9 +3323,12 @@ def read_table_pruned(spark: SparkSession, table_path: str, key_col: str,
     conservatively read). Logs from before per-column stats fall
     back to the legacy first-key ``min_key``/``max_key`` fields —
     only pass the table's first key column against such logs.
+    One of three thin wrappers over ``read_table(where={...})`` — the
+    unified structured pruned-read path (all pruning lanes live in
+    :func:`pruned_candidate_files`).
     """
-    return read_table_pruned_multi(spark, table_path,
-                                   {key_col: (lo, hi)}, version)
+    return read_table(spark, table_path, version,
+                      where={key_col: (lo, hi)})
 
 
 def read_table_pruned_multi(spark: SparkSession, table_path: str,
@@ -3074,34 +3346,33 @@ def read_table_pruned_multi(spark: SparkSession, table_path: str,
     the box's file neighborhood, not the union of two stripes. Files
     missing stats for a predicate column are conservatively read
     (legacy ``min_key``/``max_key`` fields back the first key column,
-    as in :func:`read_table_pruned`)."""
-    keep = pruned_candidate_files(spark, table_path, preds, version)
-    root = table_path.rstrip("/")
-    if not keep:
-        return (read_table(spark, table_path, version)
-                .filter(F.lit(False)))
-    df = _read_pruned_files(spark, table_path, keep, version)
-    cond = F.lit(True)
-    for col, (lo, hi) in preds.items():
-        cond = cond & (F.col(col) >= lo) & (F.col(col) <= hi)
-    return df.filter(cond)
+    as in :func:`read_table_pruned`). Thin wrapper over
+    ``read_table(where=preds)``."""
+    if any(not isinstance(v, tuple) for v in preds.values()):
+        raise ValueError("read_table_pruned_multi: every predicate "
+                         "must be a (lo, hi) tuple — use "
+                         "read_table(where={...}) for mixed "
+                         "range/equality predicates")
+    return read_table(spark, table_path, version, where=dict(preds))
 
 
 def _read_pruned_files(spark: SparkSession, table_path: str,
                        keep: list[str],
                        version: int | None) -> DataFrame:
-    """Open a pruned file subset with the deletion-vector overlay and
-    RENAME/DROP COLUMN events applied, so residual predicates bind to
-    logical column names over logically-live rows."""
+    """Open a pruned file subset projected to the logical schema
+    (declared schema imposed — or the mergeSchema union + RENAME/DROP
+    replay on event/legacy logs) with the deletion-vector overlay
+    applied, so residual predicates bind to logical column names over
+    logically-live rows."""
     root = table_path.rstrip("/")
     events = _schema_events(spark, table_path, version)
-    reader = spark.read
-    if events:
-        reader = reader.option("mergeSchema", "true")
-    return _apply_schema_events(
+    schema = table_schema(spark, table_path, version)
+    reader = _file_reader(spark, schema, events) \
+        if (schema is not None or events) else spark.read
+    return _finish_logical(
         _apply_dv(reader.parquet(*[_abs(root, p) for p in keep]),
                   _dv_overlay(spark, table_path, version)),
-        events)
+        schema, events)
 
 
 def pruned_candidate_files(spark: SparkSession, table_path: str,
@@ -3252,16 +3523,13 @@ def read_table_point_lookup(spark: SparkSession, table_path: str,
     the domain, so a 10^6-file table would open every file; with a
     1 KB bloom per file the expected open set is matches + (false-
     positive rate × files). Probing is pure driver-side arithmetic
-    over the commit log — no Spark job until the survivors are read."""
-    keep = pruned_candidate_files(spark, table_path, None, version, eq=eq)
-    if not keep:
-        return (read_table(spark, table_path, version)
-                .filter(F.lit(False)))
-    df = _read_pruned_files(spark, table_path, keep, version)
-    cond = F.lit(True)
-    for col, v in eq.items():
-        cond = cond & (F.col(col) == F.lit(v))
-    return df.filter(cond)
+    over the commit log — no Spark job until the survivors are read.
+    Thin wrapper over ``read_table(where=eq)``."""
+    if any(isinstance(v, tuple) for v in eq.values()):
+        raise ValueError("read_table_point_lookup: equality values "
+                         "only — use read_table(where={...}) for "
+                         "mixed range/equality predicates")
+    return read_table(spark, table_path, version, where=dict(eq))
 
 
 def read_changes(spark: SparkSession, table_path: str,
@@ -3511,9 +3779,14 @@ def expire_snapshots(spark: SparkSession, table_path: str,
                "schema_events": _schema_events(spark, table_path,
                                                version=cutoff),
                "dv_files": _dv_rels(spark, table_path, version=cutoff),
+               # the checkpoint REPLACES the cutoff commit in replay,
+               # so the declared schema must restate cumulatively too
                # dv_rows ride the expired dv_add commits — restate the
                # counts so dv_debt stays exact past the checkpoint
                "dv_rows_map": _dv_rows_by_rel(commits, cutoff)}
+        sj = _decl_at(spark, table_path, "schema", None, cutoff)
+        if sj is not None:
+            doc["schema"] = sj
         orig_ts = next((c.get("ts") for c in commits
                         if c["version"] == cutoff), None)
         if orig_ts is not None:
@@ -3649,7 +3922,11 @@ def stage_append(spark: SparkSession, table_path: str, df: DataFrame,
                              partition_cols=_table_partition_cols(
                                  spark, table_path))
     return {"op": "append", "add": adds, "remove": [],
-            "base_version": v, "staged_dir": staged_dir}
+            "base_version": v, "staged_dir": staged_dir,
+            # the staged frame's schema rides the pending payload so
+            # publish can restate an add-column evolution in its
+            # commit (same contract as append_table)
+            "df_schema": _schema_json(df.schema)}
 
 
 def read_staged(spark: SparkSession, table_path: str,
@@ -3711,10 +3988,16 @@ def publish_staged(spark: SparkSession, table_path: str,
         final_adds.append({**a, "path": final})
     if pending.get("staged_dir"):
         fs.delete(Path(f"{root}/{pending['staged_dir']}"), True)
+    evolved = (_evolved_schema_json(
+        spark, table_path, StructType.fromJson(pending["df_schema"]),
+        f"publish_staged on {table_path}")
+        if pending.get("df_schema") else None)
     for _ in range(5):
         v = current_version(spark, table_path)
         doc = {"version": v + 1, "op": pending["op"],
                "add": final_adds, "remove": pending["remove"]}
+        if evolved is not None:
+            doc["schema"] = evolved
         try:
             _write_commit(spark, table_path, v + 1, doc)
             return v + 1

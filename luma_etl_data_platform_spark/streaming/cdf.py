@@ -79,13 +79,19 @@ class ChangeFeedLedger:
         self._files = None  # lazily counted once per ledger instance
 
     def processed(self) -> set[int]:
-        """Every processed version as a driver-side set — O(feed
-        lifetime) on the driver; kept for audits and small feeds.
-        The streaming path uses :meth:`summary` instead."""
+        """The AUDIT API: every processed version as a driver-side
+        set. Reads the same compacted representation :meth:`summary`
+        polls — one directory listing over the O(compact_every)
+        self-compacted files, duplicate rows (benign crash residue of
+        :meth:`compact`) collapsed executor-side before collect. The
+        returned SET is necessarily O(feed lifetime); the streaming
+        path never calls this — it reads :meth:`summary`'s
+        (watermark, exceptions) pair, O(1) on the driver."""
         try:
             return {int(r["version"]) for r in
                     (self.spark.read.schema(self._SCHEMA)
-                     .parquet(self.path).collect())}
+                     .parquet(self.path).select("version")
+                     .distinct().collect())}
         except Exception:
             return set()
 

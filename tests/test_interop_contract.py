@@ -1,0 +1,91 @@
+"""Offline contract pin for the Delta/Iceberg interop dispatch
+(verdict r8 'What's missing' #3 / round-9 item 5): the container has
+no format jars or network, so `plans/transform.upsert`'s native-MERGE
+branch and the maintenance statements have never executed. This
+golden-file test snapshots the EXACT statement sequences the dispatch
+would issue for MERGE / OPTIMIZE / VACUUM against both formats — the
+first networked run cannot silently drift from what this build was
+written (and reviewed) to emit.
+
+No Spark session needed: the emitters are pure string builders.
+
+Regenerating after an INTENTIONAL contract change:
+    python -c "import tests.test_interop_contract as t; t._regen()"
+then review the diff like any other source change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from luma_etl_data_platform_spark.plans.transform import (
+    interop_statements,
+    merge_sql,
+    optimize_sql,
+    vacuum_sql,
+)
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
+                      "interop_contract.txt")
+
+# the one canonical scenario: a 4-column keyed table, z-ordered on
+# two query dims, weekly retention — every emitter exercised
+_CASES = [
+    ("delta", {"zorder_by": ["o_orderdate", "o_custkey"],
+               "retain_hours": 168}),
+    ("delta", {"zorder_by": None, "retain_hours": 24}),
+    ("iceberg", {"zorder_by": ["o_orderdate", "o_custkey"],
+                 "retain_hours": 168}),
+    ("iceberg", {"zorder_by": None, "retain_hours": 24}),
+]
+_TARGET = "warehouse.orders_agg"
+_SOURCE = "staging.orders_agg_delta"
+_COLUMNS = ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+_KEYS = ["o_orderkey"]
+
+
+def _render() -> str:
+    blocks = []
+    for fmt, kw in _CASES:
+        stmts = interop_statements(fmt, _TARGET, _SOURCE, _COLUMNS,
+                                   _KEYS, **kw)
+        header = (f"-- format={fmt} zorder_by={kw['zorder_by']} "
+                  f"retain_hours={kw['retain_hours']}")
+        blocks.append("\n".join([header] + [s + ";" for s in stmts]))
+    return "\n\n".join(blocks) + "\n"
+
+
+def _regen() -> None:
+    os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+    with open(GOLDEN, "w") as fh:
+        fh.write(_render())
+
+
+def test_interop_statements_match_golden():
+    assert os.path.exists(GOLDEN), (
+        "golden file missing — run _regen() once and commit it")
+    with open(GOLDEN) as fh:
+        want = fh.read()
+    assert _render() == want, (
+        "interop dispatch contract drifted from the golden file; if "
+        "the change is intentional, regenerate via _regen() and "
+        "review the diff")
+
+
+def test_merge_sql_is_ansi_shared():
+    """Both formats get the SAME ANSI MERGE text — a format-specific
+    fork here would be a red flag (neither needs one)."""
+    m = merge_sql(_TARGET, _SOURCE, _COLUMNS, _KEYS)
+    assert m.startswith(f"MERGE INTO {_TARGET} AS tgt")
+    assert "WHEN MATCHED THEN UPDATE SET" in m
+    assert "WHEN NOT MATCHED THEN INSERT" in m
+    # key column never in the UPDATE SET list
+    assert "tgt.o_orderkey = src.o_orderkey\n" not in m.split("ON ")[0]
+
+
+def test_emitters_refuse_unknown_format():
+    import pytest
+    with pytest.raises(ValueError):
+        optimize_sql(_TARGET, "hudi")
+    with pytest.raises(ValueError):
+        vacuum_sql(_TARGET, "hudi")

@@ -409,6 +409,13 @@ def test_change_feed_ledger_self_compacts(spark, tmp_path):
     led2.record(63)
     led2.compact()
     assert led2.summary() == (60, {63})
+    # audit API (verdict r8 #4): a FRESH instance (second restart)
+    # serves the full processed set from the compacted representation
+    # — one directory listing over O(compact_every) files, duplicate
+    # rows collapsed executor-side, exceptions included
+    led3 = ChangeFeedLedger(spark, path)
+    assert led3.processed() == set(range(1, 61)) | {63}
+    assert len(data_files()) <= 2  # the compacted file (+1 in-flight)
 
 
 def test_stream_changes_drain_bounds_ledger_files(spark, tmp_path):
