@@ -202,8 +202,15 @@ def hashed_linear_scores(df: DataFrame, text_col: str = "text",
     the score is carried as an exact integer sum until the final
     division, so it is partition-order invariant and oracle-exact.
 
-    Returns (id, n_tokens, score) with score = sum(w)/1000/n rounded
-    to 6 dp.
+    Returns (id, n_tokens, score) with score = sum(w)/1000/n carried
+    to 6 dp as exact micro-units: ``round(sw*1000/n) / 1e6``. The
+    numerator ``sw*1000`` is an exact integer in double range, the
+    one division's half-way cases land on representable ``k + 0.5``
+    values, and both round-half-away and the final power-of-ten
+    division are engine-identical — unlike ``round(x, 6)`` of an
+    arbitrary quotient, whose last-ulp behavior diverged between
+    Spark (exact-BigDecimal rounding) and the DuckDB oracle at sf0.1
+    (found by the round-9 sf0.1 oracle tier).
     """
     from ..functions.text import portable_hash32, tokens
     tok = df.select(F.col(id_col),
@@ -215,8 +222,9 @@ def hashed_linear_scores(df: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.sum("_w").alias("_sw"))
             .select(id_col, "n_tokens",
-                    F.round(F.col("_sw").cast("double")
-                            / (F.col("n_tokens") * 1000.0), 6).alias("score")))
+                    (F.round(F.col("_sw").cast("double") * 1000.0
+                             / F.col("n_tokens"))
+                     / F.lit(1000000.0)).alias("score")))
 
 
 def repetition_profile(df: DataFrame, text_col: str, id_col: str,

@@ -305,7 +305,8 @@ w AS (SELECT doc_id,
 agg AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(wm) AS BIGINT) AS sw
         FROM w GROUP BY 1),
 scored AS (SELECT doc_id,
-                  round(CAST(sw AS DOUBLE) / (n_tokens * 1000.0), 6) AS score,
+                  round(CAST(sw AS DOUBLE) * 1000 / n_tokens)
+                    / 1000000.0 AS score,
                   CAST(n_tokens AS BIGINT) AS n_tokens
            FROM agg),
 run AS (SELECT doc_id, score, n_tokens,

@@ -95,8 +95,9 @@ agg AS (SELECT doc_id, source, count(*) AS n_tokens,
                CAST(sum(wm) AS BIGINT) AS sw
         FROM w GROUP BY 1, 2)
 SELECT doc_id, source, n_tokens,
-       round(CAST(sw AS DOUBLE) / (n_tokens * 1000.0), 6) AS score,
-       round(CAST(sw AS DOUBLE) / (n_tokens * 1000.0), 6) >= 0 AS passed
+       round(CAST(sw AS DOUBLE) * 1000 / n_tokens) / 1000000.0 AS score,
+       round(CAST(sw AS DOUBLE) * 1000 / n_tokens) / 1000000.0 >= 0
+         AS passed
 FROM agg ORDER BY doc_id
 """
 
@@ -521,7 +522,7 @@ w AS (SELECT doc_id,
       FROM (SELECT doc_id, unnest(t) AS tk FROM s4)),
 sc AS (SELECT doc_id,
               round(CAST(CAST(sum(wm) AS BIGINT) AS DOUBLE)
-                    / (count(*) * 1000.0), 6) AS score
+                    * 1000 / count(*)) / 1000000.0 AS score
        FROM w GROUP BY 1),
 s5 AS (SELECT s4.* FROM s4 JOIN sc USING (doc_id) WHERE score >= -0.05)
 SELECT * FROM (

@@ -384,7 +384,13 @@ bpos AS (SELECT (CAST('0x' || substr(md5(s || ':' || CAST(c_custkey AS VARCHAR))
                                      1, 8) AS BIGINT)) % 1024 AS pos
          FROM small CROSS JOIN seeds),
 lanes AS (SELECT CAST(floor(pos / 64) AS BIGINT) AS lane,
-                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 64 AS INT)) AS bits
+                 -- HUGEINT lanes: DuckDB's BIGINT << 63 raises an
+                 -- overflow (strict, unlike Spark's wrapping
+                 -- shiftleft); the 128-bit shift carries bit 63
+                 -- losslessly and the lane values never leave this
+                 -- CTE, so signedness parity with the Spark side is
+                 -- irrelevant (found by the sf0.1 oracle tier)
+                 bit_or(CAST(1 AS HUGEINT) << CAST(pos % 64 AS INT)) AS bits
           FROM bpos GROUP BY 1),
 probes AS (SELECT o_orderkey,
                   (CAST('0x' || substr(md5(s || ':' || CAST(o_custkey AS VARCHAR)),

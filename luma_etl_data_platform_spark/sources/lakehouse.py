@@ -255,13 +255,41 @@ def _name_version(name: str) -> int | None:
     return int(head) if head.isdigit() else None
 
 
+# Parsed commit docs keyed by (abs path, mtime, length). Commit files
+# are IMMUTABLE once renamed into place (a checkpoint lands under a
+# DISTINCT name; the pointer file is never cached), so a (path,
+# mtime, len) triple identifies content — the key comes from the
+# directory listing `_commits` already pays for, so a cache hit costs
+# zero extra RPCs and a snapshot assembly (files + events + DV +
+# schema + declarations, each a `_commits` replay) does ONE listing
+# and NO doc reads in steady state instead of one read per doc per
+# replay. Bounded: evictions drop the oldest half wholesale.
+_DOC_CACHE: dict[tuple, dict] = {}
+_DOC_CACHE_MAX = 8192
+
+
 def _commits(spark: SparkSession, table_path: str) -> list[dict]:
     fs, jvm = _fs(spark, table_path)
     Path = jvm.org.apache.hadoop.fs.Path
     log_dir = Path(f"{table_path.rstrip('/')}/{_LOG_DIR}")
     if not fs.exists(log_dir):
         return []
-    listing = [st.getPath() for st in fs.listStatus(log_dir)]
+    listing = [(st.getPath(),
+                (str(st.getPath()), st.getModificationTime(),
+                 st.getLen()))
+               for st in fs.listStatus(log_dir)]
+
+    def _load(p, key) -> dict:
+        doc = _DOC_CACHE.get(key)
+        if doc is None:
+            doc = json.loads(_read_text(fs, jvm, str(p)))
+            if len(_DOC_CACHE) >= _DOC_CACHE_MAX:
+                for k in list(_DOC_CACHE)[:_DOC_CACHE_MAX // 2]:
+                    _DOC_CACHE.pop(k, None)
+            _DOC_CACHE[key] = doc
+        # shallow copy: callers annotate (`_txn`) and replay helpers
+        # must never see a stale annotation through the cache
+        return dict(doc)
 
     def _parse(anchor: int) -> list[dict]:
         # one doc per version; a `<v>.checkpoint.json` shadows
@@ -271,7 +299,7 @@ def _commits(spark: SparkSession, table_path: str) -> list[dict]:
         # pick the checkpoint). With a pointer anchor, names BELOW it
         # are never even opened — O(tail) parses per call.
         by_version: dict[int, tuple[bool, dict]] = {}
-        for p in listing:
+        for p, key in listing:
             name = p.getName()
             if not name.endswith(".json") or name.startswith("."):
                 continue
@@ -279,7 +307,7 @@ def _commits(spark: SparkSession, table_path: str) -> list[dict]:
                 nv = _name_version(name)
                 if nv is not None and nv < anchor:
                     continue
-            doc = json.loads(_read_text(fs, jvm, str(p)))
+            doc = _load(p, key)
             is_ckpt = name.endswith(".checkpoint.json")
             prev = by_version.get(doc["version"])
             if prev is None or (is_ckpt and not prev[0]):
