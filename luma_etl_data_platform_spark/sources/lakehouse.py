@@ -748,6 +748,18 @@ def _finish_logical(df: DataFrame, schema, events) -> DataFrame:
     return _align_logical(df, schema) if schema is not None else df
 
 
+def _pad_logical(df: DataFrame, schema) -> DataFrame:
+    """Pad columns of the declared schema a scan subset lacks (files
+    predating an evolution) with typed NULLs — WITHOUT reprojecting,
+    so tag columns (__f/__i/_f) survive. No-op on legacy logs."""
+    if schema is None:
+        return df
+    for fld in schema.fields:
+        if fld.name not in df.columns:
+            df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+    return df
+
+
 _DV_DIR = "_dv"
 
 
@@ -920,6 +932,16 @@ def _split_structured(where: dict) -> tuple[dict, dict]:
         raise ValueError("structured predicate: the dict form needs at "
                          "least one {col: (lo, hi)} range or "
                          "{col: value} equality")
+    bad = [c for c, v in where.items()
+           if v is None or (isinstance(v, tuple)
+                            and (len(v) != 2 or None in v))]
+    if bad:
+        # col == NULL is never true in SQL — a None here would
+        # silently match nothing; half-open ranges need a Column
+        raise ValueError(
+            f"structured predicate: column(s) {bad} carry None (or a "
+            "malformed range) — IS NULL and open-ended ranges are not "
+            "expressible in the dict form; use a Column/str condition")
     ranges = {c: v for c, v in where.items() if isinstance(v, tuple)}
     eq = {c: v for c, v in where.items() if not isinstance(v, tuple)}
     return ranges, eq
@@ -980,10 +1002,11 @@ def read_table(spark: SparkSession, table_path: str,
             # logical schema, no scan built at all
             if schema is not None:
                 return spark.createDataFrame([], schema).filter(cond)
-            return (read_table(spark, table_path, version)
+            return (read_table(spark, table_path, version,
+                               merge_schema=merge_schema)
                     .filter(F.lit(False)))
-        return _read_pruned_files(spark, table_path, keep,
-                                  version).filter(cond)
+        return _read_pruned_files(spark, table_path, keep, version,
+                                  merge_schema=merge_schema).filter(cond)
     files = snapshot_files(spark, table_path, version)
     if not files:
         raise FileNotFoundError(
@@ -2104,14 +2127,12 @@ def _dml_once(spark: SparkSession, table_path: str, condition,
             tagged = tagged.join(
                 dv, (tagged["__f"] == dv["__dv_f"])
                 & (tagged["__i"] == dv["__dv_i"]), "left_anti")
-        probe = _apply_schema_events(tagged.drop("__f", "__i"), events)
         # a candidate SUBSET may predate a schema evolution and lack a
         # predicate column entirely — pad with typed NULLs (keeping
         # the _f tag, so no _align_logical select) before filtering
-        for fld in target.schema.fields:
-            if fld.name not in probe.columns:
-                probe = probe.withColumn(
-                    fld.name, F.lit(None).cast(fld.dataType))
+        probe = _pad_logical(
+            _apply_schema_events(tagged.drop("__f", "__i"), events),
+            target.schema)
         touched_rows = (probe
                         .filter(cond)
                         .select("_f")
@@ -2269,14 +2290,9 @@ def _delete_mor_once(spark: SparkSession, table_path: str,
         tagged = tagged.join(
             dv, (tagged["__f"] == dv["__dv_f"])
             & (tagged["__i"] == dv["__dv_i"]), "left_anti")
-    probe = _apply_schema_events(tagged, events)
-    if schema is not None:
-        # a candidate/event subset may predate an evolution — pad the
-        # missing logical columns (keeping the __f/__i tags)
-        for fld in schema.fields:
-            if fld.name not in probe.columns:
-                probe = probe.withColumn(
-                    fld.name, F.lit(None).cast(fld.dataType))
+    # a candidate/event subset may predate an evolution — pad the
+    # missing logical columns (keeping the __f/__i tags)
+    probe = _pad_logical(_apply_schema_events(tagged, events), schema)
     hits = (probe
             .filter(cond)
             .select(F.col("__f").alias("f"), F.col("__i").alias("pos"))
@@ -2321,12 +2337,7 @@ def _merge_mor_once(spark: SparkSession, table_path: str,
         tagged = tagged.join(
             dv, (tagged["__f"] == dv["__dv_f"])
             & (tagged["__i"] == dv["__dv_i"]), "left_anti")
-    tgt = _apply_schema_events(tagged, events)
-    if schema is not None:
-        for fld in schema.fields:
-            if fld.name not in tgt.columns:
-                tgt = tgt.withColumn(fld.name,
-                                     F.lit(None).cast(fld.dataType))
+    tgt = _pad_logical(_apply_schema_events(tagged, events), schema)
     evolved_json = None
     if schema_evolution:
         tgt = _evolve_merge_target(spark, table_path, tgt, source)
@@ -2469,12 +2480,7 @@ def _update_mor_once(spark: SparkSession, table_path: str,
         tagged = tagged.join(
             dv, (tagged["__f"] == dv["__dv_f"])
             & (tagged["__i"] == dv["__dv_i"]), "left_anti")
-    probe = _apply_schema_events(tagged, events)
-    if schema is not None:
-        for fld in schema.fields:
-            if fld.name not in probe.columns:
-                probe = probe.withColumn(
-                    fld.name, F.lit(None).cast(fld.dataType))
+    probe = _pad_logical(_apply_schema_events(tagged, events), schema)
     matched = probe.filter(cond).localCheckpoint(eager=True)
     n = matched.count()
     if n == 0:
@@ -2669,7 +2675,15 @@ def restore_table(spark: SparkSession, table_path: str,
                # without this, DV sidecars committed AFTER the target
                # would keep hiding rows the restore re-surfaced
                # (silent data loss on restore across a MOR delete)
-               "dv_files": _dv_rels(spark, table_path, version=version)}
+               "dv_files": _dv_rels(spark, table_path, version=version),
+               # restate the TARGET version's RENAME/DROP events too:
+               # a post-target rename left replaying would keep
+               # remapping the restored files' physical names — and
+               # with the declared schema also restored, the
+               # alignment would project the renamed column to NULL
+               # (silent data loss found by the round-9 self-review)
+               "schema_events": _schema_events(spark, table_path,
+                                               version=version)}
         # the declared schema restores with the data (Delta RESTORE
         # semantics — a post-target evolution must not keep showing
         # its column over the restored rows)
@@ -3386,17 +3400,21 @@ def read_table_pruned_multi(spark: SparkSession, table_path: str,
 
 def _read_pruned_files(spark: SparkSession, table_path: str,
                        keep: list[str],
-                       version: int | None) -> DataFrame:
+                       version: int | None,
+                       merge_schema: bool = False) -> DataFrame:
     """Open a pruned file subset projected to the logical schema
     (declared schema imposed — or the mergeSchema union + RENAME/DROP
     replay on event/legacy logs) with the deletion-vector overlay
     applied, so residual predicates bind to logical column names over
-    logically-live rows."""
+    logically-live rows. ``merge_schema`` matters only for LEGACY
+    logs without a declared schema: it forces the footer union so an
+    evolved column survives the subset read (a plain read samples one
+    footer and could silently drop it)."""
     root = table_path.rstrip("/")
     events = _schema_events(spark, table_path, version)
     schema = table_schema(spark, table_path, version)
     reader = _file_reader(spark, schema, events) \
-        if (schema is not None or events) else spark.read
+        if (schema is not None or events or merge_schema) else spark.read
     return _finish_logical(
         _apply_dv(reader.parquet(*[_abs(root, p) for p in keep]),
                   _dv_overlay(spark, table_path, version)),
@@ -4016,12 +4034,17 @@ def publish_staged(spark: SparkSession, table_path: str,
         final_adds.append({**a, "path": final})
     if pending.get("staged_dir"):
         fs.delete(Path(f"{root}/{pending['staged_dir']}"), True)
-    evolved = (_evolved_schema_json(
-        spark, table_path, StructType.fromJson(pending["df_schema"]),
-        f"publish_staged on {table_path}")
-        if pending.get("df_schema") else None)
     for _ in range(5):
         v = current_version(spark, table_path)
+        # evolved-schema restatement recomputed INSIDE the retry loop:
+        # a concurrent schema-widening commit between attempts must be
+        # reflected, or the stale restatement would drop its column
+        # from the latest-declaration-wins replay (same TOCTOU class
+        # as the DML candidate fix; found by the round-9 self-review)
+        evolved = (_evolved_schema_json(
+            spark, table_path, StructType.fromJson(pending["df_schema"]),
+            f"publish_staged on {table_path}")
+            if pending.get("df_schema") else None)
         doc = {"version": v + 1, "op": pending["op"],
                "add": final_adds, "remove": pending["remove"]}
         if evolved is not None:

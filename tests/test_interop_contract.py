@@ -79,8 +79,10 @@ def test_merge_sql_is_ansi_shared():
     assert m.startswith(f"MERGE INTO {_TARGET} AS tgt")
     assert "WHEN MATCHED THEN UPDATE SET" in m
     assert "WHEN NOT MATCHED THEN INSERT" in m
-    # key column never in the UPDATE SET list
-    assert "tgt.o_orderkey = src.o_orderkey\n" not in m.split("ON ")[0]
+    # key column never in the UPDATE SET list (the ON clause
+    # legitimately carries tgt.k = src.k, so inspect AFTER the split)
+    update_set = m.split("UPDATE SET ", 1)[1].split("\n", 1)[0]
+    assert "o_orderkey" not in update_set
 
 
 def test_emitters_refuse_unknown_format():

@@ -108,6 +108,32 @@ def test_time_travel_shows_era_schema(spark, tmp_path):
     assert LH.table_schema(spark, path).names == ["k", "v"]
 
 
+def test_restore_across_rename_restores_data(spark, tmp_path):
+    """RESTORE across a RENAME/DROP COLUMN restates the target's
+    schema_events too — a post-target rename left replaying would
+    remap the restored files' physical names and the schema alignment
+    would NULL the column (silent data loss; round-9 self-review).
+    After restore, the pre-rename name reads its original values."""
+    path = str(tmp_path / "t")
+    LH.create_table(spark, path,
+                    _mk(spark, [(1, 1.0), (2, 2.0)], ["k", "v"]), ["k"])
+    LH.rename_column(spark, path, "v", "val")
+    assert LH.read_table(spark, path).columns == ["k", "val"]
+    LH.restore_table(spark, path, version=1)
+    got = LH.read_table(spark, path)
+    assert got.columns == ["k", "v"]
+    assert {r["k"]: r["v"] for r in got.collect()} == {1: 1.0, 2: 2.0}
+    # same for DROP: restored column carries its original values
+    path2 = str(tmp_path / "t2")
+    LH.create_table(spark, path2,
+                    _mk(spark, [(1, 1.0, "a")], ["k", "v", "tag"]), ["k"])
+    LH.drop_column(spark, path2, "tag")
+    LH.restore_table(spark, path2, version=1)
+    got2 = LH.read_table(spark, path2)
+    assert got2.columns == ["k", "v", "tag"]
+    assert got2.collect()[0]["tag"] == "a"
+
+
 def test_rename_drop_update_declared_schema(spark, tmp_path):
     """RENAME/DROP COLUMN read their column lists from the log schema
     (zero data probes) and restate the declaration; event replay +
@@ -159,6 +185,11 @@ def test_legacy_log_keeps_file_derived_behavior(spark, tmp_path):
     got = LH.read_table(spark, path, merge_schema=True)
     assert set(got.columns) == {"k", "v", "tag"}
     assert LH.describe_table(spark, path)["schema"] is None
+    # merge_schema propagates through the where= pruned path too
+    got = LH.read_table(spark, path, merge_schema=True,
+                        where={"k": (1, 2)})
+    assert set(got.columns) == {"k", "v", "tag"}
+    assert {r["k"]: r["tag"] for r in got.collect()} == {1: None, 2: "x"}
 
 
 def test_where_reads_prune_and_match(spark, tmp_path):
@@ -211,6 +242,12 @@ def test_specialist_readers_are_where_wrappers(spark, tmp_path):
         LH.read_table_pruned_multi(spark, path, {"k": 7})
     with pytest.raises(ValueError):
         LH.read_table_point_lookup(spark, path, {"k": (5, 9)})
+    # None is never expressible as a dict predicate (col == NULL is
+    # SQL-never-true): refuse loudly instead of matching nothing
+    with pytest.raises(ValueError, match="None"):
+        LH.read_table(spark, path, where={"k": None})
+    with pytest.raises(ValueError, match="None"):
+        LH.delete_where(spark, path, {"k": (None, 5)})
 
 
 def test_structured_dml_candidates_pin_to_base_version(spark, tmp_path):
