@@ -215,6 +215,92 @@ def vocab_profile(df: DataFrame, text_col: str = "text",
         .alias("type_token_ratio"))
 
 
+def ccnet_perplexity_buckets(df: DataFrame, ref_col: str,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): score every
+    document by its per-token negative log-likelihood under a unigram
+    LM trained on a REFERENCE slice (CCNet trains on Wikipedia; here
+    the docs where ``ref_col`` is true), then split the corpus into
+    ``head`` / ``middle`` / ``tail`` terciles — head reads most like
+    the reference. The LM is add-one smoothed over the CORPUS
+    vocabulary, so out-of-reference tokens get a proper probability
+    instead of -inf.
+
+    Determinism & scale shape (the r8 rfm/bm25 discipline):
+
+    - Per-token log-probs are quantized to integer MICRO-nats; per-doc
+      sums are exact BIGINT — partition-order-independent, and the
+      vocab-sized log-prob table is explicitly broadcast (the corpus
+      token stream is never shuffled for the scoring join).
+    - The doc score is avg-nll quantized to MILLI-nats
+      (``round(-sum_lp / (n·1000))``) — an integer whose DISTINCT
+      cardinality is bounded by the nll RANGE (a few thousand values),
+      not by corpus size.
+    - Tercile thresholds are the ceil(n/3)-th / ceil(2n/3)-th smallest
+      scores, found by a cumulative count over the DISTINCT score
+      values (value-cardinality-bounded window — no global sort whose
+      input grows with the corpus, no ntile). Bucketing is by VALUE
+      against the thresholds, so ties land deterministically in the
+      lower bucket under any parallelism.
+
+    Perplexity is ``exp(avg_nll)``; the monotone avg-nll integer is
+    kept as the comparison surface (exp differs by ulps across libm
+    implementations and would break exact oracle parity).
+
+    Returns per-doc ``(id, n_tokens, nll_milli, bucket)``.
+    Reference: Wenzek et al., "CCNet: Extracting High Quality
+    Monolingual Datasets from Web Crawl Data", LREC 2020 (§4.3
+    perplexity bucketing). Beyond-reference surface (task brief
+    LLM-pipeline family).
+    """
+    tok = (_spread(df)
+           .select(F.col(id_col), F.col(ref_col).alias("_ref"),
+                   F.explode(tokens(F.col(text_col))).alias("_tk")))
+    # per-token reference counts — the ONE corpus aggregation; the
+    # scalar totals (vocab size, reference token count) derive from
+    # this vocab-sized table instead of a second corpus pass
+    cnt = (tok.groupBy("_tk")
+           .agg(F.count(F.when(F.col("_ref"), 1)).alias("_cr"))
+           .localCheckpoint(eager=True))
+    totals = cnt.agg(F.count(F.lit(1)).alias("_vv"),
+                     F.sum("_cr").alias("_nr"))
+    # log p(tok | ref LM), add-one smoothed over the corpus vocab,
+    # for EVERY corpus token (ref count 0 for out-of-reference)
+    lp = (cnt.crossJoin(F.broadcast(totals))
+          .select("_tk", F.round(
+              F.log((F.col("_cr") + 1.0)
+                    / (F.col("_nr") + F.col("_vv")).cast("double"))
+              * 1000000.0, 0).cast("long").alias("_lp")))
+    docs = (tok.join(F.broadcast(lp), "_tk")
+            .groupBy(F.col(id_col).alias("id"))
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("_lp").alias("_slp"))
+            .select("id", "n_tokens",
+                    F.round(-F.col("_slp").cast("double")
+                            / (F.col("n_tokens") * 1000.0), 0)
+                    .cast("long").alias("nll_milli"))
+            .localCheckpoint(eager=True))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    # k-th smallest via cumulative counts over DISTINCT milli scores
+    cum = (docs.groupBy("nll_milli").agg(F.count(F.lit(1)).alias("_m"))
+           .withColumn("_cum", F.sum("_m").over(
+               W.orderBy("nll_milli")
+               .rowsBetween(W.unboundedPreceding, 0))))
+    k1 = F.expr("(_n + 2) DIV 3")        # ceil(n/3), exact integers
+    k2 = F.expr("(_n * 2 + 2) DIV 3")    # ceil(2n/3)
+    thr = (cum.crossJoin(F.broadcast(n_docs))
+           .agg(F.min(F.when(F.col("_cum") >= k1, F.col("nll_milli")))
+                .alias("_t1"),
+                F.min(F.when(F.col("_cum") >= k2, F.col("nll_milli")))
+                .alias("_t2")))
+    return (docs.crossJoin(F.broadcast(thr))
+            .select("id", "n_tokens", "nll_milli",
+                    F.when(F.col("nll_milli") <= F.col("_t1"), "head")
+                    .when(F.col("nll_milli") <= F.col("_t2"), "middle")
+                    .otherwise("tail").alias("bucket")))
+
+
 def dsir_importance_scores(df: DataFrame, target_col: str,
                            text_col: str = "text",
                            id_col: str = "doc_id") -> DataFrame:
@@ -244,13 +330,15 @@ def dsir_importance_scores(df: DataFrame, target_col: str,
     tok = (_spread(df)
            .select(F.col(id_col), F.col(target_col).alias("_tgt"),
                    F.explode(tokens(F.col(text_col))).alias("_tk")))
-    totals = tok.agg(
-        F.countDistinct("_tk").alias("_vv"),
-        F.count(F.lit(1)).alias("_na"),
-        F.count(F.when(F.col("_tgt"), 1)).alias("_nt"))
+    # ONE corpus aggregation; the scalar totals derive from the
+    # vocab-sized count table, not a second corpus pass (round 9)
     counts = (tok.groupBy("_tk")
               .agg(F.count(F.lit(1)).alias("_ca"),
-                   F.count(F.when(F.col("_tgt"), 1)).alias("_ct")))
+                   F.count(F.when(F.col("_tgt"), 1)).alias("_ct"))
+              .localCheckpoint(eager=True))
+    totals = counts.agg(F.count(F.lit(1)).alias("_vv"),
+                        F.sum("_ca").alias("_na"),
+                        F.sum("_ct").alias("_nt"))
     lam = (counts.crossJoin(F.broadcast(totals))
            .select("_tk", F.round(
                (F.log((F.col("_ct") + 1.0)
@@ -263,6 +351,12 @@ def dsir_importance_scores(df: DataFrame, target_col: str,
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.sum("_lr").alias("sum_lr_micro"))
             .select("id", "n_tokens", "sum_lr_micro",
-                    F.round(F.col("sum_lr_micro").cast("double")
-                            / (F.col("n_tokens") * 1000000.0), 6)
-                    .alias("avg_lr")))
+                    # micro-trick (round-9): round the integer-exact
+                    # micro average, THEN divide by the power of ten —
+                    # round(x, 6) of an arbitrary int/int quotient has
+                    # engine-divergent half-way behavior (the sf0.1
+                    # oracle tier caught this class in
+                    # hashed_linear_scores)
+                    (F.round(F.col("sum_lr_micro").cast("double")
+                             / F.col("n_tokens"))
+                     / F.lit(1000000.0)).alias("avg_lr")))

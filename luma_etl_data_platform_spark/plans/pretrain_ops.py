@@ -544,6 +544,71 @@ SELECT * FROM (
 # exact integer micro-nats. The log-ratio table is vocab-sized and
 # broadcast; the corpus token stream is never shuffled.
 # ---------------------------------------------------------------------------
+# ccnet_perplexity_buckets: CCNet quality bucketing (Wenzek et al.
+# 2020) — per-doc avg negative log-likelihood under a reference-slice
+# unigram LM (integer micro-nats), corpus split into head/middle/tail
+# terciles by VALUE thresholds (ceil(n/3)-th smallest via cumulative
+# counts over distinct milli-nat scores — no ntile, no global sort
+# whose input grows with the corpus).
+# ---------------------------------------------------------------------------
+@_q("ccnet_perplexity_buckets")
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import ccnet_perplexity_buckets as _op
+    docs = load_table(spark, sf_dir, "documents")
+    per = _op(docs.withColumn("_is_ref", F.col("source") == "src0"),
+              "_is_ref")
+    n = F.count(F.lit(1))
+    return (per.groupBy("bucket")
+            .agg(n.alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 (F.round(F.sum("nll_milli").cast("double") / n)
+                  / 1000.0).alias("avg_nll"),
+                 (F.min("nll_milli") / 1000.0).alias("min_nll"),
+                 (F.max("nll_milli") / 1000.0).alias("max_nll"))
+            .orderBy("bucket"))
+
+
+ORACLE["ccnet_perplexity_buckets"] = """
+WITH tok AS (SELECT doc_id, source = 'src0' AS ref,
+                    unnest(regexp_extract_all(lower(text), '\\w+')) AS tk
+             FROM documents),
+tot AS (SELECT count(DISTINCT tk) AS vv,
+               count(*) FILTER (WHERE ref) AS nr FROM tok),
+lp AS (SELECT tk,
+              CAST(round(ln((count(*) FILTER (WHERE ref) + 1.0)
+                            / CAST(nr + vv AS DOUBLE))
+                         * 1000000.0, 0) AS BIGINT) AS lp
+       FROM tok, tot GROUP BY tk, nr, vv),
+d AS (SELECT doc_id, count(*) AS n_tokens,
+             CAST(round(-CAST(sum(lp) AS DOUBLE)
+                        / (count(*) * 1000.0)) AS BIGINT) AS nll_milli
+      FROM tok JOIN lp USING (tk) GROUP BY 1),
+n AS (SELECT count(*) AS n FROM d),
+cum AS (SELECT nll_milli,
+               sum(c) OVER (ORDER BY nll_milli
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM (SELECT nll_milli, count(*) AS c FROM d GROUP BY 1)),
+thr AS (SELECT min(CASE WHEN cum >= (n + 2) // 3
+                        THEN nll_milli END) AS t1,
+               min(CASE WHEN cum >= (n * 2 + 2) // 3
+                        THEN nll_milli END) AS t2
+        FROM cum, n),
+b AS (SELECT doc_id, n_tokens, nll_milli,
+             CASE WHEN nll_milli <= t1 THEN 'head'
+                  WHEN nll_milli <= t2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM d, thr)
+SELECT bucket, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(CAST(sum(nll_milli) AS DOUBLE) / count(*)) / 1000.0
+         AS avg_nll,
+       min(nll_milli) / 1000.0 AS min_nll,
+       max(nll_milli) / 1000.0 AS max_nll
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 @_q("dsir_importance_topk")
 def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranking import dsir_importance_scores
@@ -576,7 +641,7 @@ d AS (SELECT doc_id, count(*) AS n_tokens,
              CAST(sum(lr) AS BIGINT) AS sum_lr_micro
       FROM tok JOIN lam USING (tk) GROUP BY 1)
 SELECT d.doc_id, docs.source, n_tokens, sum_lr_micro,
-       round(CAST(sum_lr_micro AS DOUBLE) / (n_tokens * 1000000.0), 6)
+       round(CAST(sum_lr_micro AS DOUBLE) / n_tokens) / 1000000.0
          AS avg_lr
 FROM d JOIN documents docs ON d.doc_id = docs.doc_id
 ORDER BY avg_lr DESC, d.doc_id

@@ -57,6 +57,41 @@ def test_hashed_linear_scores_deterministic_and_bounded(spark):
         assert -1.0 <= r["score"] <= 1.0                 # mean of [-1,1]
 
 
+def test_ccnet_buckets_deterministic_terciles(spark):
+    """CCNet perplexity bucketing: reference-like docs land in head,
+    gibberish in tail; buckets are value-thresholded (ties go low) so
+    the assignment is identical under any partitioning; tercile sizes
+    honor ceil(n/3) on the k-th-smallest thresholds."""
+    from luma_etl_data_platform_spark.operators.ranking import (
+        ccnet_perplexity_buckets,
+    )
+    ref_text = "the cat sat on the mat and the dog sat too"
+    rows = [(i, ref_text, True) for i in range(1, 4)]          # reference
+    rows += [(i, "the cat sat on the mat", False)
+             for i in range(4, 7)]                             # ref-like
+    rows += [(i, f"zxq{i} qqv{i} jjk{i} wmm{i}", False)
+             for i in range(7, 10)]                            # gibberish
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_ref"])
+    got = {r["id"]: r for r in
+           ccnet_perplexity_buckets(df, "is_ref").collect()}
+    assert len(got) == 9
+    # ref-like docs score strictly better (lower nll) than gibberish
+    assert max(got[i]["nll_milli"] for i in range(1, 7)) < \
+        min(got[i]["nll_milli"] for i in range(7, 10))
+    assert all(got[i]["bucket"] == "tail" for i in range(7, 10))
+    # reference-like docs fill head+middle; terciles are 3/3/3
+    assert all(got[i]["bucket"] in ("head", "middle")
+               for i in range(1, 7))
+    from collections import Counter
+    assert Counter(v["bucket"] for v in got.values()) == {
+        "head": 3, "middle": 3, "tail": 3}
+    # partitioning-independent: same assignment at 1 partition
+    got1 = {r["id"]: r["bucket"] for r in
+            ccnet_perplexity_buckets(
+                df.coalesce(1), "is_ref").collect()}
+    assert got1 == {k: v["bucket"] for k, v in got.items()}
+
+
 def test_kmv_pair_jaccard_exact_when_under_k(spark):
     # groups small enough that the sketch IS the value set -> estimates
     # must equal the exact Jaccard / union
