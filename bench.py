@@ -74,25 +74,28 @@ EXTRA = [
     "lakehouse_dv_auto_maintenance",
     "stream_cdf_apply",
     "ann_pq_trained_topk",
-    # round-9 rotation toward never-benched families (verdict item
-    # 6): SCD2 point-in-time join (temporal join family's first
-    # record), streaming ingest dedup (St1/stateful twin), entity
-    # resolution (blocked fuzzy matching), and the round's new
-    # structured-pruned-read gate (read_table(where=...) through the
-    # stat/partition/Bloom lanes). Rotated OUT after 2-3 rounds of
-    # visibility: lakehouse_partition_spec_evolution,
-    # graph_lpa_communities, cms_heavy_hitters, dedup_span_docs,
+    # round-10 rotation toward never-benched families (verdict item
+    # 5): CCNet perplexity bucketing (r9's new operator), the WAP
+    # publish/abort audit gate, the triangle-stats graph entry, the
+    # BPE encode audit, and the round's new rename-aware pruned-read
+    # gate (stats/Blooms probed across the rename chain). Rotated OUT
+    # after 2-3 rounds of visibility:
+    # lakehouse_partition_spec_evolution, graph_lpa_communities,
+    # cms_heavy_hitters, dedup_span_docs,
     # stream_wap_ingest, bpe_train_merges, pca_top_component,
     # lakehouse_multi_table_txn, lakehouse_shallow_clone, ann_pq_topk,
     # unigram_viterbi_stats, lakehouse_scoped_optimize,
     # lakehouse_restore_across_mor, lakehouse_incremental_mv,
     # unigram_em_round_stats, lakehouse_hidden_partitioning,
     # lakehouse_partition_transforms, unigram_em_converged_stats,
-    # multimodal_wav_decode, graph_pagerank_top20
-    "scd2_point_in_time_join",
-    "stream_ingest_dedup",
-    "entity_resolution_parts",
-    "structured_pruned_read",
+    # multimodal_wav_decode, graph_pagerank_top20,
+    # scd2_point_in_time_join, stream_ingest_dedup,
+    # entity_resolution_parts, structured_pruned_read
+    "ccnet_perplexity_buckets",
+    "lakehouse_wap_audit",
+    "graph_triangle_stats",
+    "bpe_encode_stats",
+    "renamed_pruned_read",
 ]
 
 

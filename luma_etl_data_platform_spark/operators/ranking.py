@@ -190,12 +190,18 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
     per_doc = scored.groupBy("_id").agg(
         F.sum(F.col("_dtf")).alias("n_bigrams"),
         F.sum(F.col("_dtf") * micro).alias("_nll_micro"))
-    avg_nll = (F.col("_nll_micro").cast("double")
-               / (F.col("n_bigrams").cast("double") * 1e6))
+    # exact-integer micro trick (r9's hashed_linear_scores fix): the
+    # 6-dp average is round(micro_sum / n) / 1e6 — one 0-dp round of
+    # an integer-over-integer quotient, engine-identical, unlike
+    # round(x, 6) of an arbitrary double whose last-ulp half-way
+    # behavior diverges between Spark and the DuckDB oracle
+    avg_nll = (F.round(F.col("_nll_micro").cast("double")
+                       / F.col("n_bigrams").cast("double"))
+               / F.lit(1_000_000.0))
     return per_doc.select(
         F.col("_id").alias(id_col),
         "n_bigrams",
-        F.round(avg_nll, 6).alias("avg_nll"),
+        avg_nll.alias("avg_nll"),
         F.round(F.exp(avg_nll), 4).alias("ppl"))
 
 

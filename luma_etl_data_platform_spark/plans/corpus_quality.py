@@ -904,17 +904,23 @@ def unigram_viterbi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.unigram import viterbi_segment
     docs = load_table(spark, sf_dir, "documents")
     seg = viterbi_segment(docs, "text", min_count=2)
+    # both 6-dp averages leave the integer domain through ONE 0-dp
+    # round of an integer-over-integer quotient (fertility's
+    # numerator is scaled to micro in the exact int64 domain; cost is
+    # already micro-nats) — never round(x, 6) of an arbitrary double,
+    # the engine-divergent class the r9 sf0.1 tier exposed
     return (seg.groupBy(F.col("ln").alias("word_len"))
             .agg(F.count(F.lit(1)).alias("n_words"),
                  F.sum("n_word").alias("n_occurrences"),
-                 F.round(F.sum(F.col("ntoks").cast("long")
-                               * F.col("n_word")).cast("double")
-                         / F.sum("n_word").cast("double"), 6)
-                 .alias("fertility"),
-                 F.round(F.sum(F.col("cost") * F.col("n_word"))
-                         .cast("double")
-                         / F.sum("n_word").cast("double")
-                         / 1_000_000.0, 6).alias("avg_cost_nats"))
+                 (F.round((F.sum(F.col("ntoks").cast("long")
+                                 * F.col("n_word"))
+                           * F.lit(1_000_000)).cast("double")
+                          / F.sum("n_word").cast("double"))
+                  / F.lit(1_000_000.0)).alias("fertility"),
+                 (F.round(F.sum(F.col("cost") * F.col("n_word"))
+                          .cast("double")
+                          / F.sum("n_word").cast("double"))
+                  / F.lit(1_000_000.0)).alias("avg_cost_nats"))
             .orderBy("word_len"))
 
 
@@ -965,10 +971,10 @@ best AS (SELECT w.ln, w.n_word, d.cost, d.ntoks
 SELECT ln AS word_len,
        count(*) AS n_words,
        CAST(sum(n_word) AS BIGINT) AS n_occurrences,
-       round(CAST(sum(CAST(ntoks AS BIGINT) * n_word) AS DOUBLE)
-             / CAST(sum(n_word) AS DOUBLE), 6) AS fertility,
+       round(CAST(sum(CAST(ntoks AS BIGINT) * n_word) * 1000000 AS DOUBLE)
+             / CAST(sum(n_word) AS DOUBLE)) / 1000000.0 AS fertility,
        round(CAST(sum(cost * n_word) AS DOUBLE)
-             / CAST(sum(n_word) AS DOUBLE) / 1000000.0, 6) AS avg_cost_nats
+             / CAST(sum(n_word) AS DOUBLE)) / 1000000.0 AS avg_cost_nats
 FROM best GROUP BY ln ORDER BY ln"""
     return sql
 
@@ -997,16 +1003,19 @@ def unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_oversize"),
                  F.sum(F.coalesce(F.col("ntoks").cast("long"), F.lit(0)))
                  .alias("n_tokens"),
-                 F.round(F.sum(F.coalesce(F.col("ntoks").cast("long"),
-                                          F.lit(0))).cast("double")
-                         / F.sum(F.when(F.col("ntoks").isNull(), 0)
-                                 .otherwise(1)).cast("double"), 6)
-                 .alias("fertility"),
-                 F.round(F.sum(F.coalesce(F.col("cost"), F.lit(0)))
-                         .cast("double")
-                         / F.sum(F.coalesce(F.col("ntoks").cast("long"),
-                                            F.lit(0))).cast("double")
-                         / 1_000_000.0, 6).alias("avg_token_cost_nats"))
+                 # exact-integer micro trick on both averages (see
+                 # unigram_viterbi_stats) — cost is micro-nats already
+                 (F.round((F.sum(F.coalesce(F.col("ntoks").cast("long"),
+                                            F.lit(0)))
+                           * F.lit(1_000_000)).cast("double")
+                          / F.sum(F.when(F.col("ntoks").isNull(), 0)
+                                  .otherwise(1)).cast("double"))
+                  / F.lit(1_000_000.0)).alias("fertility"),
+                 (F.round(F.sum(F.coalesce(F.col("cost"), F.lit(0)))
+                          .cast("double")
+                          / F.sum(F.coalesce(F.col("ntoks").cast("long"),
+                                             F.lit(0))).cast("double"))
+                  / F.lit(1_000_000.0)).alias("avg_token_cost_nats"))
             .orderBy("source"))
 
 
@@ -1017,10 +1026,10 @@ ORACLE["unigram_encode_stats"] = _unigram_oracle() \
 SELECT ln AS word_len,
        count(*) AS n_words,
        CAST(sum(n_word) AS BIGINT) AS n_occurrences,
-       round(CAST(sum(CAST(ntoks AS BIGINT) * n_word) AS DOUBLE)
-             / CAST(sum(n_word) AS DOUBLE), 6) AS fertility,
+       round(CAST(sum(CAST(ntoks AS BIGINT) * n_word) * 1000000 AS DOUBLE)
+             / CAST(sum(n_word) AS DOUBLE)) / 1000000.0 AS fertility,
        round(CAST(sum(cost * n_word) AS DOUBLE)
-             / CAST(sum(n_word) AS DOUBLE) / 1000000.0, 6) AS avg_cost_nats
+             / CAST(sum(n_word) AS DOUBLE)) / 1000000.0 AS avg_cost_nats
 FROM best GROUP BY ln ORDER BY ln""",
              """seg AS (SELECT w.word, d.cost, d.ntoks
          FROM w12 w JOIN a12 d
@@ -1034,12 +1043,12 @@ SELECT source,
        CAST(sum(CASE WHEN ntoks IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_oversize,
        CAST(sum(coalesce(CAST(ntoks AS BIGINT), 0)) AS BIGINT) AS n_tokens,
-       round(CAST(sum(coalesce(CAST(ntoks AS BIGINT), 0)) AS DOUBLE)
-             / CAST(sum(CASE WHEN ntoks IS NULL THEN 0 ELSE 1 END) AS DOUBLE), 6)
-         AS fertility,
+       round(CAST(sum(coalesce(CAST(ntoks AS BIGINT), 0)) * 1000000 AS DOUBLE)
+             / CAST(sum(CASE WHEN ntoks IS NULL THEN 0 ELSE 1 END) AS DOUBLE))
+         / 1000000.0 AS fertility,
        round(CAST(sum(coalesce(cost, 0)) AS DOUBLE)
-             / CAST(sum(coalesce(CAST(ntoks AS BIGINT), 0)) AS DOUBLE)
-             / 1000000.0, 6) AS avg_token_cost_nats
+             / CAST(sum(coalesce(CAST(ntoks AS BIGINT), 0)) AS DOUBLE))
+         / 1000000.0 AS avg_token_cost_nats
 FROM joined GROUP BY source ORDER BY source""")
 
 

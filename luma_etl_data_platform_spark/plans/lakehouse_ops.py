@@ -2335,6 +2335,75 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def renamed_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rename-aware data skipping (round-10 verdict lead item): stats
+    and Bloom filters are recorded under the column's PHYSICAL name
+    at write time, and both pruning lanes probe the rename chain's
+    prior names (``_stat_alias_map``), so a metadata-only
+    ``rename_column`` cannot disable skipping for the pre-rename file
+    history. An orders table is OPTIMIZE-clustered on
+    ``o_totalprice`` (per-file min/max stats) with a Bloom on
+    ``o_custkey``, then BOTH columns are renamed; a range read on the
+    new ``price`` name and a point lookup on the new ``cust`` name
+    must still prune. Audited flags ride the result row: ``pruned``
+    (range candidates a strict nonempty subset of live files),
+    ``cand_covers`` (prune lossless), ``point_pruned`` (Bloom lane
+    cut the point lookup's candidate set). Values oracle-checked
+    against plain SQL."""
+    tmp = tempfile.mkdtemp(prefix="luma_lh_rpr_")
+    try:
+        path = f"{tmp}/t"
+        feed = (load_table(spark, sf_dir, "orders")
+                .select("o_orderkey", "o_custkey", "o_totalprice"))
+        n_rows = feed.count()
+        LH.create_table(spark, path, feed.repartition(16),
+                        ["o_orderkey"], bloom_cols=["o_custkey"])
+        # pack into ~12 files range-clustered on o_totalprice: the
+        # per-file min/max stats the renamed probe must keep using
+        LH.compact(spark, path, target_rows=n_rows // 12 + 1,
+                   sort_by="o_totalprice")
+        LH.rename_column(spark, path, "o_totalprice", "price")
+        LH.rename_column(spark, path, "o_custkey", "cust")
+        n_live = LH.describe_table(spark, path)["n_files"]
+        lo = float(feed.agg(F.min("o_totalprice")).collect()[0][0])
+        where = {"price": (lo, round(lo + 20000.0, 2))}
+        cands = LH.pruned_candidate_files(spark, path, dict(where))
+        got = LH.read_table(spark, path, where=where)
+        hit = {r[0].rsplit("/", 1)[-1] for r in got
+               .select(F.input_file_name()).distinct().collect()}
+        pruned = bool(0 < len(cands) < n_live)
+        cand_covers = bool(hit <= {p.rsplit("/", 1)[-1] for p in cands})
+        probe_cust = int(feed.agg(F.min("o_custkey")).collect()[0][0])
+        pt_cands = LH.pruned_candidate_files(spark, path, None,
+                                             eq={"cust": probe_cust})
+        pt_rows = LH.read_table(spark, path,
+                                where={"cust": probe_cust}).count()
+        point_pruned = bool(len(pt_cands) < n_live)
+        out = (got.agg(F.count(F.lit(1)).alias("n_orders"),
+                       F.round(F.sum("price"), 2).alias("sum_price"))
+               .withColumn("n_cust_rows", F.lit(int(pt_rows)))
+               .withColumn("pruned", F.lit(pruned))
+               .withColumn("cand_covers", F.lit(cand_covers))
+               .withColumn("point_pruned", F.lit(point_pruned))
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["renamed_pruned_read"] = """
+WITH lo AS (SELECT min(o_totalprice) AS lo FROM orders),
+pc AS (SELECT min(o_custkey) AS c FROM orders)
+SELECT count(*) AS n_orders,
+       ROUND(sum(o_totalprice), 2) AS sum_price,
+       (SELECT count(*) FROM orders, pc WHERE o_custkey = c)
+         AS n_cust_rows,
+       TRUE AS pruned, TRUE AS cand_covers, TRUE AS point_pruned
+FROM orders, lo
+WHERE o_totalprice BETWEEN lo AND ROUND(lo + 20000.0, 2)
+"""
+
+
 ORACLE["replace_where_backfill"] = """
 WITH ow AS (SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
             WHERE o_custkey <= 2000),
@@ -2364,6 +2433,7 @@ QUERIES = {
     "merge_schema_evolution": merge_schema_evolution,
     "replace_where_backfill": replace_where_backfill,
     "structured_pruned_read": structured_pruned_read,
+    "renamed_pruned_read": renamed_pruned_read,
     "lakehouse_time_travel": lakehouse_time_travel,
     "lakehouse_compaction": lakehouse_compaction,
     "lakehouse_change_feed": lakehouse_change_feed,

@@ -267,13 +267,20 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min("vm").alias("mn"), F.max("vm").alias("mx")))
     sxd, sxxd = F.col("sx").cast("double"), F.col("sxx").cast("double")
     n = F.col("n_vecs")
+    # all four stats leave the integer domain through ONE 0-dp round
+    # (or a plain exact division) — never round(x, 6) of an arbitrary
+    # double, whose half-way behavior is engine-divergent (the r9
+    # sf0.1-tier bug class). mean: round(sum_micro/n)/1e6; std: the
+    # sqrt is computed in micro units and 0-dp rounded (identical
+    # IEEE sqrt of identical doubles in both engines); min/max are
+    # exact micro integers divided by 1e6 (no round needed at all).
     return (agg.select(
         "dim", "n_vecs",
-        F.round(sxd / (n * 1000000.0), 6).alias("mean_v"),
-        F.round(F.sqrt((sxxd - sxd * sxd / n) / (n - 1)) / 1000000.0, 6)
-        .alias("std_v"),
-        F.round(F.col("mn").cast("double") / 1000000.0, 6).alias("min_v"),
-        F.round(F.col("mx").cast("double") / 1000000.0, 6).alias("max_v"))
+        (F.round(sxd / n) / F.lit(1000000.0)).alias("mean_v"),
+        (F.round(F.sqrt((sxxd - sxd * sxd / n) / (n - 1)))
+         / F.lit(1000000.0)).alias("std_v"),
+        (F.col("mn").cast("double") / F.lit(1000000.0)).alias("min_v"),
+        (F.col("mx").cast("double") / F.lit(1000000.0)).alias("max_v"))
         .orderBy("dim"))
 
 
@@ -288,11 +295,11 @@ agg AS (SELECT dim, count(*) AS n_vecs,
                min(vm) AS mn, max(vm) AS mx
         FROM ex GROUP BY 1)
 SELECT dim, n_vecs,
-       round(sxd / (n_vecs * 1000000.0), 6) AS mean_v,
-       round(sqrt((sxxd - sxd * sxd / n_vecs) / (n_vecs - 1)) / 1000000.0, 6)
-         AS std_v,
-       round(CAST(mn AS DOUBLE) / 1000000.0, 6) AS min_v,
-       round(CAST(mx AS DOUBLE) / 1000000.0, 6) AS max_v
+       round(sxd / n_vecs) / 1000000.0 AS mean_v,
+       round(sqrt((sxxd - sxd * sxd / n_vecs) / (n_vecs - 1)))
+         / 1000000.0 AS std_v,
+       CAST(mn AS DOUBLE) / 1000000.0 AS min_v,
+       CAST(mx AS DOUBLE) / 1000000.0 AS max_v
 FROM agg ORDER BY dim
 """
 

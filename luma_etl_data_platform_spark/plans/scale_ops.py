@@ -217,8 +217,10 @@ pd AS (SELECT doc_id, CAST(sum(dtf) AS BIGINT) AS n_bigrams,
               CAST(sum(dtf * micro) AS BIGINT) AS nll_micro
        FROM sc GROUP BY 1)
 SELECT doc_id, n_bigrams,
-       round(nll_micro / (n_bigrams * 1000000.0), 6) AS avg_nll,
-       round(exp(nll_micro / (n_bigrams * 1000000.0)), 4) AS ppl
+       round(CAST(nll_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+         / 1000000.0 AS avg_nll,
+       round(exp(round(CAST(nll_micro AS DOUBLE)
+                       / CAST(n_bigrams AS DOUBLE)) / 1000000.0), 4) AS ppl
 FROM pd
 """
 

@@ -264,8 +264,35 @@ def _name_version(name: str) -> int | None:
 # schema + declarations, each a `_commits` replay) does ONE listing
 # and NO doc reads in steady state instead of one read per doc per
 # replay. Bounded: evictions drop the oldest half wholesale.
+# Returned docs are DEEP copies (`_copy_json`): nested lists/dicts
+# (`add`, `remove`, `schema_events`, per-add `stats`) are never
+# shared with the cache, so an in-place edit by any caller can never
+# poison subsequent replays. `create_table` additionally drops keys
+# under the table's log dir (`_invalidate_doc_cache`): a table
+# deleted and recreated at the same path (rmtree in tests/dev) must
+# never serve the old table's docs through an mtime/len collision.
 _DOC_CACHE: dict[tuple, dict] = {}
 _DOC_CACHE_MAX = 8192
+
+
+def _copy_json(v):
+    """Deep copy of a parsed-JSON tree (dict/list/scalars only) —
+    cheaper than copy.deepcopy (no memo/dispatch) and ~3-5x cheaper
+    than re-running json.loads on the doc's text, so a cache hit
+    still beats a re-read + re-parse even on checkpoint-sized docs."""
+    if isinstance(v, dict):
+        return {k: _copy_json(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_copy_json(x) for x in v]
+    return v
+
+
+def _invalidate_doc_cache(table_path: str) -> None:
+    """Drop cached docs under ``table_path``'s log dir (path-prefix
+    match on the cache key's abs path)."""
+    prefix = f"{table_path.rstrip('/')}/{_LOG_DIR}/"
+    for k in [k for k in _DOC_CACHE if prefix in k[0]]:
+        _DOC_CACHE.pop(k, None)
 
 
 def _commits(spark: SparkSession, table_path: str) -> list[dict]:
@@ -287,9 +314,10 @@ def _commits(spark: SparkSession, table_path: str) -> list[dict]:
                 for k in list(_DOC_CACHE)[:_DOC_CACHE_MAX // 2]:
                     _DOC_CACHE.pop(k, None)
             _DOC_CACHE[key] = doc
-        # shallow copy: callers annotate (`_txn`) and replay helpers
-        # must never see a stale annotation through the cache
-        return dict(doc)
+        # deep copy: callers annotate (`_txn`) and some embed nested
+        # fields (`add` lists) into new commit docs — a shared
+        # reference mutated in place would poison every later replay
+        return _copy_json(doc)
 
     def _parse(anchor: int) -> list[dict]:
         # one doc per version; a `<v>.checkpoint.json` shadows
@@ -636,6 +664,34 @@ def _apply_schema_events(df: DataFrame, events: list[dict]) -> DataFrame:
     return df
 
 
+def _stat_alias_map(events: list[dict]) -> dict[str, list[str]]:
+    """LOGICAL column name → its prior PHYSICAL names (newest first),
+    folded from the RENAME chain — the key that makes data skipping
+    survive ``rename_column``. Per-file stats and Bloom filters are
+    recorded under the column's physical name AT WRITE TIME, so after
+    ``rename v -> val`` a probe on ``val`` finds no stats in any
+    pre-rename add-action and would conservatively open the entire
+    pre-rename file history (at a 10^6-file table, one rename of a
+    clustered key would silently disable skipping until every file is
+    rewritten). Probing stats under the alias names is LOSSLESS
+    because rename sources are retired for the table's lifetime
+    (:func:`_guard_retired_names`): stats recorded under a retired
+    name can only ever describe the column that became ``col``, and a
+    given file carries stats under exactly ONE name of the chain (its
+    write vintage). Dropped columns leave no alias (nothing probes
+    them). Reference anchor: the reference renames columns at ingest
+    and expects downstream reads unaffected
+    (utilities/utilities.py:109-115)."""
+    aliases: dict[str, list[str]] = {}
+    for ev in events:
+        if ev["op"] == "rename_column":
+            o, n = ev["from"], ev["to"]
+            aliases[n] = [o] + aliases.pop(o, [])
+        else:
+            aliases.pop(ev["column"], None)
+    return aliases
+
+
 def _retired_column_names(spark: SparkSession, table_path: str) -> set[str]:
     """Column names a writer must NOT reintroduce: names referenced as
     a rename's ``from`` or a drop's ``column`` by the table's schema
@@ -701,9 +757,15 @@ def _nullable_json(node):
     scans surface everything nullable anyway, and an imposed
     non-nullable field over an evolved file subset that lacks it
     would be undefined behavior). Matches Delta, which relaxes
-    nullability on evolved reads."""
+    nullability on evolved reads.
+
+    A StructField's ``metadata`` payload is USER content, not schema
+    structure: recursion skips it (copied verbatim), so a metadata
+    key literally named ``nullable``/``containsNull`` is never
+    rewritten (ADVICE r9)."""
     if isinstance(node, dict):
-        out = {k: _nullable_json(v) for k, v in node.items()}
+        out = {k: (_copy_json(v) if k == "metadata"
+                   else _nullable_json(v)) for k, v in node.items()}
         for flag in ("nullable", "containsNull", "valueContainsNull"):
             if flag in out:
                 out[flag] = True
@@ -842,9 +904,10 @@ def rename_column(spark: SparkSession, table_path: str,
     identity in the log and directory layout); the new name must not
     collide with an existing column; CHECK constraints referencing
     the old name must be dropped first. Per-file stats/Bloom filters
-    recorded under the old name stop pruning for pre-rename files
-    (they are conservatively read); OPTIMIZE re-records them under
-    the new name."""
+    recorded under the old name KEEP pruning after the rename: both
+    pruning lanes probe the rename chain's prior physical names too
+    (see :func:`_stat_alias_map`), so a ``read_table(where=...)`` on
+    the new name skips pre-rename files by their old-name stats."""
     sch = table_schema(spark, table_path)
     cols = (sch.names if sch is not None
             else read_table(spark, table_path).columns)
@@ -994,6 +1057,25 @@ def read_table(spark: SparkSession, table_path: str,
     schema = table_schema(spark, table_path, version)
     if where is not None:
         ranges, eq = _split_structured(where)
+        if schema is not None:
+            # a probe on a RETIRED (renamed/dropped) name must fail
+            # loudly: Spark would resolve the residual filter below
+            # the rename replay and silently match only the old
+            # vintage's files (rows written after the rename vanish).
+            # Valid names: the declared schema at this version, plus
+            # partition-key names the log has ever declared (derived
+            # hidden-partition keys are probe-able directly).
+            pnames = {sp["name"] for sp in
+                      _partition_specs_ever(spark, table_path)}
+            bad = sorted(c for c in {**ranges, **eq}
+                         if c not in schema.names and c not in pnames)
+            if bad:
+                raise ValueError(
+                    f"read_table: predicate column(s) {bad} are not "
+                    f"in the declared schema {schema.names} at this "
+                    "version — probe the current logical name (a "
+                    "retired renamed/dropped name would silently "
+                    "match only its own file vintage)")
         keep = pruned_candidate_files(spark, table_path, ranges or None,
                                       version, eq=eq or None)
         cond = _structured_column(ranges, eq)
@@ -1471,6 +1553,9 @@ def create_table(spark: SparkSession, table_path: str, df: DataFrame,
     :func:`add_constraint`)."""
     if current_version(spark, table_path) != 0:
         raise ValueError(f"{table_path} already has a commit log")
+    # a table deleted and recreated at this path must never serve the
+    # OLD table's cached docs through an (mtime, len) key collision
+    _invalidate_doc_cache(table_path)
     _enforce_constraints(df, constraints or {},
                          f"create_table on {table_path}")
     adds = _write_data_files(spark, table_path, df, keys,
@@ -1514,6 +1599,7 @@ def convert_to_table(spark: SparkSession, table_path: str,
     Returns ``{"version": 1, "n_files": N, "n_rows": total}``."""
     if current_version(spark, table_path) != 0:
         raise ValueError(f"{table_path} already has a commit log")
+    _invalidate_doc_cache(table_path)  # recreate-at-same-path safety
     fs, jvm = _fs(spark, table_path)
     root = table_path.rstrip("/")
     adds: list[dict] = []
@@ -1624,6 +1710,7 @@ def clone_table(spark: SparkSession, src_path: str, dst_path: str,
     (``lambda_function.py:201-243``) for environment forks."""
     if current_version(spark, dst_path) != 0:
         raise ValueError(f"{dst_path} already has a commit log")
+    _invalidate_doc_cache(dst_path)  # recreate-at-same-path safety
     if as_of_timestamp is not None:
         if version is not None:
             raise ValueError("clone_table: pass version OR "
@@ -1734,14 +1821,20 @@ def set_partition_spec(spark: SparkSession, table_path: str,
     Iceberg spec §Partition Evolution. Returns the committed
     version."""
     specs = _partition_specs(partition_by)
-    cols = read_table(spark, table_path).columns
-    missing = [p["source"] for p in specs if p["source"] not in cols]
-    if missing:
-        raise ValueError(
-            f"set_partition_spec: source column(s) {missing} are not "
-            "in the table schema")
     for _ in range(3):
         v = current_version(spark, table_path)
+        # source-column validation INSIDE the retry loop: a column
+        # dropped concurrently steals our CAS version, and the retry
+        # must re-check against the fresh schema or it would commit a
+        # spec over a dropped column (the publish_staged TOCTOU class)
+        sch = table_schema(spark, table_path)
+        cols = (sch.names if sch is not None
+                else read_table(spark, table_path).columns)
+        missing = [p["source"] for p in specs if p["source"] not in cols]
+        if missing:
+            raise ValueError(
+                f"set_partition_spec: source column(s) {missing} are "
+                "not in the table schema")
         try:
             _write_commit(spark, table_path, v + 1,
                           {"version": v + 1, "op": "set_partition_spec",
@@ -2587,12 +2680,15 @@ def replace_where(spark: SparkSession, table_path: str, df: DataFrame,
     under the table's declared hive/hidden partition layout — a daily
     re-load into a days(ts)-partitioned table touches ~that day's
     directories, regardless of table size."""
-    _guard_retired_names(spark, table_path, df.columns,
-                         f"replace_where on {table_path}")
     for attempt in range(max_retries + 1):
         # the parsed spec is version-free; the candidate set derives
         # INSIDE _dml_once at its pinned base version, so a commit
-        # race re-derives it against the fresh snapshot automatically
+        # race re-derives it against the fresh snapshot automatically.
+        # The retired-name guard also re-runs per attempt: a rename
+        # committed concurrently (stealing our CAS version) may have
+        # retired one of df's columns, and the retry must refuse it
+        _guard_retired_names(spark, table_path, df.columns,
+                             f"replace_where on {table_path}")
         cond, spec = _structured_condition(spark, table_path, condition)
         if attempt == 0 and validate:
             outside = df.filter(~F.coalesce(cond, F.lit(False)))
@@ -3486,6 +3582,13 @@ def pruned_candidate_files(spark: SparkSession, table_path: str,
     # files that DO contain matches)
     tkeys = _table_keys(spark, table_path)
     legacy_col = tkeys[0] if tkeys else None
+    # rename-aware skipping: pre-rename files record stats/Blooms
+    # under their write-time PHYSICAL name; probe those names too
+    # (lossless — rename sources are retired, see _stat_alias_map)
+    aliases = {c: al for c, al in
+               _stat_alias_map(
+                   _schema_events(spark, table_path, version)).items()
+               if c in ranges or c in eq}
     adds_df = _adds_df_at(spark, table_path, version)
     if adds_df is not None:
         # parquet-checkpointed table: stat + Bloom pruning runs as ONE
@@ -3494,14 +3597,20 @@ def pruned_candidate_files(spark: SparkSession, table_path: str,
         # Bloom lanes never leave the executors)
         from . import lakehouse_meta as meta
         return meta.spark_prune(adds_df, ranges, eq, legacy_col,
-                                amb_probes=amb)
+                                amb_probes=amb, aliases=aliases)
     adds = snapshot_adds(spark, table_path, version)
     keep = []
     for a in adds:
         open_file = True
         part = a.get("partition") or {}
+        stats = a.get("stats") or {}
         for col, (lo, hi) in ranges.items():
-            st = (a.get("stats") or {}).get(col)
+            st = stats.get(col)
+            if st is None:
+                for alt in aliases.get(col, ()):
+                    st = stats.get(alt)
+                    if st is not None:
+                        break
             if st is None and col in part and part[col] is not None:
                 # partition value: exact, single-valued — the
                 # strongest possible per-file stat for this column
@@ -3547,7 +3656,8 @@ def pruned_candidate_files(spark: SparkSession, table_path: str,
                     break
         if open_file:
             for col, v in eq.items():
-                if _bloom_excludes(a, col, v):
+                if any(_bloom_excludes(a, name, v)
+                       for name in (col, *aliases.get(col, ()))):
                     open_file = False
                     break
         if open_file:
@@ -3998,9 +4108,13 @@ def publish_staged(spark: SparkSession, table_path: str,
     cons = table_constraints(spark, table_path)
     if cons:
         # the audit gate's last line of defense: a staged batch that
-        # violates a CHECK constraint never becomes table history
+        # violates a CHECK constraint never becomes table history —
+        # checked here so a violating batch fails BEFORE any staged
+        # file is moved into the table root; re-checked inside the
+        # CAS loop for constraints added concurrently (see below)
         _enforce_constraints(read_staged(spark, table_path, pending),
                              cons, f"publish_staged on {table_path}")
+    enforced = set(cons.items())
     # batched existence check (one listing per distinct parent dir,
     # not one exists RPC per staged file — a big stage is 10³-10⁵
     # files): a missing file fails loudly BEFORE any rename or commit
@@ -4034,17 +4148,45 @@ def publish_staged(spark: SparkSession, table_path: str,
         final_adds.append({**a, "path": final})
     if pending.get("staged_dir"):
         fs.delete(Path(f"{root}/{pending['staged_dir']}"), True)
+    # a pending staged by a pre-upgrade build lacks df_schema: derive
+    # the staged batch's schema from the (now published-in-place)
+    # files' footers ONCE, so the evolution restatement below can
+    # never commit an evolved column the declared schema doesn't
+    # restate (which would make it unreachable through default reads)
+    staged_schema = (StructType.fromJson(pending["df_schema"])
+                     if pending.get("df_schema")
+                     else spark.read.option("mergeSchema", "true")
+                     .parquet(*[f"{root}/{a['path']}"
+                                for a in final_adds]).schema)
+    final_df = None
     for _ in range(5):
         v = current_version(spark, table_path)
+        # constraint set re-read INSIDE the retry loop: a constraint
+        # added concurrently between the audit and the winning commit
+        # occupies a version, so our CAS at v+1 fails, we land here
+        # with the new declaration visible, and the batch is enforced
+        # against it before the next attempt (the last TOCTOU of this
+        # class — DML candidates and WAP evolution were fixed in r9).
+        # Already-enforced (name, expr) pairs are skipped: zero extra
+        # Spark jobs on the no-concurrent-writer path.
+        cons_now = table_constraints(spark, table_path)
+        todo = {n: e for n, e in cons_now.items()
+                if (n, e) not in enforced}
+        if todo:
+            if final_df is None:
+                final_df = spark.read.parquet(
+                    *[f"{root}/{a['path']}" for a in final_adds])
+            _enforce_constraints(final_df, todo,
+                                 f"publish_staged on {table_path}")
+            enforced.update(todo.items())
         # evolved-schema restatement recomputed INSIDE the retry loop:
         # a concurrent schema-widening commit between attempts must be
         # reflected, or the stale restatement would drop its column
         # from the latest-declaration-wins replay (same TOCTOU class
         # as the DML candidate fix; found by the round-9 self-review)
-        evolved = (_evolved_schema_json(
-            spark, table_path, StructType.fromJson(pending["df_schema"]),
+        evolved = _evolved_schema_json(
+            spark, table_path, staged_schema,
             f"publish_staged on {table_path}")
-            if pending.get("df_schema") else None)
         doc = {"version": v + 1, "op": pending["op"],
                "add": final_adds, "remove": pending["remove"]}
         if evolved is not None:

@@ -168,21 +168,33 @@ def _m(col_name: str, key: str) -> Column:
 
 
 def range_keep_condition(ranges: dict[str, tuple],
-                         legacy_col: str | None) -> Column:
+                         legacy_col: str | None,
+                         aliases: dict[str, list[str]] | None = None,
+                         ) -> Column:
     """The Spark twin of the driver-side min/max pruning loop: keep a
     file unless some probed column's effective [min, max] is provably
     disjoint from its (lo, hi). Missing/unprojectable stats are
     conservatively kept — identical posture to the JSON path. The
     legacy ``min_key``/``max_key`` lane applies only to ``legacy_col``
-    (the table's first declared key) on stat-less add-actions."""
+    (the table's first declared key) on stat-less add-actions.
+
+    ``aliases`` maps a probed LOGICAL name to its prior physical
+    names (rename chain): pre-rename files record stats under their
+    write-time name, so the stat lookup coalesces across the chain —
+    any file carries stats under exactly one name of it (write
+    vintage), and retired names are never reused, so the coalesce is
+    unambiguous (see lakehouse._stat_alias_map)."""
     keep = F.lit(True)
+    aliases = aliases or {}
     for col, (lo, hi) in ranges.items():
         kinds = {_probe_kind(lo), _probe_kind(hi)}
         if kinds != {"num"} and kinds != {"str"}:
             continue  # non-scalar probe: cannot skip on this column
+        names = [col, *aliases.get(col, ())]
         if kinds == {"num"}:
             pv = _m("partition", col).try_cast("double")
-            st_lo, st_hi = _m("stats_min_num", col), _m("stats_max_num", col)
+            st_lo = F.coalesce(*[_m("stats_min_num", n) for n in names])
+            st_hi = F.coalesce(*[_m("stats_max_num", n) for n in names])
             leg_lo = leg_hi = F.lit(None).cast("double")
             if col == legacy_col:
                 leg_lo = F.when(~F.col("has_stats"),
@@ -192,7 +204,8 @@ def range_keep_condition(ranges: dict[str, tuple],
             plo, phi = F.lit(float(lo)), F.lit(float(hi))
         else:
             pv = _m("partition", col)
-            st_lo, st_hi = _m("stats_min_str", col), _m("stats_max_str", col)
+            st_lo = F.coalesce(*[_m("stats_min_str", n) for n in names])
+            st_hi = F.coalesce(*[_m("stats_max_str", n) for n in names])
             leg_lo = leg_hi = F.lit(None).cast("string")
             if col == legacy_col:
                 leg_lo = F.when(~F.col("has_stats"), F.col("legacy_min"))
@@ -205,17 +218,22 @@ def range_keep_condition(ranges: dict[str, tuple],
     return keep
 
 
-def bloom_probe(df: DataFrame, col: str, value) -> DataFrame:
+def bloom_probe(df: DataFrame, col: str, value,
+                alias_names: list[str] | None = None) -> DataFrame:
     """Filter the add-action table through the per-file Bloom filter
     for ``col == value`` — the Spark twin of the driver-side
     ``_bloom_excludes`` probe, bit-identical by construction: the k
     md5 hashes are computed once from ``str(value)`` on the driver and
     reduced modulo each FILE'S own ``m`` executor-side (mixed-size
     filter histories probe correctly). Files with no filter for the
-    column are kept."""
-    m = _m("bloom_m", col)
-    k = _m("bloom_k", col)
-    lanes = _m("bloom_lanes", col)
+    column are kept. ``alias_names`` (prior physical names from the
+    rename chain) extend the filter lookup to pre-rename files; a
+    file records a Bloom under exactly one name of the chain, so the
+    per-field coalesce can never mix two files' filters."""
+    names = [col, *(alias_names or ())]
+    m = F.coalesce(*[_m("bloom_m", n) for n in names])
+    k = F.coalesce(*[_m("bloom_k", n) for n in names])
+    lanes = F.coalesce(*[_m("bloom_lanes", n) for n in names])
     tmp = df
     helper_cols: list[str] = []
     all_set = F.lit(True)
@@ -272,13 +290,16 @@ def amb_keep_condition(amb_probes: dict[str, dict[str, tuple]]) -> Column:
 def spark_prune(adds_df: DataFrame, ranges: dict[str, tuple],
                 eq: dict, legacy_col: str | None,
                 amb_probes: dict[str, dict[str, tuple]] | None = None,
+                aliases: dict[str, list[str]] | None = None,
                 ) -> list[str]:
     """Run the full stat + Bloom prune as ONE Spark filter job over
     the add-action table; only the surviving relative paths cross back
-    to the driver (the stats/Bloom payload never does)."""
-    df = adds_df.filter(range_keep_condition(ranges, legacy_col))
+    to the driver (the stats/Bloom payload never does). ``aliases``
+    carries the rename chain's prior physical stat/Bloom keys per
+    probed column (see :func:`range_keep_condition`)."""
+    df = adds_df.filter(range_keep_condition(ranges, legacy_col, aliases))
     if amb_probes:
         df = df.filter(amb_keep_condition(amb_probes))
     for col, v in (eq or {}).items():
-        df = bloom_probe(df, col, v)
+        df = bloom_probe(df, col, v, (aliases or {}).get(col))
     return sorted(r["path"] for r in df.select("path").collect())

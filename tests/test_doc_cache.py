@@ -1,0 +1,83 @@
+"""Commit-doc cache hardening (round-10: verdict "what's wrong" #2 +
+ADVICE items): returned docs are deep copies (no caller mutation can
+poison later replays), create-at-same-path invalidates cached docs
+under the table's log dir, and `_nullable_json` never rewrites user
+metadata payloads.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F  # noqa: F401
+from pyspark.sql import types as T
+
+from luma_etl_data_platform_spark.sources import lakehouse as LH
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame([Row(**r) for r in rows])
+
+
+def test_mutating_returned_doc_cannot_poison_cache(spark, tmp_path):
+    path = str(tmp_path / "t")
+    LH.create_table(spark, path, _mk(spark, [dict(k=1, v=10)]), ["k"])
+    LH.append_table(spark, path, _mk(spark, [dict(k=2, v=20)]))
+    docs = LH._commits(spark, path)          # warms the cache
+    before = [LH._copy_json(d) for d in docs]
+    # hostile caller: mutate every nested level of the returned docs
+    docs[0]["add"].append({"path": "bogus.parquet"})
+    docs[0]["add"][0]["path"] = "clobbered.parquet"
+    stats = docs[1]["add"][0].get("stats") or {}
+    for st in stats.values():
+        st["min"] = -999999
+    docs[1]["remove"] = ["phantom.parquet"]
+    # a subsequent replay must be unaffected
+    again = LH._commits(spark, path)
+    for d in again:
+        d.pop("_txn", None)
+    for d in before:
+        d.pop("_txn", None)
+    assert again == before
+    assert LH.read_table(spark, path).count() == 2
+
+
+def test_create_at_same_path_invalidates_cached_docs(spark, tmp_path):
+    path = str(tmp_path / "t")
+    LH.create_table(spark, path, _mk(spark, [dict(k=1, v=10)]), ["k"])
+    LH._commits(spark, path)                 # warms the cache
+    prefix = f"{path.rstrip('/')}/{LH._LOG_DIR}/"
+    old_keys = [k for k in LH._DOC_CACHE if prefix in k[0]]
+    assert old_keys                          # cache really was warm
+    shutil.rmtree(path)
+    LH.create_table(spark, path, _mk(spark, [dict(k=7, v=70)]), ["k"])
+    # the OLD keys are gone regardless of any (mtime, len) collision
+    # between the old and new commit files
+    assert not any(k in LH._DOC_CACHE for k in old_keys)
+    got = LH.read_table(spark, path).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(7, 70)]
+
+
+def test_nullable_json_leaves_user_metadata_untouched(spark, tmp_path):
+    """A StructField metadata key literally named 'nullable' or
+    'containsNull' is user content — the declared-schema normalizer
+    must not rewrite it (ADVICE r9)."""
+    meta = {"nullable": False, "containsNull": False, "note": "mine"}
+    sch = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("v", T.ArrayType(T.LongType(), False), True,
+                      metadata=meta)])
+    sj = LH._schema_json(sch)
+    fields = {f["name"]: f for f in sj["fields"]}
+    # schema-structural flags ARE normalized to nullable
+    assert fields["k"]["nullable"] is True
+    assert fields["v"]["type"]["containsNull"] is True
+    # user metadata rides through verbatim
+    assert fields["v"]["metadata"] == meta
+    # and round-trips through a real table declaration
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, [1, 2])], schema=sch)
+    LH.create_table(spark, path, df, ["k"])
+    got = LH.table_schema(spark, path)
+    assert got["v"].metadata == meta

@@ -37,6 +37,18 @@ _CASES = [
     ("iceberg", {"zorder_by": ["o_orderdate", "o_custkey"],
                  "retain_hours": 168}),
     ("iceberg", {"zorder_by": None, "retain_hours": 24}),
+    # round-10: schema evolution + replace_where forms (verdict r9
+    # item 6 — keep the contract current as DML features land)
+    ("delta", {"zorder_by": None, "retain_hours": 24,
+               "evolve_columns": {"o_channel": "STRING"},
+               "replace_where":
+                   "o_orderdate >= '1995-01-01' "
+                   "AND o_orderdate < '1995-02-01'"}),
+    ("iceberg", {"zorder_by": None, "retain_hours": 24,
+                 "evolve_columns": {"o_channel": "STRING"},
+                 "replace_where":
+                     "o_orderdate >= '1995-01-01' "
+                     "AND o_orderdate < '1995-02-01'"}),
 ]
 _TARGET = "warehouse.orders_agg"
 _SOURCE = "staging.orders_agg_delta"
@@ -47,10 +59,11 @@ _KEYS = ["o_orderkey"]
 def _render() -> str:
     blocks = []
     for fmt, kw in _CASES:
-        stmts = interop_statements(fmt, _TARGET, _SOURCE, _COLUMNS,
+        cols = _COLUMNS + sorted(kw.get("evolve_columns") or {})
+        stmts = interop_statements(fmt, _TARGET, _SOURCE, cols,
                                    _KEYS, **kw)
-        header = (f"-- format={fmt} zorder_by={kw['zorder_by']} "
-                  f"retain_hours={kw['retain_hours']}")
+        opts = " ".join(f"{k}={kw[k]!r}" for k in sorted(kw))
+        header = f"-- format={fmt} {opts}"
         blocks.append("\n".join([header] + [s + ";" for s in stmts]))
     return "\n\n".join(blocks) + "\n"
 

@@ -779,6 +779,58 @@ def test_wap_staged_batch_is_invisible_until_publish(table, spark):
     assert LH.read_table(spark, table).count() == n0 + 1
 
 
+def test_wap_publish_refuses_concurrently_added_constraint(
+        table, spark, monkeypatch):
+    """TOCTOU close-out (round-10 verdict item 2): a CHECK constraint
+    added concurrently between the publish audit and the winning
+    commit must still gate the batch. The race is replayed exactly:
+    publish pins its commit version, the constraint lands first, the
+    CAS loses, and the retry re-reads the constraint set and refuses.
+    """
+    pending = LH.stage_append(
+        spark, table, _mk(spark, [dict(k=60, v=-5, tag="neg")]), ["k"])
+    real_cv = LH.current_version
+    fired = {"done": False}
+
+    def racing_cv(sp, tp, *a, **k):
+        v = real_cv(sp, tp, *a, **k)
+        if tp == table and not fired["done"]:
+            fired["done"] = True
+            # lands at v+1, stealing the version publish is about to
+            # CAS on (existing rows all satisfy v >= 0)
+            LH.add_constraint(spark, table, "v_nonneg", "v >= 0")
+        return v
+
+    monkeypatch.setattr(LH, "current_version", racing_cv)
+    v_after_stage = real_cv(spark, table)
+    with pytest.raises(LH.ConstraintViolationError, match="v_nonneg"):
+        LH.publish_staged(spark, table, pending)
+    monkeypatch.undo()
+    # the constraint commit is the only new history; the staged batch
+    # never became part of the table
+    assert LH.current_version(spark, table) == v_after_stage + 1
+    assert LH.read_table(spark, table).filter("v < 0").count() == 0
+
+
+def test_wap_publish_legacy_pending_restates_evolved_schema(
+        table, spark):
+    """ADVICE r9: a pending staged by a pre-upgrade build has no
+    ``df_schema``; publish must derive the staged files' schema from
+    their footers so an evolved column is still restated into the
+    declared schema (otherwise the column is physically present but
+    unreachable through default reads)."""
+    pending = LH.stage_append(
+        spark, table,
+        _mk(spark, [dict(k=61, v=610, tag="z", extra=7)]), ["k"])
+    del pending["df_schema"]  # what a pre-upgrade payload looks like
+    LH.publish_staged(spark, table, pending)
+    sch = LH.table_schema(spark, table)
+    assert "extra" in sch.names
+    got = LH.read_table(spark, table)  # default read, no merge_schema
+    assert "extra" in got.columns
+    assert got.filter("extra = 7").count() == 1
+
+
 def test_wap_abort_leaves_no_trace(table, spark):
     import os
     v0 = LH.current_version(spark, table)
