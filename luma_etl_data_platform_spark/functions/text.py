@@ -104,13 +104,57 @@ def quality_score(col: Column) -> Column:
     """Composite quality heuristic in [0,1]: length component (capped
     at 100 tokens), stopword-profile component, and word-shape
     component (avg token length capped at 8). Deterministic arithmetic
-    only — reproducible in any engine."""
+    only — reproducible in any engine.
+
+    Carried as ONE exact-integer quotient: with L = min(wc, 100),
+    C = min(chars, 8*wc), the composite
+    ``0.5*L/100 + 0.25*sw/wc + 0.25*C/(8*wc)`` equals
+    ``(8*L*wc + 400*sw + 50*C) / (1600*wc)`` exactly, and the 6-dp
+    emission is ``round(num*1e6/den)/1e6`` — a single 0-dp round of
+    an integer-over-integer quotient, engine-identical. The previous
+    ``round(x, 6)`` of the float composite hits exact decimal
+    half-ways on real documents (e.g. wc=128 with odd sw) and its
+    last-ulp behavior diverges between Spark and DuckDB (the r9
+    sf0.1-tier bug class)."""
     t = tokens(col)
     wc = F.size(t)
-    length_c = F.least(wc / F.lit(100.0), F.lit(1.0))
-    stop_c = stopword_ratio(col)
-    shape_c = F.least(avg_token_len(col) / F.lit(8.0), F.lit(1.0))
-    return F.round(length_c * 0.5 + stop_c * 0.25 + shape_c * 0.25, 6)
+    sw = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    chars = F.aggregate(F.transform(t, F.length), F.lit(0),
+                        lambda acc, x: acc + x)
+    num = ((F.least(wc, F.lit(100)).cast("long") * wc * 8
+            + sw.cast("long") * 400
+            + F.least(chars, wc * 8).cast("long") * 50)
+           * F.lit(1_000_000))
+    return F.when(wc > 0,
+                  F.round(num.cast("double")
+                          / (wc.cast("double") * 1600.0))
+                  / F.lit(1_000_000.0)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio_6dp(col: Column) -> Column:
+    """:func:`stopword_ratio` emitted to 6 dp through the
+    exact-integer micro trick (``round(sw*1e6/wc)/1e6``) — for
+    oracle-compared outputs; comparisons should use the raw ratio."""
+    t = tokens(col)
+    wc = F.size(t)
+    sw = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    return F.when(wc > 0,
+                  F.round(sw.cast("double") * 1_000_000.0
+                          / wc.cast("double"))
+                  / F.lit(1_000_000.0)).otherwise(F.lit(0.0))
+
+
+def avg_token_len_6dp(col: Column) -> Column:
+    """:func:`avg_token_len` emitted to 6 dp through the
+    exact-integer micro trick — for oracle-compared outputs."""
+    t = tokens(col)
+    wc = F.size(t)
+    total = F.aggregate(F.transform(t, F.length), F.lit(0),
+                        lambda acc, x: acc + x)
+    return F.when(wc > 0,
+                  F.round(total.cast("double") * 1_000_000.0
+                          / wc.cast("double"))
+                  / F.lit(1_000_000.0)).otherwise(F.lit(0.0))
 
 
 def lang_marker_counts(col: Column) -> dict[str, Column]:

@@ -58,9 +58,14 @@ def basket_pair_stats(df: DataFrame, basket_col: str, item_col: str,
                                   F.col("_s").alias("_sb")), "item_b")
            .crossJoin(F.broadcast(n)))
     p = F.col("pair_baskets").cast("double")
+    # symmetric 6-dp emission (round(x*1e6)/1e6, mirrored in the
+    # oracle): support/confidence/lift are int/int rationals that can
+    # land exactly on 6-dp half-ways, where plain round(x, 6) is
+    # engine-divergent (the r9 sf0.1-tier bug class)
+    _M = F.lit(1_000_000.0)
     return out.select(
         "item_a", "item_b", "pair_baskets",
-        F.round(p / F.col("_n"), 6).alias("support"),
-        F.round(p / F.col("_sa"), 6).alias("confidence_a_b"),
-        F.round((p * F.col("_n")) / (F.col("_sa") * F.col("_sb")), 6)
-        .alias("lift"))
+        (F.round(p / F.col("_n") * _M) / _M).alias("support"),
+        (F.round(p / F.col("_sa") * _M) / _M).alias("confidence_a_b"),
+        (F.round((p * F.col("_n")) / (F.col("_sa") * F.col("_sb")) * _M)
+         / _M).alias("lift"))

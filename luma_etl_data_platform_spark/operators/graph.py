@@ -100,7 +100,9 @@ def triangle_stats(edges: DataFrame, src: str = "id_a",
             .select("n_nodes", "n_edges", "n_triangles",
                     F.when(F.col("n_wedges") > 0,
                            F.round(F.lit(3.0) * F.col("n_triangles")
-                                   / F.col("n_wedges"), 6))
+                                   / F.col("n_wedges")
+                                   * F.lit(1_000_000.0))
+                           / F.lit(1_000_000.0))
                     .otherwise(F.lit(0.0)).alias("clustering_coeff")))
 
 

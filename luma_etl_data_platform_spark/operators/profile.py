@@ -61,7 +61,8 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
               * run_rank_sum.cast("decimal(19,0)")).alias("_s_ic"),
     )
     p99 = counts.agg(
-        F.round(F.expr("CAST(percentile(_c, 0.99) AS DOUBLE)"), 6)
+        (F.round(F.expr("CAST(percentile(_c, 0.99) AS DOUBLE)")
+                 * F.lit(1_000_000.0)) / F.lit(1_000_000.0))
         .alias("p99_count"))
     agg = agg.crossJoin(F.broadcast(p99))
     hottest = (counts
@@ -78,8 +79,9 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
     return (agg.crossJoin(F.broadcast(hottest))
             .select("n_keys", "total_rows", "max_count", "p99_count",
                     "hottest_key",
-                    F.round(gini_num.cast("double") / gini_den, 6)
-                    .alias("gini")))
+                    (F.round(gini_num.cast("double") / gini_den
+                             * F.lit(1_000_000.0))
+                     / F.lit(1_000_000.0)).alias("gini")))
 
 
 def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:

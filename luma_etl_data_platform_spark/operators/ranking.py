@@ -122,9 +122,13 @@ def pmi_bigrams(df: DataFrame, text_col: str = "text",
               .join(uni.select(F.col("_w").alias("w2"),
                                F.col("_c").alias("_cb")), "w2")
               .crossJoin(F.broadcast(tot)))
+    # symmetric 6-dp emission (round(x*1e6)/1e6, mirrored in the
+    # oracle) — pmi orders the top-k, so a rounding divergence would
+    # change membership, not just a value
     pmi = F.round(F.log(
         (F.col("pair_count").cast("double") * F.col("_tot"))
-        / (F.col("_ca").cast("double") * F.col("_cb"))), 6)
+        / (F.col("_ca").cast("double") * F.col("_cb")))
+        * F.lit(1_000_000.0)) / F.lit(1_000_000.0)
     scored = joined.select("w1", "w2", "pair_count", pmi.alias("pmi"))
     # Same TakeOrdered-then-rank shape as bm25_top_docs: the frequent-
     # bigram set scales with the corpus, so limit(k) first keeps the
@@ -217,8 +221,10 @@ def vocab_profile(df: DataFrame, text_col: str = "text",
         F.count(F.lit(1)).alias("vocab_size"),
         F.sum((F.col("_c") == 1).cast("int")).alias("hapax_count"),
         F.sum("_c").alias("total_tokens"),
-        F.round(F.count(F.lit(1)).cast("double") / F.sum("_c"), 6)
-        .alias("type_token_ratio"))
+        # exact-integer micro trick: int/int quotient to 6 dp
+        (F.round(F.count(F.lit(1)).cast("double") * F.lit(1_000_000.0)
+                 / F.sum("_c").cast("double"))
+         / F.lit(1_000_000.0)).alias("type_token_ratio"))
 
 
 def ccnet_perplexity_buckets(df: DataFrame, ref_col: str,

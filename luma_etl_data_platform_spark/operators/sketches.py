@@ -188,8 +188,12 @@ def kmv_estimate(sketch: DataFrame, group_col: str, k: int = 64) -> DataFrame:
     est = (F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double"))
            .otherwise(F.lit(float(k - 1)) * F.lit(_HASH_SPACE)
                       / F.col("_kth").cast("double")))
+    # symmetric scaled rounding (round(x*1e4)/1e4, mirrored in the
+    # oracle) — the KMV estimate is an int/int rational, the
+    # engine-divergent round(x, k) half-way class
     return agg.select(group_col, "n_sketch",
-                      F.round(est, 4).alias("est_distinct"))
+                      (F.round(est * F.lit(10_000.0))
+                       / F.lit(10_000.0)).alias("est_distinct"))
 
 
 def kmv_pair_jaccard(sketch: DataFrame, group_col: str,
@@ -237,10 +241,12 @@ def kmv_pair_jaccard(sketch: DataFrame, group_col: str,
                             / F.col("_kth").cast("double")))
     return agg.select(
         ga, gb, "n_union_sketch", "n_both",
-        F.round(est_union, 4).alias("est_union"),
-        F.round(F.col("n_both").cast("double")
-                / F.col("n_union_sketch").cast("double"), 6)
-        .alias("est_jaccard"))
+        (F.round(est_union * F.lit(10_000.0))
+         / F.lit(10_000.0)).alias("est_union"),
+        (F.round(F.col("n_both").cast("double")
+                 / F.col("n_union_sketch").cast("double")
+                 * F.lit(1_000_000.0))
+         / F.lit(1_000_000.0)).alias("est_jaccard"))
 
 
 # ---------------------------------------------------------------------------
@@ -413,7 +419,8 @@ def hll_estimate(sketch: DataFrame, group_col: str) -> DataFrame:
     return agg.select(
         group_col,
         (F.lit(HLL_M) - F.col("_nb")).cast("long").alias("n_zero_regs"),
-        F.round(est, 4).alias("est_distinct"))
+        (F.round(est * F.lit(10_000.0))
+         / F.lit(10_000.0)).alias("est_distinct"))
 
 
 def hll_regs_sql(table: str = "events", group_col: str = "event_type",
@@ -456,5 +463,6 @@ est AS (SELECT {group_col}, CAST({m} - nb AS BIGINT) AS n_zero_regs,
                round((0.7213 / (1.0 + 1.079 / {m}.0)) * {m * m}.0
                      * {two53}.0
                      / CAST(s_present + CAST({m} - nb AS BIGINT) * {two53}
-                            AS DOUBLE), 4) AS est_distinct
+                            AS DOUBLE) * 10000.0) / 10000.0
+                 AS est_distinct
         FROM agg)"""

@@ -117,8 +117,13 @@ def rolling_anomaly(df: DataFrame, key_col: str, ts_col: str,
     mean = s1 / n
     var = F.greatest(s2 / n - mean * mean, F.lit(0.0))
     flag = (n >= F.lit(min_obs)) & (F.abs(v - mean) > F.lit(z) * F.sqrt(var))
+    # symmetric 6-dp emission (round(x*1e6)/1e6, mirrored in the
+    # oracle): the rolling mean is a small-denominator rational that
+    # can land exactly on a 6-dp half-way, where plain round(x, 6) is
+    # engine-divergent (the r9 sf0.1-tier bug class)
     return df.select(
         key_col, tiebreak_col, value_col,
         n.alias("n_prior"),
-        F.round(mean, 6).alias("roll_mean"),
+        (F.round(mean * F.lit(1_000_000.0)) / F.lit(1_000_000.0))
+        .alias("roll_mean"),
         flag.alias("is_anomaly"))

@@ -94,7 +94,8 @@ j AS (SELECT w1, w2, pair_count, a.c AS ca, b.c AS cb
       FROM big JOIN uni a ON a.w = w1 JOIN uni b ON b.w = w2),
 s AS (SELECT w1, w2, pair_count,
              round(ln((CAST(pair_count AS DOUBLE) * tot)
-                      / (CAST(ca AS DOUBLE) * cb)), 6) AS pmi
+                      / (CAST(ca AS DOUBLE) * cb)) * 1000000.0)
+               / 1000000.0 AS pmi
       FROM j CROSS JOIN tot)
 SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count, pmi, rnk
 FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rnk FROM s)
@@ -121,7 +122,8 @@ SELECT source,
        CAST(count(*) AS BIGINT) AS vocab_size,
        CAST(sum(CAST(c = 1 AS INT)) AS BIGINT) AS hapax_count,
        CAST(sum(c) AS BIGINT) AS total_tokens,
-       round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS type_token_ratio
+       round(CAST(count(*) AS DOUBLE) * 1000000.0
+             / CAST(sum(c) AS DOUBLE)) / 1000000.0 AS type_token_ratio
 FROM tc GROUP BY 1
 """
 
@@ -302,7 +304,7 @@ WITH w AS (
                 ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
 SELECT user_id, event_id, value,
        CAST(n_prior AS BIGINT) AS n_prior,
-       round(s1 / n_prior, 6) AS roll_mean,
+       round(s1 / n_prior * 1000000.0) / 1000000.0 AS roll_mean,
        (n_prior >= 3 AND abs(value - s1 / n_prior)
         > 2.0 * sqrt(greatest(s2 / n_prior
                               - (s1 / n_prior) * (s1 / n_prior), 0.0)))
@@ -344,12 +346,19 @@ def event_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
           - F.lit(4.0) * mean * (F.col("s3") / F.col("n"))
           + F.lit(6.0) * (mean * mean) * (F.col("s2") / F.col("n"))
           - F.lit(3.0) * ((mean * mean) * (mean * mean)))
+    # symmetric 6-dp emission (round(x*1e6)/1e6, same explicit ops in
+    # the oracle): mean and kurtosis are rational quotients that can
+    # land exactly on 6-dp half-ways, where plain round(x, 6) is
+    # engine-divergent (the r9 sf0.1-tier bug class)
+    def _r6(x):
+        return F.round(x * F.lit(1_000_000.0)) / F.lit(1_000_000.0)
+
     return agg.select(
         "event_type",
         F.col("n").alias("n_events"),
-        F.round(mean, 6).alias("mean_value"),
-        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
-        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("excess_kurtosis"))
+        _r6(mean).alias("mean_value"),
+        _r6(m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        _r6(m4 / (m2 * m2) - F.lit(3.0)).alias("excess_kurtosis"))
 
 
 ORACLE["event_value_moments"] = """
@@ -373,9 +382,10 @@ m AS (SELECT event_type, n, s1 / n AS mean,
                - 3.0 * (((s1 / n) * (s1 / n)) * ((s1 / n) * (s1 / n))) AS m4
       FROM agg)
 SELECT event_type, n AS n_events,
-       round(mean, 6) AS mean_value,
-       round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
-       round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+       round(mean * 1000000.0) / 1000000.0 AS mean_value,
+       round(m3 / (m2 * sqrt(m2)) * 1000000.0) / 1000000.0 AS skewness,
+       round((m4 / (m2 * m2) - 3.0) * 1000000.0) / 1000000.0
+         AS excess_kurtosis
 FROM m
 """
 
@@ -406,7 +416,8 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ndist = ndist + (c > 0).cast("int")
     return agg.select("user_id", "n_events",
                       ndist.alias("n_distinct_types"),
-                      F.round(ent, 6).alias("type_entropy"))
+                      (F.round(ent * F.lit(1_000_000.0))
+                       / F.lit(1_000_000.0)).alias("type_entropy"))
 
 
 ORACLE["user_event_entropy"] = """
@@ -421,13 +432,13 @@ WITH agg AS (
 SELECT user_id, n_events,
        CAST(c0 > 0 AS INT) + CAST(c1 > 0 AS INT) + CAST(c2 > 0 AS INT)
          + CAST(c3 > 0 AS INT) + CAST(c4 > 0 AS INT) AS n_distinct_types,
-       round(0.0
+       round((0.0
          + CASE WHEN c0 > 0 THEN -(c0 / n_events) * ln(c0 / n_events) ELSE 0.0 END
          + CASE WHEN c1 > 0 THEN -(c1 / n_events) * ln(c1 / n_events) ELSE 0.0 END
          + CASE WHEN c2 > 0 THEN -(c2 / n_events) * ln(c2 / n_events) ELSE 0.0 END
          + CASE WHEN c3 > 0 THEN -(c3 / n_events) * ln(c3 / n_events) ELSE 0.0 END
-         + CASE WHEN c4 > 0 THEN -(c4 / n_events) * ln(c4 / n_events) ELSE 0.0 END,
-         6) AS type_entropy
+         + CASE WHEN c4 > 0 THEN -(c4 / n_events) * ln(c4 / n_events) ELSE 0.0 END)
+         * 1000000.0) / 1000000.0 AS type_entropy
 FROM agg
 """
 
@@ -470,18 +481,22 @@ def ols_trend(ev: DataFrame) -> DataFrame:
     # ANSI Spark throws on double division by zero, so both the plan
     # and the oracle gate the division behind the same CASE
     guard = den != 0.0
+    # symmetric scaled rounding (rational quotients — half-way class)
+    def _rk(x, k):
+        return F.round(x * F.lit(float(k))) / F.lit(float(k))
+
     return agg.select(
         "event_type", F.col("n").alias("n_events"),
-        F.round(F.col("sy").cast("double") / 100.0
-                / F.col("n").cast("double"), 6).alias("mean_value"),
-        F.when(guard, F.round(slope_cents_s * F.lit(864.0), 8))
+        _rk(F.col("sy").cast("double") / 100.0
+            / F.col("n").cast("double"), 1_000_000).alias("mean_value"),
+        F.when(guard, _rk(slope_cents_s * F.lit(864.0), 100_000_000))
         .alias("slope_per_day"),
         F.when(guard,
-               F.round(F.col("sy").cast("double") / 100.0
-                       / F.col("n").cast("double")
-                       - slope_cents_s / F.lit(100.0)
-                       * (F.col("sx").cast("double")
-                          / F.col("n").cast("double")), 6))
+               _rk(F.col("sy").cast("double") / 100.0
+                   / F.col("n").cast("double")
+                   - slope_cents_s / F.lit(100.0)
+                   * (F.col("sx").cast("double")
+                      / F.col("n").cast("double")), 1_000_000))
         .alias("intercept_value")).orderBy("event_type")
 
 
@@ -499,16 +514,18 @@ agg AS (
          CAST(sum(CAST(x * yc AS HUGEINT)) AS HUGEINT) AS sxy
   FROM base GROUP BY 1)
 SELECT event_type, n AS n_events,
-       round(CAST(sy AS DOUBLE) / 100.0 / CAST(n AS DOUBLE), 6) AS mean_value,
+       round(CAST(sy AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)
+             * 1000000.0) / 1000000.0 AS mean_value,
        CASE WHEN CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) <> 0.0
        THEN round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
              / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
-             * 864.0, 8) END AS slope_per_day,
+             * 864.0 * 100000000.0) / 100000000.0 END AS slope_per_day,
        CASE WHEN CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) <> 0.0
-       THEN round(CAST(sy AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)
+       THEN round((CAST(sy AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)
              - CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
                / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) / 100.0
-               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000.0)
+            / 1000000.0
          END AS intercept_value
 FROM agg ORDER BY event_type
 """
@@ -541,9 +558,12 @@ def robust_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.sum((F.col("_ad") > F.lit(4.4478)
                                   * F.col("_mad")).cast("long")),
                            F.lit(0)).alias("n_outliers")))
+    # symmetric 6-dp emission (interpolated medians are rationals)
     return (out.select("event_type", "n_events",
-                       F.round("_m", 6).alias("median_value"),
-                       F.round("_d", 6).alias("mad_value"),
+                       (F.round(F.col("_m") * F.lit(1_000_000.0))
+                        / F.lit(1_000_000.0)).alias("median_value"),
+                       (F.round(F.col("_d") * F.lit(1_000_000.0))
+                        / F.lit(1_000_000.0)).alias("mad_value"),
                        "n_outliers")
             .orderBy("event_type"))
 
@@ -556,8 +576,8 @@ dev AS (SELECT e.event_type, abs(e.value - med.m) AS ad, med.m
 mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
         FROM dev GROUP BY 1)
 SELECT dev.event_type, count(*) AS n_events,
-       round(max(dev.m), 6) AS median_value,
-       round(max(mad.mad), 6) AS mad_value,
+       round(max(dev.m) * 1000000.0) / 1000000.0 AS median_value,
+       round(max(mad.mad) * 1000000.0) / 1000000.0 AS mad_value,
        CAST(coalesce(sum(CASE WHEN dev.ad > 4.4478 * mad.mad
                                THEN 1 ELSE 0 END), 0) AS BIGINT)
          AS n_outliers
@@ -613,7 +633,10 @@ def acf_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
            + m38 * F.col("S") * F.col("S")).cast("double")
     den = (n38 * n38 * F.col("Q") - n38 * F.col("S") * F.col("S")
            ).cast("double")
-    acf = F.when(den != 0.0, F.round(num / den, 6))
+    # symmetric 6-dp emission of an int/int quotient (half-way class)
+    acf = F.when(den != 0.0,
+                 F.round(num / den * F.lit(1_000_000.0))
+                 / F.lit(1_000_000.0))
     return (j.select("event_type", "lag", F.col("n").alias("n_days"),
                      acf.alias("acf"))
             .orderBy("event_type", "lag"))
@@ -652,7 +675,7 @@ SELECT pa.event_type, CAST(pa.lag AS INT) AS lag, base.n AS n_days,
              / CAST(CAST(base.n AS HUGEINT) * CAST(base.n AS HUGEINT)
                     * base.Q
                     - CAST(base.n AS HUGEINT) * base.S_ * base.S_
-                    AS DOUBLE), 6) END AS acf
+                    AS DOUBLE) * 1000000.0) / 1000000.0 END AS acf
 FROM pa JOIN base USING (event_type)
 ORDER BY event_type, lag
 """
@@ -696,15 +719,21 @@ def seasonal_decomposition_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     seas = (F.col("sD").cast("double") / F.col("nD").cast("double")
             / F.lit(7.0) / F.lit(100.0))
     valid = F.col("detr").isNotNull()
+    # symmetric 6-dp emission — trend/seasonal are int/700-style
+    # rationals that can land exactly on 6-dp half-ways (the
+    # engine-divergent round(x, 6) class)
+    def _r6(x):
+        return F.round(x * F.lit(1_000_000.0)) / F.lit(1_000_000.0)
+
     return (j.select(
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         F.round(F.col("v").cast("double") / F.lit(100.0), 2)
         .alias("daily_value"),
-        F.when(valid, F.round(trend, 6)).alias("trend"),
-        F.when(valid, F.round(seas, 6)).alias("seasonal"),
+        F.when(valid, _r6(trend)).alias("trend"),
+        F.when(valid, _r6(seas)).alias("seasonal"),
         F.when(valid,
-               F.round(F.col("v").cast("double") / F.lit(100.0)
-                       - trend - seas, 6)).alias("residual"))
+               _r6(F.col("v").cast("double") / F.lit(100.0)
+                   - trend - seas)).alias("residual"))
         .orderBy("day"))
 
 
@@ -728,15 +757,18 @@ dowavg AS (
 SELECT strftime(t.d, '%Y-%m-%d') AS day,
        round(CAST(t.v AS DOUBLE) / 100.0, 2) AS daily_value,
        CASE WHEN t.detr IS NOT NULL
-            THEN round(CAST(t.s7 AS DOUBLE) / 7.0 / 100.0, 6) END AS trend,
+            THEN round(CAST(t.s7 AS DOUBLE) / 7.0 / 100.0 * 1000000.0)
+                 / 1000000.0 END AS trend,
        CASE WHEN t.detr IS NOT NULL
             THEN round(CAST(a.sD AS DOUBLE) / CAST(a.nD AS DOUBLE)
-                       / 7.0 / 100.0, 6) END AS seasonal,
+                       / 7.0 / 100.0 * 1000000.0) / 1000000.0
+            END AS seasonal,
        CASE WHEN t.detr IS NOT NULL
-            THEN round(CAST(t.v AS DOUBLE) / 100.0
-                       - CAST(t.s7 AS DOUBLE) / 7.0 / 100.0
-                       - CAST(a.sD AS DOUBLE) / CAST(a.nD AS DOUBLE)
-                         / 7.0 / 100.0, 6) END AS residual
+            THEN round((CAST(t.v AS DOUBLE) / 100.0
+                        - CAST(t.s7 AS DOUBLE) / 7.0 / 100.0
+                        - CAST(a.sD AS DOUBLE) / CAST(a.nD AS DOUBLE)
+                          / 7.0 / 100.0) * 1000000.0) / 1000000.0
+            END AS residual
 FROM t LEFT JOIN dowavg a ON t.dow = a.dow
 ORDER BY day
 """
@@ -760,13 +792,18 @@ def winsorized_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = ev.join(F.broadcast(qs), "event_type")
     clipped = F.least(F.greatest(F.col("value"), F.col("_p05")),
                       F.col("_p95"))
+    # symmetric 6-dp emission (interpolated percentiles and the
+    # decimal-sum/count mean are rationals — the half-way class)
     return (j.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.max("_p05"), 6).alias("p05"),
-                 F.round(F.max("_p95"), 6).alias("p95"),
-                 F.round(F.sum(clipped.cast("decimal(18,6)"))
-                         .cast("double") / F.count(F.lit(1)), 6)
-                 .alias("winsorized_mean"),
+                 (F.round(F.max("_p05") * F.lit(1_000_000.0))
+                  / F.lit(1_000_000.0)).alias("p05"),
+                 (F.round(F.max("_p95") * F.lit(1_000_000.0))
+                  / F.lit(1_000_000.0)).alias("p95"),
+                 (F.round(F.sum(clipped.cast("decimal(18,6)"))
+                          .cast("double") / F.count(F.lit(1))
+                          * F.lit(1_000_000.0))
+                  / F.lit(1_000_000.0)).alias("winsorized_mean"),
                  F.coalesce(F.sum(((F.col("value") < F.col("_p05"))
                                    | (F.col("value") > F.col("_p95")))
                                   .cast("long")), F.lit(0))
@@ -780,11 +817,11 @@ WITH qs AS (SELECT event_type,
                    quantile_cont(value, 0.95) AS p95
             FROM events GROUP BY 1)
 SELECT e.event_type, count(*) AS n_events,
-       round(max(qs.p05), 6) AS p05,
-       round(max(qs.p95), 6) AS p95,
+       round(max(qs.p05) * 1000000.0) / 1000000.0 AS p05,
+       round(max(qs.p95) * 1000000.0) / 1000000.0 AS p95,
        round(CAST(sum(CAST(least(greatest(e.value, qs.p05), qs.p95)
                            AS DECIMAL(18,6))) AS DOUBLE)
-             / count(*), 6) AS winsorized_mean,
+             / count(*) * 1000000.0) / 1000000.0 AS winsorized_mean,
        CAST(coalesce(sum(CASE WHEN e.value < qs.p05 OR e.value > qs.p95
                               THEN 1 ELSE 0 END), 0) AS BIGINT)
          AS n_clipped

@@ -194,9 +194,10 @@ def shingle_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .otherwise(0)).alias("n_novel")))
     return (per.join(docs.select("doc_id", "source"), "doc_id")
             .select("doc_id", "source", "n_shingles", "n_novel",
-                    F.round(F.col("n_novel")
-                            / F.col("n_shingles").cast("double"), 6)
-                    .alias("novelty"))
+                    (F.round(F.col("n_novel").cast("double")
+                             * F.lit(1_000_000.0)
+                             / F.col("n_shingles").cast("double"))
+                     / F.lit(1_000_000.0)).alias("novelty"))
             .orderBy("doc_id"))
 
 
@@ -213,7 +214,8 @@ per AS (SELECT doc_id, count(*) AS n_sh,
         FROM sh JOIN firsts USING (s) GROUP BY 1)
 SELECT p.doc_id, d.source, CAST(n_sh AS BIGINT) AS n_shingles,
        CAST(n_novel AS BIGINT) AS n_novel,
-       round(n_novel / CAST(n_sh AS DOUBLE), 6) AS novelty
+       round(CAST(n_novel AS DOUBLE) * 1000000.0
+             / CAST(n_sh AS DOUBLE)) / 1000000.0 AS novelty
 FROM per p JOIN documents d ON p.doc_id = d.doc_id
 ORDER BY p.doc_id
 """
@@ -244,10 +246,11 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.join(F.broadcast(ta), "source_a")
             .join(F.broadcast(tb), "source_b")
             .select("source_a", "source_b", "n_a", "n_b", "n_common",
-                    F.round(F.col("n_common")
-                            / (F.col("n_a") + F.col("n_b")
-                               - F.col("n_common")).cast("double"), 6)
-                    .alias("jaccard"))
+                    (F.round(F.col("n_common").cast("double")
+                             * F.lit(1_000_000.0)
+                             / (F.col("n_a") + F.col("n_b")
+                                - F.col("n_common")).cast("double"))
+                     / F.lit(1_000_000.0)).alias("jaccard"))
             .orderBy("source_a", "source_b"))
 
 
@@ -266,7 +269,8 @@ pairs AS (SELECT a.source AS source_a, b.source AS source_b,
 SELECT source_a, source_b,
        CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
        CAST(n_common AS BIGINT) AS n_common,
-       round(n_common / CAST(ta.n + tb.n - n_common AS DOUBLE), 6)
+       round(CAST(n_common AS DOUBLE) * 1000000.0
+             / CAST(ta.n + tb.n - n_common AS DOUBLE)) / 1000000.0
          AS jaccard
 FROM pairs JOIN tot ta ON ta.source = source_a
            JOIN tot tb ON tb.source = source_b
@@ -469,12 +473,14 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tok").alias("n_tokens"),
                  F.sum("n_chars").alias("n_chars"))
             .select("source", "n_words", "n_tokens", "n_chars",
-                    F.round(F.col("n_tokens").cast("double")
-                            / F.col("n_words").cast("double"), 6)
-                    .alias("tokens_per_word"),
-                    F.round(F.col("n_chars").cast("double")
-                            / F.col("n_tokens").cast("double"), 6)
-                    .alias("chars_per_token"))
+                    (F.round(F.col("n_tokens").cast("double")
+                             * F.lit(1_000_000.0)
+                             / F.col("n_words").cast("double"))
+                     / F.lit(1_000_000.0)).alias("tokens_per_word"),
+                    (F.round(F.col("n_chars").cast("double")
+                             * F.lit(1_000_000.0)
+                             / F.col("n_tokens").cast("double"))
+                     / F.lit(1_000_000.0)).alias("chars_per_token"))
             .orderBy("source"))
 
 
@@ -490,10 +496,10 @@ j AS (SELECT dw.source, seg.n_tok,
 SELECT source, count(*) AS n_words,
        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        CAST(sum(n_chars) AS BIGINT) AS n_chars,
-       round(CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE), 6) AS tokens_per_word,
-       round(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
-             / CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE), 6)
+       round(CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE) * 1000000.0
+             / CAST(count(*) AS DOUBLE)) / 1000000.0 AS tokens_per_word,
+       round(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) * 1000000.0
+             / CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE)) / 1000000.0
          AS chars_per_token
 FROM j GROUP BY 1 ORDER BY 1
 """)
@@ -713,9 +719,11 @@ def ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = top.join(truth, "va")
     return (j.groupBy(F.col("cut").alias("trunc_dim"))
             .agg(F.count(F.lit(1)).alias("n_queries"),
-                 F.round(F.sum((F.col("vb") == F.col("vb_full"))
-                               .cast("long")).cast("double")
-                         / F.count(F.lit(1)), 6).alias("recall_at_1"))
+                 (F.round(F.sum((F.col("vb") == F.col("vb_full"))
+                                .cast("long")).cast("double")
+                          * F.lit(1_000_000.0)
+                          / F.count(F.lit(1)).cast("double"))
+                  / F.lit(1_000_000.0)).alias("recall_at_1"))
             .orderBy("trunc_dim"))
 
 
@@ -745,7 +753,8 @@ top AS MATERIALIZED (
 truth AS (SELECT va, vb AS vb_full FROM top WHERE cut = 64)
 SELECT t.cut AS trunc_dim, count(*) AS n_queries,
        round(CAST(sum(CASE WHEN t.vb = tr.vb_full THEN 1 ELSE 0 END)
-                  AS DOUBLE) / count(*), 6) AS recall_at_1
+                  AS DOUBLE) * 1000000.0 / CAST(count(*) AS DOUBLE))
+         / 1000000.0 AS recall_at_1
 FROM top t JOIN truth tr ON t.va = tr.va
 GROUP BY 1 ORDER BY 1
 """
@@ -1078,18 +1087,20 @@ def unigram_em_round_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.groupBy(F.col("ln").alias("word_len"))
             .agg(F.count(F.lit(1)).alias("n_words"),
                  F.sum("n_word").alias("n_occurrences"),
-                 F.round(F.sum(F.col("ntoks0").cast("long")
-                               * F.col("n_word")).cast("double")
-                         / F.sum("n_word").cast("double"), 6)
-                 .alias("fertility_r1"),
-                 F.round(F.sum(F.col("ntoks1").cast("long")
-                               * F.col("n_word")).cast("double")
-                         / F.sum("n_word").cast("double"), 6)
-                 .alias("fertility_r2"),
-                 F.round(F.sum(F.col("cost") * F.col("n_word"))
-                         .cast("double")
-                         / F.sum("n_word").cast("double")
-                         / 1_000_000.0, 6).alias("avg_cost_nats_r2"))
+                 (F.round((F.sum(F.col("ntoks0").cast("long")
+                                 * F.col("n_word")) * F.lit(1_000_000))
+                          .cast("double")
+                          / F.sum("n_word").cast("double"))
+                  / F.lit(1_000_000.0)).alias("fertility_r1"),
+                 (F.round((F.sum(F.col("ntoks1").cast("long")
+                                 * F.col("n_word")) * F.lit(1_000_000))
+                          .cast("double")
+                          / F.sum("n_word").cast("double"))
+                  / F.lit(1_000_000.0)).alias("fertility_r2"),
+                 (F.round(F.sum(F.col("cost") * F.col("n_word"))
+                          .cast("double")
+                          / F.sum("n_word").cast("double"))
+                  / F.lit(1_000_000.0)).alias("avg_cost_nats_r2"))
             .orderBy("word_len"))
 
 
@@ -1192,12 +1203,16 @@ best2 AS (SELECT w.word, d.cost, d.ntoks AS ntoks1
 SELECT b1.ln AS word_len,
        count(*) AS n_words,
        CAST(sum(b1.n_word) AS BIGINT) AS n_occurrences,
-       round(CAST(sum(CAST(b1.ntoks0 AS BIGINT) * b1.n_word) AS DOUBLE)
-             / CAST(sum(b1.n_word) AS DOUBLE), 6) AS fertility_r1,
-       round(CAST(sum(CAST(b2.ntoks1 AS BIGINT) * b1.n_word) AS DOUBLE)
-             / CAST(sum(b1.n_word) AS DOUBLE), 6) AS fertility_r2,
+       round(CAST(sum(CAST(b1.ntoks0 AS BIGINT) * b1.n_word) * 1000000
+                  AS DOUBLE)
+             / CAST(sum(b1.n_word) AS DOUBLE)) / 1000000.0
+         AS fertility_r1,
+       round(CAST(sum(CAST(b2.ntoks1 AS BIGINT) * b1.n_word) * 1000000
+                  AS DOUBLE)
+             / CAST(sum(b1.n_word) AS DOUBLE)) / 1000000.0
+         AS fertility_r2,
        round(CAST(sum(b2.cost * b1.n_word) AS DOUBLE)
-             / CAST(sum(b1.n_word) AS DOUBLE) / 1000000.0, 6)
+             / CAST(sum(b1.n_word) AS DOUBLE)) / 1000000.0
          AS avg_cost_nats_r2
 FROM best1 b1 JOIN best2 b2 USING (word)
 GROUP BY b1.ln ORDER BY word_len"""
@@ -1248,18 +1263,20 @@ def unigram_em_converged_stats(spark: SparkSession,
     return (j.groupBy(F.col("ln").alias("word_len"))
             .agg(F.count(F.lit(1)).alias("n_words"),
                  F.sum("n_word").alias("n_occurrences"),
-                 F.round(F.sum(F.col("ntoks0").cast("long")
-                               * F.col("n_word")).cast("double")
-                         / F.sum("n_word").cast("double"), 6)
-                 .alias("fertility_r1"),
-                 F.round(F.sum(F.col("ntoksf").cast("long")
-                               * F.col("n_word")).cast("double")
-                         / F.sum("n_word").cast("double"), 6)
-                 .alias("fertility_final"),
-                 F.round(F.sum(F.col("cost") * F.col("n_word"))
-                         .cast("double")
-                         / F.sum("n_word").cast("double")
-                         / 1_000_000.0, 6).alias("avg_cost_nats_final"))
+                 (F.round((F.sum(F.col("ntoks0").cast("long")
+                                 * F.col("n_word")) * F.lit(1_000_000))
+                          .cast("double")
+                          / F.sum("n_word").cast("double"))
+                  / F.lit(1_000_000.0)).alias("fertility_r1"),
+                 (F.round((F.sum(F.col("ntoksf").cast("long")
+                                 * F.col("n_word")) * F.lit(1_000_000))
+                          .cast("double")
+                          / F.sum("n_word").cast("double"))
+                  / F.lit(1_000_000.0)).alias("fertility_final"),
+                 (F.round(F.sum(F.col("cost") * F.col("n_word"))
+                          .cast("double")
+                          / F.sum("n_word").cast("double"))
+                  / F.lit(1_000_000.0)).alias("avg_cost_nats_final"))
             .crossJoin(F.broadcast(nv))
             .orderBy("word_len"))
 
@@ -1386,12 +1403,16 @@ nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab_multi
 SELECT b1.ln AS word_len,
        count(*) AS n_words,
        CAST(sum(b1.n_word) AS BIGINT) AS n_occurrences,
-       round(CAST(sum(CAST(b1.ntoks0 AS BIGINT) * b1.n_word) AS DOUBLE)
-             / CAST(sum(b1.n_word) AS DOUBLE), 6) AS fertility_r1,
-       round(CAST(sum(CAST(bf.ntoksf AS BIGINT) * b1.n_word) AS DOUBLE)
-             / CAST(sum(b1.n_word) AS DOUBLE), 6) AS fertility_final,
+       round(CAST(sum(CAST(b1.ntoks0 AS BIGINT) * b1.n_word) * 1000000
+                  AS DOUBLE)
+             / CAST(sum(b1.n_word) AS DOUBLE)) / 1000000.0
+         AS fertility_r1,
+       round(CAST(sum(CAST(bf.ntoksf AS BIGINT) * b1.n_word) * 1000000
+                  AS DOUBLE)
+             / CAST(sum(b1.n_word) AS DOUBLE)) / 1000000.0
+         AS fertility_final,
        round(CAST(sum(bf.cost * b1.n_word) AS DOUBLE)
-             / CAST(sum(b1.n_word) AS DOUBLE) / 1000000.0, 6)
+             / CAST(sum(b1.n_word) AS DOUBLE)) / 1000000.0
          AS avg_cost_nats_final,
        any_value(nv.n_vocab_multi) AS n_vocab_multi
 FROM best1 b1 JOIN bestf bf USING (word) CROSS JOIN nv

@@ -92,11 +92,21 @@ def supplier_acct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n")
     var_samp = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
     var_pop = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / n
+    # symmetric 6-dp emission: round(x*1e6)/1e6 with the SAME explicit
+    # ops in the oracle — round(x, 6) of these rational quotients
+    # (varpop's true value has denominator n^2*10^4 and DOES hit 6-dp
+    # half-ways) is engine-divergent at the half-way (Spark rounds the
+    # double's exact decimal expansion, DuckDB the scaled product; the
+    # r9 sf0.1-tier bug class). With both sides scaling first, both
+    # engines round the identical double identically.
+    def _r6(x):
+        return F.round(x * F.lit(1_000_000.0)) / F.lit(1_000_000.0)
+
     return base.select(
         "c_nationkey",
-        F.round(F.sqrt(var_samp), 6).alias("acct_stddev"),
-        F.round(var_pop, 6).alias("acct_varpop"),
-        F.round(F.col("sx") / n, 6).alias("acct_avg"),
+        _r6(F.sqrt(var_samp)).alias("acct_stddev"),
+        _r6(var_pop).alias("acct_varpop"),
+        _r6(F.col("sx") / n).alias("acct_avg"),
         "n",
     ).orderBy("c_nationkey")
 
@@ -110,9 +120,11 @@ WITH m AS (
          count(*) AS n
   FROM customer GROUP BY 1 HAVING count(*) >= 2)
 SELECT c_nationkey,
-       round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS acct_stddev,
-       round((sxx - sx * sx / n) / n, 6)             AS acct_varpop,
-       round(sx / n, 6)                              AS acct_avg,
+       round(sqrt((sxx - sx * sx / n) / (n - 1)) * 1000000.0)
+         / 1000000.0 AS acct_stddev,
+       round((sxx - sx * sx / n) / n * 1000000.0) / 1000000.0
+         AS acct_varpop,
+       round(sx / n * 1000000.0) / 1000000.0 AS acct_avg,
        n
 FROM m ORDER BY 1
 """
@@ -195,10 +207,13 @@ def quantity_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = ((n * F.col("sxy") - F.col("sx") * F.col("sy"))
             / (F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))))
+    # symmetric scaled rounding (see supplier_acct_stats)
     return base.select(
         "l_returnflag",
-        F.round(corr, 6).alias("qty_price_corr"),
-        F.round(cov, 4).alias("qty_price_covar"),
+        (F.round(corr * F.lit(1_000_000.0)) / F.lit(1_000_000.0))
+        .alias("qty_price_corr"),
+        (F.round(cov * F.lit(10_000.0)) / F.lit(10_000.0))
+        .alias("qty_price_covar"),
     ).orderBy("l_returnflag")
 
 
@@ -217,8 +232,10 @@ WITH m AS (
   FROM lineitem GROUP BY 1)
 SELECT l_returnflag,
        round((n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS qty_price_corr,
-       round((sxy - sx * sy / n) / (n - 1), 4) AS qty_price_covar
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             * 1000000.0) / 1000000.0 AS qty_price_corr,
+       round((sxy - sx * sy / n) / (n - 1) * 10000.0) / 10000.0
+         AS qty_price_covar
 FROM m ORDER BY 1
 """
 

@@ -2391,6 +2391,73 @@ def renamed_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def analyze_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE → retroactive data skipping (round-10): an
+    orders table written range-clustered on ``o_totalprice`` but with
+    stats recorded only for its key cannot skip a price-box read
+    (``no_skip_before`` audits that every file is opened). One
+    ``analyze_table(stat_cols=..., bloom_cols=...)`` metadata commit
+    — no data rewritten — and the same box read prunes
+    (``pruned_after`` + ``cand_covers``) and a customer point lookup
+    rides the new Bloom filters (``point_pruned``). Values
+    oracle-checked against plain SQL."""
+    tmp = tempfile.mkdtemp(prefix="luma_lh_apr_")
+    try:
+        path = f"{tmp}/t"
+        feed = (load_table(spark, sf_dir, "orders")
+                .select("o_orderkey", "o_custkey", "o_totalprice"))
+        LH.create_table(spark, path,
+                        feed.repartitionByRange(12, "o_totalprice")
+                        .sortWithinPartitions("o_totalprice"),
+                        ["o_orderkey"])
+        n_live = LH.describe_table(spark, path)["n_files"]
+        lo = float(feed.agg(F.min("o_totalprice")).collect()[0][0])
+        where = {"o_totalprice": (lo, round(lo + 20000.0, 2))}
+        no_skip_before = bool(
+            len(LH.pruned_candidate_files(spark, path, dict(where)))
+            == n_live)
+        LH.analyze_table(spark, path, stat_cols=["o_totalprice"],
+                         bloom_cols=["o_custkey"])
+        cands = LH.pruned_candidate_files(spark, path, dict(where))
+        got = LH.read_table(spark, path, where=where)
+        hit = {r[0].rsplit("/", 1)[-1] for r in got
+               .select(F.input_file_name()).distinct().collect()}
+        pruned_after = bool(0 < len(cands) < n_live)
+        cand_covers = bool(hit <= {p.rsplit("/", 1)[-1] for p in cands})
+        probe_cust = int(feed.agg(F.min("o_custkey")).collect()[0][0])
+        pt_cands = LH.pruned_candidate_files(
+            spark, path, None, eq={"o_custkey": probe_cust})
+        pt_rows = LH.read_table(
+            spark, path, where={"o_custkey": probe_cust}).count()
+        point_pruned = bool(len(pt_cands) < n_live)
+        out = (got.agg(F.count(F.lit(1)).alias("n_orders"),
+                       F.round(F.sum("o_totalprice"), 2)
+                       .alias("sum_price"))
+               .withColumn("n_cust_rows", F.lit(int(pt_rows)))
+               .withColumn("no_skip_before", F.lit(no_skip_before))
+               .withColumn("pruned_after", F.lit(pruned_after))
+               .withColumn("cand_covers", F.lit(cand_covers))
+               .withColumn("point_pruned", F.lit(point_pruned))
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["analyze_pruned_read"] = """
+WITH lo AS (SELECT min(o_totalprice) AS lo FROM orders),
+pc AS (SELECT min(o_custkey) AS c FROM orders)
+SELECT count(*) AS n_orders,
+       ROUND(sum(o_totalprice), 2) AS sum_price,
+       (SELECT count(*) FROM orders, pc WHERE o_custkey = c)
+         AS n_cust_rows,
+       TRUE AS no_skip_before, TRUE AS pruned_after,
+       TRUE AS cand_covers, TRUE AS point_pruned
+FROM orders, lo
+WHERE o_totalprice BETWEEN lo AND ROUND(lo + 20000.0, 2)
+"""
+
+
 ORACLE["renamed_pruned_read"] = """
 WITH lo AS (SELECT min(o_totalprice) AS lo FROM orders),
 pc AS (SELECT min(o_custkey) AS c FROM orders)
@@ -2434,6 +2501,7 @@ QUERIES = {
     "replace_where_backfill": replace_where_backfill,
     "structured_pruned_read": structured_pruned_read,
     "renamed_pruned_read": renamed_pruned_read,
+    "analyze_pruned_read": analyze_pruned_read,
     "lakehouse_time_travel": lakehouse_time_travel,
     "lakehouse_compaction": lakehouse_compaction,
     "lakehouse_change_feed": lakehouse_change_feed,

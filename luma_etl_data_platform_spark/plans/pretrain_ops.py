@@ -184,9 +184,11 @@ def kmv_type_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(sizes.select(F.col("event_type").alias("g_b"),
                                 F.col("_n").alias("_nb")), "g_b")
              .select("g_a", "g_b",
-                     F.round(F.col("_ni") / (F.col("_na") + F.col("_nb")
-                                             - F.col("_ni")), 6)
-                     .alias("exact_jaccard")))
+                     (F.round(F.col("_ni") / (F.col("_na")
+                                              + F.col("_nb")
+                                              - F.col("_ni"))
+                              * F.lit(1_000_000.0))
+                      / F.lit(1_000_000.0)).alias("exact_jaccard")))
     return (est.join(exact, ["g_a", "g_b"], "left")
             .select(F.col("g_a").alias("type_a"), F.col("g_b").alias("type_b"),
                     "n_union_sketch", "n_both", "est_union", "est_jaccard",
@@ -222,10 +224,10 @@ agg AS (SELECT g_a, g_b, max(u._h) AS kth, count(*) AS n_union_sketch,
 est AS (SELECT g_a, g_b, n_union_sketch, n_both,
                round(CASE WHEN n_union_sketch < 64
                           THEN CAST(n_union_sketch AS DOUBLE)
-                          ELSE 63.0 * 4294967296.0 / CAST(kth AS DOUBLE) END,
-                     4) AS est_union,
-               round(CAST(n_both AS DOUBLE) / CAST(n_union_sketch AS DOUBLE),
-                     6) AS est_jaccard
+                          ELSE 63.0 * 4294967296.0 / CAST(kth AS DOUBLE) END
+                     * 10000.0) / 10000.0 AS est_union,
+               round(CAST(n_both AS DOUBLE) / CAST(n_union_sketch AS DOUBLE)
+                     * 1000000.0) / 1000000.0 AS est_jaccard
         FROM agg),
 sz AS (SELECT event_type AS g, count(*) AS n FROM du GROUP BY 1),
 ex AS (SELECT x.event_type AS g_a, y.event_type AS g_b, count(*) AS ni
@@ -234,7 +236,8 @@ ex AS (SELECT x.event_type AS g_a, y.event_type AS g_b, count(*) AS ni
        GROUP BY 1, 2)
 SELECT est.g_a AS type_a, est.g_b AS type_b, n_union_sketch, n_both,
        est_union, est_jaccard,
-       coalesce(round(CAST(ni AS DOUBLE) / (a.n + b.n - ni), 6), 0.0)
+       coalesce(round(CAST(ni AS DOUBLE) / (a.n + b.n - ni)
+                      * 1000000.0) / 1000000.0, 0.0)
          AS exact_jaccard
 FROM est
 LEFT JOIN ex ON est.g_a = ex.g_a AND est.g_b = ex.g_b
@@ -731,8 +734,10 @@ def unigram_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(src_tot.withColumnRenamed("_ns", "n_tokens")),
                   "source")
             .select("source", "n_tokens", "vocab_used", "kl_nano",
-                    F.round(F.col("kl_nano").cast("double") / 1e9, 6)
-                    .alias("kl"))
+                    # exact-integer micro trick: nano -> micro is
+                    # one 0-dp round of an integer/1000 quotient
+                    (F.round(F.col("kl_nano").cast("double") / 1e3)
+                     / F.lit(1_000_000.0)).alias("kl"))
             .orderBy("source"))
 
 
@@ -754,7 +759,7 @@ agg AS (SELECT source, count(*) AS vocab_used,
                CAST(sum(term) AS BIGINT) AS kl_nano
         FROM terms GROUP BY 1)
 SELECT source, ns AS n_tokens, vocab_used, kl_nano,
-       round(CAST(kl_nano AS DOUBLE) / 1e9, 6) AS kl
+       round(CAST(kl_nano AS DOUBLE) / 1e3) / 1000000.0 AS kl
 FROM agg JOIN st USING (source)
 ORDER BY source
 """

@@ -104,8 +104,8 @@ agg AS (SELECT event_type, max(hh) AS kth, count(*) AS n_sketch
         FROM allsk GROUP BY 1)
 SELECT event_type, n_sketch,
        round(CASE WHEN n_sketch < {_KMV_K} THEN CAST(n_sketch AS DOUBLE)
-                  ELSE {_KMV_K - 1}.0 * 4294967296.0 / kth END, 4)
-         AS est_distinct
+                  ELSE {_KMV_K - 1}.0 * 4294967296.0 / kth END
+             * 10000.0) / 10000.0 AS est_distinct
 FROM agg ORDER BY event_type
 """
 
@@ -145,7 +145,9 @@ s AS (SELECT count(*) AS n_nodes,
              CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
       FROM deg)
 SELECT n_nodes, n_edges, n_triangles,
-       CASE WHEN n_wedges > 0 THEN round(3.0 * n_triangles / n_wedges, 6)
+       CASE WHEN n_wedges > 0
+            THEN round(3.0 * n_triangles / n_wedges * 1000000.0)
+                 / 1000000.0
             ELSE 0.0 END AS clustering_coeff
 FROM s, t
 """
@@ -279,9 +281,12 @@ pairs AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS pair_baskets
           GROUP BY 1, 2
           HAVING count(*) >= 3)
 SELECT item_a, item_b, pair_baskets,
-       round(CAST(pair_baskets AS DOUBLE) / nn, 6) AS support,
-       round(CAST(pair_baskets AS DOUBLE) / sa.s, 6) AS confidence_a_b,
-       round(CAST(pair_baskets AS DOUBLE) * nn / (sa.s * sb.s), 6) AS lift
+       round(CAST(pair_baskets AS DOUBLE) / nn * 1000000.0)
+         / 1000000.0 AS support,
+       round(CAST(pair_baskets AS DOUBLE) / sa.s * 1000000.0)
+         / 1000000.0 AS confidence_a_b,
+       round(CAST(pair_baskets AS DOUBLE) * nn / (sa.s * sb.s)
+             * 1000000.0) / 1000000.0 AS lift
 FROM pairs
 JOIN supp sa ON item_a = sa.i
 JOIN supp sb ON item_b = sb.i
@@ -299,8 +304,14 @@ def sampled_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = bottomk_sample(ev, "event_id", k=1024)
     return (s.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_sampled"),
-                 F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_est"),
-                 F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_est"))
+                 # symmetric 6-dp emission (interpolated percentiles
+                 # are rationals — the engine-divergent half-way class)
+                 (F.round(F.expr("percentile(value, 0.5)")
+                          * F.lit(1_000_000.0))
+                  / F.lit(1_000_000.0)).alias("p50_est"),
+                 (F.round(F.expr("percentile(value, 0.9)")
+                          * F.lit(1_000_000.0))
+                  / F.lit(1_000_000.0)).alias("p90_est"))
             .orderBy("event_type"))
 
 
@@ -312,8 +323,10 @@ WITH s AS (SELECT event_type, value
                     event_id
            LIMIT 1024)
 SELECT event_type, count(*) AS n_sampled,
-       round(quantile_cont(value, 0.5), 6) AS p50_est,
-       round(quantile_cont(value, 0.9), 6) AS p90_est
+       round(quantile_cont(value, 0.5) * 1000000.0) / 1000000.0
+         AS p50_est,
+       round(quantile_cont(value, 0.9) * 1000000.0) / 1000000.0
+         AS p90_est
 FROM s GROUP BY 1 ORDER BY 1
 """
 
@@ -332,14 +345,15 @@ WITH c AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
 r AS (SELECT k, c, row_number() OVER (ORDER BY c, k) AS i FROM c),
 a AS (SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS total_rows,
              max(c) AS max_count,
-             round(CAST(quantile_cont(c, 0.99) AS DOUBLE), 6) AS p99_count,
+             round(CAST(quantile_cont(c, 0.99) AS DOUBLE) * 1000000.0)
+               / 1000000.0 AS p99_count,
              CAST(sum(i * c) AS BIGINT) AS s_ic
       FROM r),
 h AS (SELECT min(k) AS hottest_key FROM c
       WHERE c = (SELECT max(c) FROM c))
 SELECT n_keys, total_rows, max_count, p99_count, hottest_key,
        round(CAST(2 * s_ic - (n_keys + 1) * total_rows AS DOUBLE)
-             / (n_keys * total_rows), 6) AS gini
+             / (n_keys * total_rows) * 1000000.0) / 1000000.0 AS gini
 FROM a, h
 """
 
@@ -370,13 +384,13 @@ def bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # guard the degenerate every-key-matches case:
                     # 0-denominator would yield NULL (non-ANSI) or
                     # error (ANSI) — return 0.0 on both engines
-                    F.round(F.when(
+                    (F.round(F.when(
                         F.col("n_orders") > F.col("n_exact"),
                         (F.col("n_candidates") - F.col("n_exact"))
                         .cast("double")
                         / (F.col("n_orders") - F.col("n_exact")))
-                        .otherwise(F.lit(0.0)), 6)
-                    .alias("fp_rate")))
+                        .otherwise(F.lit(0.0)) * F.lit(1_000_000.0))
+                     / F.lit(1_000_000.0)).alias("fp_rate")))
 
 
 ORACLE["bloom_prune_orders"] = """
@@ -411,7 +425,7 @@ SELECT n_orders, n_candidates, n_exact,
        round(CASE WHEN n_orders > n_exact
                   THEN CAST(n_candidates - n_exact AS DOUBLE)
                        / (n_orders - n_exact)
-                  ELSE 0.0 END, 6) AS fp_rate
+                  ELSE 0.0 END * 1000000.0) / 1000000.0 AS fp_rate
 FROM t, c, e
 """
 
@@ -429,7 +443,8 @@ def clamped_balance_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = clamped_running_sum(ev, "user_id", ["ts", "event_id"],
                               "delta", lo=0.0, hi=500.0)
     return out.select("user_id", "event_id",
-                      F.round(F.col("balance"), 6).alias("balance"))
+                      (F.round(F.col("balance") * F.lit(1_000_000.0))
+                       / F.lit(1_000_000.0)).alias("balance"))
 
 
 ORACLE["clamped_balance_users"] = """
@@ -445,7 +460,8 @@ r(user_id, event_id, rn, bal) AS (
   SELECT s.user_id, s.event_id, s.rn,
          least(greatest(r.bal + s.d, 0.0), 500.0)
   FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
-SELECT user_id, event_id, round(bal, 6) AS balance FROM r
+SELECT user_id, event_id,
+       round(bal * 1000000.0) / 1000000.0 AS balance FROM r
 """
 
 
@@ -474,7 +490,9 @@ def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (stepped.groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_intervals"),
                  tot.alias("held_us"),
-                 F.round((wsum.cast("double") / tot), 6).alias("twa_value")))
+                 (F.round(wsum.cast("double") / tot
+                          * F.lit(1_000_000.0))
+                  / F.lit(1_000_000.0)).alias("twa_value")))
 
 
 ORACLE["time_weighted_avg_user"] = """
@@ -489,7 +507,8 @@ SELECT user_id, count(*) AS n_intervals,
        CAST(sum(w_us) AS BIGINT) AS held_us,
        round(CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * w_us
                            AS DECIMAL(38,6))) AS DOUBLE)
-             / CAST(sum(w_us) AS BIGINT), 6) AS twa_value
+             / CAST(sum(w_us) AS BIGINT) * 1000000.0) / 1000000.0
+         AS twa_value
 FROM f GROUP BY 1
 """
 
@@ -531,7 +550,8 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     wsum = F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x)
     den = F.lit(1.0) - F.pow(F.lit(0.5), F.size(vals).cast("double"))
     return (g.select("user_id", "n_events",
-                     F.round(wsum / den, 6).alias("ewma_value"))
+                     (F.round(wsum / den * F.lit(1_000_000.0))
+                      / F.lit(1_000_000.0)).alias("ewma_value"))
             .orderBy("user_id"))
 
 
@@ -543,7 +563,8 @@ WITH tails AS (
 SELECT user_id, n_events,
        round(list_reduce(list_transform(lst, (x, i) -> x * pow(0.5, i)),
                          (a, b) -> a + b)
-             / (1.0 - pow(0.5, len(lst))), 6) AS ewma_value
+             / (1.0 - pow(0.5, len(lst))) * 1000000.0) / 1000000.0
+         AS ewma_value
 FROM tails ORDER BY user_id
 """
 
@@ -578,8 +599,9 @@ def hll_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ests.join(F.broadcast(exact), "event_type")
             .select("event_type", "n_zero_regs", "est_distinct",
                     "exact_distinct",
-                    F.round((F.col("est_distinct") - ex) / ex
-                            * F.lit(100.0), 4).alias("err_pct"))
+                    (F.round((F.col("est_distinct") - ex) / ex
+                             * F.lit(100.0) * F.lit(10_000.0))
+                     / F.lit(10_000.0)).alias("err_pct"))
             .orderBy("event_type"))
 
 
@@ -598,7 +620,8 @@ ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
        SELECT '__union__', count(DISTINCT user_id) FROM events)
 SELECT est.event_type, n_zero_regs, est_distinct, exact_distinct,
        round((est_distinct - CAST(exact_distinct AS DOUBLE))
-             / CAST(exact_distinct AS DOUBLE) * 100.0, 4) AS err_pct
+             / CAST(exact_distinct AS DOUBLE) * 100.0 * 10000.0)
+         / 10000.0 AS err_pct
 FROM est JOIN ex ON est.event_type = ex.event_type
 ORDER BY est.event_type""")
 

@@ -84,27 +84,33 @@ FROM orders
 # matches bit-for-bit.
 # ---------------------------------------------------------------------------
 def udaf_weighted_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # defined inside the function: pandas_udf needs an active session
+    # defined inside the function: pandas_udf needs an active session.
+    # The UDF returns the MICRO-scaled quotient with the same op order
+    # as the oracle (exact int -> double, then one double division),
+    # and the 6-dp emission is one 0-dp round — the int/int round(x,6)
+    # half-way class is engine-divergent (r9 sf0.1-tier bug)
     @pandas_udf("double")
-    def _weighted_mean(chars: pd.Series, weight: pd.Series) -> float:
+    def _weighted_mean_micro(chars: pd.Series, weight: pd.Series) -> float:
         num = int((chars.astype("int64") * weight.astype("int64")).sum())
         den = int(weight.astype("int64").sum())
-        return float(num) / float(den) if den else 0.0
+        return float(num * 1_000_000) / float(den) if den else 0.0
 
     docs = load_table(spark, sf_dir, "documents")
     w = (F.col("doc_id") + 1).cast("long")
     # a grouped-agg pandas UDF cannot share an agg with JVM aggregates
     # → compute counts separately and join (source cardinality is tiny)
     wavg = (docs.groupBy("source")
-            .agg(F.round(_weighted_mean(F.col("n_chars"), w), 6).alias("weighted_chars")))
+            .agg((F.round(_weighted_mean_micro(F.col("n_chars"), w))
+                  / F.lit(1_000_000.0)).alias("weighted_chars")))
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     return wavg.join(counts, "source").orderBy("source")
 
 
 ORACLE["udaf_weighted_chars"] = """
 SELECT source,
-       round(CAST(sum(n_chars * (doc_id + 1)) AS DOUBLE)
-             / CAST(sum(doc_id + 1) AS DOUBLE), 6) AS weighted_chars,
+       round(CAST(sum(n_chars * (doc_id + 1)) * 1000000 AS DOUBLE)
+             / CAST(sum(doc_id + 1) AS DOUBLE)) / 1000000.0
+         AS weighted_chars,
        count(*) AS n_docs
 FROM documents GROUP BY 1 ORDER BY 1
 """

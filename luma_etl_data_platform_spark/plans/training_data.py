@@ -46,11 +46,16 @@ q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
 def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     c = F.col("text")
+    # 6-dp ratios through the exact-integer micro trick (one 0-dp
+    # round of an int/int quotient) — a 128-token doc with an odd
+    # stopword count lands EXACTLY on a 6-dp half-way, where
+    # round(x, 6) is engine-divergent (the r9 sf0.1-tier bug class);
+    # this query is in the driver's correctness sample
     return docs.select(
         "doc_id",
         X.token_count(c).alias("n_tokens"),
-        F.round(X.stopword_ratio(c), 6).alias("stop_ratio"),
-        F.round(X.avg_token_len(c), 6).alias("avg_tok_len"),
+        X.stopword_ratio_6dp(c).alias("stop_ratio"),
+        X.avg_token_len_6dp(c).alias("avg_tok_len"),
         X.quality_score(c).alias("quality"),
     )
 
@@ -63,12 +68,17 @@ m AS (SELECT doc_id, len(t) AS wc,
       FROM tok)
 SELECT doc_id,
        wc AS n_tokens,
-       round(CASE WHEN wc > 0 THEN sw / wc ELSE 0.0 END, 6) AS stop_ratio,
-       round(CASE WHEN wc > 0 THEN chars / wc ELSE 0.0 END, 6) AS avg_tok_len,
-       round(least(wc / 100.0, 1.0) * 0.5
-             + (CASE WHEN wc > 0 THEN sw / wc ELSE 0.0 END) * 0.25
-             + least((CASE WHEN wc > 0 THEN chars / wc ELSE 0.0 END) / 8.0, 1.0) * 0.25,
-             6) AS quality
+       CASE WHEN wc > 0
+            THEN round(sw * 1000000.0 / wc) / 1000000.0
+            ELSE 0.0 END AS stop_ratio,
+       CASE WHEN wc > 0
+            THEN round(chars * 1000000.0 / wc) / 1000000.0
+            ELSE 0.0 END AS avg_tok_len,
+       CASE WHEN wc > 0
+            THEN round((8 * least(wc, 100) * wc + 400 * sw
+                        + 50 * least(chars, 8 * wc)) * 1000000.0
+                       / (1600.0 * wc)) / 1000000.0
+            ELSE 0.0 END AS quality
 FROM m
 """
 

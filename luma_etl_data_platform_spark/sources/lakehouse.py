@@ -3825,6 +3825,164 @@ def read_changes(spark: SparkSession, table_path: str,
                    .unionByName(post))
 
 
+def analyze_table(spark: SparkSession, table_path: str,
+                  stat_cols: list[str] | None = None,
+                  bloom_cols: list[str] | None = None,
+                  bloom_bits: int | None = None,
+                  bloom_hashes: int = 3,
+                  max_retries: int = 2) -> dict:
+    """``ANALYZE TABLE ... COMPUTE FILE STATISTICS`` — record per-file
+    min/max stats (``stat_cols``) and/or per-file Bloom filters
+    (``bloom_cols``) for the CURRENT live files WITHOUT rewriting a
+    byte of data: one column-pruned scan per concern, then a metadata
+    commit restating each live add-action with the merged stats (an
+    add of an already-live path REPLACES it on replay — the
+    Delta-protocol semantics every reader here already implements for
+    RESTORE/clone restatements).
+
+    Why this is a first-class 10^6-file operation: a column that
+    becomes a filter target AFTER the table was written gets data
+    skipping retroactively for the cost of scanning ONLY that column
+    (parquet column pruning), where OPTIMIZE would re-read and
+    re-write every byte. Same story for legacy stat-less files
+    onboarded by :func:`convert_to_table`, and for pre-rename history
+    (files carry stats under write-time physical names; analyze
+    records them under the CURRENT logical names — the alias-aware
+    probes check both, see :func:`_stat_alias_map`).
+
+    ``bloom_cols`` is also merged into the table's declaration (like
+    ``create_table``), so subsequent writes maintain the new filters.
+
+    Stats are computed on the LOGICAL view (RENAME/DROP events
+    replayed), so mixed-vintage histories analyze correctly. The
+    commit restates the live add list — the same size class as the
+    expire checkpoint the table already writes; at 10^5+ files run
+    ``expire_snapshots(checkpoint_format="parquet")`` afterwards to
+    fold it into the parquet metadata plane.
+
+    Returns ``{"version", "n_files", "stat_cols", "bloom_cols"}``.
+    Reference anchor: Delta ``ANALYZE TABLE`` / Iceberg
+    ``compute_table_stats``, applied at file granularity; beyond the
+    reference repo (which has no table format)."""
+    from ..functions.text import portable_hash32
+    scols = list(stat_cols or [])
+    bcols = list(bloom_cols or [])
+    if not scols and not bcols:
+        raise ValueError("analyze_table: pass stat_cols and/or "
+                         "bloom_cols")
+    if bcols and bloom_hashes is not None:
+        from . import lakehouse_meta as meta
+        if bloom_hashes > meta.MAX_BLOOM_SEEDS:
+            raise ValueError(
+                f"bloom_hashes={bloom_hashes} exceeds the Spark "
+                "probe's seed cap lakehouse_meta.MAX_BLOOM_SEEDS="
+                f"{meta.MAX_BLOOM_SEEDS}")
+    root = table_path.rstrip("/")
+    for attempt in range(max_retries + 1):
+        base = current_version(spark, table_path)
+        if base == 0:
+            raise FileNotFoundError(f"{table_path} has no commit log")
+        schema = table_schema(spark, table_path, base)
+        events = _schema_events(spark, table_path, base)
+        cols = (schema.names if schema is not None
+                else read_table(spark, table_path, base).columns)
+        bad = sorted(set(scols + bcols) - set(cols))
+        if bad:
+            raise ValueError(f"analyze_table: column(s) {bad} are not "
+                             f"in the logical schema {cols}")
+        adds = snapshot_adds(spark, table_path, base)
+        if not adds:
+            raise FileNotFoundError(f"no live files in {table_path}")
+        paths = [_abs(root, a["path"]) for a in adds]
+        by_base = {a["path"].rsplit("/", 1)[-1]: a for a in adds}
+
+        def _logical():
+            raw = (spark.read.option("mergeSchema", "true")
+                   .parquet(*paths)
+                   .withColumn("_f", F.element_at(
+                       F.split(F.col("_metadata.file_path"), "/"), -1)))
+            return _apply_schema_events(raw, events)
+
+        if scols:
+            aggs = [F.count(F.lit(1)).alias("_n")]
+            for i, c in enumerate(scols):
+                aggs.append(F.min(c).alias(f"_lo{i}"))
+                aggs.append(F.max(c).alias(f"_hi{i}"))
+            for r in _logical().groupBy("_f").agg(*aggs).collect():
+                a = by_base.get(r["_f"])
+                if a is None:
+                    continue
+                st = dict(a.get("stats") or {})
+                for i, c in enumerate(scols):
+                    st[c] = {"min": _json_stat(r[f"_lo{i}"]),
+                             "max": _json_stat(r[f"_hi{i}"])}
+                a["stats"] = st
+                a.setdefault("rows", r["_n"])
+        if bcols:
+            m_bits = bloom_bits
+            if m_bits is None:
+                rows_known = [a.get("rows") for a in adds]
+                if any(r is None for r in rows_known):
+                    counts = (_logical().groupBy("_f").count().collect())
+                    max_rows = max((r["count"] for r in counts),
+                                   default=0)
+                else:
+                    max_rows = max(rows_known, default=0)
+                m_bits = 8192
+                while m_bits < min(max_rows * 10, 1 << 22):
+                    m_bits *= 2
+            for c in bcols:
+                seeds = F.explode(F.array(
+                    *[F.lit(s) for s in range(bloom_hashes)])).alias("_s")
+                lanes = (_logical()
+                         .select("_f", F.col(c).alias("_v"))
+                         .filter(F.col("_v").isNotNull())
+                         .select("_f", seeds, "_v")
+                         .select("_f",
+                                 (portable_hash32(F.col("_v"), F.col("_s"))
+                                  % m_bits).alias("_pos"))
+                         .select("_f",
+                                 F.expr("CAST(floor(_pos / 64) AS BIGINT)")
+                                 .alias("lane"),
+                                 F.expr("shiftleft(CAST(1 AS BIGINT),"
+                                        " CAST(_pos % 64 AS INT))")
+                                 .alias("_bit"))
+                         .groupBy("_f", "lane")
+                         .agg(F.bit_or("_bit").alias("bits"))
+                         .collect())
+                for r in lanes:
+                    a = by_base.get(r["_f"])
+                    if a is None:
+                        continue
+                    bl = dict(a.get("blooms") or {})
+                    ent = dict(bl.get(c) or {"m": m_bits,
+                                             "k": bloom_hashes,
+                                             "lanes": {}})
+                    if ent.get("m") != m_bits or ent.get("k") != bloom_hashes:
+                        # re-analyze with different sizing: replace
+                        ent = {"m": m_bits, "k": bloom_hashes,
+                               "lanes": {}}
+                    lanes_d = dict(ent["lanes"])
+                    lanes_d[str(r["lane"])] = int(r["bits"])
+                    ent["lanes"] = lanes_d
+                    bl[c] = ent
+                    a["blooms"] = bl
+        doc = {"version": base + 1, "op": "analyze",
+               "add": adds, "remove": [],
+               "stat_cols_analyzed": scols}
+        if bcols:
+            doc["bloom_cols"] = sorted(
+                set(_table_bloom_cols(spark, table_path)) | set(bcols))
+        try:
+            _write_commit(spark, table_path, base + 1, doc)
+            return {"version": base + 1, "n_files": len(adds),
+                    "stat_cols": scols, "bloom_cols": bcols}
+        except CommitConflictError:
+            if attempt == max_retries:
+                raise
+    raise AssertionError("unreachable")
+
+
 def expire_snapshots(spark: SparkSession, table_path: str,
                      keep_last: int = 1,
                      checkpoint_format: str = "auto") -> dict:
