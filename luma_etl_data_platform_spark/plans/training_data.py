@@ -50,13 +50,36 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round of an int/int quotient) — a 128-token doc with an odd
     # stopword count lands EXACTLY on a 6-dp half-way, where
     # round(x, 6) is engine-divergent (the r9 sf0.1-tier bug class);
-    # this query is in the driver's correctness sample
-    return docs.select(
+    # this query is in the driver's correctness sample.
+    # Tokenize ONCE: `_t` is a multiply-referenced non-cheap alias, so
+    # CollapseProject keeps the projection and the regex tokenization
+    # runs once per row (the helper-per-column form re-tokenized ~7x).
+    base = docs.select("doc_id", X.tokens(c).alias("_t"))
+    t = F.col("_t")
+    wc = F.size(t)
+    sw = F.size(F.filter(t, lambda x: x.isin(*X.STOPWORDS)))
+    chars = F.aggregate(F.transform(t, F.length), F.lit(0),
+                        lambda acc, x: acc + x)
+    M = F.lit(1_000_000.0)
+    stop = F.when(wc > 0, F.round(sw.cast("double") * M
+                                  / wc.cast("double")) / M) \
+        .otherwise(F.lit(0.0))
+    atl = F.when(wc > 0, F.round(chars.cast("double") * M
+                                 / wc.cast("double")) / M) \
+        .otherwise(F.lit(0.0))
+    num = ((F.least(wc, F.lit(100)).cast("long") * wc * 8
+            + sw.cast("long") * 400
+            + F.least(chars, wc * 8).cast("long") * 50)
+           * F.lit(1_000_000))
+    qual = F.when(wc > 0, F.round(num.cast("double")
+                                  / (wc.cast("double") * 1600.0)) / M) \
+        .otherwise(F.lit(0.0))
+    return base.select(
         "doc_id",
-        X.token_count(c).alias("n_tokens"),
-        X.stopword_ratio_6dp(c).alias("stop_ratio"),
-        X.avg_token_len_6dp(c).alias("avg_tok_len"),
-        X.quality_score(c).alias("quality"),
+        wc.alias("n_tokens"),
+        stop.alias("stop_ratio"),
+        atl.alias("avg_tok_len"),
+        qual.alias("quality"),
     )
 
 

@@ -1794,6 +1794,17 @@ def _table_bloom_cols(spark: SparkSession, table_path: str) -> list[str]:
     return []
 
 
+def _table_stat_cols(spark: SparkSession, table_path: str) -> list[str]:
+    """The table's declared EXTRA stat columns (latest declaration
+    wins; analyze_table declares them, every writer then records
+    per-file min/max for them alongside the keys — so one ANALYZE
+    makes a column's data skipping self-maintaining)."""
+    for d in reversed(_commits(spark, table_path)):
+        if "stat_cols" in d:
+            return d["stat_cols"]
+    return []
+
+
 def _table_partition_cols(spark: SparkSession, table_path: str) -> list[str]:
     """The table's declared partition columns (latest declaration
     wins; the expire checkpoint carries it like ``keys``)."""
@@ -2030,6 +2041,7 @@ def append_table(spark: SparkSession, table_path: str,
     evolved = _evolved_schema_json(spark, table_path, df.schema,
                                    f"append_table on {table_path}")
     adds = _write_data_files(spark, table_path, df, keys or [],
+                             stat_cols=_table_stat_cols(spark, table_path),
                              bloom_cols=_table_bloom_cols(spark, table_path),
                              partition_cols=_table_partition_cols(
                                  spark, table_path))
@@ -2275,6 +2287,8 @@ def _dml_once(spark: SparkSession, table_path: str, condition,
                                  f"update_where on {table_path}")
         adds = _write_data_files(spark, table_path, out,
                                  _table_keys(spark, table_path),
+                                 stat_cols=_table_stat_cols(
+                                     spark, table_path),
                                  bloom_cols=_table_bloom_cols(
                                      spark, table_path),
                                  partition_cols=_table_partition_cols(
@@ -2286,6 +2300,8 @@ def _dml_once(spark: SparkSession, table_path: str, condition,
                              f"{op} on {table_path}")
         ins_adds = _write_data_files(spark, table_path, ins,
                                      _table_keys(spark, table_path),
+                                     stat_cols=_table_stat_cols(
+                                         spark, table_path),
                                      bloom_cols=_table_bloom_cols(
                                          spark, table_path),
                                      partition_cols=_table_partition_cols(
@@ -2483,6 +2499,8 @@ def _merge_mor_once(spark: SparkSession, table_path: str,
         _enforce_constraints(merged, table_constraints(spark, table_path),
                              f"merge_into(mor) on {table_path}")
         adds = _write_data_files(spark, table_path, merged, keys,
+                                 stat_cols=_table_stat_cols(
+                                     spark, table_path),
                                  bloom_cols=_table_bloom_cols(
                                      spark, table_path),
                                  partition_cols=_table_partition_cols(
@@ -2594,6 +2612,8 @@ def _update_mor_once(spark: SparkSession, table_path: str,
                          f"update_where(mor) on {table_path}")
     adds = _write_data_files(spark, table_path, updated,
                              _table_keys(spark, table_path),
+                             stat_cols=_table_stat_cols(
+                                 spark, table_path),
                              bloom_cols=_table_bloom_cols(
                                  spark, table_path),
                              partition_cols=_table_partition_cols(
@@ -2943,6 +2963,8 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
         _enforce_constraints(merged, table_constraints(spark, table_path),
                              f"merge_into on {table_path}")
         adds = _write_data_files(spark, table_path, merged, keys,
+                                 stat_cols=_table_stat_cols(
+                                     spark, table_path),
                                  bloom_cols=_table_bloom_cols(
                                      spark, table_path),
                                  partition_cols=_table_partition_cols(
@@ -3355,7 +3377,9 @@ def compact(spark: SparkSession, table_path: str,
         extra = (list(zorder_by) if zorder_by
                  else [sort_by] if sort_by else [])
         adds = _write_data_files(spark, table_path, packed, keys,
-                                 stat_cols=extra,
+                                 stat_cols=list(dict.fromkeys(
+                                     extra + _table_stat_cols(
+                                         spark, table_path))),
                                  bloom_cols=_table_bloom_cols(
                                      spark, table_path),
                                  partition_cols=_table_partition_cols(
@@ -3830,6 +3854,7 @@ def analyze_table(spark: SparkSession, table_path: str,
                   bloom_cols: list[str] | None = None,
                   bloom_bits: int | None = None,
                   bloom_hashes: int = 3,
+                  only_missing: bool = False,
                   max_retries: int = 2) -> dict:
     """``ANALYZE TABLE ... COMPUTE FILE STATISTICS`` — record per-file
     min/max stats (``stat_cols``) and/or per-file Bloom filters
@@ -3860,10 +3885,18 @@ def analyze_table(spark: SparkSession, table_path: str,
     ``expire_snapshots(checkpoint_format="parquet")`` afterwards to
     fold it into the parquet metadata plane.
 
-    Returns ``{"version", "n_files", "stat_cols", "bloom_cols"}``.
-    Reference anchor: Delta ``ANALYZE TABLE`` / Iceberg
-    ``compute_table_stats``, applied at file granularity; beyond the
-    reference repo (which has no table format)."""
+    ``only_missing=True`` is the INCREMENTAL maintenance form: scan
+    and restate ONLY the live files that lack an entry for one of the
+    requested columns (add-replaces-live is per path, so the commit
+    carries just the analyzed subset). A scheduled
+    ``analyze_table(..., only_missing=True)`` after a naive-writer
+    ingest window costs O(new files), not O(table).
+
+    Returns ``{"version", "n_files", "stat_cols", "bloom_cols"}``
+    (``n_files`` = files analyzed and restated). Reference anchor:
+    Delta ``ANALYZE TABLE`` / Iceberg ``compute_table_stats``,
+    applied at file granularity; beyond the reference repo (which has
+    no table format)."""
     from ..functions.text import portable_hash32
     scols = list(stat_cols or [])
     bcols = list(bloom_cols or [])
@@ -3893,6 +3926,15 @@ def analyze_table(spark: SparkSession, table_path: str,
         adds = snapshot_adds(spark, table_path, base)
         if not adds:
             raise FileNotFoundError(f"no live files in {table_path}")
+        if only_missing:
+            adds = [a for a in adds
+                    if any(c not in (a.get("stats") or {})
+                           for c in scols)
+                    or any(c not in (a.get("blooms") or {})
+                           for c in bcols)]
+            if not adds:
+                return {"version": base, "n_files": 0,
+                        "stat_cols": scols, "bloom_cols": bcols}
         paths = [_abs(root, a["path"]) for a in adds]
         by_base = {a["path"].rsplit("/", 1)[-1]: a for a in adds}
 
@@ -3970,6 +4012,11 @@ def analyze_table(spark: SparkSession, table_path: str,
         doc = {"version": base + 1, "op": "analyze",
                "add": adds, "remove": [],
                "stat_cols_analyzed": scols}
+        if scols:
+            # declare the columns so every subsequent writer records
+            # per-file stats for them (one ANALYZE -> self-maintaining)
+            doc["stat_cols"] = sorted(
+                set(_table_stat_cols(spark, table_path)) | set(scols))
         if bcols:
             doc["bloom_cols"] = sorted(
                 set(_table_bloom_cols(spark, table_path)) | set(bcols))
@@ -4233,6 +4280,8 @@ def stage_append(spark: SparkSession, table_path: str, df: DataFrame,
         keys = _table_keys(spark, table_path)
     adds = _write_data_files(spark, table_path, df, keys or [],
                              subdir=staged_dir,
+                             stat_cols=_table_stat_cols(spark, table_path),
+                             bloom_cols=_table_bloom_cols(spark, table_path),
                              partition_cols=_table_partition_cols(
                                  spark, table_path))
     return {"op": "append", "add": adds, "remove": [],
@@ -4315,7 +4364,8 @@ def publish_staged(spark: SparkSession, table_path: str,
                      if pending.get("df_schema")
                      else spark.read.option("mergeSchema", "true")
                      .parquet(*[f"{root}/{a['path']}"
-                                for a in final_adds]).schema)
+                                for a in final_adds]).schema
+                     if final_adds else None)
     final_df = None
     for _ in range(5):
         v = current_version(spark, table_path)
@@ -4342,9 +4392,10 @@ def publish_staged(spark: SparkSession, table_path: str,
         # reflected, or the stale restatement would drop its column
         # from the latest-declaration-wins replay (same TOCTOU class
         # as the DML candidate fix; found by the round-9 self-review)
-        evolved = _evolved_schema_json(
+        evolved = (_evolved_schema_json(
             spark, table_path, staged_schema,
             f"publish_staged on {table_path}")
+            if staged_schema is not None else None)
         doc = {"version": v + 1, "op": pending["op"],
                "add": final_adds, "remove": pending["remove"]}
         if evolved is not None:

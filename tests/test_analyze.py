@@ -103,6 +103,66 @@ def test_analyze_spark_prune_lane_agrees(spark, tmp_path, monkeypatch):
     assert all(0 < len(c) < n_files for c in spark_res)
 
 
+def test_analyze_coexists_with_deletion_vectors(spark, tmp_path):
+    """Analyze restates add-actions but not DV state: a MOR delete's
+    vectors keep masking rows through the analyzed snapshot, and the
+    new stats still prune (conservatively — they cover the physically
+    present rows, a superset of the live ones)."""
+    path = str(tmp_path / "t")
+    n_files = _mk_table(spark, path)
+    LH.delete_where(spark, path, F.col("v") == 300, mode="mor")
+    LH.analyze_table(spark, path, stat_cols=["v"])
+    got = LH.read_table(spark, path, where={"v": (300, 330)})
+    assert sorted(r["v"] for r in got.collect()) \
+        == list(range(303, 331, 3))  # 300 stays deleted
+    cands = LH.pruned_candidate_files(spark, path, {"v": (300, 330)})
+    assert 0 < len(cands) < n_files
+
+
+def test_analyze_only_missing_is_incremental(spark, tmp_path):
+    """only_missing=True scans and restates ONLY the files lacking an
+    entry for the requested columns — O(new files) maintenance."""
+    path = str(tmp_path / "t")
+    n0 = _mk_table(spark, path)
+    # pre-declaration append: lands a file with NO v stats
+    LH.append_table(spark, path, spark.range(400, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"),
+        F.concat(F.lit("u-"), F.col("id")).alias("u")).coalesce(1))
+    rep1 = LH.analyze_table(spark, path, stat_cols=["v"],
+                            only_missing=True)
+    assert rep1["n_files"] == n0 + 1     # nothing had v stats yet
+    # fully covered now: a re-run is a committed no-op
+    rep2 = LH.analyze_table(spark, path, stat_cols=["v"],
+                            only_missing=True)
+    assert rep2["n_files"] == 0
+    assert rep2["version"] == rep1["version"]  # nothing committed
+    # and the new file's rows prune by the fresh stats
+    cands = LH.pruned_candidate_files(spark, path, {"v": (1230, 1260)})
+    got = LH.read_table(spark, path, where={"v": (1230, 1260)})
+    assert sorted(r["v"] for r in got.collect()) \
+        == list(range(1230, 1261, 3))
+    assert 0 < len(cands) < LH.describe_table(spark, path)["n_files"]
+
+
+def test_analyze_declares_stat_cols_self_maintaining(spark, tmp_path):
+    """One ANALYZE declares its stat_cols; every subsequent writer
+    records per-file stats for them — appends after the declaration
+    never need re-analyzing."""
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    LH.analyze_table(spark, path, stat_cols=["v"])
+    assert LH._table_stat_cols(spark, path) == ["v"]
+    LH.append_table(spark, path, spark.range(400, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"),
+        F.concat(F.lit("u-"), F.col("id")).alias("u")).coalesce(1))
+    # the appended file carries v stats without any re-analyze
+    rep = LH.analyze_table(spark, path, stat_cols=["v"],
+                           only_missing=True)
+    assert rep["n_files"] == 0
+    got = LH.read_table(spark, path, where={"v": (1230, 1260)})
+    assert got.count() == 11
+
+
 def test_analyze_validates_columns(spark, tmp_path):
     path = str(tmp_path / "t")
     _mk_table(spark, path)
