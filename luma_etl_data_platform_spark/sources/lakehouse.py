@@ -264,13 +264,19 @@ def _name_version(name: str) -> int | None:
 # schema + declarations, each a `_commits` replay) does ONE listing
 # and NO doc reads in steady state instead of one read per doc per
 # replay. Bounded: evictions drop the oldest half wholesale.
-# Returned docs are DEEP copies (`_copy_json`): nested lists/dicts
-# (`add`, `remove`, `schema_events`, per-add `stats`) are never
-# shared with the cache, so an in-place edit by any caller can never
-# poison subsequent replays. `create_table` additionally drops keys
-# under the table's log dir (`_invalidate_doc_cache`): a table
-# deleted and recreated at the same path (rmtree in tests/dev) must
-# never serve the old table's docs through an mtime/len collision.
+# Returned docs are fresh TOP-LEVEL structures: a new dict whose
+# list-valued fields (`add`, `remove`, `schema_events`, `dv_files`)
+# are new lists — appending/removing/reassigning on a returned doc
+# can never poison later replays. The list ELEMENTS (add dicts with
+# their stats/bloom payloads) stay shared with the cache: copying
+# them per replay measurably slows the metadata-heavy paths (~1 s on
+# the parquet-checkpoint gate), so the invariant is that NO consumer
+# mutates an add-action in place — a mutating operation must copy
+# first (`_copy_json`), as `analyze_table` does. `create_table`
+# additionally drops keys under the table's log dir
+# (`_invalidate_doc_cache`): a table deleted and recreated at the
+# same path (rmtree in tests/dev) must never serve the old table's
+# docs through an mtime/len collision.
 _DOC_CACHE: dict[tuple, dict] = {}
 _DOC_CACHE_MAX = 8192
 
@@ -314,10 +320,11 @@ def _commits(spark: SparkSession, table_path: str) -> list[dict]:
                 for k in list(_DOC_CACHE)[:_DOC_CACHE_MAX // 2]:
                     _DOC_CACHE.pop(k, None)
             _DOC_CACHE[key] = doc
-        # deep copy: callers annotate (`_txn`) and some embed nested
-        # fields (`add` lists) into new commit docs — a shared
-        # reference mutated in place would poison every later replay
-        return _copy_json(doc)
+        # fresh top level: callers annotate (`_txn`) and reshape list
+        # fields; element dicts stay shared (no-in-place-mutation
+        # invariant — see the cache comment above)
+        return {k: (list(v) if isinstance(v, list) else v)
+                for k, v in doc.items()}
 
     def _parse(anchor: int) -> list[dict]:
         # one doc per version; a `<v>.checkpoint.json` shadows
@@ -3926,6 +3933,10 @@ def analyze_table(spark: SparkSession, table_path: str,
         adds = snapshot_adds(spark, table_path, base)
         if not adds:
             raise FileNotFoundError(f"no live files in {table_path}")
+        # private deep copies: this op MUTATES add-actions (stats /
+        # bloom merge below), and snapshot_adds shares element dicts
+        # with the commit-doc cache (no-in-place-mutation invariant)
+        adds = [_copy_json(a) for a in adds]
         if only_missing:
             adds = [a for a in adds
                     if any(c not in (a.get("stats") or {})

@@ -20,19 +20,20 @@ def _mk(spark, rows):
     return spark.createDataFrame([Row(**r) for r in rows])
 
 
-def test_mutating_returned_doc_cannot_poison_cache(spark, tmp_path):
+def test_mutating_returned_doc_lists_cannot_poison_cache(spark, tmp_path):
+    """Returned docs have fresh top-level structure: reshaping the
+    add/remove lists of one replay's docs never leaks into the next
+    (element dicts are shared by documented invariant — the one
+    mutating consumer, analyze_table, copies first; see below)."""
     path = str(tmp_path / "t")
     LH.create_table(spark, path, _mk(spark, [dict(k=1, v=10)]), ["k"])
     LH.append_table(spark, path, _mk(spark, [dict(k=2, v=20)]))
     docs = LH._commits(spark, path)          # warms the cache
     before = [LH._copy_json(d) for d in docs]
-    # hostile caller: mutate every nested level of the returned docs
     docs[0]["add"].append({"path": "bogus.parquet"})
-    docs[0]["add"][0]["path"] = "clobbered.parquet"
-    stats = docs[1]["add"][0].get("stats") or {}
-    for st in stats.values():
-        st["min"] = -999999
+    docs[1]["add"].clear()
     docs[1]["remove"] = ["phantom.parquet"]
+    docs[0]["op"] = "clobbered"
     # a subsequent replay must be unaffected
     again = LH._commits(spark, path)
     for d in again:
@@ -41,6 +42,24 @@ def test_mutating_returned_doc_cannot_poison_cache(spark, tmp_path):
         d.pop("_txn", None)
     assert again == before
     assert LH.read_table(spark, path).count() == 2
+
+
+def test_analyze_mutations_cannot_poison_cache(spark, tmp_path):
+    """analyze_table mutates add-actions (stats merge) obtained from
+    the cached replay — it must copy first, so the PRE-analyze
+    version's cached docs never gain the new stats."""
+    path = str(tmp_path / "t")
+    LH.create_table(spark, path,
+                    _mk(spark, [dict(k=1, v=10),
+                                dict(k=2, v=20)]).coalesce(1), ["k"])
+    LH._commits(spark, path)                 # warm cache with v1 doc
+    LH.analyze_table(spark, path, stat_cols=["v"])
+    v1_doc = [d for d in LH._commits(spark, path) if d["version"] == 1][0]
+    # the ORIGINAL create commit's adds must not carry v stats
+    assert all("v" not in (a.get("stats") or {}) for a in v1_doc["add"])
+    # while the analyze commit's adds do
+    v2_doc = [d for d in LH._commits(spark, path) if d["version"] == 2][0]
+    assert all("v" in (a.get("stats") or {}) for a in v2_doc["add"])
 
 
 def test_create_at_same_path_invalidates_cached_docs(spark, tmp_path):
