@@ -2444,6 +2444,104 @@ def analyze_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def ann_index_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving from a PERSISTED index (round-10): the IVF
+    structure lands as a lakehouse table partitioned by coarse list
+    id — build once, then every query reads ONLY the probed lists'
+    files through the log's partition-value pruning (no per-query
+    index rebuild, no full-corpus scan). This is the 100-TB serving
+    pattern: at 10^4 lists x 10^2 files each, a nprobe=2 query opens
+    ~2 x 10^2 files out of 10^6, decided driver-side from the commit
+    log before any data is read. Audited flags: ``pruned`` (the two
+    list reads open a strict subset of live files), ``cand_covers``
+    (every file a served row came from was in the candidate sets).
+    Results are oracle-checked against the exact two-probe IVF SQL
+    (same contract as ann_ivf_topk)."""
+    from ..operators.similarity import _as_double, centroids, cosine
+    tmp = tempfile.mkdtemp(prefix="luma_lh_annidx_")
+    try:
+        path = f"{tmp}/ivf_index"
+        emb = load_table(spark, sf_dir, "embeddings")
+        # BUILD: the index is a partitioned lakehouse table — each
+        # coarse list is its own partition directory, recorded in the
+        # commit log as exact per-file partition values
+        LH.create_table(spark, path,
+                        emb.withColumnRenamed("label", "list_id"),
+                        ["vec_id"], partition_by=["list_id"])
+        n_live = LH.describe_table(spark, path)["n_files"]
+        # SERVE step 1 — rank centroids (list-count-sized frame) and
+        # pick the nprobe=2 lists; the two ids cross to the driver to
+        # parameterize the pruned reads (serving-path collect of 2
+        # scalars, not data)
+        min_id = emb.agg(F.min("vec_id").alias("_mid"))
+        q = (emb.join(F.broadcast(min_id), F.col("vec_id") == F.col("_mid"))
+             .select(F.col("embedding").alias("_qv")))
+        q = _as_double(q, "_qv")
+        idx = LH.read_table(spark, path)
+        cents = centroids(idx, "list_id", "embedding")
+        probed = [r["list_id"] for r in
+                  (cents.crossJoin(F.broadcast(q))
+                   .select("list_id",
+                           F.round(cosine(F.col("centroid"),
+                                          F.col("_qv")), 6)
+                           .alias("cscore"))
+                   .orderBy(F.col("cscore").desc(), "list_id")
+                   .limit(2)).collect()]
+        # SERVE step 2 — read ONLY the probed lists through the
+        # partition-value lane; exact cosine top-k over the union
+        cand_files: set[str] = set()
+        parts = []
+        for lid in probed:
+            cand_files.update(LH.pruned_candidate_files(
+                spark, path, None, eq={"list_id": lid}))
+            parts.append(LH.read_table(spark, path,
+                                       where={"list_id": lid}))
+        nar = parts[0].unionByName(parts[1])
+        hit = {r[0].rsplit("/", 1)[-1] for r in nar
+               .select(F.input_file_name()).distinct().collect()}
+        pruned = bool(0 < len(cand_files) < n_live)
+        cand_covers = bool(
+            hit <= {p.rsplit("/", 1)[-1] for p in cand_files})
+        out = (_as_double(nar, "embedding").crossJoin(F.broadcast(q))
+               .select("vec_id",
+                       F.round(cosine(F.col("embedding"),
+                                      F.col("_qv")), 6).alias("score"))
+               .orderBy(F.col("score").desc(), "vec_id").limit(10)
+               .withColumn("pruned", F.lit(pruned))
+               .withColumn("cand_covers", F.lit(cand_covers))
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["ann_index_served_topk"] = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+cent AS (SELECT label, list(m ORDER BY i) AS c
+         FROM (SELECT label, i, avg(v[i]) AS m
+               FROM e, generate_series(1, 64) t(i) GROUP BY 1, 2)
+         GROUP BY label),
+probe AS (SELECT label
+          FROM cent, q
+          ORDER BY round(list_dot_product(c, qv)
+                         / (sqrt(list_dot_product(c, c))
+                            * sqrt(list_dot_product(qv, qv))), 6)
+                   DESC, label
+          LIMIT 2)
+SELECT vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v))
+                * sqrt(list_dot_product(qv, qv))), 6) AS score,
+       TRUE AS pruned, TRUE AS cand_covers
+FROM e JOIN probe USING (label), q
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
 ORACLE["analyze_pruned_read"] = """
 WITH lo AS (SELECT min(o_totalprice) AS lo FROM orders),
 pc AS (SELECT min(o_custkey) AS c FROM orders)
@@ -2502,6 +2600,7 @@ QUERIES = {
     "structured_pruned_read": structured_pruned_read,
     "renamed_pruned_read": renamed_pruned_read,
     "analyze_pruned_read": analyze_pruned_read,
+    "ann_index_served_topk": ann_index_served_topk,
     "lakehouse_time_travel": lakehouse_time_travel,
     "lakehouse_compaction": lakehouse_compaction,
     "lakehouse_change_feed": lakehouse_change_feed,
