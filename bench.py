@@ -74,11 +74,10 @@ EXTRA = [
     "lakehouse_dv_auto_maintenance",
     "stream_cdf_apply",
     "ann_pq_trained_topk",
-    # round-10 rotation toward never-benched families (verdict item
-    # 5): CCNet perplexity bucketing (r9's new operator), the WAP
-    # publish/abort audit gate, the triangle-stats graph entry, the
-    # BPE encode audit, and the round's new rename-aware pruned-read
-    # gate (stats/Blooms probed across the rename chain). Rotated OUT
+    # round-11 rotation toward never-benched families (verdict item
+    # 5): the retroactive ANALYZE pruned-read gate, the persisted-IVF
+    # serving gate, the round's NEW index-rebalance gate, the KMV
+    # distinct sketch, and the decontamination report. Rotated OUT
     # after 2-3 rounds of visibility:
     # lakehouse_partition_spec_evolution, graph_lpa_communities,
     # cms_heavy_hitters, dedup_span_docs,
@@ -90,12 +89,14 @@ EXTRA = [
     # lakehouse_partition_transforms, unigram_em_converged_stats,
     # multimodal_wav_decode, graph_pagerank_top20,
     # scd2_point_in_time_join, stream_ingest_dedup,
-    # entity_resolution_parts, structured_pruned_read
-    "ccnet_perplexity_buckets",
-    "lakehouse_wap_audit",
-    "graph_triangle_stats",
-    "bpe_encode_stats",
-    "renamed_pruned_read",
+    # entity_resolution_parts, structured_pruned_read,
+    # ccnet_perplexity_buckets, lakehouse_wap_audit,
+    # graph_triangle_stats, bpe_encode_stats, renamed_pruned_read
+    "analyze_pruned_read",
+    "ann_index_served_topk",
+    "ann_index_rebalance_served",
+    "kmv_distinct_users",
+    "decontamination_report",
 ]
 
 

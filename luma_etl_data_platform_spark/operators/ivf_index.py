@@ -1,0 +1,224 @@
+"""Persisted-IVF-index lifecycle maintenance (round-11 lead item).
+
+The serving pattern (``plans/lakehouse_ops.py`` —
+``ann_index_served_topk`` / ``ann_index_incremental_upsert``) stores
+an IVF structure as a lakehouse table partitioned by coarse list id:
+every query opens only the probed lists' files, decided driver-side
+from the commit log. Incremental upserts assign each new batch to its
+NEAREST STORED centroid — which is append-cost freshness, but under
+sustained drifting appends lists skew: hot lists grow without bound
+(probed-list read cost grows with the skew, silently eroding the
+``opened/live = nprobe/lists`` guarantee) and recall decays as stored
+centroids stop describing the data.
+
+This module gives the index the same log-derived debt model the
+lakehouse already has for layout (OPTIMIZE) and history (expire):
+
+- :func:`index_skew_audit` — per-list row/file profile and skew
+  ratio computed ENTIRELY from the commit log's add-action partition
+  values and row counts: zero data files opened, the same cost class
+  as ``describe_table``.
+- :func:`index_maintenance_plan` — wraps
+  :func:`lakehouse.maintenance_plan` and appends a ``rebalance``
+  recommendation when the skew ratio exceeds threshold, so one
+  nightly planner drives layout + history + index-shape debt
+  (reference anchor: the nightly maintenance cadence of
+  ``schedule_jobs.ps1:13-32``).
+- :func:`rebalance_lists` — splits each oversized list by a
+  DETERMINISTIC local 2-means pass over ONLY that list's rows (seeds
+  = the member vectors with the smallest and largest id; one
+  cosine-assignment pass) and rewrites just that list's partitions
+  via atomic ``replace_where`` — files of every other list carry by
+  reference, so the rebalance cost is O(oversized lists), not
+  O(index). Each split strictly shrinks the list (both seed rows
+  stay with their own seed), so repeated rounds converge; with
+  ``max_rounds`` > 1 it loops until the audit is clean.
+
+At 100 TB: the audit is a log scan (no data I/O at any index size),
+and a rebalance touches only the skewed lists' partitions — a 10^4
+-list index with one hot list rewrites ~1/10^4 of its files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources import lakehouse as LH
+from .similarity import cosine
+
+
+def index_skew_audit(spark: SparkSession, table_path: str,
+                     list_col: str = "list_id") -> dict:
+    """Per-list row/file profile of a persisted IVF index, derived
+    from the commit log only (zero data reads): add-actions record
+    exact partition values and per-file row counts. Returns
+    ``{"n_lists", "n_rows", "rows_by_list", "files_by_list",
+    "max_rows", "mean_rows", "skew_ratio"}`` — ``skew_ratio`` =
+    max/mean list rows (1.0 = perfectly balanced)."""
+    rows_by: dict[int, int] = {}
+    files_by: dict[int, int] = {}
+    for a in LH.snapshot_adds(spark, table_path):
+        pv = (a.get("partition") or {}).get(list_col)
+        if pv is None:
+            raise ValueError(
+                f"index_skew_audit: file {a['path']!r} carries no "
+                f"{list_col!r} partition value — is {table_path} "
+                f"partitioned by {list_col!r}?")
+        lid = int(str(pv))
+        rows_by[lid] = rows_by.get(lid, 0) + int(a.get("rows") or 0)
+        files_by[lid] = files_by.get(lid, 0) + 1
+    if not rows_by:
+        raise FileNotFoundError(f"no live files in {table_path}")
+    n_rows = sum(rows_by.values())
+    mean = n_rows / len(rows_by)
+    mx = max(rows_by.values())
+    return {"n_lists": len(rows_by), "n_rows": n_rows,
+            "rows_by_list": rows_by, "files_by_list": files_by,
+            "max_rows": mx, "mean_rows": mean,
+            "skew_ratio": (mx / mean) if mean else 0.0}
+
+
+def index_maintenance_plan(spark: SparkSession, table_path: str,
+                           list_col: str = "list_id",
+                           skew_threshold: float = 3.0,
+                           **maintenance_kwargs) -> dict:
+    """The full maintenance recommendation for an index table:
+    everything :func:`lakehouse.maintenance_plan` recommends
+    (compact / expire / vacuum) PLUS a ``rebalance`` action when the
+    log-derived skew ratio exceeds ``skew_threshold`` and the hot
+    list is splittable (≥ 2 rows). The skew profile rides the
+    returned plan under ``index_skew``."""
+    plan = LH.maintenance_plan(spark, table_path, **maintenance_kwargs)
+    audit = index_skew_audit(spark, table_path, list_col)
+    if audit["skew_ratio"] > skew_threshold and audit["max_rows"] >= 2:
+        plan["actions"].append("rebalance")
+        plan["reasons"]["rebalance"] = (
+            f"max list rows {audit['max_rows']} is "
+            f"{audit['skew_ratio']:.2f}x the mean "
+            f"{audit['mean_rows']:.1f} (> {skew_threshold}) across "
+            f"{audit['n_lists']} lists")
+    plan["index_skew"] = {k: audit[k] for k in
+                          ("n_lists", "max_rows", "mean_rows",
+                           "skew_ratio")}
+    return plan
+
+
+def _split_list(spark: SparkSession, table_path: str, lid: int,
+                new_id: int, list_col: str, vec_col: str,
+                id_col: str, columns: list[str]) -> None:
+    """Deterministic local 2-means split of one list: seeds = the
+    member vectors with the smallest / largest ``id_col``; every
+    member assigns to its nearest seed by cosine (6-dp rounded, ties
+    to the low seed); the low-seed half keeps ``lid``, the high-seed
+    half becomes ``new_id``. One atomic ``replace_where`` rewrites
+    ONLY this list's partition (every other list's files carry by
+    reference)."""
+    members = LH.read_table(spark, table_path, where={list_col: lid})
+    b = members.agg(F.min(id_col).alias("_lo"),
+                    F.max(id_col).alias("_hi")).collect()[0]
+    seeds = (members.filter(F.col(id_col).isin(b["_lo"], b["_hi"]))
+             .select(F.when(F.col(id_col) == b["_lo"], F.lit(0))
+                     .otherwise(F.lit(1)).alias("_seed"),
+                     F.col(vec_col).cast("array<double>").alias("_sv")))
+    w = W.partitionBy(id_col).orderBy(F.col("_cs").desc(), "_seed")
+    out = (members
+           .withColumn("_vd", F.col(vec_col).cast("array<double>"))
+           .crossJoin(F.broadcast(seeds))
+           .withColumn("_cs", F.round(cosine(F.col("_vd"),
+                                             F.col("_sv")), 6))
+           .withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1)
+           .withColumn(list_col,
+                       F.when(F.col("_seed") == 0, F.lit(lid))
+                       .otherwise(F.lit(new_id)))
+           .select(*columns))
+    # validate=False by design: the split intentionally moves the
+    # high-seed half OUTSIDE the {list_col: lid} predicate (into the
+    # fresh list) — the overwrite is still atomic and still rewrites
+    # only the predicate's files
+    LH.replace_where(spark, table_path, out, {list_col: lid},
+                     validate=False)
+
+
+def rebalance_lists(spark: SparkSession, table_path: str,
+                    list_col: str = "list_id",
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id",
+                    skew_threshold: float = 3.0,
+                    max_rounds: int = 8) -> dict:
+    """Restore bounded list sizes on a skewed persisted IVF index:
+    each round splits every list whose row count exceeds
+    ``skew_threshold`` × the mean (and has ≥ 2 rows) via
+    :func:`_split_list`, allocating fresh list ids above the current
+    maximum; rounds repeat until the audit is clean or ``max_rounds``
+    is hit. Every split strictly SHRINKS the split list (both seed
+    rows stay with their own seeds whenever the rounded cosines
+    differ), so the loop makes monotone progress and terminates. Returns
+    ``{"rounds", "split_lists", "new_lists", "skew_before",
+    "skew_after", "max_rows_before", "max_rows_after"}``.
+
+    Served results stay exact throughout: rows only move between
+    lists, and the serving path re-derives centroids from the stored
+    table — queries issued after a rebalance probe the NEW, tighter
+    lists. Reference anchor: the nightly maintenance slot of
+    ``schedule_jobs.ps1:13-32``, applied to index-shape debt."""
+    schema = LH.table_schema(spark, table_path)
+    columns = (schema.names if schema is not None
+               else LH.read_table(spark, table_path).columns)
+    audit = index_skew_audit(spark, table_path, list_col)
+    before = audit
+    split_hist: list[int] = []
+    new_ids: list[int] = []
+    rounds = 0
+    while rounds < max_rounds:
+        over = sorted(lid for lid, n in audit["rows_by_list"].items()
+                      if n > skew_threshold * audit["mean_rows"]
+                      and n >= 2)
+        if not over:
+            break
+        rounds += 1
+        next_id = max(audit["rows_by_list"]) + 1
+        for lid in over:
+            _split_list(spark, table_path, lid, next_id, list_col,
+                        vec_col, id_col, columns)
+            split_hist.append(lid)
+            new_ids.append(next_id)
+            next_id += 1
+        audit = index_skew_audit(spark, table_path, list_col)
+    return {"rounds": rounds, "split_lists": split_hist,
+            "new_lists": new_ids,
+            "skew_before": before["skew_ratio"],
+            "skew_after": audit["skew_ratio"],
+            "max_rows_before": before["max_rows"],
+            "max_rows_after": audit["max_rows"],
+            "n_lists_after": audit["n_lists"]}
+
+
+def run_index_maintenance(spark: SparkSession, table_path: str,
+                          list_col: str = "list_id",
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          skew_threshold: float = 3.0,
+                          **maintenance_kwargs) -> dict:
+    """Execute :func:`index_maintenance_plan`'s recommendations —
+    the standard lakehouse actions via
+    :func:`lakehouse.run_maintenance` semantics, plus the
+    ``rebalance`` action via :func:`rebalance_lists`. Idempotent: a
+    second call on a maintained index recommends nothing."""
+    plan = index_maintenance_plan(spark, table_path, list_col,
+                                  skew_threshold, **maintenance_kwargs)
+    results: dict[str, object] = {}
+    for action in plan["actions"]:
+        if action == "rebalance":
+            results["rebalance"] = rebalance_lists(
+                spark, table_path, list_col, vec_col, id_col,
+                skew_threshold)
+        elif action == "compact":
+            results["compact"] = LH.compact(spark, table_path)
+        elif action == "expire":
+            results["expire"] = LH.expire_snapshots(spark, table_path)
+        elif action == "vacuum":
+            results["vacuum"] = LH.vacuum(spark, table_path)
+    plan["results"] = results
+    return plan

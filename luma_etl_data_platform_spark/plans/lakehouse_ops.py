@@ -2608,6 +2608,180 @@ def ann_index_incremental_upsert(spark: SparkSession,
     return out
 
 
+def ann_index_rebalance_served(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """IVF index REBALANCE (round-11): sustained drifted appends pile
+    the whole late half of the corpus into one hot list — the exact
+    failure mode plain nearest-stored-centroid upserts leave open.
+    The log-only skew audit detects it (zero data reads), the
+    maintenance planner recommends ``rebalance``
+    (``operators/ivf_index.py``), and ``rebalance_lists`` splits the
+    hot list by a deterministic local 2-means (seeds = min/max-id
+    members, one cosine pass) rewriting ONLY that list's partition —
+    every other list's files carry by reference. A query served
+    afterwards probes the NEW, tighter lists through partition-value
+    pruning. Audited flags: ``planned`` (the planner recommended it),
+    ``improved`` (max list rows strictly shrank — both replayed as
+    exact integers ``n_max_before``/``n_max_after`` by the oracle),
+    ``untouched`` (unsplit lists' file sets are byte-identical),
+    ``pruned``/``cand_covers`` (as in ann_index_served_topk).
+    Reference anchor: nightly maintenance scheduling,
+    schedule_jobs.ps1:13-32, applied to index-shape debt."""
+    from ..operators import ivf_index as IVF
+    from ..operators.similarity import _as_double, centroids, cosine
+    tmp = tempfile.mkdtemp(prefix="luma_lh_annrb_")
+    try:
+        path = f"{tmp}/ivf_index"
+        emb = load_table(spark, sf_dir, "embeddings")
+        lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
+        cut = (int(lo) + int(hi)) // 2
+        early = (emb.filter(F.col("vec_id") <= cut)
+                 .select("vec_id", "embedding",
+                         F.col("label").alias("list_id")))
+        LH.create_table(spark, path, early, ["vec_id"],
+                        partition_by=["list_id"])
+        hot = int(early.groupBy("list_id").count()
+                  .orderBy(F.col("count").desc(), "list_id")
+                  .first()["list_id"])
+        late = (emb.filter(F.col("vec_id") > cut)
+                .select("vec_id", "embedding",
+                        F.lit(hot).cast("int").alias("list_id")))
+        LH.append_table(spark, path, late)
+        # DETECT + PLAN: both from the commit log only
+        plan = IVF.index_maintenance_plan(spark, path,
+                                          skew_threshold=3.0,
+                                          keep_last=50)
+        planned = "rebalance" in plan["actions"]
+        by_list_before: dict[int, set] = {}
+        for a in LH.snapshot_adds(spark, path):
+            by_list_before.setdefault(
+                int(str(a["partition"]["list_id"])), set()).add(a["path"])
+        # REBALANCE: one deterministic round (the oracle replays it)
+        rep = IVF.rebalance_lists(spark, path, skew_threshold=3.0,
+                                  max_rounds=1)
+        improved = bool(rep["max_rows_after"] < rep["max_rows_before"])
+        by_list_after: dict[int, set] = {}
+        for a in LH.snapshot_adds(spark, path):
+            by_list_after.setdefault(
+                int(str(a["partition"]["list_id"])), set()).add(a["path"])
+        untouched = all(
+            by_list_after.get(lid) == files
+            for lid, files in by_list_before.items()
+            if lid not in set(rep["split_lists"]))
+        # SERVE: probe 2 lists by the post-rebalance stored centroids
+        n_live = LH.describe_table(spark, path)["n_files"]
+        min_id = emb.agg(F.min("vec_id").alias("_mid"))
+        q = _as_double(
+            emb.join(F.broadcast(min_id),
+                     F.col("vec_id") == F.col("_mid"))
+            .select(F.col("embedding").alias("_qv")), "_qv")
+        cents = centroids(LH.read_table(spark, path),
+                          "list_id", "embedding")
+        probed = [r["list_id"] for r in
+                  (cents.crossJoin(F.broadcast(q))
+                   .select("list_id",
+                           F.round(cosine(F.col("centroid"),
+                                          F.col("_qv")), 6)
+                           .alias("cscore"))
+                   .orderBy(F.col("cscore").desc(), "list_id")
+                   .limit(2)).collect()]
+        cand_files: set[str] = set()
+        parts = []
+        for lid in probed:
+            cand_files.update(LH.pruned_candidate_files(
+                spark, path, None, eq={"list_id": lid}))
+            parts.append(LH.read_table(spark, path,
+                                       where={"list_id": lid}))
+        nar = parts[0].unionByName(parts[1])
+        hit = {r[0].rsplit("/", 1)[-1] for r in nar
+               .select(F.input_file_name()).distinct().collect()}
+        pruned = bool(0 < len(cand_files) < n_live)
+        cand_covers = bool(
+            hit <= {p.rsplit("/", 1)[-1] for p in cand_files})
+        out = (_as_double(nar, "embedding").crossJoin(F.broadcast(q))
+               .select("vec_id",
+                       F.round(cosine(F.col("embedding"),
+                                      F.col("_qv")), 6).alias("score"))
+               .orderBy(F.col("score").desc(), "vec_id").limit(10)
+               .withColumn("n_max_before",
+                           F.lit(int(rep["max_rows_before"])))
+               .withColumn("n_max_after",
+                           F.lit(int(rep["max_rows_after"])))
+               .withColumn("planned", F.lit(planned))
+               .withColumn("improved", F.lit(improved))
+               .withColumn("untouched", F.lit(untouched))
+               .withColumn("pruned", F.lit(pruned))
+               .withColumn("cand_covers", F.lit(cand_covers))
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["ann_index_rebalance_served"] = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings),
+cut AS (SELECT (min(vec_id) + max(vec_id)) // 2 AS c FROM embeddings),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+hot AS (SELECT label AS h FROM e, cut WHERE vec_id <= c
+        GROUP BY label ORDER BY count(*) DESC, label LIMIT 1),
+idx AS (SELECT vec_id, label AS list_id, v FROM e, cut
+        WHERE vec_id <= c
+        UNION ALL
+        SELECT e.vec_id, h.h, e.v FROM e, cut, hot h
+        WHERE e.vec_id > c),
+nmaxb AS (SELECT max(cnt) AS m FROM (
+            SELECT count(*) AS cnt FROM idx GROUP BY list_id)),
+hotm AS (SELECT vec_id, v FROM idx, hot WHERE list_id = h),
+sb AS (SELECT min(vec_id) AS lo, max(vec_id) AS hi FROM hotm),
+seeds AS (SELECT 0 AS sidx, v AS sv FROM hotm, sb WHERE vec_id = lo
+          UNION ALL
+          SELECT 1, v FROM hotm, sb WHERE vec_id = hi),
+asg AS (SELECT vec_id, sidx FROM (
+          SELECT m.vec_id, s.sidx,
+                 row_number() OVER (
+                   PARTITION BY m.vec_id
+                   ORDER BY round(list_dot_product(m.v, s.sv)
+                                  / (sqrt(list_dot_product(m.v, m.v))
+                                     * sqrt(list_dot_product(s.sv,
+                                                             s.sv))),
+                            6) DESC, s.sidx) AS rn
+          FROM hotm m CROSS JOIN seeds s) WHERE rn = 1),
+nid AS (SELECT max(list_id) + 1 AS n FROM idx),
+idx2 AS (SELECT i.vec_id,
+                CASE WHEN a.sidx = 1 THEN (SELECT n FROM nid)
+                     ELSE i.list_id END AS list_id,
+                i.v
+         FROM idx i LEFT JOIN asg a USING (vec_id)),
+nmaxa AS (SELECT max(cnt) AS m FROM (
+            SELECT count(*) AS cnt FROM idx2 GROUP BY list_id)),
+cent AS (SELECT list_id, list(m ORDER BY i) AS cv
+         FROM (SELECT list_id, i, avg(v[i]) AS m
+               FROM idx2, generate_series(1, 64) t(i)
+               GROUP BY 1, 2)
+         GROUP BY list_id),
+probe AS (SELECT list_id
+          FROM cent, q
+          ORDER BY round(list_dot_product(cv, qv)
+                         / (sqrt(list_dot_product(cv, cv))
+                            * sqrt(list_dot_product(qv, qv))), 6)
+                   DESC, list_id
+          LIMIT 2)
+SELECT vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v))
+                * sqrt(list_dot_product(qv, qv))), 6) AS score,
+       CAST(nmaxb.m AS INT) AS n_max_before,
+       CAST(nmaxa.m AS INT) AS n_max_after,
+       TRUE AS planned, TRUE AS improved, TRUE AS untouched,
+       TRUE AS pruned, TRUE AS cand_covers
+FROM idx2 JOIN probe USING (list_id), q, nmaxb, nmaxa
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
 ORACLE["ann_index_incremental_upsert"] = """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
            FROM embeddings),
@@ -2743,6 +2917,7 @@ QUERIES = {
     "analyze_pruned_read": analyze_pruned_read,
     "ann_index_served_topk": ann_index_served_topk,
     "ann_index_incremental_upsert": ann_index_incremental_upsert,
+    "ann_index_rebalance_served": ann_index_rebalance_served,
     "lakehouse_time_travel": lakehouse_time_travel,
     "lakehouse_compaction": lakehouse_compaction,
     "lakehouse_change_feed": lakehouse_change_feed,

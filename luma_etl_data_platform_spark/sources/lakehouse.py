@@ -64,6 +64,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import json
+import os
 import re as _re
 import time
 import uuid
@@ -197,6 +198,10 @@ def _write_commit(spark: SparkSession, table_path: str, version: int,
         fs.delete(tmp, False)
         raise CommitConflictError(
             f"version {version} of {table_path} was committed concurrently")
+    # a pinned scope that reads after its own commit must re-list
+    pin = _PINNED_COMMITS.get(table_path.rstrip("/"))
+    if pin is not None:
+        pin[1] = None
 
 
 # final transaction outcomes are immutable once decided — cache them
@@ -280,6 +285,45 @@ def _name_version(name: str) -> int | None:
 _DOC_CACHE: dict[tuple, dict] = {}
 _DOC_CACHE_MAX = 8192
 
+# Debug-mode enforcement of the no-in-place-mutation invariant above:
+# with LUMA_LH_FREEZE_DOCS set (the test suite's conftest sets it),
+# cached docs are stored as frozen dict/list subclasses — any
+# consumer that mutates a shared element trips FrozenDocError at the
+# mutation site instead of silently poisoning every later replay of
+# that commit. dict/list SUBCLASSES keep json.dumps, isinstance
+# checks, and _copy_json (which returns plain mutable copies)
+# working unchanged; production runs (flag unset) pay zero cost.
+
+
+class FrozenDocError(TypeError):
+    """A commit-doc cache element was mutated in place (invariant:
+    copy first via ``_copy_json``; see the ``_DOC_CACHE`` comment)."""
+
+
+def _frozen_raise(self, *a, **k):
+    raise FrozenDocError(
+        "commit-doc cache element mutated in place — deep-copy it "
+        "first (_copy_json); shared elements poison later replays")
+
+
+class _FrozenDict(dict):
+    __setitem__ = __delitem__ = _frozen_raise
+    pop = popitem = clear = update = setdefault = _frozen_raise  # type: ignore[assignment]
+
+
+class _FrozenList(list):
+    __setitem__ = __delitem__ = __iadd__ = _frozen_raise
+    append = extend = insert = pop = remove = _frozen_raise  # type: ignore[assignment]
+    clear = sort = reverse = _frozen_raise  # type: ignore[assignment]
+
+
+def _freeze_json(v):
+    if isinstance(v, dict):
+        return _FrozenDict((k, _freeze_json(x)) for k, x in v.items())
+    if isinstance(v, list):
+        return _FrozenList(_freeze_json(x) for x in v)
+    return v
+
 
 def _copy_json(v):
     """Deep copy of a parsed-JSON tree (dict/list/scalars only) —
@@ -299,12 +343,53 @@ def _invalidate_doc_cache(table_path: str) -> None:
     prefix = f"{table_path.rstrip('/')}/{_LOG_DIR}/"
     for k in [k for k in _DOC_CACHE if prefix in k[0]]:
         _DOC_CACHE.pop(k, None)
+    _PINNED_COMMITS.pop(table_path.rstrip("/"), None)
+
+
+# Pin-scoped commits memo (round-11, verdict "what's wrong" #2): a
+# DML body derives a dozen-plus declarations (keys, constraints,
+# stat/bloom/partition cols, schema events, retired names, alias
+# maps, DV overlay …) and EVERY one re-lists and re-assembles the
+# commit log — the listing's py4j round trips (3+ per log entry per
+# call) are the metadata-bound gates' dominant fixed cost. Inside a
+# pinned scope, the FIRST `_commits` call caches the assembled
+# pre-annotation doc list; later calls re-wrap it (fresh top level,
+# same contract as the doc cache) with zero filesystem traffic.
+# Correctness: the scope covers ONE attempt pinned at one
+# base_version; a concurrent commit steals the CAS version, the
+# attempt retries OUTSIDE the scope, and re-derives everything — the
+# exact re-derivation point the r9/r10 TOCTOU fixes established.
+# `_write_commit` drops the memo for its root, so anything reading
+# after a commit inside the scope re-lists. `_txn` resolution is
+# NEVER cached (a pending transaction's decision can land mid-scope).
+_PINNED_COMMITS: dict[str, list] = {}  # root -> [base_version, docs|None]
+
+
+def _pin_snapshot(table_path: str, base_version: int) -> None:
+    _PINNED_COMMITS[table_path.rstrip("/")] = [base_version, None]
+
+
+def _unpin_snapshot(table_path: str) -> None:
+    _PINNED_COMMITS.pop(table_path.rstrip("/"), None)
+
+
+def _fresh_top(doc: dict) -> dict:
+    """Fresh top-level wrap: callers annotate (`_txn`) and reshape
+    list fields; element dicts stay shared (no-in-place-mutation
+    invariant — see the _DOC_CACHE comment)."""
+    return {k: (list(v) if isinstance(v, list) else v)
+            for k, v in doc.items()}
 
 
 def _commits(spark: SparkSession, table_path: str) -> list[dict]:
+    root = table_path.rstrip("/")
+    pin = _PINNED_COMMITS.get(root)
+    if pin is not None and pin[1] is not None:
+        docs = [_fresh_top(d) for d in pin[1]]
+        return _annotate_txn(spark, docs)
     fs, jvm = _fs(spark, table_path)
     Path = jvm.org.apache.hadoop.fs.Path
-    log_dir = Path(f"{table_path.rstrip('/')}/{_LOG_DIR}")
+    log_dir = Path(f"{root}/{_LOG_DIR}")
     if not fs.exists(log_dir):
         return []
     listing = [(st.getPath(),
@@ -316,6 +401,8 @@ def _commits(spark: SparkSession, table_path: str) -> list[dict]:
         doc = _DOC_CACHE.get(key)
         if doc is None:
             doc = json.loads(_read_text(fs, jvm, str(p)))
+            if os.environ.get("LUMA_LH_FREEZE_DOCS"):
+                doc = _freeze_json(doc)
             if len(_DOC_CACHE) >= _DOC_CACHE_MAX:
                 for k in list(_DOC_CACHE)[:_DOC_CACHE_MAX // 2]:
                     _DOC_CACHE.pop(k, None)
@@ -358,6 +445,16 @@ def _commits(spark: SparkSession, table_path: str) -> list[dict]:
         # stale pointer (its checkpoint doc is gone): the anchored
         # parse would silently miss pre-anchor adds — full fallback
         docs = _parse(0)
+    if pin is not None:
+        # memoize the assembled PRE-annotation list and hand the
+        # caller a fresh wrap of it, so caller-side top-level
+        # reshaping can never leak into later pinned reads
+        pin[1] = docs
+        docs = [_fresh_top(d) for d in docs]
+    return _annotate_txn(spark, docs)
+
+
+def _annotate_txn(spark: SparkSession, docs: list[dict]) -> list[dict]:
     for doc in docs:
         txn = doc.get("txn")
         if txn:
@@ -947,6 +1044,13 @@ def rename_column(spark: SparkSession, table_path: str,
     doc = {"version": v + 1, "op": "rename_column",
            "from": old, "to": new,
            "bloom_cols": [new if c == old else c for c in blooms],
+           # declared stat columns follow the rename like bloom_cols:
+           # latest-declaration-wins replay would otherwise keep
+           # returning the retired name, which _annotate_adds silently
+           # filters out — writers would quietly stop recording stats
+           # and the ANALYZE self-maintenance contract would degrade
+           "stat_cols": [new if c == old else c
+                         for c in _table_stat_cols(spark, table_path)],
            "add": [], "remove": []}
     if sch is not None:
         # restate the declared schema under the new logical name
@@ -986,6 +1090,10 @@ def drop_column(spark: SparkSession, table_path: str, column: str) -> int:
     doc = {"version": v + 1, "op": "drop_column",
            "column": column,
            "bloom_cols": [c for c in blooms if c != column],
+           # drop the column from the declared stat set too (same
+           # maintenance contract as bloom_cols — see rename_column)
+           "stat_cols": [c for c in _table_stat_cols(spark, table_path)
+                         if c != column],
            "add": [], "remove": []}
     if sch is not None:
         doc["schema"] = _schema_json(StructType(
@@ -1074,8 +1182,14 @@ def read_table(spark: SparkSession, table_path: str,
             # hidden-partition keys are probe-able directly).
             pnames = {sp["name"] for sp in
                       _partition_specs_ever(spark, table_path)}
+            # a dotted path probes a struct field: validate its ROOT
+            # segment (no per-file stats exist for it, so the read is
+            # conservative with an exact residual filter — but it is
+            # not a retired-name hazard as long as the root column is
+            # declared at this version)
             bad = sorted(c for c in {**ranges, **eq}
-                         if c not in schema.names and c not in pnames)
+                         if c.split(".", 1)[0] not in schema.names
+                         and c not in pnames)
             if bad:
                 raise ValueError(
                     f"read_table: predicate column(s) {bad} are not "
@@ -2039,23 +2153,28 @@ def append_table(spark: SparkSession, table_path: str,
     v = current_version(spark, table_path)
     if v == 0:
         raise FileNotFoundError(f"{table_path} has no commit log")
-    _guard_retired_names(spark, table_path, df.columns,
-                         f"append_table on {table_path}")
-    _enforce_constraints(df, table_constraints(spark, table_path),
-                         f"append_table on {table_path}")
-    if keys is None:
-        keys = _table_keys(spark, table_path)
-    evolved = _evolved_schema_json(spark, table_path, df.schema,
-                                   f"append_table on {table_path}")
-    adds = _write_data_files(spark, table_path, df, keys or [],
-                             stat_cols=_table_stat_cols(spark, table_path),
-                             bloom_cols=_table_bloom_cols(spark, table_path),
-                             partition_cols=_table_partition_cols(
-                                 spark, table_path))
-    doc = {"version": v + 1, "op": "append", "add": adds, "remove": []}
-    if evolved is not None:
-        doc["schema"] = evolved
-    _write_commit(spark, table_path, v + 1, doc)
+    _pin_snapshot(table_path, v)  # one listing for the declaration set
+    try:
+        _guard_retired_names(spark, table_path, df.columns,
+                             f"append_table on {table_path}")
+        _enforce_constraints(df, table_constraints(spark, table_path),
+                             f"append_table on {table_path}")
+        if keys is None:
+            keys = _table_keys(spark, table_path)
+        evolved = _evolved_schema_json(spark, table_path, df.schema,
+                                       f"append_table on {table_path}")
+        adds = _write_data_files(
+            spark, table_path, df, keys or [],
+            stat_cols=_table_stat_cols(spark, table_path),
+            bloom_cols=_table_bloom_cols(spark, table_path),
+            partition_cols=_table_partition_cols(spark, table_path))
+        doc = {"version": v + 1, "op": "append",
+               "add": adds, "remove": []}
+        if evolved is not None:
+            doc["schema"] = evolved
+        _write_commit(spark, table_path, v + 1, doc)
+    finally:
+        _unpin_snapshot(table_path)
 
 
 def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
@@ -2186,6 +2305,22 @@ def _dml_once(spark: SparkSession, table_path: str, condition,
               update_set: dict[str, Column] | None, op: str,
               insert_df: DataFrame | None = None,
               recon_spec: tuple | None = None) -> dict:
+    """Pin-scoped wrapper of :func:`_dml_once_impl`: one attempt's
+    dozen-plus declaration derivations share a single commit-log
+    listing (see ``_PINNED_COMMITS``); a CAS loss retries outside the
+    scope and re-derives everything."""
+    _pin_snapshot(table_path, current_version(spark, table_path))
+    try:
+        return _dml_once_impl(spark, table_path, condition, update_set,
+                              op, insert_df, recon_spec)
+    finally:
+        _unpin_snapshot(table_path)
+
+
+def _dml_once_impl(spark: SparkSession, table_path: str, condition,
+                   update_set: dict[str, Column] | None, op: str,
+                   insert_df: DataFrame | None = None,
+                   recon_spec: tuple | None = None) -> dict:
     """Shared copy-on-write body of DELETE WHERE / UPDATE WHERE /
     REPLACE WHERE: reconnaissance finds the files that contain a
     matching row (the rest carry by reference), touched files are
@@ -2857,6 +2992,25 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
                 delete_condition: Column | str | None,
                 insert_when_not_matched: bool,
                 schema_evolution: bool = False) -> dict:
+    """Pin-scoped wrapper of :func:`_merge_once_impl` (see
+    ``_PINNED_COMMITS`` — one listing per attempt, CAS-loss retries
+    re-derive outside the scope)."""
+    _pin_snapshot(table_path, current_version(spark, table_path))
+    try:
+        return _merge_once_impl(spark, table_path, source, keys,
+                                update_set, delete_condition,
+                                insert_when_not_matched,
+                                schema_evolution)
+    finally:
+        _unpin_snapshot(table_path)
+
+
+def _merge_once_impl(spark: SparkSession, table_path: str,
+                     source: DataFrame, keys: list[str],
+                     update_set: dict[str, Column] | str | None,
+                     delete_condition: Column | str | None,
+                     insert_when_not_matched: bool,
+                     schema_evolution: bool = False) -> dict:
     base_version = current_version(spark, table_path)
     if base_version == 0:
         raise FileNotFoundError(f"{table_path} has no commit log")
@@ -3947,13 +4101,35 @@ def analyze_table(spark: SparkSession, table_path: str,
                 return {"version": base, "n_files": 0,
                         "stat_cols": scols, "bloom_cols": bcols}
         paths = [_abs(root, a["path"]) for a in adds]
-        by_base = {a["path"].rsplit("/", 1)[-1]: a for a in adds}
+        # key by the FULL table-relative path, not the basename:
+        # convert_to_table can onboard part-00000.parquet under two
+        # partition directories — a basename key would merge their
+        # rows into one group (union min/max, summed rows) and leave
+        # the colliding add permanently un-analyzed (only_missing
+        # would reselect it forever without progress). Shallow-clone
+        # adds carry ABSOLUTE source paths (never under this root, so
+        # the root-stripped _f is the full URI): fall back to their
+        # basename where it is unambiguous.
+        by_rel = {a["path"]: a for a in adds}
+        base_counts: dict[str, int] = {}
+        for a in adds:
+            b = a["path"].rsplit("/", 1)[-1]
+            base_counts[b] = base_counts.get(b, 0) + 1
+        by_base_unique = {a["path"].rsplit("/", 1)[-1]: a for a in adds
+                         if base_counts[a["path"].rsplit("/", 1)[-1]] == 1}
+
+        def _add_for(f: str):
+            a = by_rel.get(f)
+            if a is None:
+                a = by_base_unique.get(f.rsplit("/", 1)[-1])
+            return a
 
         def _logical():
             raw = (spark.read.option("mergeSchema", "true")
                    .parquet(*paths)
-                   .withColumn("_f", F.element_at(
-                       F.split(F.col("_metadata.file_path"), "/"), -1)))
+                   .withColumn("_f", F.substring_index(
+                       F.col("_metadata.file_path"),
+                       root + "/", -1)))
             return _apply_schema_events(raw, events)
 
         if scols:
@@ -3962,7 +4138,7 @@ def analyze_table(spark: SparkSession, table_path: str,
                 aggs.append(F.min(c).alias(f"_lo{i}"))
                 aggs.append(F.max(c).alias(f"_hi{i}"))
             for r in _logical().groupBy("_f").agg(*aggs).collect():
-                a = by_base.get(r["_f"])
+                a = _add_for(r["_f"])
                 if a is None:
                     continue
                 st = dict(a.get("stats") or {})
@@ -4004,7 +4180,7 @@ def analyze_table(spark: SparkSession, table_path: str,
                          .agg(F.bit_or("_bit").alias("bits"))
                          .collect())
                 for r in lanes:
-                    a = by_base.get(r["_f"])
+                    a = _add_for(r["_f"])
                     if a is None:
                         continue
                     bl = dict(a.get("blooms") or {})
@@ -4142,6 +4318,11 @@ def expire_snapshots(spark: SparkSession, table_path: str,
         doc = {"version": cutoff, "op": "checkpoint",
                "remove": [], "keys": keys,
                "bloom_cols": _table_bloom_cols(spark, table_path),
+               # the checkpoint resets replay, so the declared stat
+               # columns must be restated or the ANALYZE declaration
+               # silently vanishes past expiry (writers would stop
+               # recording per-file stats for them)
+               "stat_cols": _table_stat_cols(spark, table_path),
                "partition_by": _table_partition_cols(spark, table_path),
                # cumulative spec generations: evolved-away transforms
                # keep deriving probes for their files past expiry
@@ -4284,17 +4465,20 @@ def stage_append(spark: SparkSession, table_path: str, df: DataFrame,
     v = current_version(spark, table_path)
     if v == 0:
         raise FileNotFoundError(f"{table_path} has no commit log")
-    _guard_retired_names(spark, table_path, df.columns,
-                         f"stage_append on {table_path}")
-    staged_dir = f".staged-{uuid.uuid4().hex}"
-    if keys is None:
-        keys = _table_keys(spark, table_path)
-    adds = _write_data_files(spark, table_path, df, keys or [],
-                             subdir=staged_dir,
-                             stat_cols=_table_stat_cols(spark, table_path),
-                             bloom_cols=_table_bloom_cols(spark, table_path),
-                             partition_cols=_table_partition_cols(
-                                 spark, table_path))
+    _pin_snapshot(table_path, v)  # one listing for the declaration set
+    try:
+        _guard_retired_names(spark, table_path, df.columns,
+                             f"stage_append on {table_path}")
+        staged_dir = f".staged-{uuid.uuid4().hex}"
+        if keys is None:
+            keys = _table_keys(spark, table_path)
+        adds = _write_data_files(
+            spark, table_path, df, keys or [], subdir=staged_dir,
+            stat_cols=_table_stat_cols(spark, table_path),
+            bloom_cols=_table_bloom_cols(spark, table_path),
+            partition_cols=_table_partition_cols(spark, table_path))
+    finally:
+        _unpin_snapshot(table_path)
     return {"op": "append", "add": adds, "remove": [],
             "base_version": v, "staged_dir": staged_dir,
             # the staged frame's schema rides the pending payload so
@@ -4324,12 +4508,14 @@ def publish_staged(spark: SparkSession, table_path: str,
     Path = jvm.org.apache.hadoop.fs.Path
     root = table_path.rstrip("/")
     cons = table_constraints(spark, table_path)
-    if cons:
+    if cons and pending["add"]:
         # the audit gate's last line of defense: a staged batch that
         # violates a CHECK constraint never becomes table history —
         # checked here so a violating batch fails BEFORE any staged
         # file is moved into the table root; re-checked inside the
-        # CAS loop for constraints added concurrently (see below)
+        # CAS loop for constraints added concurrently (see below).
+        # An EMPTY stage (zero add-actions) is vacuously clean — and
+        # a zero-path parquet read would crash.
         _enforce_constraints(read_staged(spark, table_path, pending),
                              cons, f"publish_staged on {table_path}")
     enforced = set(cons.items())
@@ -4391,13 +4577,19 @@ def publish_staged(spark: SparkSession, table_path: str,
         cons_now = table_constraints(spark, table_path)
         todo = {n: e for n, e in cons_now.items()
                 if (n, e) not in enforced}
-        if todo:
+        if todo and final_adds:
+            # mergeSchema like the staged_schema derivation above: a
+            # schema-heterogeneous staged batch must not fail the
+            # re-check on columns absent from the sampled footer. An
+            # EMPTY staged batch satisfies any constraint vacuously
+            # (and a zero-path parquet read would crash).
             if final_df is None:
-                final_df = spark.read.parquet(
-                    *[f"{root}/{a['path']}" for a in final_adds])
+                final_df = (spark.read.option("mergeSchema", "true")
+                            .parquet(*[f"{root}/{a['path']}"
+                                       for a in final_adds]))
             _enforce_constraints(final_df, todo,
                                  f"publish_staged on {table_path}")
-            enforced.update(todo.items())
+        enforced.update(todo.items())
         # evolved-schema restatement recomputed INSIDE the retry loop:
         # a concurrent schema-widening commit between attempts must be
         # reflected, or the stale restatement would drop its column

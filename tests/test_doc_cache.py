@@ -100,3 +100,31 @@ def test_nullable_json_leaves_user_metadata_untouched(spark, tmp_path):
     LH.create_table(spark, path, df, ["k"])
     got = LH.table_schema(spark, path)
     assert got["v"].metadata == meta
+
+
+def test_frozen_docs_trip_on_inplace_mutation(spark, tmp_path):
+    """Round-11: the invariant is MECHANICAL under the suite — with
+    LUMA_LH_FREEZE_DOCS set (conftest), a deliberate in-place
+    mutation of a shared cache element raises at the mutation site."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    LH.create_table(spark, path, _mk(spark, [dict(k=1, v=10)]), ["k"])
+    doc = [d for d in LH._commits(spark, path) if d["version"] == 1][0]
+    add = doc["add"][0]
+    with pytest.raises(LH.FrozenDocError):
+        add["stats"] = {"poison": True}
+    with pytest.raises(LH.FrozenDocError):
+        add.setdefault("rows", 999)
+    nested = add.get("stats")
+    if isinstance(nested, dict):
+        with pytest.raises(LH.FrozenDocError):
+            nested.clear()
+    # top-level reshaping stays allowed (fresh per call)
+    doc["add"] = []
+    assert [d for d in LH._commits(spark, path)
+            if d["version"] == 1][0]["add"]
+    # and _copy_json yields a fully mutable private copy
+    mine = LH._copy_json(add)
+    mine["stats"] = {"ok": 1}
+    assert mine["stats"] == {"ok": 1}
