@@ -297,6 +297,79 @@ LIMIT 10
 """
 
 
+def ann_ivf_recall_by_nprobe(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF serving as a function of nprobe — the
+    quality/cost ablation behind the persisted-index family's
+    ``opened/live = nprobe/lists`` read guarantee (and the audit the
+    round-11 rebalance op protects: skewed lists decay exactly this
+    curve). Lists rank by centroid cosine to the query (6-dp, ties by
+    label); exact top-10 comes from brute force; for each nprobe in
+    (1, 2, 4, 10), ``n_hits`` counts the exact-top-10 members whose
+    list rank <= nprobe, ``recall`` = n_hits/10. One corpus scan for
+    the exact ranking + one list-count-sized centroid frame — no
+    driver collect, no per-nprobe rescan."""
+    from pyspark.sql.window import Window as W
+
+    from ..operators.similarity import _as_double, centroids, cosine
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _as_double(_query_vec(emb)
+                   .select(F.col("embedding").alias("_qv")), "_qv")
+    cents = centroids(emb, "label", "embedding")
+    lw = W.orderBy(F.col("_cs").desc(), "label")
+    ranks = (cents.crossJoin(F.broadcast(q))
+             .select("label",
+                     F.round(cosine(F.col("centroid"), F.col("_qv")), 6)
+                     .alias("_cs"))
+             .withColumn("_r", F.row_number().over(lw))
+             .select("label", "_r"))
+    top10 = (_as_double(emb, "embedding").crossJoin(F.broadcast(q))
+             .select("vec_id", "label",
+                     F.round(cosine(F.col("embedding"), F.col("_qv")), 6)
+                     .alias("_s"))
+             .orderBy(F.col("_s").desc(), "vec_id").limit(10))
+    nps = spark.createDataFrame([(1,), (2,), (4,), (10,)],
+                                "nprobe int")
+    return (top10.join(F.broadcast(ranks), "label")
+            .crossJoin(F.broadcast(nps))
+            .groupBy("nprobe")
+            .agg(F.sum(F.when(F.col("_r") <= F.col("nprobe"), 1)
+                       .otherwise(0)).cast("int").alias("n_hits"))
+            .withColumn("recall", F.round(F.col("n_hits") / 10.0, 2))
+            .orderBy("nprobe"))
+
+
+ORACLE["ann_ivf_recall_by_nprobe"] = f"""
+WITH {_EMB_CTE},
+cent AS (SELECT label, list(m ORDER BY i) AS c
+         FROM (SELECT label, i, avg(v[i]) AS m
+               FROM e, generate_series(1, 64) t(i) GROUP BY 1, 2)
+         GROUP BY label),
+lr AS (SELECT label,
+              row_number() OVER (
+                ORDER BY round(list_dot_product(c, qv)
+                               / (sqrt(list_dot_product(c, c))
+                                  * sqrt(list_dot_product(qv, qv))), 6)
+                         DESC, label) AS r
+       FROM cent, q),
+t10 AS (SELECT vec_id, label FROM e, q
+        ORDER BY round(list_dot_product(v, qv)
+                       / (sqrt(list_dot_product(v, v))
+                          * sqrt(list_dot_product(qv, qv))), 6)
+                 DESC, vec_id
+        LIMIT 10),
+np AS (SELECT unnest([1, 2, 4, 10]) AS nprobe)
+SELECT np.nprobe AS nprobe,
+       CAST(sum(CASE WHEN lr.r <= np.nprobe THEN 1 ELSE 0 END) AS INT)
+         AS n_hits,
+       round(sum(CASE WHEN lr.r <= np.nprobe THEN 1 ELSE 0 END)
+             / 10.0, 2) AS recall
+FROM t10 JOIN lr USING (label) CROSS JOIN np
+GROUP BY np.nprobe
+ORDER BY nprobe
+"""
+
+
 def ann_signlsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-free near-dup candidates via sign-LSH (deterministic
     md5-derived hyperplanes + banded bucket join), top-50 by verified
@@ -862,6 +935,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_batch_topk": ann_batch_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_recall_by_nprobe": ann_ivf_recall_by_nprobe,
     "ann_signlsh_candidates": ann_signlsh_candidates,
     "embedding_neardup_pairs": embedding_neardup_pairs,
 }

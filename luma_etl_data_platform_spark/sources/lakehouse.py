@@ -365,7 +365,10 @@ def _invalidate_doc_cache(table_path: str) -> None:
 _PINNED_COMMITS: dict[str, list] = {}  # root -> [base_version, docs|None]
 
 
-def _pin_snapshot(table_path: str, base_version: int) -> None:
+def _pin_snapshot(table_path: str, base_version: int = -1) -> None:
+    """Open a pinned scope; with the default sentinel the pinned
+    version is simply whatever the scope's FIRST ``_commits`` listing
+    observes (callers that already paid for a version pass it)."""
     _PINNED_COMMITS[table_path.rstrip("/")] = [base_version, None]
 
 
@@ -2150,11 +2153,11 @@ def append_table(spark: SparkSession, table_path: str,
     DECLARED keys, so appended files always carry the per-file stats
     the data-skipping paths prune on (blooms and partition layout
     already inherit the declaration)."""
-    v = current_version(spark, table_path)
-    if v == 0:
-        raise FileNotFoundError(f"{table_path} has no commit log")
-    _pin_snapshot(table_path, v)  # one listing for the declaration set
+    _pin_snapshot(table_path)  # one listing for the declaration set
     try:
+        v = current_version(spark, table_path)
+        if v == 0:
+            raise FileNotFoundError(f"{table_path} has no commit log")
         _guard_retired_names(spark, table_path, df.columns,
                              f"append_table on {table_path}")
         _enforce_constraints(df, table_constraints(spark, table_path),
@@ -2309,7 +2312,7 @@ def _dml_once(spark: SparkSession, table_path: str, condition,
     dozen-plus declaration derivations share a single commit-log
     listing (see ``_PINNED_COMMITS``); a CAS loss retries outside the
     scope and re-derives everything."""
-    _pin_snapshot(table_path, current_version(spark, table_path))
+    _pin_snapshot(table_path)
     try:
         return _dml_once_impl(spark, table_path, condition, update_set,
                               op, insert_df, recon_spec)
@@ -2995,7 +2998,7 @@ def _merge_once(spark: SparkSession, table_path: str, source: DataFrame,
     """Pin-scoped wrapper of :func:`_merge_once_impl` (see
     ``_PINNED_COMMITS`` — one listing per attempt, CAS-loss retries
     re-derive outside the scope)."""
-    _pin_snapshot(table_path, current_version(spark, table_path))
+    _pin_snapshot(table_path)
     try:
         return _merge_once_impl(spark, table_path, source, keys,
                                 update_set, delete_condition,
@@ -4462,11 +4465,11 @@ def stage_append(spark: SparkSession, table_path: str, df: DataFrame,
     copy), and only a passing batch becomes part of table history —
     the lakehouse-native home for `operators/validate`'s expectation
     suites."""
-    v = current_version(spark, table_path)
-    if v == 0:
-        raise FileNotFoundError(f"{table_path} has no commit log")
-    _pin_snapshot(table_path, v)  # one listing for the declaration set
+    _pin_snapshot(table_path)  # one listing for the declaration set
     try:
+        v = current_version(spark, table_path)
+        if v == 0:
+            raise FileNotFoundError(f"{table_path} has no commit log")
         _guard_retired_names(spark, table_path, df.columns,
                              f"stage_append on {table_path}")
         staged_dir = f".staged-{uuid.uuid4().hex}"
