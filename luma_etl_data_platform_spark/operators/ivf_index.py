@@ -195,6 +195,49 @@ def rebalance_lists(spark: SparkSession, table_path: str,
             "n_lists_after": audit["n_lists"]}
 
 
+def retrain_index(spark: SparkSession, table_path: str,
+                  n_lists: int, list_col: str = "list_id",
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  iters: int = 2, dim: int = 64) -> dict:
+    """Full index RETRAIN — the severe-drift escalation
+    :func:`rebalance_lists` avoids paying when a local split
+    suffices: run deterministic Lloyd k-means over the WHOLE corpus
+    (hash-seeded, exact-integer micro-unit scoring —
+    :func:`operators.kmeans.kmeans_model`) and swap every row into
+    its new list in ONE atomic commit (``replace_where`` on an
+    always-true predicate: full delete + insert, readers see the old
+    index or the new one, never a mix; the pre-retrain index stays
+    time-travelable until vacuum). Cluster ids densify to
+    ``0..n_lists-1`` by seed order so list ids stay tidy.
+
+    Cost is O(corpus) by definition — use when the skew audit shows
+    rebalance not converging (drifted appends overwhelming the
+    stored structure), on the same nightly slot
+    (schedule_jobs.ps1:13-32). Returns
+    ``{"version", "n_lists", "n_rows", "skew_after"}``."""
+    from .kmeans import kmeans_model
+    rows = LH.read_table(spark, table_path)
+    schema = LH.table_schema(spark, table_path)
+    columns = (schema.names if schema is not None else rows.columns)
+    assign, _cents = kmeans_model(spark, rows, vec_col=vec_col,
+                                  id_col=id_col, k=n_lists,
+                                  iters=iters, dim=dim)
+    dense = W.orderBy("cluster")
+    remap = (assign.select("cluster").distinct()
+             .withColumn("_new", F.dense_rank().over(dense) - 1))
+    new = (rows.drop(list_col)
+           .join(assign.select(F.col("vid").alias(id_col), "cluster"),
+                 id_col)
+           .join(F.broadcast(remap), "cluster")
+           .withColumn(list_col, F.col("_new").cast("int"))
+           .select(*columns))
+    res = LH.replace_where(spark, table_path, new, F.lit(True))
+    audit = index_skew_audit(spark, table_path, list_col)
+    return {"version": res["version"], "n_lists": audit["n_lists"],
+            "n_rows": audit["n_rows"],
+            "skew_after": audit["skew_ratio"]}
+
+
 def run_index_maintenance(spark: SparkSession, table_path: str,
                           list_col: str = "list_id",
                           vec_col: str = "embedding",

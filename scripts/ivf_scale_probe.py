@@ -112,7 +112,7 @@ def main() -> None:
     audit_b = IVF.index_skew_audit(spark, path)
     files_b = LH.describe_table(spark, path)["n_files"]
     t0 = time.perf_counter()
-    rep = IVF.rebalance_lists(spark, path, skew_threshold=2.0,
+    rep = IVF.rebalance_lists(spark, path, skew_threshold=1.5,
                               max_rounds=4)
     reb_s = time.perf_counter() - t0
     audit_a = IVF.index_skew_audit(spark, path)

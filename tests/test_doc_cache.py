@@ -128,3 +128,37 @@ def test_frozen_docs_trip_on_inplace_mutation(spark, tmp_path):
     mine = LH._copy_json(add)
     mine["stats"] = {"ok": 1}
     assert mine["stats"] == {"ok": 1}
+
+
+def test_dml_pins_one_listing_per_attempt(spark, tmp_path, monkeypatch):
+    """Round-11 fixed-cost pin: one MERGE attempt lists the commit
+    log a bounded number of times (the pinned scope shares one
+    listing across its dozen-plus declaration derivations), instead
+    of once per derivation. _last_ckpt_anchor runs exactly once per
+    REAL listing, so counting it counts listings."""
+    path = str(tmp_path / "t")
+    LH.create_table(spark, path,
+                    _mk(spark, [dict(k=i, v=i * 10) for i in range(6)])
+                    .coalesce(2), ["k"])
+    calls = {"n": 0}
+    real = LH._last_ckpt_anchor
+
+    def counting(fs, jvm, table_path):
+        calls["n"] += 1
+        return real(fs, jvm, table_path)
+
+    monkeypatch.setattr(LH, "_last_ckpt_anchor", counting)
+    LH.merge_into(spark, path,
+                  _mk(spark, [dict(k=2, v=99), dict(k=9, v=90)]),
+                  ["k"])
+    merge_listings = calls["n"]
+    # merge_into wrapper + one pinned listing + post-commit reads;
+    # the pre-pin count was ~15-25 (one per derivation helper)
+    assert merge_listings <= 6, merge_listings
+    calls["n"] = 0
+    LH.append_table(spark, path, _mk(spark, [dict(k=20, v=200)])
+                    .coalesce(1))
+    assert calls["n"] <= 4, calls["n"]
+    # and the merged state is correct (pin never served stale docs)
+    got = {(r["k"], r["v"]) for r in LH.read_table(spark, path).collect()}
+    assert (2, 99) in got and (9, 90) in got and (20, 200) in got

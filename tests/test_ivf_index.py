@@ -148,3 +148,31 @@ def test_audit_rejects_unpartitioned_table(spark, tmp_path):
                     ["k"])
     with pytest.raises(ValueError, match="partition"):
         IVF.index_skew_audit(spark, path)
+
+
+def test_retrain_index_full_recluster(spark, tmp_path):
+    """The severe-drift escalation: one atomic whole-index swap into
+    k fresh Lloyd lists — rows preserved, ids densified, old index
+    still time-travelable."""
+    path = str(tmp_path / "idx")
+    _skewed_index(spark, path)
+    v_before = LH.current_version(spark, path)
+    before = IVF.index_skew_audit(spark, path)
+    rows_before = {r["vec_id"] for r in
+                   LH.read_table(spark, path).select("vec_id").collect()}
+    rep = IVF.retrain_index(spark, path, n_lists=8)
+    assert rep["n_rows"] == len(rows_before)
+    assert rep["n_lists"] == 8
+    assert rep["skew_after"] < before["skew_ratio"]
+    after = LH.read_table(spark, path)
+    assert {r["vec_id"] for r in after.select("vec_id").collect()} \
+        == rows_before
+    lids = {r["list_id"] for r in
+            after.select("list_id").distinct().collect()}
+    assert lids == set(range(8))
+    # the pre-retrain index is one commit back, intact
+    old = LH.read_table(spark, path, version=v_before)
+    assert old.count() == len(rows_before)
+    assert {r["list_id"] for r in
+            old.select("list_id").distinct().collect()} \
+        == {r for r in range(10)}
