@@ -352,6 +352,151 @@ def stream_lakehouse_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final
 
 
+def stream_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the persisted IVF index (round-11):
+    the index is built from the early half of the corpus (lists =
+    labels), then the late half arrives as a 4-micro-batch stream
+    and each batch assigns to its nearest STORED centroid (the
+    trained structure is FIXED — centroids computed once from the
+    base index, so per-row assignment depends only on the row and
+    the result is micro-batch-invariant BY CONSTRUCTION) and appends
+    into the right partitions via foreachBatch. This is the daily
+    100-TB embedding feed joining the serving index at append cost,
+    streamed. A query served afterwards probes 2 lists through
+    partition-value pruning and sees every vintage. Audited:
+    ``n_batches`` (streaming commits on the index log),
+    ``n_late_indexed``, ``pruned``/``cand_covers``; the oracle
+    replays the identical assignment in SQL (same contract as
+    ann_index_incremental_upsert — the batch twin predicts the
+    streamed result exactly)."""
+    from ..operators.similarity import _as_double, centroids, cosine
+    from ..sources import lakehouse as LH
+    tmp = tempfile.mkdtemp(prefix="luma_stream_idx_")
+    path = f"{tmp}/ivf_index"
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
+    cut = (int(lo) + int(hi)) // 2
+    LH.create_table(spark, path,
+                    emb.filter(F.col("vec_id") <= cut)
+                    .select("vec_id", "embedding",
+                            F.col("label").alias("list_id")),
+                    ["vec_id"], partition_by=["list_id"])
+    cents = centroids(LH.read_table(spark, path),
+                      "list_id", "embedding").localCheckpoint(eager=True)
+    _stage(emb.filter(F.col("vec_id") > cut)
+           .select("vec_id", "embedding"), f"{tmp}/src", n_files=4)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        w = W.partitionBy("vec_id").orderBy(F.col("_cs").desc(),
+                                            "list_id")
+        assigned = (batch
+                    .withColumn("_vd", F.col("embedding")
+                                .cast("array<double>"))
+                    .crossJoin(F.broadcast(cents))
+                    .withColumn("_cs", F.round(
+                        cosine(F.col("_vd"), F.col("centroid")), 6))
+                    .withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .select("vec_id", "embedding", "list_id"))
+        LH.append_table(spark, path, assigned)
+
+    q = (_read_stream(spark, f"{tmp}/src")
+         .writeStream.foreachBatch(_apply)
+         .option("checkpointLocation", f"{tmp}/ck")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(600)
+    n_batches = LH.current_version(spark, path) - 1
+    n_late = (LH.read_table(spark, path).count()
+              - emb.filter(F.col("vec_id") <= cut).count())
+    n_live = LH.describe_table(spark, path)["n_files"]
+    min_id = emb.agg(F.min("vec_id").alias("_mid"))
+    qv = _as_double(
+        emb.join(F.broadcast(min_id), F.col("vec_id") == F.col("_mid"))
+        .select(F.col("embedding").alias("_qv")), "_qv")
+    probed = [r["list_id"] for r in
+              (cents.crossJoin(F.broadcast(qv))
+               .select("list_id",
+                       F.round(cosine(F.col("centroid"),
+                                      F.col("_qv")), 6).alias("cscore"))
+               .orderBy(F.col("cscore").desc(), "list_id")
+               .limit(2)).collect()]
+    cand_files: set[str] = set()
+    parts = []
+    for lid in probed:
+        cand_files.update(LH.pruned_candidate_files(
+            spark, path, None, eq={"list_id": lid}))
+        parts.append(LH.read_table(spark, path,
+                                   where={"list_id": lid}))
+    nar = parts[0].unionByName(parts[1])
+    hit = {r[0].rsplit("/", 1)[-1] for r in nar
+           .select(F.input_file_name()).distinct().collect()}
+    pruned = bool(0 < len(cand_files) < n_live)
+    cand_covers = bool(
+        hit <= {p.rsplit("/", 1)[-1] for p in cand_files})
+    out = (_as_double(nar, "embedding").crossJoin(F.broadcast(qv))
+           .select("vec_id",
+                   F.round(cosine(F.col("embedding"),
+                                  F.col("_qv")), 6).alias("score"))
+           .orderBy(F.col("score").desc(), "vec_id").limit(10)
+           .withColumn("n_batches", F.lit(int(n_batches)))
+           .withColumn("n_late_indexed", F.lit(int(n_late)))
+           .withColumn("pruned", F.lit(pruned))
+           .withColumn("cand_covers", F.lit(cand_covers))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE["stream_index_upsert"] = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings),
+cut AS (SELECT (min(vec_id) + max(vec_id)) // 2 AS c FROM embeddings),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+cent AS (SELECT label, list(m ORDER BY i) AS cv
+         FROM (SELECT label, i, avg(v[i]) AS m
+               FROM e, cut, generate_series(1, 64) t(i)
+               WHERE vec_id <= c GROUP BY 1, 2)
+         GROUP BY label),
+late AS (SELECT vec_id, v FROM e, cut WHERE vec_id > c),
+asg AS (SELECT vec_id, label FROM (
+          SELECT l.vec_id, cent.label,
+                 row_number() OVER (
+                   PARTITION BY l.vec_id
+                   ORDER BY round(list_dot_product(l.v, cent.cv)
+                                  / (sqrt(list_dot_product(l.v, l.v))
+                                     * sqrt(list_dot_product(cent.cv,
+                                                             cent.cv))),
+                            6) DESC, cent.label) AS rn
+          FROM late l CROSS JOIN cent) WHERE rn = 1),
+probe AS (SELECT label
+          FROM cent, q
+          ORDER BY round(list_dot_product(cv, qv)
+                         / (sqrt(list_dot_product(cv, cv))
+                            * sqrt(list_dot_product(qv, qv))), 6)
+                   DESC, label
+          LIMIT 2),
+served AS (SELECT e.vec_id, e.v FROM e, cut
+           WHERE e.vec_id <= c
+             AND e.label IN (SELECT label FROM probe)
+           UNION ALL
+           SELECT l.vec_id, l.v FROM late l JOIN asg USING (vec_id)
+           WHERE asg.label IN (SELECT label FROM probe)),
+nl AS (SELECT count(*) AS n_late FROM late)
+SELECT vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v))
+                * sqrt(list_dot_product(qv, qv))), 6) AS score,
+       4 AS n_batches,
+       CAST(nl.n_late AS INT) AS n_late_indexed,
+       TRUE AS pruned, TRUE AS cand_covers
+FROM served, q, nl
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
 ORACLE["stream_lakehouse_upsert"] = """
 SELECT user_id, ts, event_id AS last_event_id,
        round(value, 6) AS last_value
@@ -688,6 +833,7 @@ QUERIES = {
     "stream_txn_fanout": stream_txn_fanout,
     "stream_hll_distinct": stream_hll_distinct,
     "stream_lakehouse_upsert": stream_lakehouse_upsert,
+    "stream_index_upsert": stream_index_upsert,
     "stream_rollup_hourly": stream_rollup_hourly,
     "stream_user_totals": stream_user_totals,
     "stream_ingest_dedup": stream_ingest_dedup,

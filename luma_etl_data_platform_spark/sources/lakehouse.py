@@ -4744,6 +4744,60 @@ def maintenance_plan(spark: SparkSession, table_path: str,
             "actions": actions, "reasons": reasons}
 
 
+def discover_tables(spark: SparkSession, root_dir: str,
+                    max_depth: int = 4) -> list[str]:
+    """Every log table under ``root_dir``: breadth-first directory
+    walk that treats any directory containing ``_log/`` as a table
+    and does NOT descend into it (partition subdirectories are not
+    tables). One listing per visited directory — at a 10^3-table
+    catalog root this is O(dirs), no file-level traffic."""
+    fs, jvm = _fs(spark, root_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = root_dir.rstrip("/")
+    if not fs.exists(Path(root)):
+        return []
+    tables: list[str] = []
+    frontier = [root]
+    for _ in range(max_depth):
+        nxt: list[str] = []
+        for d in frontier:
+            if fs.exists(Path(f"{d}/{_LOG_DIR}")):
+                tables.append(d)
+                continue
+            for st in fs.listStatus(Path(d)):
+                if st.isDirectory():
+                    name = st.getPath().getName()
+                    if not name.startswith((".", "_")):
+                        # rebuild from the parent string so scheme'd
+                        # roots (s3a://...) keep their scheme
+                        nxt.append(f"{d}/{name}")
+        frontier = nxt
+        if not frontier:
+            break
+    return sorted(tables)
+
+
+def catalog_maintenance_plan(spark: SparkSession, root_dir: str,
+                             **plan_kwargs) -> list[dict]:
+    """The fleet form of :func:`maintenance_plan`: discover every
+    table under ``root_dir`` and return one plan per table (the
+    reference's nightly per-table scheduling — schedule_jobs.ps1 —
+    without hand-tuned schedules: the commit logs themselves drive
+    the decisions). Pure recommendation; see
+    :func:`run_catalog_maintenance`."""
+    return [maintenance_plan(spark, t, **plan_kwargs)
+            for t in discover_tables(spark, root_dir)]
+
+
+def run_catalog_maintenance(spark: SparkSession, root_dir: str,
+                            **plan_kwargs) -> list[dict]:
+    """Execute :func:`catalog_maintenance_plan` across the catalog
+    (compact → expire → vacuum per table, tables in sorted order).
+    Idempotent: a second run recommends nothing."""
+    return [run_maintenance(spark, t, **plan_kwargs)
+            for t in discover_tables(spark, root_dir)]
+
+
 def run_maintenance(spark: SparkSession, table_path: str,
                     target_rows: int = 1_000_000,
                     small_file_fraction: float = 0.5,

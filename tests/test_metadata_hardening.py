@@ -164,3 +164,49 @@ def test_publish_recheck_merges_schema(spark, tmp_path, monkeypatch):
     assert v == LH.current_version(spark, path)
     got = LH.read_table(spark, path, merge_schema=True)
     assert got.filter(F.col("k") >= 1000).count() == 2
+
+
+def test_catalog_maintenance_sweep(spark, tmp_path):
+    """Round-11: the fleet form of the maintenance planner —
+    discover every log table under a root, plan each from its own
+    commit log, execute, and converge to no-op."""
+    root = str(tmp_path / "warehouse")
+    # t1: fragmented (8 one-row files) -> compact
+    df1 = spark.range(8).select(F.col("id").alias("k"),
+                                (F.col("id") * 2).alias("v"))
+    LH.create_table(spark, f"{root}/ns1/t1", df1.repartition(8), ["k"])
+    # t2: long history -> expire
+    LH.create_table(spark, f"{root}/t2",
+                    spark.range(3).select(F.col("id").alias("k"))
+                    .coalesce(1), ["k"])
+    for i in range(4):
+        LH.append_table(spark, f"{root}/t2",
+                        spark.range(10 + i, 11 + i)
+                        .select(F.col("id").alias("k")).coalesce(1))
+    # t3: healthy
+    LH.create_table(spark, f"{root}/t3",
+                    spark.range(5).select(F.col("id").alias("k"))
+                    .coalesce(1), ["k"])
+    # a non-table dir with junk must not be reported
+    (tmp_path / "warehouse" / "notes").mkdir(parents=True, exist_ok=True)
+    assert LH.discover_tables(spark, root) == sorted(
+        [f"{root}/ns1/t1", f"{root}/t2", f"{root}/t3"])
+    plans = {p["table"]: p for p in
+             LH.catalog_maintenance_plan(spark, root, target_rows=1000,
+                                         keep_last=3)}
+    assert "compact" in plans[f"{root}/ns1/t1"]["actions"]
+    assert "expire" in plans[f"{root}/t2"]["actions"]
+    assert plans[f"{root}/t3"]["actions"] == []
+    ran = LH.run_catalog_maintenance(spark, root, target_rows=1000,
+                                     keep_last=3)
+    assert any(r["results"] for r in ran)
+    # a compact without a co-planned expire leaves pre-images for the
+    # NEXT pass's vacuum — the sweep converges on the second run
+    LH.run_catalog_maintenance(spark, root, target_rows=1000,
+                               keep_last=3)
+    again = LH.catalog_maintenance_plan(spark, root, target_rows=1000,
+                                        keep_last=3)
+    assert all(p["actions"] == [] for p in again)
+    # data intact everywhere
+    assert LH.read_table(spark, f"{root}/ns1/t1").count() == 8
+    assert LH.read_table(spark, f"{root}/t2").count() == 7
