@@ -769,6 +769,15 @@ def stream_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     _marks.append(("commits", _time.monotonic()))
 
     def _apply(changes: DataFrame, version: int) -> None:
+        # one pass over the version's file diff: checkpoint the batch
+        # (both merge consumers reuse it instead of re-reading the
+        # touched files) and probe the change kinds in ONE job — the
+        # former ups.limit(1).count() / dels.limit(1).count() pair
+        # re-ran the diff once per probe (guide §1.2: don't compute
+        # things twice).
+        changes = changes.localCheckpoint(eager=True)
+        kinds = {r[0] for r in
+                 changes.select("_change_type").distinct().collect()}
         ups = (changes.filter(F.col("_change_type")
                               .isin("insert", "update_postimage"))
                .drop("_change_type"))
@@ -778,9 +787,9 @@ def stream_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             LH.create_table(spark, mirror_path, ups.repartition(8),
                             ["user_id"])
             return
-        if ups.limit(1).count():
+        if kinds & {"insert", "update_postimage"}:
             LH.merge_into(spark, mirror_path, ups, ["user_id"])
-        if dels.limit(1).count():
+        if "delete" in kinds:
             LH.merge_into(spark, mirror_path, dels, ["user_id"],
                           update_set=None,
                           delete_condition=F.lit(True),

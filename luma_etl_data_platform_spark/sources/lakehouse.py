@@ -87,10 +87,30 @@ class ConstraintViolationError(ValueError):
     nothing was committed."""
 
 
+# FileSystem handle memo (round-11 optimization): Hadoop already
+# caches FileSystem instances JVM-side by (scheme, authority, ugi),
+# so the two py4j round trips per _fs call (Path construction +
+# getFileSystem) return the same object every time. Metadata-bound
+# gates make ~100 _fs calls per query; memoizing on the URI's
+# scheme://authority removes ~0.3 s of pure py4j latency per gate.
+# The repo never calls fs.close(), so a cached handle cannot go
+# stale; a new SparkContext gets a fresh entry (keyed by JVM id).
+_FS_CACHE: dict[tuple[int, str], object] = {}
+_FS_AUTH_RE = _re.compile(r"^([a-z0-9+.-]+)://([^/]*)", _re.IGNORECASE)
+
+
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+    m = _FS_AUTH_RE.match(path)
+    key = (id(jvm), f"{m.group(1)}://{m.group(2)}" if m else "file")
+    fs = _FS_CACHE.get(key)
+    if fs is None:
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if len(_FS_CACHE) > 64:
+            _FS_CACHE.clear()
+        _FS_CACHE[key] = fs
+    return fs, jvm
 
 
 def _log_path(table_path: str, version: int) -> str:
@@ -376,6 +396,57 @@ def _unpin_snapshot(table_path: str) -> None:
     _PINNED_COMMITS.pop(table_path.rstrip("/"), None)
 
 
+class _read_scope:
+    """Reentrant pinned scope for PUBLIC entry points (round-11
+    optimization): a read path like ``read_table`` derives schema
+    events, DV overlay, stat aliases, partition specs … and each
+    derivation re-lists the commit log (3+ py4j round trips per log
+    entry per call). Inside the scope the first listing is memoized
+    exactly like the DML pin — one listing per public call instead of
+    one per derivation. Reentrant: nested inside an already-pinned
+    scope (a DML body, an outer read) it is a no-op, so the outer
+    scope's snapshot keeps governing. Commits invalidate the memo
+    mid-scope (``_write_commit`` → ``_invalidate_doc_cache`` pops the
+    pin), so an op that commits and then reads re-lists fresh — the
+    scope can present a stale listing to NOTHING that follows a
+    commit. Correctness matches the established DML-pin contract:
+    one consistent snapshot per operation (snapshot isolation), full
+    re-derivation across operations."""
+
+    __slots__ = ("_root", "_mine")
+
+    def __init__(self, table_path: str):
+        self._root = table_path.rstrip("/")
+        self._mine = False
+
+    def __enter__(self):
+        if self._root not in _PINNED_COMMITS:
+            _pin_snapshot(self._root)
+            self._mine = True
+        return self
+
+    def __exit__(self, *exc):
+        if self._mine:
+            _unpin_snapshot(self._root)
+        return False
+
+
+def _scoped(fn):
+    """Wrap a READ-ONLY public entry point ``fn(spark, table_path,
+    ...)`` in a :class:`_read_scope`. Never apply to an op with an
+    internal commit-retry loop: a CAS loser must re-derive from a
+    FRESH listing per attempt (an op-wide pin would replay the stale
+    snapshot forever) — those ops pin per attempt instead, exactly
+    as ``_dml_once`` / ``_merge_once`` do."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, table_path, *a, **k):
+        with _read_scope(table_path):
+            return fn(spark, table_path, *a, **k)
+    return wrapper
+
+
 def _fresh_top(doc: dict) -> dict:
     """Fresh top-level wrap: callers annotate (`_txn`) and reshape
     list fields; element dicts stay shared (no-in-place-mutation
@@ -620,6 +691,7 @@ def history(spark: SparkSession, table_path: str) -> list[dict]:
             for d in _commits(spark, table_path)]
 
 
+@_scoped
 def describe_table(spark: SparkSession, table_path: str) -> dict:
     """DESCRIBE DETAIL: the table's operational profile from the
     commit log alone (zero filesystem probes, no data read) — version,
@@ -714,6 +786,7 @@ def describe_table(spark: SparkSession, table_path: str) -> dict:
             "dv_debt_fraction": debt["fraction"]}
 
 
+@_scoped
 def version_at_timestamp(spark: SparkSession, table_path: str,
                          ts: float) -> int:
     """TIMESTAMP AS OF resolution: the latest version whose commit
@@ -1139,6 +1212,7 @@ def _structured_column(ranges: dict, eq: dict) -> Column:
     return cond
 
 
+@_scoped
 def read_table(spark: SparkSession, table_path: str,
                version: int | None = None,
                merge_schema: bool = False,
@@ -1510,6 +1584,78 @@ def _write_data_files(spark: SparkSession, table_path: str,
     return adds
 
 
+def _footer_stats(root: str, adds: list[dict],
+                  cols: list[str]) -> dict | None:
+    """Per-file (rows, {col: (min, max)}) read from LOCAL parquet
+    FOOTERS — the write-time stats the Spark scan job recomputes
+    (round-11 optimization, guide §1.2: don't compute things twice;
+    the row count and fixed-width min/max are already in every
+    footer, exactly). Applies ONLY when every stat column is a plain
+    integer/float leaf: fixed-width parquet statistics are exact by
+    format definition, whereas string min/max may be truncated and
+    timestamp/decimal/date values round-trip through different
+    Python types than the Spark collect lane — those batches keep
+    the Spark scan. A double chunk containing NaN has no footer
+    min/max (parquet-format rule), which lands in the bail-out path
+    below. Returns ``{add-path: (rows, {col: (mn, mx)})}`` or None
+    (non-local root, unsupported type, missing stats, any error) —
+    callers fall back to the Spark lane unchanged.
+
+    Scale note: this is O(adds) small local footer reads on the
+    driver for the files THIS COMMIT wrote — bounded by the write's
+    own file count, never table size. Remote (s3a://…) tables keep
+    the executor-side scan. ``LUMA_LH_FOOTER_STATS=0`` disables the
+    lane (debug escape hatch)."""
+    if os.environ.get("LUMA_LH_FOOTER_STATS", "1") == "0":
+        return None
+    if "://" in root and not root.startswith("file:"):
+        return None
+    local_root = root[len("file:"):] if root.startswith("file:") else root
+    try:
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+        out: dict = {}
+        for a in adds:
+            pf = _pq.ParquetFile(os.path.join(local_root, a["path"]))
+            arrow = pf.schema_arrow
+            for c in cols:
+                i = arrow.get_field_index(c)
+                if i < 0:
+                    return None
+                t = arrow.field(i).type
+                if not (_pa.types.is_integer(t) or _pa.types.is_floating(t)):
+                    return None
+            md = pf.metadata
+            if md.num_rows == 0:
+                # the Spark lane's groupBy never yields a row for an
+                # empty file — leave the add unannotated there too
+                continue
+            leaf = {md.row_group(0).column(i).path_in_schema: i
+                    for i in range(md.row_group(0).num_columns)} \
+                if md.num_row_groups else {}
+            stats: dict = {}
+            for c in cols:
+                if c not in leaf:
+                    return None
+                mn = mx = None
+                for rg in range(md.num_row_groups):
+                    cc = md.row_group(rg).column(leaf[c])
+                    st = cc.statistics
+                    if st is None or not st.has_min_max:
+                        if (st is not None
+                                and st.null_count is not None
+                                and st.null_count == cc.num_values):
+                            continue  # all-null chunk: contributes None
+                        return None  # stats absent/NaN-suppressed: bail
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+                stats[c] = (mn, mx)
+            out[a["path"]] = (md.num_rows, stats)
+        return out
+    except Exception:
+        return None
+
+
 def _annotate_adds(spark: SparkSession, root: str, adds: list[dict],
                    data_columns: list[str], keys: list[str],
                    stat_cols: list[str] | None = None,
@@ -1534,7 +1680,21 @@ def _annotate_adds(spark: SparkSession, root: str, adds: list[dict],
     so mixed-size histories probe correctly."""
     cols = list(dict.fromkeys((keys or []) + (stat_cols or [])))
     cols = [c for c in cols if c in data_columns]
-    if cols and adds:
+    foot = _footer_stats(root, adds, cols) if cols and adds else None
+    if foot is not None:
+        for a in adds:
+            got = foot.get(a["path"])
+            if got is None:
+                continue
+            rows, st = got
+            col_stats = {c: {"min": _json_stat(st[c][0]),
+                             "max": _json_stat(st[c][1])}
+                         for c in cols}
+            a.update({"rows": rows, "stats": col_stats})
+            if keys and keys[0] in col_stats:
+                a["min_key"] = str(st[keys[0]][0])
+                a["max_key"] = str(st[keys[0]][1])
+    elif cols and adds:
         aggs = [F.count(F.lit(1)).alias("_n")]
         for i, c in enumerate(cols):
             aggs.append(F.min(c).alias(f"_lo{i}"))
@@ -3116,8 +3276,23 @@ def _merge_once_impl(spark: SparkSession, table_path: str,
                 out_cols.append(F.col(f"tgt.{c}").alias(c))
         parts.append(joined.filter(~drop).select(*out_cols))
     if insert_when_not_matched:
-        all_keys = target.select(*keys).distinct()
-        inserts = src.join(all_keys, keys, "left_anti")
+        # NOT-MATCHED detection needs only target keys that can match
+        # a source key — and every such key lives in a TOUCHED file by
+        # construction (touched = files whose key columns semi-join the
+        # source's keys; stat-pruned files are provably disjoint from
+        # the source envelope, and candidate files outside `touched`
+        # contain no source-matching key at all). Anti-joining against
+        # the touched files' DV-filtered keys is therefore exactly
+        # equivalent to the former full-table `target.select(keys)
+        # .distinct()` — but scans O(touched) files instead of the
+        # whole table (guide §3.2: reduce the side you shuffle; at a
+        # 10^6-file table a sparse merge previously paid a full
+        # key-column scan just to decide inserts).
+        if touched:
+            match_keys = tgt_touched.select(*keys).distinct()
+            inserts = src.join(match_keys, keys, "left_anti")
+        else:
+            inserts = src
         parts.append(inserts)
 
     adds: list[dict] = []
@@ -3303,6 +3478,7 @@ def _dv_rows_by_rel(commits: list[dict],
     return rows
 
 
+@_scoped
 def dv_debt(spark: SparkSession, table_path: str) -> dict:
     """The table's merge-on-read debt: live deletion-vector rows vs
     live physical rows (every read pays one anti-join while debt > 0).
@@ -3629,6 +3805,7 @@ def snapshot_adds(spark: SparkSession, table_path: str,
     return [live[p] for p in sorted(live)]
 
 
+@_scoped
 def read_table_pruned(spark: SparkSession, table_path: str, key_col: str,
                       lo, hi, version: int | None = None) -> DataFrame:
     """Data-skipping read: open only the files whose commit-log
@@ -3657,6 +3834,7 @@ def read_table_pruned(spark: SparkSession, table_path: str, key_col: str,
                       where={key_col: (lo, hi)})
 
 
+@_scoped
 def read_table_pruned_multi(spark: SparkSession, table_path: str,
                             preds: dict[str, tuple],
                             version: int | None = None) -> DataFrame:
@@ -3705,6 +3883,7 @@ def _read_pruned_files(spark: SparkSession, table_path: str,
         schema, events)
 
 
+@_scoped
 def pruned_candidate_files(spark: SparkSession, table_path: str,
                            preds: dict[str, tuple] | None,
                            version: int | None = None,
@@ -3853,6 +4032,7 @@ def pruned_candidate_files(spark: SparkSession, table_path: str,
     return keep
 
 
+@_scoped
 def read_table_point_lookup(spark: SparkSession, table_path: str,
                             eq: dict,
                             version: int | None = None) -> DataFrame:
@@ -3876,6 +4056,7 @@ def read_table_point_lookup(spark: SparkSession, table_path: str,
     return read_table(spark, table_path, version, where=dict(eq))
 
 
+@_scoped
 def read_changes(spark: SparkSession, table_path: str,
                  from_version: int, to_version: int | None = None,
                  keys: list[str] | None = None) -> DataFrame:
@@ -4657,6 +4838,7 @@ def abort_staged(spark: SparkSession, table_path: str,
 # every metric it reads is log-derived (describe_table: no data scan).
 # ---------------------------------------------------------------------------
 
+@_scoped
 def maintenance_plan(spark: SparkSession, table_path: str,
                      target_rows: int = 1_000_000,
                      small_file_fraction: float = 0.5,

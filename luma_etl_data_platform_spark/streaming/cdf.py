@@ -83,10 +83,13 @@ class ChangeFeedLedger:
         set. Reads the same compacted representation :meth:`summary`
         polls — one directory listing over the O(compact_every)
         self-compacted files, duplicate rows (benign crash residue of
-        :meth:`compact`) collapsed executor-side before collect. The
-        returned SET is necessarily O(feed lifetime); the streaming
-        path never calls this — it reads :meth:`summary`'s
-        (watermark, exceptions) pair, O(1) on the driver."""
+        :meth:`compact`) collapsed before collect. The returned SET is
+        necessarily O(feed lifetime); the streaming path never calls
+        this — it reads :meth:`summary`'s (watermark, exceptions)
+        pair, O(1) on the driver."""
+        local = self._versions_local()
+        if local is not None:
+            return local
         try:
             return {int(r["version"]) for r in
                     (self.spark.read.schema(self._SCHEMA)
@@ -94,6 +97,40 @@ class ChangeFeedLedger:
                      .distinct().collect())}
         except Exception:
             return set()
+
+    def _versions_local(self) -> set[int] | None:
+        """Driver-side read of the ledger's distinct version set
+        (round-11 optimization, same class as :meth:`_record_local`):
+        the ledger is O(compact_every) one-row files of a single
+        int64 column — launching a Spark job (distinct + agg, ~0.3 s
+        of scheduler latency) per catch-up poll to read it is pure
+        fixed cost. pyarrow reads the same files the Spark reader
+        would (markers and dotted temp files excluded, so a
+        concurrent :meth:`record`'s in-flight ``.tmp`` is never
+        seen). Returns None for non-local URIs or on any read error —
+        callers fall back to the Spark lane unchanged."""
+        p = self.path
+        if "://" in p and not p.startswith("file:"):
+            return None
+        local = p[len("file:"):] if p.startswith("file:") else p
+        try:
+            import os as _os
+
+            import pyarrow.parquet as _pq
+            if not _os.path.isdir(local):
+                return set()
+            out: set[int] = set()
+            for name in _os.listdir(local):
+                if (name.startswith("_") or name.startswith(".")
+                        or _os.path.isdir(_os.path.join(local, name))):
+                    continue
+                col = _pq.read_table(_os.path.join(local, name),
+                                     columns=["version"])["version"]
+                out.update(int(v) for v in col.to_pylist()
+                           if v is not None)
+            return out
+        except Exception:
+            return None
 
     def summary(self) -> tuple[int | None, set[int]]:
         """``(watermark, exceptions)``: the contiguous-prefix high
@@ -109,7 +146,25 @@ class ChangeFeedLedger:
 
     def _summary_full(self) -> tuple[int | None, int | None, set[int]]:
         """``(min_recorded, watermark, exceptions)`` — the summary
-        plus the feed's lowest recorded version (one shared agg)."""
+        plus the feed's lowest recorded version (one shared agg).
+        Local ledgers resolve driver-side (:meth:`_versions_local`);
+        the Spark lane below is the non-local/fallback path and
+        computes the identical triple."""
+        vs = self._versions_local()
+        if vs is not None:
+            if not vs:
+                return None, None, set()
+            mn, mx = min(vs), max(vs)
+            if len(vs) == mx - mn + 1:
+                return mn, mx, set()
+            # first hole above mn: watermark is the version just
+            # below it (same contract as the Spark gap-finding join)
+            hole = next((v for v in range(mn + 1, mx + 1)
+                         if v not in vs), None)
+            if hole is None:
+                return mn, mx, set()
+            wm = hole - 1
+            return mn, wm, {v for v in vs if v > wm}
         try:
             df = (self.spark.read.schema(self._SCHEMA)
                   .parquet(self.path).select("version").distinct())
@@ -157,12 +212,49 @@ class ChangeFeedLedger:
         if self._files is None:
             fs, _jvm, Path = self._hfs()
             self._files = len(self._data_files(fs, Path))
-        from ..core.localframe import local_frame
-        (local_frame(self.spark, [(int(version),)], self._SCHEMA)
-         .coalesce(1).write.mode("append").parquet(self.path))
+        if not self._record_local(version):
+            from ..core.localframe import local_frame
+            (local_frame(self.spark, [(int(version),)], self._SCHEMA)
+             .coalesce(1).write.mode("append").parquet(self.path))
         self._files += 1
         if self._files >= self.compact_every:
             self.compact()
+
+    def _record_local(self, version: int) -> bool:
+        """Driver-side append of the one-row ledger file (round-11
+        optimization): a ledger record is table METADATA — one int64
+        — and belongs on the driver next to the commit-log JSON
+        writes, not in a Spark write job (~0.25 s of scheduler
+        latency per streamed version, §5 of the optimization guide:
+        the driver should do no data work, but this is not data
+        work). pyarrow writes the same footer schema the Spark reader
+        imposes; the file lands under a dotted temp name and renames
+        in, so a concurrent ``summary`` poll never reads a partial
+        file. Non-local ledger URIs (s3a://…) keep the Spark write —
+        pyarrow has no Hadoop filesystem here. Returns True when the
+        local fast path handled the append."""
+        p = self.path
+        if "://" in p and not p.startswith("file:"):
+            return False
+        local = p[len("file:"):] if p.startswith("file:") else p
+        try:
+            import os as _os
+            import uuid as _uuid
+
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+            _os.makedirs(local, exist_ok=True)
+            name = f"part-{_uuid.uuid4().hex}-v{int(version)}.parquet"
+            tmp = _os.path.join(local, f".{name}.tmp")
+            table = _pa.Table.from_arrays(
+                [_pa.array([int(version)], _pa.int64())],
+                schema=_pa.schema(
+                    [_pa.field("version", _pa.int64(), nullable=False)]))
+            _pq.write_table(table, tmp)
+            _os.replace(tmp, _os.path.join(local, name))
+            return True
+        except Exception:
+            return False
 
     def compact(self) -> None:
         """Rewrite the ledger to one parquet file. Order of
