@@ -5,15 +5,49 @@ hash, vector math) get at least default-parallelism partitions. Small
 inputs often arrive as one file split → one task → single-threaded
 compute; at real scale inputs already have >= cores splits and this
 is a no-op (the repartition only fires when under-partitioned).
+
+The partition-count probe (``df.rdd.getNumPartitions()``) physically
+plans the frame's subtree — measured 40-95 ms per FRESH DataFrame at
+sf0.1, and the work is thrown away (the enclosing query re-plans from
+scratch when it executes; round-11 optimization, guide §1.2 "don't
+compute things you throw away"). The probe result is therefore
+memoized per (session, analyzed-plan semanticHash): semanticHash is
+an analysis-only py4j call (~1.5 ms) and two semantically-equal
+frames plan to the same partition count in the same session. The memo
+only ever shortcuts a PERFORMANCE decision — whether to add a
+repartition — never a result (partition layout is
+result-independent; the partition-independence gates pin that), so
+the one theoretical staleness window (a path-level scan whose
+underlying files were rewritten in-session with the same path and
+schema) can at worst re-apply the previous repartition decision.
+Explicit-file-list reads (the lakehouse read paths) embed the file
+names in the analyzed plan, so they can never alias across rewrites.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+_NPART_MEMO: dict[tuple[int, int], int] = {}
+_NPART_MEMO_MAX = 4096
+
 
 def spread(df: DataFrame) -> DataFrame:
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n = None
+    key = None
+    try:
+        key = (id(df.sparkSession._jsparkSession),
+               df._jdf.queryExecution().analyzed().semanticHash())
+        n = _NPART_MEMO.get(key)
+    except Exception:  # private-API drift: fall back to the probe
+        key = None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            if len(_NPART_MEMO) >= _NPART_MEMO_MAX:
+                _NPART_MEMO.clear()
+            _NPART_MEMO[key] = n
+    if n < target:
         return df.repartition(target)
     return df

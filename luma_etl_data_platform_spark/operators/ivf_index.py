@@ -114,7 +114,13 @@ def _split_list(spark: SparkSession, table_path: str, lid: int,
     half becomes ``new_id``. One atomic ``replace_where`` rewrites
     ONLY this list's partition (every other list's files carry by
     reference)."""
-    members = LH.read_table(spark, table_path, where={list_col: lid})
+    # one physical read of the list: the pruned read feeds THREE
+    # consumers (the seed-id agg, the broadcast seed build inside the
+    # rewrite, and the rewrite itself) — without the checkpoint each
+    # re-reads the list's parquet files (guide §1.2: don't compute
+    # things twice; the hot list is by definition the index's biggest)
+    members = (LH.read_table(spark, table_path, where={list_col: lid})
+               .localCheckpoint(eager=True))
     b = members.agg(F.min(id_col).alias("_lo"),
                     F.max(id_col).alias("_hi")).collect()[0]
     seeds = (members.filter(F.col(id_col).isin(b["_lo"], b["_hi"]))

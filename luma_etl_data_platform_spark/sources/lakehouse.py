@@ -63,6 +63,7 @@ RESTORE semantics — auditable and itself reversible).
 from __future__ import annotations
 
 import datetime as _dt
+import functools
 import json
 import os
 import re as _re
@@ -455,26 +456,81 @@ def _fresh_top(doc: dict) -> dict:
             for k, v in doc.items()}
 
 
+def _local_fs_path(path: str) -> str | None:
+    """Local-filesystem form of ``path`` (``file:`` scheme stripped),
+    None for non-local URIs — the shared guard of every driver-side
+    fast lane (footer stats, ledger reads, the local log listing)."""
+    if "://" in path and not path.startswith("file:"):
+        return None
+    return path[len("file:"):] if path.startswith("file:") else path
+
+
 def _commits(spark: SparkSession, table_path: str) -> list[dict]:
     root = table_path.rstrip("/")
     pin = _PINNED_COMMITS.get(root)
     if pin is not None and pin[1] is not None:
         docs = [_fresh_top(d) for d in pin[1]]
         return _annotate_txn(spark, docs)
-    fs, jvm = _fs(spark, table_path)
-    Path = jvm.org.apache.hadoop.fs.Path
-    log_dir = Path(f"{root}/{_LOG_DIR}")
-    if not fs.exists(log_dir):
-        return []
-    listing = [(st.getPath(),
-                (str(st.getPath()), st.getModificationTime(),
-                 st.getLen()))
-               for st in fs.listStatus(log_dir)]
+    local = _local_fs_path(root)
+    if local is not None:
+        # LOCAL log dirs list and read driver-side (round-11, same
+        # class as _footer_stats / the ledger lanes): the Hadoop
+        # listing costs 3+ py4j round trips PER LOG ENTRY per fresh
+        # listing, which is the residual fixed cost of every public
+        # read's first `_commits` in its scope. os.scandir yields the
+        # identical (path, mtime_ms, size) cache keys (commit files
+        # are immutable once renamed in, so the triple still
+        # identifies content; key path keeps the Hadoop "file:" form
+        # so both lanes share cached docs). Non-local URIs keep the
+        # Hadoop lane unchanged.
+        log_dir_l = os.path.abspath(os.path.join(local, _LOG_DIR))
+        if not os.path.isdir(log_dir_l):
+            return []
+        listing = []
+        with os.scandir(log_dir_l) as it:
+            for e in it:
+                try:
+                    if not e.is_file():
+                        continue
+                    st = e.stat()
+                except OSError:
+                    continue  # vanished between list and stat
+                listing.append((e.name, e.path,
+                                (f"file:{e.path}",
+                                 st.st_mtime_ns // 1_000_000,
+                                 st.st_size)))
 
-    def _load(p, key) -> dict:
+        def _read_doc(p: str) -> str:
+            with open(p, "r", encoding="utf-8") as fh:
+                return fh.read()
+
+        anchor = 0
+        ptr = os.path.join(log_dir_l, "_last_checkpoint")
+        try:
+            if os.path.exists(ptr):
+                anchor = int(json.loads(_read_doc(ptr))["version"])
+        except Exception:
+            anchor = 0  # torn/corrupt pointer: full parse, never error
+    else:
+        fs, jvm = _fs(spark, table_path)
+        Path = jvm.org.apache.hadoop.fs.Path
+        log_dir = Path(f"{root}/{_LOG_DIR}")
+        if not fs.exists(log_dir):
+            return []
+        listing = [(st.getPath().getName(), str(st.getPath()),
+                    (str(st.getPath()), st.getModificationTime(),
+                     st.getLen()))
+                   for st in fs.listStatus(log_dir)]
+
+        def _read_doc(p: str) -> str:
+            return _read_text(fs, jvm, p)
+
+        anchor = _last_ckpt_anchor(fs, jvm, table_path)
+
+    def _load(p: str, key) -> dict:
         doc = _DOC_CACHE.get(key)
         if doc is None:
-            doc = json.loads(_read_text(fs, jvm, str(p)))
+            doc = json.loads(_read_doc(p))
             if os.environ.get("LUMA_LH_FREEZE_DOCS"):
                 doc = _freeze_json(doc)
             if len(_DOC_CACHE) >= _DOC_CACHE_MAX:
@@ -495,8 +551,7 @@ def _commits(spark: SparkSession, table_path: str) -> list[dict]:
         # pick the checkpoint). With a pointer anchor, names BELOW it
         # are never even opened — O(tail) parses per call.
         by_version: dict[int, tuple[bool, dict]] = {}
-        for p, key in listing:
-            name = p.getName()
+        for name, p, key in listing:
             if not name.endswith(".json") or name.startswith("."):
                 continue
             if anchor:
@@ -510,7 +565,6 @@ def _commits(spark: SparkSession, table_path: str) -> list[dict]:
                 by_version[doc["version"]] = (is_ckpt, doc)
         return [by_version[v][1] for v in sorted(by_version)]
 
-    anchor = _last_ckpt_anchor(fs, jvm, table_path)
     docs = _parse(anchor)
     if anchor and not any(
             d["version"] == anchor
@@ -1528,19 +1582,14 @@ def _write_data_files(spark: SparkSession, table_path: str,
          .parquet(tmp_dir))
     else:
         df.write.mode("overwrite").parquet(tmp_dir)
-    fs, jvm = _fs(spark, table_path)
-    Path = jvm.org.apache.hadoop.fs.Path
     dest_prefix = f"{subdir.rstrip('/')}/" if subdir else ""
-    if subdir:
-        fs.mkdirs(Path(f"{root}/{subdir.rstrip('/')}"))
-    adds = []
-    it = fs.listFiles(Path(tmp_dir), True)
-    while it.hasNext():
-        st = it.next()
-        name = st.getPath().getName()
-        if not name.endswith(".parquet"):
-            continue
-        rel_src = _rel_path(str(st.getPath()), tmp_dir)
+    spec_map = {p["name"]: p["spec"]
+                for p in _partition_specs(partition_cols)
+                if p["kind"] != "identity"}
+
+    def _one_add(rel_src: str, size: int) -> tuple[str, dict]:
+        """(final rel path, add-action) for one staged file — the
+        shared placement logic of both lanes below."""
         pvals: dict = {}
         dest_segs: list[str] = []
         for seg in rel_src.split("/")[:-1]:
@@ -1554,14 +1603,10 @@ def _write_data_files(spark: SparkSession, table_path: str,
         prefix = dest_prefix + ("/".join(dest_segs) + "/"
                                 if dest_segs else "")
         final = f"{prefix}part-{uuid.uuid4().hex}.parquet"
-        if "/" in final:
-            fs.mkdirs(Path(f"{root}/{final.rsplit('/', 1)[0]}"))
-        if not fs.rename(st.getPath(), Path(f"{root}/{final}")):
-            raise IOError(f"failed to place data file {final}")
-        # file length from the listing's FileStatus (rename preserves
-        # it) — zero extra RPCs; this is what lets DESCRIBE and the
-        # maintenance planner reason in bytes with no per-file probes
-        add: dict = {"path": final, "size_bytes": int(st.getLen())}
+        # file length from the staging listing (rename preserves it)
+        # — zero extra probes; this is what lets DESCRIBE and the
+        # maintenance planner reason in bytes with no per-file RPCs
+        add: dict = {"path": final, "size_bytes": int(size)}
         if pvals:
             add["partition"] = pvals
             # per-file spec identity (Iceberg's per-file spec-id):
@@ -1570,14 +1615,59 @@ def _write_data_files(spark: SparkSession, table_path: str,
             # parameter (bucket(4,u) → bucket(8,u)) keeps pruning per
             # generation instead of being disabled wholesale
             # (identity values are spec-independent — not recorded)
-            spec_map = {p["name"]: p["spec"]
-                        for p in _partition_specs(partition_cols)
-                        if p["kind"] != "identity"}
             spec_rec = {k: spec_map[k] for k in pvals if k in spec_map}
             if spec_rec:
                 add["spec"] = spec_rec
-        adds.append(add)
-    fs.delete(Path(tmp_dir), True)
+        return final, add
+
+    adds = []
+    local_root = _local_fs_path(root)
+    if local_root is not None:
+        # local placement lane (round-11, same class as the local log
+        # listing): the Hadoop loop costs ~4 py4j round trips per
+        # written file (status, name, mkdirs, rename); os.walk +
+        # os.replace do the identical renames driver-side. Spark's
+        # .crc sidecars stay behind in the staging dir and are
+        # removed with it (a missing checksum sidecar is always
+        # acceptable to Hadoop readers — absence means "unverified",
+        # not an error).
+        import shutil as _sh
+        tmp_l = os.path.join(local_root, tmp_rel)
+        if subdir:
+            os.makedirs(os.path.join(local_root, subdir.rstrip("/")),
+                        exist_ok=True)
+        for dirpath, _dirs, files in os.walk(tmp_l):
+            _dirs.sort()  # deterministic placement order
+            for name in sorted(files):
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, name)
+                rel_src = os.path.relpath(src, tmp_l).replace(os.sep, "/")
+                final, add = _one_add(rel_src, os.stat(src).st_size)
+                dst = os.path.join(local_root, final)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(src, dst)
+                adds.append(add)
+        _sh.rmtree(tmp_l, ignore_errors=True)
+    else:
+        fs, jvm = _fs(spark, table_path)
+        Path = jvm.org.apache.hadoop.fs.Path
+        if subdir:
+            fs.mkdirs(Path(f"{root}/{subdir.rstrip('/')}"))
+        it = fs.listFiles(Path(tmp_dir), True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if not name.endswith(".parquet"):
+                continue
+            rel_src = _rel_path(str(st.getPath()), tmp_dir)
+            final, add = _one_add(rel_src, st.getLen())
+            if "/" in final:
+                fs.mkdirs(Path(f"{root}/{final.rsplit('/', 1)[0]}"))
+            if not fs.rename(st.getPath(), Path(f"{root}/{final}")):
+                raise IOError(f"failed to place data file {final}")
+            adds.append(add)
+        fs.delete(Path(tmp_dir), True)
     _annotate_adds(spark, root, adds, df.columns, keys,
                    stat_cols=stat_cols, bloom_cols=bloom_cols,
                    bloom_bits=bloom_bits, bloom_hashes=bloom_hashes)
@@ -4316,12 +4406,15 @@ def analyze_table(spark: SparkSession, table_path: str,
                        root + "/", -1)))
             return _apply_schema_events(raw, events)
 
-        if scols:
+        def _stats_job() -> list:
             aggs = [F.count(F.lit(1)).alias("_n")]
             for i, c in enumerate(scols):
                 aggs.append(F.min(c).alias(f"_lo{i}"))
                 aggs.append(F.max(c).alias(f"_hi{i}"))
-            for r in _logical().groupBy("_f").agg(*aggs).collect():
+            return _logical().groupBy("_f").agg(*aggs).collect()
+
+        def _apply_stats(rows: list) -> None:
+            for r in rows:
                 a = _add_for(r["_f"])
                 if a is None:
                     continue
@@ -4331,6 +4424,41 @@ def analyze_table(spark: SparkSession, table_path: str,
                              "max": _json_stat(r[f"_hi{i}"])}
                 a["stats"] = st
                 a.setdefault("rows", r["_n"])
+
+        def _lanes_job(c: str, m_bits: int) -> list:
+            seeds = F.explode(F.array(
+                *[F.lit(s) for s in range(bloom_hashes)])).alias("_s")
+            return (_logical()
+                    .select("_f", F.col(c).alias("_v"))
+                    .filter(F.col("_v").isNotNull())
+                    .select("_f", seeds, "_v")
+                    .select("_f",
+                            (portable_hash32(F.col("_v"), F.col("_s"))
+                             % m_bits).alias("_pos"))
+                    .select("_f",
+                            F.expr("CAST(floor(_pos / 64) AS BIGINT)")
+                            .alias("lane"),
+                            F.expr("shiftleft(CAST(1 AS BIGINT),"
+                                   " CAST(_pos % 64 AS INT))")
+                            .alias("_bit"))
+                    .groupBy("_f", "lane")
+                    .agg(F.bit_or("_bit").alias("bits"))
+                    .collect())
+
+        # The stats scan and each bloom-column scan are INDEPENDENT
+        # read-only jobs over disjoint column sets — running them
+        # sequentially leaves the cluster idle through each job's tail
+        # (guide §2.6 "overlap independent jobs"). Bloom sizing is
+        # resolved FIRST (it may need the stats job's row counts — in
+        # that one ordering-dependent case the stats job runs alone up
+        # front, exactly the sequential job count), then every
+        # remaining scan is submitted together and the add-action
+        # mutations are applied on this thread only.
+        stats_done = False
+        if scols and bcols and bloom_bits is None \
+                and any(a.get("rows") is None for a in adds):
+            _apply_stats(_stats_job())
+            stats_done = True
         if bcols:
             m_bits = bloom_bits
             if m_bits is None:
@@ -4344,42 +4472,38 @@ def analyze_table(spark: SparkSession, table_path: str,
                 m_bits = 8192
                 while m_bits < min(max_rows * 10, 1 << 22):
                     m_bits *= 2
-            for c in bcols:
-                seeds = F.explode(F.array(
-                    *[F.lit(s) for s in range(bloom_hashes)])).alias("_s")
-                lanes = (_logical()
-                         .select("_f", F.col(c).alias("_v"))
-                         .filter(F.col("_v").isNotNull())
-                         .select("_f", seeds, "_v")
-                         .select("_f",
-                                 (portable_hash32(F.col("_v"), F.col("_s"))
-                                  % m_bits).alias("_pos"))
-                         .select("_f",
-                                 F.expr("CAST(floor(_pos / 64) AS BIGINT)")
-                                 .alias("lane"),
-                                 F.expr("shiftleft(CAST(1 AS BIGINT),"
-                                        " CAST(_pos % 64 AS INT))")
-                                 .alias("_bit"))
-                         .groupBy("_f", "lane")
-                         .agg(F.bit_or("_bit").alias("bits"))
-                         .collect())
-                for r in lanes:
-                    a = _add_for(r["_f"])
-                    if a is None:
-                        continue
-                    bl = dict(a.get("blooms") or {})
-                    ent = dict(bl.get(c) or {"m": m_bits,
-                                             "k": bloom_hashes,
-                                             "lanes": {}})
-                    if ent.get("m") != m_bits or ent.get("k") != bloom_hashes:
-                        # re-analyze with different sizing: replace
-                        ent = {"m": m_bits, "k": bloom_hashes,
-                               "lanes": {}}
-                    lanes_d = dict(ent["lanes"])
-                    lanes_d[str(r["lane"])] = int(r["bits"])
-                    ent["lanes"] = lanes_d
-                    bl[c] = ent
-                    a["blooms"] = bl
+        jobs: list[tuple[str | None, object]] = []
+        if scols and not stats_done:
+            jobs.append((None, _stats_job))
+        for c in bcols:
+            jobs.append((c, functools.partial(_lanes_job, c, m_bits)))
+        if len(jobs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(len(jobs), 4)) as pool:
+                results = list(pool.map(lambda j: j[1](), jobs))
+        else:
+            results = [j[1]() for j in jobs]
+        for (c, _), res in zip(jobs, results):
+            if c is None:
+                _apply_stats(res)
+                continue
+            for r in res:
+                a = _add_for(r["_f"])
+                if a is None:
+                    continue
+                bl = dict(a.get("blooms") or {})
+                ent = dict(bl.get(c) or {"m": m_bits,
+                                         "k": bloom_hashes,
+                                         "lanes": {}})
+                if ent.get("m") != m_bits or ent.get("k") != bloom_hashes:
+                    # re-analyze with different sizing: replace
+                    ent = {"m": m_bits, "k": bloom_hashes,
+                           "lanes": {}}
+                lanes_d = dict(ent["lanes"])
+                lanes_d[str(r["lane"])] = int(r["bits"])
+                ent["lanes"] = lanes_d
+                bl[c] = ent
+                a["blooms"] = bl
         doc = {"version": base + 1, "op": "analyze",
                "add": adds, "remove": [],
                "stat_cols_analyzed": scols}

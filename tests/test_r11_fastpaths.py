@@ -129,3 +129,67 @@ def test_ledger_local_skips_hidden_and_tmp_files(spark, tmpdir_):
     open(f"{path}/_feed_marker", "w").write("{}")
     assert ledger._versions_local() == {3, 4}
     assert ledger.summary() == (4, set())
+
+
+# -- round-11 optimization, second pass ------------------------------
+
+def test_spread_memo_same_decision_and_reuse(spark):
+    """spread()'s partition-count probe is memoized per analyzed-plan
+    semanticHash: the memoized decision must equal the probe's, and a
+    semantically-equal fresh frame must be decided FROM the memo
+    (proving the 40-95 ms planning probe is skipped)."""
+    from luma_etl_data_platform_spark.core import partitioning as P
+    P._NPART_MEMO.clear()
+    target = spark.sparkContext.defaultParallelism
+    out = P.spread(spark.range(100).coalesce(1))
+    assert out.rdd.getNumPartitions() == target
+    assert len(P._NPART_MEMO) == 1          # probe result memoized
+    key = next(iter(P._NPART_MEMO))
+    # poison the entry: an equal fresh frame must follow the MEMO's
+    # decision (no repartition), i.e. the probe did not run again
+    P._NPART_MEMO[key] = target
+    again = P.spread(spark.range(100).coalesce(1))
+    assert again.rdd.getNumPartitions() == 1
+    P._NPART_MEMO.clear()
+    wide = spark.range(1000).repartition(target)
+    assert P.spread(wide) is wide           # already spread: untouched
+    P._NPART_MEMO.clear()
+
+
+def test_analyze_sizing_when_rows_unknown_with_stats(spark, tmpdir_):
+    """analyze_table's bloom sizing needs per-file row counts; when
+    the adds predate row recording AND stat_cols are requested, the
+    stats job must run FIRST and feed the sizing (the one
+    ordering-dependent case the concurrent-scan restructure keeps
+    sequential) — no extra counting job, correct m, working bloom."""
+    path = f"{tmpdir_}/t"
+    df = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"),
+        F.concat(F.lit("u-"), F.col("id")).alias("u"))
+    LH.create_table(spark, path, df.repartition(4), ["k"])
+    import glob
+    for p in glob.glob(f"{path}/_log/*.json"):
+        with open(p) as fh:
+            doc = json.load(fh)
+        for a in doc.get("add", []):
+            a.pop("rows", None)
+            a.pop("stats", None)
+        with open(p, "w") as fh:
+            json.dump(doc, fh)
+        crc = os.path.join(os.path.dirname(p),
+                           f".{os.path.basename(p)}.crc")
+        if os.path.exists(crc):  # hadoop checksum sidecar is now stale
+            os.remove(crc)
+    LH._invalidate_doc_cache(path)
+    res = LH.analyze_table(spark, path, stat_cols=["v"],
+                           bloom_cols=["u"])
+    assert res["n_files"] == 4
+    adds = [a for d in LH._commits(spark, path)
+            if d.get("op") == "analyze" for a in d["add"]]
+    assert len(adds) == 4
+    assert all(a.get("rows") is not None for a in adds)
+    assert sum(a["rows"] for a in adds) == 400
+    assert {a["blooms"]["u"]["m"] for a in adds} == {8192}
+    assert all("v" in (a.get("stats") or {}) for a in adds)
+    cand = LH.pruned_candidate_files(spark, path, None, eq={"u": "u-0"})
+    assert 0 < len(cand) < 4
