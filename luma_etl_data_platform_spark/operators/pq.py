@@ -124,14 +124,22 @@ def pq_trained_codebook_df(spark: SparkSession, df: DataFrame,
     sum whose key space is M*k*sub_d — the driver holds only the
     M*k*sub_d update integers (1024 longs at the defaults)."""
     sub_d = dim // m_sub
-    seeds = pq_codebook_df(spark, df, id_col, vec_col, dim, m_sub,
-                           k_codes)
     qv = micro_units(F.col(vec_col), dim)
-    subs = (df.select(F.col(id_col).alias("id"),
-                      F.explode(_subspaces(qv, dim, m_sub)).alias("s"))
-            .select("id", F.col("s.m").alias("m"),
-                    F.col("s.sub").alias("vsub"))
-            .localCheckpoint(eager=True))  # reused every Lloyd round
+    subs_frame = (df.select(F.col(id_col).alias("id"),
+                            F.explode(_subspaces(qv, dim, m_sub))
+                            .alias("s"))
+                  .select("id", F.col("s.m").alias("m"),
+                          F.col("s.sub").alias("vsub")))
+    # the seed collect and the sub-vector checkpoint are INDEPENDENT
+    # corpus scans — overlap them (optimization guide §2.6) instead of
+    # idling through each job's tail; results are unchanged (the seed
+    # frame is a LocalRelation either way)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut_seeds = pool.submit(pq_codebook_df, spark, df, id_col,
+                                vec_col, dim, m_sub, k_codes)
+        subs = subs_frame.localCheckpoint(eager=True)  # reused every round
+        seeds = fut_seeds.result()
     entries = {(r["m"], r["code"]): list(r["sub"])
                for r in seeds.collect()}
     for _ in range(iters):
