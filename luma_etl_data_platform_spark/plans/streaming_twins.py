@@ -769,12 +769,16 @@ def stream_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     _marks.append(("commits", _time.monotonic()))
 
     def _apply(changes: DataFrame, version: int) -> None:
-        # one pass over the version's file diff: checkpoint the batch
+        # one pass over the batch's file diff: checkpoint the batch
         # (both merge consumers reuse it instead of re-reading the
         # touched files) and probe the change kinds in ONE job — the
         # former ups.limit(1).count() / dels.limit(1).count() pair
         # re-ran the diff once per probe (guide §1.2: don't compute
-        # things twice).
+        # things twice). The mirror is a keyed latest-state sink, so
+        # the feed drains with coalesce_versions=True (round-12,
+        # guide §1.2/§3): one net-diff batch and ONE set of mirror
+        # DMLs per run of consecutive versions instead of a full
+        # MERGE (recon + rewrite + commit) per version.
         changes = changes.localCheckpoint(eager=True)
         kinds = {r[0] for r in
                  changes.select("_change_type").distinct().collect()}
@@ -795,11 +799,13 @@ def stream_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                           delete_condition=F.lit(True),
                           insert_when_not_matched=False)
 
-    first = stream_changes(spark, src_path, _apply, ledger)
+    first = stream_changes(spark, src_path, _apply, ledger,
+                           coalesce_versions=True)
     n_rows = LH.read_table(spark, mirror_path).count()
     _marks.append(("first_apply", _time.monotonic()))
     # full redelivery: every version skips, the mirror is untouched
-    second = stream_changes(spark, src_path, _apply, ledger)
+    second = stream_changes(spark, src_path, _apply, ledger,
+                            coalesce_versions=True)
     replay_clean = (not second["versions_applied"]
                     and second["versions_skipped"]
                     == len(first["versions_applied"])
