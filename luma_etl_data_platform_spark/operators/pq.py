@@ -26,14 +26,26 @@ integer squared-L2, ties break to the smaller code id; the ADC total
 is an exact BIGINT — bit-identical at any partitioning and replayable
 in any engine.
 
-Plan shape: the codebook is a BROADCAST side (M*k rows — never a
-literal: inlining M*k fold expressions made Catalyst analysis, not
-execution, the dominant cost). Encoding explodes each vector into its
-M sub-vectors, broadcast-joins the codebook, and takes the per-
-(vector, subspace) argmin as ``min(struct(d2, code, qd2))`` — the
-query-side ADC entry rides the same codebook rows, so ONE groupBy
-per vector finishes both the code assignment and the ADC sum. No
-row-wise UDF anywhere; top-k is TakeOrderedAndProject.
+Plan shape (round-12 rewrite, optimization guide §2.4 "remove
+shuffles outright"): every decision about a vector — the per-subspace
+argmin, the code string, the ADC sum — depends only on that vector's
+own row plus the M*k-entry codebook, so NOTHING here needs an
+exchange before the final top-k. The codebook rows are folded into a
+ONE-ROW broadcast frame holding a (m, code)-sorted array of entries
+(still a LocalRelation under the hood — never an inline literal tree:
+inlining M*k fold expressions made Catalyst analysis, not execution,
+the dominant cost), and encoding is a single narrow projection:
+``transform`` over the row's M sub-vectors, each taking
+``aggregate(filter(book, e.m == s.m), least(struct(d2, code, qd2)))``
+— exact-integer lexicographic min, ties to the smaller code id
+because the entry array is code-sorted and ``least`` keeps the
+earlier struct on a strict tie. The old shape exploded the corpus
+into M rows per vector, broadcast-joined the codebook, and paid a
+corpus-wide ``groupBy(id, m)`` exchange (plus a second ``groupBy(id)``
+for the ADC sum) to reassemble what the source row already held
+side by side. No row-wise UDF anywhere; top-k is
+TakeOrderedAndProject over the narrow projection — ZERO wide
+shuffles in the serving path.
 
 Reference scope: beyond-reference (no ANN in the reference); task
 brief's similarity-search scale path.
@@ -67,6 +79,29 @@ def _subspaces(vec: Column, dim: int, m_sub: int) -> Column:
         F.struct(F.lit(m).alias("m"),
                  F.slice(vec, m * sub_d + 1, sub_d).alias("sub"))
         for m in range(m_sub)])
+
+
+_LONG_MAX = (1 << 63) - 1
+
+
+def _best_entry(s: Column, bq: Column) -> Column:
+    """``struct(d2, code, qd2)`` of the codebook entry nearest to
+    subspace ``s`` — the narrow (per-row, shuffle-free) form of the
+    per-(vector, subspace) argmin. ``bq`` is the one-row codebook
+    array sorted by (m, code); ``least`` keeps the lexicographically
+    smaller struct, so a d2 tie resolves to the smaller code id —
+    identical semantics to the former ``min(struct(d2, code, qd2))``
+    aggregation, with zero exchanges."""
+    init = F.struct(F.lit(_LONG_MAX).cast("long").alias("d2"),
+                    F.lit(-1).cast("int").alias("code"),
+                    F.lit(0).cast("long").alias("qd2"))
+    return F.aggregate(
+        F.filter(bq, lambda e: e.getField("m") == s.getField("m")),
+        init,
+        lambda acc, e: F.least(acc, F.struct(
+            _d2(s.getField("sub"), e.getField("sub")).alias("d2"),
+            e.getField("code").alias("code"),
+            e.getField("qd2").alias("qd2"))))
 
 
 def pq_codebook_df(spark: SparkSession, df: DataFrame,
@@ -119,26 +154,34 @@ def pq_trained_codebook_df(spark: SparkSession, df: DataFrame,
     - a code that loses every member carries its previous entry (the
       Lloyd convention in ``operators/kmeans.py``).
 
-    Scale shape per round: one corpus-wide broadcast-join scoring
-    pass (the same plan as encoding) and one (m, code, dim)-keyed
-    sum whose key space is M*k*sub_d — the driver holds only the
-    M*k*sub_d update integers (1024 longs at the defaults)."""
+    Scale shape per round (round-12 narrow rewrite, guide §2.4): the
+    assignment is a per-row expression — each corpus row already
+    holds all M of its sub-vectors, so the former explode +
+    broadcast-join + corpus-wide ``groupBy(id, m)`` exchange computed
+    per-row information the source row had side by side. One round is
+    now ONE job whose only exchange is the (m, code, dim)-keyed
+    partial-aggregated sum — key space M*k*sub_d, so the shuffle
+    carries O(partitions * 1024) rows, never O(corpus) — and the
+    driver holds only the M*k*sub_d update integers (1024 longs at
+    the defaults)."""
     sub_d = dim // m_sub
     qv = micro_units(F.col(vec_col), dim)
-    subs_frame = (df.select(F.col(id_col).alias("id"),
-                            F.explode(_subspaces(qv, dim, m_sub))
-                            .alias("s"))
-                  .select("id", F.col("s.m").alias("m"),
-                          F.col("s.sub").alias("vsub")))
     # the seed collect and the sub-vector checkpoint are INDEPENDENT
     # corpus scans — overlap them (optimization guide §2.6) instead of
     # idling through each job's tail; results are unchanged (the seed
-    # frame is a LocalRelation either way)
+    # frame is a LocalRelation either way). inheritable_thread_target
+    # propagates the caller's job group/description/pool into the
+    # worker so cancellation and UI labels still reach the seed job
+    # (ADVICE r11).
     from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
     with ThreadPoolExecutor(max_workers=1) as pool:
-        fut_seeds = pool.submit(pq_codebook_df, spark, df, id_col,
-                                vec_col, dim, m_sub, k_codes)
-        subs = subs_frame.localCheckpoint(eager=True)  # reused every round
+        fut_seeds = pool.submit(
+            inheritable_thread_target(spark)(pq_codebook_df), spark, df,
+            id_col, vec_col, dim, m_sub, k_codes)
+        subs = (df.select(_subspaces(qv, dim, m_sub).alias("_ss"))
+                .localCheckpoint(eager=True))  # reused every round
         seeds = fut_seeds.result()
     entries = {(r["m"], r["code"]): list(r["sub"])
                for r in seeds.collect()}
@@ -146,19 +189,20 @@ def pq_trained_codebook_df(spark: SparkSession, df: DataFrame,
         bdf = spark.createDataFrame(
             [(m, c, s) for (m, c), s in sorted(entries.items())],
             "m int, code int, sub array<long>")
-        # (d2, code) is unique per (id, m) group, so appending vsub to
-        # the min-struct never changes the argmin — it just carries
-        # the member's sub-vector into the update for free
-        assigned = (subs.join(F.broadcast(bdf), "m")
-                    .select("id", "m",
-                            F.struct(_d2(F.col("vsub"), F.col("sub"))
-                                     .alias("d2"), "code", "vsub")
-                            .alias("sc"))
-                    .groupBy("id", "m")
-                    .agg(F.min("sc").alias("w")))
-        sums = (assigned
-                .select("m", F.col("w.code").alias("code"),
-                        F.posexplode(F.col("w.vsub")).alias("i", "x"))
+        bq = bdf.agg(F.sort_array(F.collect_list(F.struct(
+            "m", "code", "sub",
+            F.lit(0).cast("long").alias("qd2")))).alias("_bq"))
+        # narrow per-row assignment: argmin code per subspace, the
+        # member's own sub-vector carried into the update for free
+        best = F.transform(F.col("_ss"), lambda s: F.struct(
+            s.getField("m").alias("m"),
+            _best_entry(s, F.col("_bq")).getField("code").alias("code"),
+            s.getField("sub").alias("vsub")))
+        sums = (subs.crossJoin(F.broadcast(bq))
+                .select(F.explode(best).alias("b"))
+                .select(F.col("b.m").alias("m"),
+                        F.col("b.code").alias("code"),
+                        F.posexplode(F.col("b.vsub")).alias("i", "x"))
                 .groupBy("m", "code", "i")
                 .agg(F.sum("x").alias("s"),
                      F.count(F.lit(1)).alias("n"))
@@ -202,34 +246,33 @@ def pq_topk(df: DataFrame, query: DataFrame, k: int = 10,
         raise ValueError(f"pq_topk: unknown codebook {codebook!r} "
                          "(seeded | trained)")
     qv = micro_units(F.col(vec_col), dim)
-    # query-to-codebook ADC table rides the codebook rows (M*k total)
+    # query-to-codebook ADC table rides the codebook rows (M*k total),
+    # folded into ONE broadcast row holding the (m, code)-sorted entry
+    # array — the narrow encode below needs no join key
     qsub = (query.select(F.explode(_subspaces(qv, dim, m_sub))
                          .alias("s"))
             .select(F.col("s.m").alias("m"), F.col("s.sub").alias("qsub")))
-    book_q = (book.join(qsub, "m")
-              .select("m", "code", "sub",
-                      _d2(F.col("sub"), F.col("qsub")).alias("qd2"))
-              .localCheckpoint(eager=True))  # M*k rows, 2 consumers below
-
+    bq = (book.join(qsub, "m")
+          .select("m", "code", "sub",
+                  _d2(F.col("sub"), F.col("qsub")).alias("qd2"))
+          .agg(F.sort_array(F.collect_list(
+              F.struct("m", "code", "sub", "qd2"))).alias("_bq")))
+    # narrow encode (guide §2.4): per-subspace argmin, code string and
+    # ADC sum are all functions of the single corpus row plus the
+    # broadcast codebook — zero exchanges before the final top-k.
+    # _subspaces emits subspaces in m order, so the codes string
+    # matches the former array_sort(collect_list(struct(m, code))).
     enc = (df.select(F.col(id_col).alias("id"),
-                     F.explode(_subspaces(qv, dim, m_sub)).alias("s"))
-           .select("id", F.col("s.m").alias("m"),
-                   F.col("s.sub").alias("vsub"))
-           .join(F.broadcast(book_q), "m")
-           .select("id", "m", "code", "qd2",
-                   _d2(F.col("vsub"), F.col("sub")).alias("d2")))
-    # per-(vector, subspace) argmin; min(struct) orders (d2, code)
-    # lexicographically, so ties break to the smaller code id and the
-    # winning code's ADC entry comes along for free
-    assigned = (enc.groupBy("id", "m")
-                .agg(F.min(F.struct("d2", "code", "qd2")).alias("w")))
-    out = (assigned.groupBy("id")
-           .agg(F.sum(F.col("w.qd2")).alias("adc_dist"),
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(
-                            F.struct("m", F.col("w.code").alias("code")))),
-                        lambda s: s.getField("code").cast("string")),
-                    "-").alias("codes")))
-    return (out.select(F.col("id").alias(id_col), "codes", "adc_dist")
-            .orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k))
+                     _subspaces(qv, dim, m_sub).alias("_ss"))
+           .crossJoin(F.broadcast(bq))
+           .withColumn("_best", F.transform(
+               F.col("_ss"), lambda s: _best_entry(s, F.col("_bq")))))
+    out = enc.select(
+        F.col("id").alias(id_col),
+        F.array_join(
+            F.transform(F.col("_best"),
+                        lambda b: b.getField("code").cast("string")),
+            "-").alias("codes"),
+        F.aggregate(F.col("_best"), F.lit(0).cast("long"),
+                    lambda a, b: a + b.getField("qd2")).alias("adc_dist"))
+    return out.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
