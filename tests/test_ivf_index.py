@@ -56,6 +56,42 @@ def test_audit_is_log_only_and_detects_skew(spark, tmp_path):
     assert audit["n_rows"] == LH.read_table(spark, path).count()
 
 
+def test_audit_identical_on_parquet_checkpoint_plane(spark, tmp_path):
+    """Round-12 (verdict item 4): on a parquet-checkpointed index the
+    audit aggregates the checkpoint add-action TABLE executor-side and
+    collects O(lists) — the result must be field-identical to the
+    driver-side JSON replay's, and the missing-partition error must
+    still fire."""
+    path = str(tmp_path / "idx")
+    _skewed_index(spark, path)
+    before = IVF.index_skew_audit(spark, path)
+    assert LH._adds_df_at(spark, path) is None  # JSON lane produced it
+    LH.expire_snapshots(spark, path, keep_last=1,
+                        checkpoint_format="parquet")
+    assert LH._adds_df_at(spark, path) is not None  # plane active
+    after = IVF.index_skew_audit(spark, path)
+    assert after == before
+    # the tail replay stays consistent: an append AFTER the checkpoint
+    # lands in the Spark-lane profile too
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    one = (emb.orderBy("vec_id").limit(1)
+           .select("vec_id", "embedding", F.lit(999).alias("list_id")))
+    LH.append_table(spark, path, one)
+    grown = IVF.index_skew_audit(spark, path)
+    assert grown["n_lists"] == before["n_lists"] + 1
+    assert grown["rows_by_list"][999] == 1
+    assert grown["n_rows"] == before["n_rows"] + 1
+    # unpartitioned table on the plane: same ValueError as the JSON lane
+    flat = str(tmp_path / "flat")
+    LH.create_table(spark, flat,
+                    emb.select("vec_id", "embedding").limit(20),
+                    ["vec_id"])
+    LH.expire_snapshots(spark, flat, keep_last=1,
+                        checkpoint_format="parquet")
+    with pytest.raises(ValueError, match="carries no 'list_id'"):
+        IVF.index_skew_audit(spark, flat)
+
+
 def test_plan_recommends_rebalance_only_when_skewed(spark, tmp_path):
     path = str(tmp_path / "idx")
     _skewed_index(spark, path)
