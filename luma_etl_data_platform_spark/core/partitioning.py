@@ -26,28 +26,38 @@ names in the analyzed plan, so they can never alias across rewrites.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 
-_NPART_MEMO: dict[tuple[int, int], int] = {}
+# per-session memo keyed on the PYTHON SparkSession object via
+# WeakKeyDictionary (ADVICE r11, low): entries die with the session,
+# so a stopped-and-collected session's CPython id can never alias a
+# new session onto stale partition counts (the old id()-keyed dict
+# could). Two python wrappers of one JVM session memoize separately —
+# a harmless cache split, never a wrong value.
+_NPART_MEMO: "weakref.WeakKeyDictionary[object, dict[int, int]]" = \
+    weakref.WeakKeyDictionary()
 _NPART_MEMO_MAX = 4096
 
 
 def spread(df: DataFrame) -> DataFrame:
     target = df.sparkSession.sparkContext.defaultParallelism
     n = None
+    memo = None
     key = None
     try:
-        key = (id(df.sparkSession._jsparkSession),
-               df._jdf.queryExecution().analyzed().semanticHash())
-        n = _NPART_MEMO.get(key)
+        memo = _NPART_MEMO.setdefault(df.sparkSession, {})
+        key = df._jdf.queryExecution().analyzed().semanticHash()
+        n = memo.get(key)
     except Exception:  # private-API drift: fall back to the probe
-        key = None
+        memo = None
     if n is None:
         n = df.rdd.getNumPartitions()
-        if key is not None:
-            if len(_NPART_MEMO) >= _NPART_MEMO_MAX:
-                _NPART_MEMO.clear()
-            _NPART_MEMO[key] = n
+        if memo is not None:
+            if len(memo) >= _NPART_MEMO_MAX:
+                memo.clear()
+            memo[key] = n
     if n < target:
         return df.repartition(target)
     return df

@@ -456,13 +456,47 @@ def _fresh_top(doc: dict) -> dict:
             for k, v in doc.items()}
 
 
-def _local_fs_path(path: str) -> str | None:
+_DEFAULT_FS_LOCAL: dict[int, bool] = {}
+
+
+def _default_fs_is_local(spark: SparkSession | None = None) -> bool:
+    """True when Hadoop's ``fs.defaultFS`` resolves SCHEME-LESS paths
+    to the driver-local filesystem (the local/standalone default).
+    Under an ``hdfs://``-style default a scheme-less table root lives
+    on the cluster filesystem, so the driver-side fast lanes must not
+    claim it (ADVICE r11, medium: the old guard silently walked a
+    nonexistent local dir and could commit an empty add list). Cached
+    per JVM; with no resolvable session the answer is the
+    conservative False (Hadoop lane)."""
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return False
+    key = id(spark._jvm)
+    v = _DEFAULT_FS_LOCAL.get(key)
+    if v is None:
+        try:
+            v = str(spark._jsc.hadoopConfiguration()
+                    .get("fs.defaultFS", "file:///")).startswith("file:")
+        except Exception:
+            v = False
+        _DEFAULT_FS_LOCAL[key] = v
+    return v
+
+
+def _local_fs_path(path: str,
+                   spark: SparkSession | None = None) -> str | None:
     """Local-filesystem form of ``path`` (``file:`` scheme stripped),
     None for non-local URIs — the shared guard of every driver-side
-    fast lane (footer stats, ledger reads, the local log listing)."""
-    if "://" in path and not path.startswith("file:"):
+    fast lane (footer stats, ledger reads, the local log listing).
+    An explicit ``file:`` scheme is local by definition; a scheme-less
+    path is local only when the session's default filesystem is
+    (:func:`_default_fs_is_local`)."""
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    if "://" in path:
         return None
-    return path[len("file:"):] if path.startswith("file:") else path
+    return path if _default_fs_is_local(spark) else None
 
 
 def _commits(spark: SparkSession, table_path: str) -> list[dict]:
@@ -471,7 +505,7 @@ def _commits(spark: SparkSession, table_path: str) -> list[dict]:
     if pin is not None and pin[1] is not None:
         docs = [_fresh_top(d) for d in pin[1]]
         return _annotate_txn(spark, docs)
-    local = _local_fs_path(root)
+    local = _local_fs_path(root, spark)
     if local is not None:
         # LOCAL log dirs list and read driver-side (round-11, same
         # class as _footer_stats / the ledger lanes): the Hadoop
@@ -1621,7 +1655,7 @@ def _write_data_files(spark: SparkSession, table_path: str,
         return final, add
 
     adds = []
-    local_root = _local_fs_path(root)
+    local_root = _local_fs_path(root, spark)
     if local_root is not None:
         # local placement lane (round-11, same class as the local log
         # listing): the Hadoop loop costs ~4 py4j round trips per
@@ -1675,7 +1709,8 @@ def _write_data_files(spark: SparkSession, table_path: str,
 
 
 def _footer_stats(root: str, adds: list[dict],
-                  cols: list[str]) -> dict | None:
+                  cols: list[str],
+                  spark: SparkSession | None = None) -> dict | None:
     """Per-file (rows, {col: (min, max)}) read from LOCAL parquet
     FOOTERS — the write-time stats the Spark scan job recomputes
     (round-11 optimization, guide §1.2: don't compute things twice;
@@ -1698,9 +1733,9 @@ def _footer_stats(root: str, adds: list[dict],
     lane (debug escape hatch)."""
     if os.environ.get("LUMA_LH_FOOTER_STATS", "1") == "0":
         return None
-    if "://" in root and not root.startswith("file:"):
+    local_root = _local_fs_path(root, spark)
+    if local_root is None:
         return None
-    local_root = root[len("file:"):] if root.startswith("file:") else root
     try:
         import pyarrow as _pa
         import pyarrow.parquet as _pq
@@ -1770,7 +1805,8 @@ def _annotate_adds(spark: SparkSession, root: str, adds: list[dict],
     so mixed-size histories probe correctly."""
     cols = list(dict.fromkeys((keys or []) + (stat_cols or [])))
     cols = [c for c in cols if c in data_columns]
-    foot = _footer_stats(root, adds, cols) if cols and adds else None
+    foot = (_footer_stats(root, adds, cols, spark)
+            if cols and adds else None)
     if foot is not None:
         for a in adds:
             got = foot.get(a["path"])
@@ -4479,8 +4515,15 @@ def analyze_table(spark: SparkSession, table_path: str,
             jobs.append((c, functools.partial(_lanes_job, c, m_bits)))
         if len(jobs) > 1:
             from concurrent.futures import ThreadPoolExecutor
+
+            from pyspark import inheritable_thread_target
+
+            # propagate the caller's job group/description/pool into
+            # the workers so cancelJobGroup and scheduler pools still
+            # reach the overlapped scans (ADVICE r11)
+            run_one = inheritable_thread_target(spark)(lambda j: j[1]())
             with ThreadPoolExecutor(max_workers=min(len(jobs), 4)) as pool:
-                results = list(pool.map(lambda j: j[1](), jobs))
+                results = list(pool.map(run_one, jobs))
         else:
             results = [j[1]() for j in jobs]
         for (c, _), res in zip(jobs, results):

@@ -143,11 +143,14 @@ def test_spread_memo_same_decision_and_reuse(spark):
     target = spark.sparkContext.defaultParallelism
     out = P.spread(spark.range(100).coalesce(1))
     assert out.rdd.getNumPartitions() == target
-    assert len(P._NPART_MEMO) == 1          # probe result memoized
-    key = next(iter(P._NPART_MEMO))
+    # memo is per-SESSION (WeakKeyDictionary — ADVICE r11: entries die
+    # with the session, so id() reuse can never alias sessions)
+    memo = P._NPART_MEMO[spark]
+    assert len(memo) == 1                   # probe result memoized
+    key = next(iter(memo))
     # poison the entry: an equal fresh frame must follow the MEMO's
     # decision (no repartition), i.e. the probe did not run again
-    P._NPART_MEMO[key] = target
+    memo[key] = target
     again = P.spread(spark.range(100).coalesce(1))
     assert again.rdd.getNumPartitions() == 1
     P._NPART_MEMO.clear()
