@@ -351,8 +351,13 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 hamming.alias("hamming"))
-        .distinct()
+        # hamming is a function of the id pair, so filtering BEFORE
+        # the distinct is equivalent — and the distinct's exchange
+        # then carries only the (rare) surviving pairs instead of
+        # every band-collision candidate (guide §2.3: shuffle fewer
+        # bytes; round 12)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

