@@ -69,6 +69,14 @@ def main() -> None:
                 df = df.withColumn(
                     c, F.col(c) + F.col("_rep") * F.lit(key_base[fam]))
             df = df.drop("_rep")
+        if cols and factor > 1:
+            # one output file per replica-ish: a replicated table
+            # written as 1-2 big files has 1-2 parquet row groups, so
+            # scan parallelism caps there no matter the split size and
+            # an 8-vs-32-core comparison measures nothing (round-12
+            # scaling-tier finding). 4 files per replica keeps files
+            # >= a few MB while giving the scheduler real splits.
+            df = df.repartition(4 * factor)
         df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
         print(f"{t}: {spark.read.parquet(f'{out_dir}/{t}.parquet').count()} rows")
 

@@ -47,7 +47,17 @@ def main() -> int:
     from luma_etl_data_platform_spark import api
     from luma_etl_data_platform_spark.core.session import get_spark
 
-    spark = get_spark(app_name="scaling-tier")
+    # The replicated SF1 tables are a few tens of MB per file, so at
+    # the default 128 MB split size every scan is 1-2 tasks and BOTH
+    # core counts are input-split-bound (first run measured ratios
+    # ~1.3 for that reason — the splits, not the plans, were the
+    # ceiling). A 100-TB input has ~10^5 splits; emulate "far more
+    # splits than cores" so the tier measures the PLANS' parallelism.
+    split = os.environ.get("SPARK_GRAFT_SCAN_SPLIT_BYTES", str(2 << 20))
+    spark = get_spark(app_name="scaling-tier", extra_conf={
+        "spark.sql.files.maxPartitionBytes": split,
+        "spark.sql.files.openCostInBytes": str(256 << 10),
+    })
     queries = api.all_queries()
 
     def force(df):
