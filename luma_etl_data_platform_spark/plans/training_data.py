@@ -1403,9 +1403,24 @@ def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_id = emb.agg(F.min("vec_id").alias("_mid"))
     corpus = emb.join(F.broadcast(min_id), F.col("vec_id") == F.col("_mid"),
                       "left_anti")
-    top = (PQ.pq_topk(corpus, query, k=10, codebook="trained")
-           .localCheckpoint(eager=True))  # 2 consumers: out + recall
-    exact = S.cosine_topk(corpus, query, k=10).select("vec_id")
+    # the exact-cosine audit is INDEPENDENT of the trained codebook —
+    # overlap its one corpus scan with the training/encode jobs
+    # (optimization guide §2.6) instead of idling through their tails;
+    # the checkpointed frame is deterministic, so the result is
+    # unchanged (round 12)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def _exact():
+        return (S.cosine_topk(corpus, query, k=10).select("vec_id")
+                .localCheckpoint(eager=True))
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut_exact = pool.submit(inheritable_thread_target(spark)(_exact))
+        top = (PQ.pq_topk(corpus, query, k=10, codebook="trained")
+               .localCheckpoint(eager=True))  # 2 consumers: out + recall
+        exact = fut_exact.result()
     hits = (top.join(exact, "vec_id", "left_semi")
             .agg(F.count(F.lit(1)).alias("_h")))
     recall = hits.select(
